@@ -233,6 +233,9 @@ class ActiveParams:
 
     @classmethod
     def build(cls, ctx: NvclContext, nal: NalUnit, sps: SPS, pps: PPS, ph: PH, sh: SH, nb_sh_bytes: int):
+        if pps.pps_no_pic_partition_flag:
+            # inferred equal to sps_log2_ctu_size_minus5 (spec 7.4.3.5)
+            pps.pps_log2_ctu_size_minus5 = sps.sps_log2_ctu_size_minus5
         p = cls(sps=sps, pps=pps, ph=ph, sh=sh, nal_type=int(nal.type))
         p._derive_partition_info()
         p._derive_chroma_qp_tables()
