@@ -1,0 +1,325 @@
+"""CTU parse context: neighbor maps, tool flags, and the CTU tensor IR.
+
+This replaces the reference's per-thread OVCTUDec + CABAC line buffers
+(/root/reference/libovvc/ctudec.h:570-808, slicedec.h:81-156). Instead of
+1-D rotating line buffers we keep full-tile 2-D neighbor maps at 4x4
+granularity — simpler, bit-identical in effect, and the natural layout to
+hand to batched TPU kernels later.
+
+The parse produces a list of `CU` IR nodes per CTU (the "CTU tensor IR" from
+SURVEY.md section 7.1): reconstruction consumes these without touching CABAC
+state.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from openvvc_tpu.hls.ph import SLICE_I
+from openvvc_tpu.hls.syntax import SyntaxStruct
+
+UNAVAIL = 0xFF
+
+# intra prediction modes
+INTRA_PLANAR = 0
+INTRA_DC = 1
+INTRA_ANGULAR_MIN = 2
+INTRA_ANGULAR_MAX = 66
+INTRA_LT_CCLM = 81
+INTRA_L_CCLM = 82
+INTRA_T_CCLM = 83
+INTRA_DM = 67  # marker used during parse before DM resolution
+
+MODE_INTRA = 0
+MODE_INTER = 1
+MODE_IBC = 2
+MODE_PLT = 3
+
+TREE_SINGLE = 0
+TREE_DUAL_LUMA = 1
+TREE_DUAL_CHROMA = 2
+
+MODE_TYPE_ALL = 0
+MODE_TYPE_INTER = 1
+MODE_TYPE_INTRA = 2
+
+
+class Node(SyntaxStruct):
+    """Generic syntax node with default-0 fields."""
+
+
+@dataclass
+class TU:
+    """One transform unit of one component in the IR."""
+
+    x0: int  # component-space coordinates
+    y0: int
+    log2_w: int
+    log2_h: int
+    comp: int  # 0=Y, 1=Cb, 2=Cr
+    cbf: int = 0
+    coeffs: np.ndarray | None = None  # int32 [h, w] when cbf
+    joint_cbcr: int = 0
+    lfnst_idx: int = 0
+    mts_idx: int = 0  # resolved transform pair index
+    transform_skip: int = 0
+    qp: int = 0
+    bdpcm: int = 0
+
+
+@dataclass
+class CU:
+    """One coding unit in the IR (modes + its TUs)."""
+
+    x0: int  # luma coordinates relative to picture
+    y0: int
+    log2_w: int
+    log2_h: int
+    tree_type: int = TREE_SINGLE
+    pred_mode: int = MODE_INTRA
+    # intra
+    intra_mode_l: int = INTRA_PLANAR
+    intra_mode_c: int = INTRA_PLANAR
+    mip_flag: int = 0
+    mip_transpose: int = 0
+    mip_mode: int = 0
+    mrl_idx: int = 0
+    isp_mode: int = 0  # 0 none, 1 horizontal, 2 vertical
+    bdpcm_l: int = 0
+    bdpcm_dir_l: int = 0
+    bdpcm_c: int = 0
+    bdpcm_dir_c: int = 0
+    lfnst_idx: int = 0
+    # inter (filled by inter parse later)
+    skip_flag: int = 0
+    merge_flag: int = 0
+    qp: int = 0
+    tus: list = field(default_factory=list)
+
+
+@dataclass
+class CtuIR:
+    """Parsed contents of one CTU."""
+
+    ctb_x: int  # in CTU units, picture coords
+    ctb_y: int
+    cus: list = field(default_factory=list)
+    sao: object = None
+    alf: object = None
+
+
+class CTUParseCtx:
+    """Mutable state for parsing one rectangular entry (tile)."""
+
+    def __init__(self, io, params, entry):
+        self.io = io
+        self.params = params
+        self.entry = entry
+        sps, pps, ph, sh = params.sps, params.pps, params.ph, params.sh
+        self.sps, self.pps, self.ph, self.sh = sps, pps, ph, sh
+
+        self.slice_type = params.slice_type
+        self.slice_qp = params.slice_qp
+        self.qp = self.slice_qp
+        self.bitdepth = sps.bitdepth
+
+        self.log2_ctb = sps.ctb_log2
+        self.ctb_size = 1 << self.log2_ctb
+
+        if self.slice_type == SLICE_I:
+            self.part_luma = params.part_info["intra_luma"]
+            self.part_chroma = params.part_info["intra_chroma"]
+        else:
+            self.part_luma = params.part_info["inter_luma"]
+            self.part_chroma = params.part_info["inter_chroma"]
+
+        # tool enables resolved once per slice (slicedec_init_slice_tools analog)
+        self.dual_tree_intra = bool(sps.sps_qtbtt_dual_tree_intra_flag) and self.slice_type == SLICE_I
+        self.chroma_enabled = sps.sps_chroma_format_idc != 0
+        self.cclm_enabled = bool(sps.sps_cclm_enabled_flag)
+        self.mip_enabled = bool(sps.sps_mip_enabled_flag)
+        self.mrl_enabled = bool(sps.sps_mrl_enabled_flag)
+        self.isp_enabled = bool(sps.sps_isp_enabled_flag)
+        self.bdpcm_enabled = bool(sps.sps_bdpcm_enabled_flag)
+        self.lfnst_enabled = bool(sps.sps_lfnst_enabled_flag)
+        self.mts_enabled = bool(sps.sps_mts_enabled_flag)
+        self.mts_implicit = bool(sps.sps_mts_enabled_flag) and not sps.sps_explicit_mts_intra_enabled_flag
+        self.explicit_mts_intra = bool(sps.sps_explicit_mts_intra_enabled_flag)
+        self.explicit_mts_inter = bool(sps.sps_explicit_mts_inter_enabled_flag)
+        self.transform_skip_enabled = bool(sps.sps_transform_skip_enabled_flag)
+        self.log2_ts_max = sps.sps_log2_transform_skip_max_size_minus2 + 2
+        self.joint_cbcr_enabled = bool(sps.sps_joint_cbcr_enabled_flag)
+        self.sbt_enabled = bool(sps.sps_sbt_enabled_flag)
+        self.ibc_enabled = bool(sps.sps_ibc_enabled_flag)
+        self.plt_enabled = bool(sps.sps_palette_enabled_flag)
+        self.dep_quant = bool(sh.sh_dep_quant_used_flag)
+        self.sign_hiding = bool(sh.sh_sign_data_hiding_used_flag)
+        self.sao_luma = bool(sh.sh_sao_luma_used_flag)
+        self.sao_chroma = bool(sh.sh_sao_chroma_used_flag)
+        self.cu_qp_delta_enabled = bool(pps.pps_cu_qp_delta_enabled_flag)
+        self.max_num_merge_cand = 6 - sps.sps_six_minus_max_num_merge_cand
+
+        # tile geometry in luma samples
+        self.tile_x0 = entry.ctu_x << self.log2_ctb
+        self.tile_y0 = entry.ctu_y << self.log2_ctb
+        self.tile_w = min(entry.nb_ctu_w << self.log2_ctb, pps.pic_w - self.tile_x0)
+        self.tile_h = min(entry.nb_ctu_h << self.log2_ctb, pps.pic_h - self.tile_y0)
+        self.pic_w = pps.pic_w
+        self.pic_h = pps.pic_h
+
+        # 2-D neighbor maps at 4x4 luma granularity over the tile
+        uw = (self.tile_w + 3) >> 2
+        uh = (self.tile_h + 3) >> 2
+        self.map_log2_w = np.full((uh, uw), UNAVAIL, np.uint8)
+        self.map_log2_h = np.full((uh, uw), UNAVAIL, np.uint8)
+        self.map_qt_depth = np.zeros((uh, uw), np.uint8)
+        self.map_intra_mode = np.full((uh, uw), UNAVAIL, np.uint8)
+        self.map_pred_mode = np.full((uh, uw), UNAVAIL, np.uint8)  # MODE_*
+        self.map_cu_type = np.full((uh, uw), UNAVAIL, np.uint8)  # CU_* ctx values
+        self.map_skip = np.zeros((uh, uw), np.uint8)
+        self.map_qp = np.full((uh, uw), self.slice_qp, np.int16)
+        # chroma-tree maps (chroma-sample 4x4 granularity)
+        cw = (self.tile_w // 2 + 3) >> 2 if self.chroma_enabled else 1
+        ch = (self.tile_h // 2 + 3) >> 2 if self.chroma_enabled else 1
+        self.cmap_log2_w = np.full((ch, cw), UNAVAIL, np.uint8)
+        self.cmap_log2_h = np.full((ch, cw), UNAVAIL, np.uint8)
+        self.cmap_qt_depth = np.zeros((ch, cw), np.uint8)
+
+        # per-CTU state
+        self.ctu_ir: CtuIR | None = None
+        self.tree_type = TREE_SINGLE
+        self.mode_type = MODE_TYPE_ALL
+        self.share = 0  # SCIPU state: 1 = intra local dual tree, 2 = inter-only
+        # CCLM availability state machine (dual-tree 64x64 rule); True outside
+        # dual tree. Managed by the tree walker when dual tree is active.
+        self._cclm_allowed = True
+
+        # delta-QP bookkeeping
+        self.qp_y_pred = self.slice_qp
+        self.cu_qp_delta = 0
+        self.is_cu_qp_delta_coded = False
+
+        # output
+        self.ctus: list[CtuIR] = []
+
+    @property
+    def slice_is_intra(self) -> bool:
+        return self.slice_type == SLICE_I
+
+    def cclm_allowed(self) -> bool:
+        if self.tree_type != TREE_DUAL_CHROMA:
+            return True
+        if self.log2_ctb == 5:
+            return True
+        return self._cclm_allowed
+
+    # -- coordinate helpers (tile-relative 4x4 units) -------------------
+    def _lu(self, x: int, y: int) -> tuple[int, int]:
+        return (x - self.tile_x0) >> 2, (y - self.tile_y0) >> 2
+
+    def in_tile(self, x: int, y: int) -> bool:
+        return (
+            self.tile_x0 <= x < self.tile_x0 + self.tile_w
+            and self.tile_y0 <= y < self.tile_y0 + self.tile_h
+        )
+
+    # -- luma neighbor queries -----------------------------------------
+    def nbr_log2_w_above(self, x: int, y: int) -> int:
+        if not self.in_tile(x, y - 1):
+            return UNAVAIL
+        ux, uy = self._lu(x, y - 1)
+        return int(self.map_log2_w[uy, ux])
+
+    def nbr_log2_h_left(self, x: int, y: int) -> int:
+        if not self.in_tile(x - 1, y):
+            return UNAVAIL
+        ux, uy = self._lu(x - 1, y)
+        return int(self.map_log2_h[uy, ux])
+
+    def nbr_qt_depth_above(self, x: int, y: int) -> int:
+        if not self.in_tile(x, y - 1):
+            return 0
+        ux, uy = self._lu(x, y - 1)
+        return int(self.map_qt_depth[uy, ux])
+
+    def nbr_qt_depth_left(self, x: int, y: int) -> int:
+        if not self.in_tile(x - 1, y):
+            return 0
+        ux, uy = self._lu(x - 1, y)
+        return int(self.map_qt_depth[uy, ux])
+
+    def nbr_intra_mode(self, x: int, y: int) -> int:
+        """Intra mode at (x,y); UNAVAIL if outside tile or not intra."""
+        if not self.in_tile(x, y):
+            return UNAVAIL
+        ux, uy = self._lu(x, y)
+        return int(self.map_intra_mode[uy, ux])
+
+    # -- chroma neighbor queries (chroma coords) ------------------------
+    def _cu_idx(self, cx: int, cy: int) -> tuple[int, int]:
+        return (cx - (self.tile_x0 >> 1)) >> 2, (cy - (self.tile_y0 >> 1)) >> 2
+
+    def in_tile_c(self, cx: int, cy: int) -> bool:
+        return (
+            (self.tile_x0 >> 1) <= cx < (self.tile_x0 + self.tile_w) >> 1
+            and (self.tile_y0 >> 1) <= cy < (self.tile_y0 + self.tile_h) >> 1
+        )
+
+    def cnbr_log2_w_above(self, cx: int, cy: int) -> int:
+        if not self.in_tile_c(cx, cy - 1):
+            return UNAVAIL
+        ux, uy = self._cu_idx(cx, cy - 1)
+        return int(self.cmap_log2_w[uy, ux])
+
+    def cnbr_log2_h_left(self, cx: int, cy: int) -> int:
+        if not self.in_tile_c(cx - 1, cy):
+            return UNAVAIL
+        ux, uy = self._cu_idx(cx - 1, cy)
+        return int(self.cmap_log2_h[uy, ux])
+
+    def cnbr_qt_depth_above(self, cx: int, cy: int) -> int:
+        if not self.in_tile_c(cx, cy - 1):
+            return 0
+        ux, uy = self._cu_idx(cx, cy - 1)
+        return int(self.cmap_qt_depth[uy, ux])
+
+    def cnbr_qt_depth_left(self, cx: int, cy: int) -> int:
+        if not self.in_tile_c(cx - 1, cy):
+            return 0
+        ux, uy = self._cu_idx(cx - 1, cy)
+        return int(self.cmap_qt_depth[uy, ux])
+
+    # -- map updates ----------------------------------------------------
+    def store_cu_luma(self, cu: CU) -> None:
+        ux, uy = self._lu(cu.x0, cu.y0)
+        w_u = max(1, (1 << cu.log2_w) >> 2)
+        h_u = max(1, (1 << cu.log2_h) >> 2)
+        self.map_log2_w[uy : uy + h_u, ux : ux + w_u] = cu.log2_w
+        self.map_log2_h[uy : uy + h_u, ux : ux + w_u] = cu.log2_h
+        if cu.pred_mode == MODE_INTRA and not cu.mip_flag:
+            self.map_intra_mode[uy : uy + h_u, ux : ux + w_u] = cu.intra_mode_l
+        elif cu.pred_mode == MODE_INTRA and cu.mip_flag:
+            self.map_intra_mode[uy : uy + h_u, ux : ux + w_u] = INTRA_PLANAR
+        else:
+            self.map_intra_mode[uy : uy + h_u, ux : ux + w_u] = UNAVAIL
+        self.map_pred_mode[uy : uy + h_u, ux : ux + w_u] = cu.pred_mode
+        self.map_skip[uy : uy + h_u, ux : ux + w_u] = cu.skip_flag
+
+    def store_qt_depth_luma(self, x0: int, y0: int, log2_s: int, qt_depth: int) -> None:
+        ux, uy = self._lu(x0, y0)
+        n = max(1, (1 << log2_s) >> 2)
+        self.map_qt_depth[uy : uy + n, ux : ux + n] = qt_depth
+
+    def store_cu_chroma(self, cx0: int, cy0: int, log2_w: int, log2_h: int) -> None:
+        ux, uy = self._cu_idx(cx0, cy0)
+        w_u = max(1, (1 << log2_w) >> 2)
+        h_u = max(1, (1 << log2_h) >> 2)
+        self.cmap_log2_w[uy : uy + h_u, ux : ux + w_u] = log2_w
+        self.cmap_log2_h[uy : uy + h_u, ux : ux + w_u] = log2_h
+
+    def store_qt_depth_chroma(self, cx0: int, cy0: int, log2_s: int, qt_depth: int) -> None:
+        ux, uy = self._cu_idx(cx0, cy0)
+        n = max(1, (1 << log2_s) >> 2)
+        self.cmap_qt_depth[uy : uy + n, ux : ux + n] = qt_depth
