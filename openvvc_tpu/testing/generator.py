@@ -1,0 +1,314 @@
+"""VVC test-stream generator.
+
+Because this build environment has no access to the JVET conformance corpus
+(zero egress), we generate our own conformant bitstreams: the HLS writers and
+the CABAC syntax writers (the same symmetric codecs the decoder uses) assemble
+complete Annex-B streams. The reference decoder binary
+(/tmp/refbuild/dectest, built by tools/build_reference_oracle.sh) serves as
+the conformance oracle: our decoder and the reference must produce bit-exact
+identical YUV for every generated stream.
+"""
+
+from __future__ import annotations
+
+import subprocess
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from openvvc_tpu.hls.nal import NalType, NalUnit, mux_annexb
+from openvvc_tpu.hls.ph import PH, picture_header_syntax
+from openvvc_tpu.hls.pps import PPS, pps_syntax
+from openvvc_tpu.hls.sh import SH, slice_header_syntax
+from openvvc_tpu.hls.sps import SPS, sps_syntax
+from openvvc_tpu.hls.syntax import ListField, SyntaxWriter
+from openvvc_tpu.utils.bitstream import BitWriter
+from openvvc_tpu.vcl.coding_tree import BT_H, BT_V, NO_SPLIT, QT_SPLIT, TT_H, TT_V, TreeNode
+from openvvc_tpu.vcl.ctu import CU, TREE_SINGLE
+
+
+@dataclass
+class StreamConfig:
+    width: int = 128
+    height: int = 128
+    ctu_log2: int = 6
+    chroma_format: int = 1  # 4:2:0
+    bitdepth: int = 8
+    qp: int = 32
+    # tool switches (all default off for the minimal profile)
+    dep_quant: bool = False
+    sign_hiding: bool = False
+    mts: bool = False
+    explicit_mts_intra: bool = False
+    lfnst: bool = False
+    mip: bool = False
+    mrl: bool = False
+    isp: bool = False
+    cclm: bool = False
+    dual_tree: bool = False
+    joint_cbcr: bool = False
+    transform_skip: bool = False
+    bdpcm: bool = False
+    sao: bool = False
+    alf: bool = False
+    lmcs: bool = False
+    deblocking: bool = True  # on unless disabled in PPS
+    max_tb_64: bool = True
+    min_qt_log2: int = 3
+    max_mtt_depth: int = 2
+    max_bt_log2: int = 6
+    max_tt_log2: int = 6
+    min_cb_log2: int = 2
+    # tiles
+    tile_cols: list = None  # explicit CTU widths or None for single tile
+    tile_rows: list = None
+
+
+def build_sps(cfg: StreamConfig) -> SPS:
+    sps = SPS()
+    sps.sps_seq_parameter_set_id = 0
+    sps.sps_chroma_format_idc = cfg.chroma_format
+    sps.sps_log2_ctu_size_minus5 = cfg.ctu_log2 - 5
+    sps.sps_pic_width_max_in_luma_samples = cfg.width
+    sps.sps_pic_height_max_in_luma_samples = cfg.height
+    sps.sps_bitdepth_minus8 = cfg.bitdepth - 8
+    sps.sps_entry_point_offsets_present_flag = 1
+    sps.sps_log2_max_pic_order_cnt_lsb_minus4 = 4
+    sps.sps_log2_min_luma_coding_block_size_minus2 = cfg.min_cb_log2 - 2
+    sps.sps_log2_diff_min_qt_min_cb_intra_slice_luma = cfg.min_qt_log2 - cfg.min_cb_log2
+    sps.sps_max_mtt_hierarchy_depth_intra_slice_luma = cfg.max_mtt_depth
+    if cfg.max_mtt_depth:
+        sps.sps_log2_diff_max_bt_min_qt_intra_slice_luma = max(0, cfg.max_bt_log2 - cfg.min_qt_log2)
+        sps.sps_log2_diff_max_tt_min_qt_intra_slice_luma = max(0, min(cfg.max_tt_log2, 6) - cfg.min_qt_log2)
+    sps.sps_log2_diff_min_qt_min_cb_inter_slice = cfg.min_qt_log2 - cfg.min_cb_log2
+    sps.sps_max_mtt_hierarchy_depth_inter_slice = 0
+    if cfg.ctu_log2 > 5:
+        sps.sps_max_luma_transform_size_64_flag = 1 if cfg.max_tb_64 else 0
+    if cfg.dual_tree:
+        sps.sps_qtbtt_dual_tree_intra_flag = 1
+        sps.sps_log2_diff_min_qt_min_cb_intra_slice_chroma = max(0, cfg.min_qt_log2 - 1 - (cfg.min_cb_log2 - 1))
+        sps.sps_max_mtt_hierarchy_depth_intra_slice_chroma = 0
+    if cfg.chroma_format:
+        sps.sps_same_qp_table_for_chroma_flag = 1
+        sps.sps_joint_cbcr_enabled_flag = 1 if cfg.joint_cbcr else 0
+        sps.sps_qp_table_start_minus26 = ListField({0: 0})
+        sps.sps_num_points_in_qp_table_minus1 = ListField({0: 0})
+        sps._list_nested("sps_delta_qp_in_val_minus1", 0)[0] = 26
+        sps._list_nested("sps_delta_qp_diff_val", 0)[0] = 1  # identity table
+        sps.sps_cclm_enabled_flag = 1 if cfg.cclm else 0
+        sps.sps_chroma_horizontal_collocated_flag = 1
+        sps.sps_chroma_vertical_collocated_flag = 1
+    sps.sps_sao_enabled_flag = 1 if cfg.sao else 0
+    sps.sps_alf_enabled_flag = 1 if cfg.alf else 0
+    sps.sps_lmcs_enabled_flag = 1 if cfg.lmcs else 0
+    sps.sps_transform_skip_enabled_flag = 1 if cfg.transform_skip else 0
+    if cfg.transform_skip:
+        sps.sps_log2_transform_skip_max_size_minus2 = 2
+        sps.sps_bdpcm_enabled_flag = 1 if cfg.bdpcm else 0
+    sps.sps_mts_enabled_flag = 1 if cfg.mts else 0
+    if cfg.mts:
+        sps.sps_explicit_mts_intra_enabled_flag = 1 if cfg.explicit_mts_intra else 0
+    sps.sps_lfnst_enabled_flag = 1 if cfg.lfnst else 0
+    sps.sps_mip_enabled_flag = 1 if cfg.mip else 0
+    sps.sps_mrl_enabled_flag = 1 if cfg.mrl else 0
+    sps.sps_isp_enabled_flag = 1 if cfg.isp else 0
+    sps.sps_dep_quant_enabled_flag = 1 if cfg.dep_quant else 0
+    sps.sps_sign_data_hiding_enabled_flag = 1 if cfg.sign_hiding else 0
+    sps.sps_six_minus_max_num_merge_cand = 1  # 5 merge cands
+    return sps
+
+
+def build_pps(cfg: StreamConfig, sps: SPS) -> PPS:
+    pps = PPS()
+    pps.pps_pic_parameter_set_id = 0
+    pps.pps_seq_parameter_set_id = 0
+    pps.pps_pic_width_in_luma_samples = cfg.width
+    pps.pps_pic_height_in_luma_samples = cfg.height
+    if cfg.tile_cols or cfg.tile_rows:
+        pps.pps_no_pic_partition_flag = 0
+        pps.pps_log2_ctu_size_minus5 = cfg.ctu_log2 - 5
+        cols = cfg.tile_cols or [(cfg.width + (1 << cfg.ctu_log2) - 1) >> cfg.ctu_log2]
+        rows = cfg.tile_rows or [(cfg.height + (1 << cfg.ctu_log2) - 1) >> cfg.ctu_log2]
+        pps.pps_num_exp_tile_columns_minus1 = len(cols) - 1
+        pps.pps_num_exp_tile_rows_minus1 = len(rows) - 1
+        pps.pps_tile_column_width_minus1 = ListField({i: w - 1 for i, w in enumerate(cols)})
+        pps.pps_tile_row_height_minus1 = ListField({i: h - 1 for i, h in enumerate(rows)})
+        if len(cols) * len(rows) > 1:
+            pps.pps_loop_filter_across_tiles_enabled_flag = 0
+            pps.pps_rect_slice_flag = 1
+        pps.pps_single_slice_per_subpic_flag = 1
+    else:
+        pps.pps_no_pic_partition_flag = 1
+        pps.pps_log2_ctu_size_minus5 = cfg.ctu_log2 - 5
+    if not cfg.deblocking:
+        pps.pps_deblocking_filter_control_present_flag = 1
+        pps.pps_deblocking_filter_disabled_flag = 1
+    if cfg.chroma_format:
+        pps.pps_chroma_tool_offsets_present_flag = 1
+        if cfg.joint_cbcr:
+            pps.pps_joint_cbcr_qp_offset_present_flag = 1
+    return pps
+
+
+def build_ph(cfg: StreamConfig, poc: int = 0) -> PH:
+    ph = PH()
+    ph.ph_gdr_or_irap_pic_flag = 1
+    ph.ph_inter_slice_allowed_flag = 0
+    ph.ph_intra_slice_allowed_flag = 1
+    ph.ph_pic_order_cnt_lsb = poc & 0xFF
+    ph.ph_pic_output_flag = 1
+    return ph
+
+
+def build_sh(cfg: StreamConfig, sps, pps) -> SH:
+    sh = SH()
+    sh.sh_picture_header_in_slice_header_flag = 0
+    sh.sh_qp_delta = cfg.qp - 26
+    sh.sh_slice_type = 2
+    sh.sh_num_ref_idx_active_override_flag = 1
+    if cfg.dep_quant:
+        sh.sh_dep_quant_used_flag = 1
+    elif cfg.sign_hiding:
+        sh.sh_sign_data_hiding_used_flag = 1
+    return sh
+
+
+def _write_ps_nal(syntax_fn, obj, nal_type, *args) -> NalUnit:
+    w = SyntaxWriter(BitWriter())
+    syntax_fn(w, obj, *args)
+    w.bw.rbsp_trailing_bits()
+    return NalUnit(nal_type, w.bw.get_bytes())
+
+
+def uniform_tree(params, entry, cu_factory) -> dict:
+    """Build one TreeNode per CTU with no splits; cu_factory(x0, y0, log2) -> CU."""
+    trees = {}
+    log2_ctb = params.sps.ctb_log2
+    for row in range(entry.nb_ctu_h):
+        for col in range(entry.nb_ctu_w):
+            cx, cy = entry.ctu_x + col, entry.ctu_y + row
+            node = TreeNode()
+            node.cu = cu_factory(cx << log2_ctb, cy << log2_ctb, log2_ctb)
+            trees[(cx, cy)] = node
+    return trees
+
+
+def build_stream(cfg: StreamConfig, tree_builder, nal_type=NalType.IDR_N_LP) -> bytes:
+    """Assemble a complete one-frame Annex-B stream.
+
+    tree_builder(params, entry) -> {(ctb_x, ctb_y): TreeNode} supplies the
+    pre-built coding trees per entry.
+    """
+    from openvvc_tpu.hls.params import NvclContext
+    from openvvc_tpu.vcl.slice_data import write_entry
+
+    sps = build_sps(cfg)
+    pps = build_pps(cfg, sps)
+    ph = build_ph(cfg)
+    sh = build_sh(cfg, sps, pps)
+
+    sps_nal = _write_ps_nal(sps_syntax, sps, NalType.SPS)
+    pps_nal = _write_ps_nal(pps_syntax, pps, NalType.PPS)
+    ph_nal = _write_ps_nal(picture_header_syntax, ph, NalType.PH, sps, pps)
+
+    # activation pass to derive tiles/entries (with a placeholder payload)
+    ctx = NvclContext()
+    ctx.decode_nalu(sps_nal)
+    ctx.decode_nalu(pps_nal)
+    ctx.decode_nalu(ph_nal)
+    sps_r = ctx.sps_list[0]
+    pps_r = ctx.pps_list[0]
+
+    # derive entries via a dry activation (empty payload)
+    probe_w = SyntaxWriter(BitWriter())
+    slice_header_syntax(probe_w, sh, nal_type, sps_r, pps_r, ctx.ph)
+    probe_w.bw.u(0x80, 8)
+    probe_nal = NalUnit(nal_type, probe_w.bw.get_bytes())
+    params = ctx.parse_slice(probe_nal)
+
+    # generate each entry payload
+    payloads = []
+    for entry in params.entries:
+        trees = tree_builder(params, entry)
+        payloads.append(write_entry(params, entry, trees))
+
+    # Entry-point offsets are in EBSP bytes (they count emulation prevention
+    # bytes, spec 7.4.8.1; the decoder discounts them — dec_init.c:322
+    # equivalent in hls/params.py). EPB insertion depends on the preceding
+    # bytes, including the slice header, which itself depends on the offsets —
+    # iterate to a fixpoint (converges in <=3 rounds).
+    def sh_bytes_for(sizes):
+        w = SyntaxWriter(BitWriter())
+        if sizes:
+            sh.sh_entry_point_offset_minus1 = ListField({i: s - 1 for i, s in enumerate(sizes)})
+            sh.sh_entry_offset_len_minus1 = max(0, (max(s - 1 for s in sizes)).bit_length() - 1)
+        slice_header_syntax(w, sh, nal_type, sps_r, pps_r, ctx.ph)
+        return w.bw.get_bytes()
+
+    if len(payloads) > 1:
+        sizes = [len(p) for p in payloads[:-1]]
+        for _ in range(4):
+            sh_bytes = sh_bytes_for(sizes)
+            new_sizes = _ebsp_entry_sizes(sh_bytes, payloads)[:-1]
+            if new_sizes == sizes:
+                break
+            sizes = new_sizes
+        sh_bytes = sh_bytes_for(sizes)
+    else:
+        sh_bytes = sh_bytes_for(None)
+
+    slice_nal = NalUnit(nal_type, sh_bytes + b"".join(payloads))
+    return mux_annexb([sps_nal, pps_nal, ph_nal, slice_nal])
+
+
+def _ebsp_entry_sizes(sh_bytes: bytes, payloads) -> list[int]:
+    """Per-entry sizes in EBSP bytes for the NAL rbsp = sh + payloads.
+
+    Counts emulation-prevention bytes inserted inside each entry's span.
+    NAL-header bytes do not affect EPB state at rbsp[0] (header is 2 bytes,
+    only zero-runs matter and the header's second byte is nonzero here).
+    """
+    rbsp = sh_bytes + b"".join(payloads)
+    epb_before = [0] * (len(rbsp) + 1)
+    zeros = 0
+    count = 0
+    for i, b in enumerate(rbsp):
+        if zeros >= 2 and b <= 0x03:
+            count += 1
+            zeros = 0
+        epb_before[i] = count
+        zeros = zeros + 1 if b == 0 else 0
+    epb_before[len(rbsp)] = count
+    sizes = []
+    pos = len(sh_bytes)
+    for p in payloads:
+        start, end = pos, pos + len(p)
+        sizes.append((end - start) + (epb_before[end] - epb_before[start]))
+        pos = end
+    return sizes
+
+
+def decode_with_oracle(stream: bytes, tmpdir: str = "/tmp") -> bytes | None:
+    """Run the reference decoder on a stream; returns raw YUV or None."""
+    import os
+    import tempfile
+
+    dectest = "/tmp/refbuild/dectest"
+    if not os.path.exists(dectest):
+        return None
+    with tempfile.TemporaryDirectory(dir=tmpdir) as td:
+        inp = f"{td}/in.266"
+        out = f"{td}/out.yuv"
+        with open(inp, "wb") as f:
+            f.write(stream)
+        r = subprocess.run(
+            [dectest, "-i", inp, "-o", out, "-t", "1", "-e", "1"],
+            capture_output=True,
+            timeout=120,
+        )
+        if r.returncode != 0:
+            raise RuntimeError(
+                f"oracle decoder failed rc={r.returncode}\n{r.stderr.decode()[-2000:]}"
+            )
+        with open(out, "rb") as f:
+            return f.read()

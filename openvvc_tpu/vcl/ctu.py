@@ -67,6 +67,9 @@ class TU:
     transform_skip: int = 0
     qp: int = 0
     bdpcm: int = 0
+    levels: np.ndarray | None = None  # transmitted levels
+    last_pos: tuple | None = None
+    sig_sb_map: int = 0
 
 
 @dataclass

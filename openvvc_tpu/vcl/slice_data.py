@@ -1,0 +1,159 @@
+"""Slice data: per-entry CTU loop and the CU dispatcher.
+
+Equivalent of the reference's slicedec_decode_rect_entry + decode_ctu_line +
+coding_unit wrapper (/root/reference/libovvc/slicedec.c:637-1216,
+vcl_coding_unit.c:754-990). Parses (or generates) one tile entry's CABAC
+payload, producing the per-CTU IR consumed by reconstruction.
+
+I-slice intra path; inter CU parsing is added with the inter tools.
+"""
+
+from __future__ import annotations
+
+from openvvc_tpu.cabac.engine import CabacDecoder, CabacEncoder
+from openvvc_tpu.hls.ph import SLICE_I
+from openvvc_tpu.vcl.cabac_io import CabacReaderIO, CabacWriterIO
+from openvvc_tpu.vcl.coding_tree import TreeNode, coding_quadtree, dual_tree_ctu
+from openvvc_tpu.vcl.coding_unit import (
+    CU_INTRA,
+    CU_MIP,
+    coding_unit_intra_chroma,
+    coding_unit_intra_luma,
+)
+from openvvc_tpu.vcl.ctu import (
+    CU,
+    CTUParseCtx,
+    CtuIR,
+    INTRA_DC,
+    INTRA_PLANAR,
+    MODE_INTRA,
+    TREE_DUAL_CHROMA,
+    TREE_DUAL_LUMA,
+    TREE_SINGLE,
+    UNAVAIL,
+)
+from openvvc_tpu.vcl.transform_unit import lfnst_mts_idx, transform_tree_intra
+
+
+def _collocated_luma_mode(ctx, cx0, cy0, clog2_w, clog2_h) -> int:
+    """Luma mode at the center of the collocated luma area (spec 8.4.3)."""
+    lx = (cx0 << 1) + (1 << clog2_w)  # center: cx0*2 + cw  (cw = 2^clog2_w)
+    ly = (cy0 << 1) + (1 << clog2_h)
+    mode = ctx.nbr_intra_mode(lx, ly)
+    if mode == UNAVAIL:
+        return INTRA_DC  # non-intra collocated luma -> DC (spec: IBC/PLT)
+    return mode
+
+
+def coding_unit_dispatch(ctx, io, node, x0, y0, log2_w, log2_h):
+    """Parse/write one CU at a tree leaf. Component-local coords."""
+    tree = ctx.tree_type
+
+    if ctx.slice_type != SLICE_I:
+        raise NotImplementedError("inter slices not yet implemented")
+
+    if io.is_reader:
+        cu = CU(x0, y0, log2_w, log2_h, tree_type=tree)
+        node.cu = cu
+    else:
+        cu = node.cu
+    cu.qp = ctx.qp
+
+    if tree in (TREE_SINGLE, TREE_DUAL_LUMA):
+        coding_unit_intra_luma(ctx, io, cu)
+        mode_for_store = cu.intra_mode_l
+        ctx.store_cu_luma(cu)
+        ux, uy = ctx._lu(x0, y0)
+        wu = max(1, (1 << log2_w) >> 2)
+        hu = max(1, (1 << log2_h) >> 2)
+        ctx.map_cu_type[uy : uy + hu, ux : ux + wu] = CU_MIP if cu.mip_flag else CU_INTRA
+
+        if tree == TREE_SINGLE and ctx.chroma_enabled and ctx.share != 1:
+            coding_unit_intra_chroma(ctx, io, cu, cu.intra_mode_l if not cu.mip_flag else INTRA_PLANAR)
+
+    else:  # dual-tree chroma CU (component coords = chroma)
+        col_mode = _collocated_luma_mode(ctx, x0, y0, log2_w, log2_h)
+        coding_unit_intra_chroma(ctx, io, cu, col_mode)
+
+    # transform tree + residuals
+    info = transform_tree_intra(ctx, io, cu, x0, y0, log2_w, log2_h)
+    lfnst_mts_idx(ctx, io, cu, log2_w, log2_h, info)
+
+    # map updates after the CU (reference coding_unit tail)
+    if tree == TREE_DUAL_CHROMA:
+        ctx.store_cu_chroma(x0, y0, log2_w, log2_h)
+    else:
+        # single tree also mirrors luma sizes into the chroma maps
+        if ctx.share != 1 and tree == TREE_SINGLE and ctx.chroma_enabled:
+            ctx.store_cu_chroma(x0 >> 1, y0 >> 1, log2_w, log2_h)
+
+    ctx.ctu_ir.cus.append(cu)
+    return cu
+
+
+def _parse_sao_alf_ctu(ctx, io):
+    """Per-CTU SAO/ALF flags; tools disabled -> nothing coded."""
+    if ctx.sao_luma or ctx.sao_chroma:
+        raise NotImplementedError("SAO CTU flags not yet implemented")
+    if ctx.sh.sh_alf_enabled_flag or ctx.ph.ph_alf_enabled_flag:
+        raise NotImplementedError("ALF CTU flags not yet implemented")
+
+
+def code_entry(params, entry, io, trees=None):
+    """Parse (reader io) or generate (writer io) one rectangular entry.
+
+    trees: for the writer, a dict {(ctb_x, ctb_y): TreeNode} of pre-built CTU
+    coding trees. Returns (ctx, trees) where ctx.ctus holds the CTU IR.
+    """
+    ctx = CTUParseCtx(io, params, entry)
+    out_trees = {} if trees is None else trees
+    log2_ctb = ctx.log2_ctb
+
+    for ctb_row in range(entry.nb_ctu_h):
+        for ctb_col in range(entry.nb_ctu_w):
+            ctb_x = entry.ctu_x + ctb_col
+            ctb_y = entry.ctu_y + ctb_row
+            x0 = ctb_x << log2_ctb
+            y0 = ctb_y << log2_ctb
+            if x0 >= ctx.pic_w or y0 >= ctx.pic_h:
+                continue
+            ctx.ctu_ir = CtuIR(ctb_x, ctb_y)
+            ctx.is_cu_qp_delta_coded = False
+            ctx.qp_y_pred = ctx.qp  # simple qp prediction; refined with dqp
+            _parse_sao_alf_ctu(ctx, io)
+
+            if io.is_reader:
+                node = TreeNode()
+                out_trees[(ctb_x, ctb_y)] = node
+            else:
+                node = out_trees[(ctb_x, ctb_y)]
+
+            if ctx.dual_tree_intra:
+                dual_tree_ctu(ctx, io, node, x0, y0, log2_ctb, 0, coding_unit_dispatch)
+            else:
+                coding_quadtree(ctx, io, node, x0, y0, log2_ctb, 0, coding_unit_dispatch)
+
+            ctx.ctus.append(ctx.ctu_ir)
+
+    # end_of_tile/slice terminate bin
+    if io.is_reader:
+        term = io.terminate()
+        if term != 1:
+            raise ValueError("expected terminate bin at end of entry")
+    else:
+        io.enc.encode_terminate(1)
+    return ctx, out_trees
+
+
+def parse_entry(params, entry):
+    dec = CabacDecoder(entry.data, params.slice_type, params.slice_qp)
+    io = CabacReaderIO(dec)
+    ctx, trees = code_entry(params, entry, io)
+    return ctx, trees, dec
+
+
+def write_entry(params, entry, trees) -> bytes:
+    enc = CabacEncoder(params.slice_type, params.slice_qp)
+    io = CabacWriterIO(enc)
+    code_entry(params, entry, io, trees)
+    return enc.finish()
