@@ -1,0 +1,232 @@
+"""Top-level decoder: Annex-B stream -> YUV frames (numpy reference path).
+
+This is the functional reference decode path: demux -> HLS activation ->
+per-entry CABAC parse into CTU IR -> per-CU reconstruction in decode order.
+It is the bit-exactness oracle for the batched TPU path (which consumes the
+same IR wavefront-batched). Equivalent of the reference's ovdec + slicedec +
+rcn stack for the currently supported toolset (all-intra).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from openvvc_tpu.hls.nal import NalType, demux_annexb, is_vcl
+from openvvc_tpu.hls.params import ActiveParams, NvclContext
+from openvvc_tpu.rcn.ref_intra import predict_intra
+from openvvc_tpu.rcn.ref_transform import dequant, inverse_transform_2d, reconstruct_tu_residual
+from openvvc_tpu.vcl.ctu import CU, TREE_DUAL_CHROMA, TREE_DUAL_LUMA, TREE_SINGLE, UNAVAIL
+from openvvc_tpu.vcl.slice_data import parse_entry
+
+
+@dataclass
+class Frame:
+    poc: int
+    y: np.ndarray
+    cb: np.ndarray | None
+    cr: np.ndarray | None
+    bitdepth: int = 8
+
+    def to_yuv_bytes(self) -> bytes:
+        """Raw planar YUV as the reference dectest writes it."""
+        planes = [self.y] + ([self.cb, self.cr] if self.cb is not None else [])
+        if self.bitdepth == 8:
+            return b"".join(p.astype(np.uint8).tobytes() for p in planes)
+        return b"".join(p.astype("<u2").tobytes() for p in planes)
+
+
+class ReconCtx:
+    """Per-tile reconstruction state: planes + availability maps."""
+
+    def __init__(self, frame: Frame, params: ActiveParams, entry):
+        self.frame = frame
+        self.params = params
+        self.entry = entry
+        sps = params.sps
+        self.bitdepth = sps.bitdepth
+        self.log2_ctb = sps.ctb_log2
+        self.tile_x0 = entry.ctu_x << self.log2_ctb
+        self.tile_y0 = entry.ctu_y << self.log2_ctb
+        self.tile_w = min(entry.nb_ctu_w << self.log2_ctb, params.pps.pic_w - self.tile_x0)
+        self.tile_h = min(entry.nb_ctu_h << self.log2_ctb, params.pps.pic_h - self.tile_y0)
+        # availability maps (4-sample luma units / 2-sample chroma units)
+        self.avail_l = np.zeros(((self.tile_h + 3) // 4, (self.tile_w + 3) // 4), bool)
+        self.avail_c = np.zeros(((self.tile_h // 2 + 1) // 2 + 1, (self.tile_w // 2 + 1) // 2 + 1), bool)
+
+    def luma_avail(self, x: int, y: int) -> bool:
+        if not (self.tile_x0 <= x < self.tile_x0 + self.tile_w and self.tile_y0 <= y < self.tile_y0 + self.tile_h):
+            return False
+        return bool(self.avail_l[(y - self.tile_y0) >> 2, (x - self.tile_x0) >> 2])
+
+    def chroma_avail(self, cx: int, cy: int) -> bool:
+        tx, ty = self.tile_x0 >> 1, self.tile_y0 >> 1
+        if not (tx <= cx < tx + (self.tile_w >> 1) and ty <= cy < ty + (self.tile_h >> 1)):
+            return False
+        return bool(self.avail_c[(cy - ty) >> 1, (cx - tx) >> 1])
+
+    def mark_luma(self, x0, y0, log2_w, log2_h):
+        ux, uy = (x0 - self.tile_x0) >> 2, (y0 - self.tile_y0) >> 2
+        self.avail_l[uy : uy + max(1, (1 << log2_h) >> 2), ux : ux + max(1, (1 << log2_w) >> 2)] = True
+
+    def mark_chroma(self, cx0, cy0, log2_w, log2_h):
+        ux, uy = (cx0 - (self.tile_x0 >> 1)) >> 1, (cy0 - (self.tile_y0 >> 1)) >> 1
+        self.avail_c[uy : uy + max(1, (1 << log2_h) >> 1), ux : ux + max(1, (1 << log2_w) >> 1)] = True
+
+
+def _tu_units(x0, y0, log2_w, log2_h, max_tb):
+    """TU-unit geometry of a CU (same splitting as transform_tree_intra)."""
+    split_v = log2_w > max_tb
+    split_h = log2_h > max_tb
+    if not (split_v or split_h):
+        return [(x0, y0, log2_w, log2_h)]
+    l2w = log2_w - (1 if split_v else 0)
+    l2h = log2_h - (1 if split_h else 0)
+    coords = [(x0, y0)]
+    if split_v:
+        coords.append((x0 + (1 << l2w), y0))
+    if split_h:
+        coords.append((x0, y0 + (1 << l2h)))
+    if split_v and split_h:
+        coords.append((x0 + (1 << l2w), y0 + (1 << l2h)))
+    out = []
+    for cx, cy in coords:
+        out.extend(_tu_units(cx, cy, l2w, l2h, max_tb))
+    return out
+
+
+class _TrCtx:
+    def __init__(self, dep_quant, mts_implicit):
+        self.dep_quant = dep_quant
+        self.mts_implicit = mts_implicit
+
+
+def _clip(v, bitdepth):
+    return np.clip(v, 0, (1 << bitdepth) - 1)
+
+
+def reconstruct_cu(rc: ReconCtx, cu: CU, params: ActiveParams, tools):
+    """Reconstruct one CU (all components it carries) in decode order."""
+    bd = rc.bitdepth
+    frame = rc.frame
+    tree = cu.tree_type
+    trc = _TrCtx(tools["dep_quant"], tools["mts_implicit"])
+
+    def find_tu(comp, x, y):
+        for tu in cu.tus:
+            if tu.comp == comp and tu.x0 == x and tu.y0 == y:
+                return tu
+        return None
+
+    if tree in (TREE_SINGLE, TREE_DUAL_LUMA):
+        part = params.part_info["intra_luma"]
+        for ux, uy, l2w, l2h in _tu_units(cu.x0, cu.y0, cu.log2_w, cu.log2_h, part.log2_max_tb_s):
+            if cu.mip_flag:
+                raise NotImplementedError("MIP reconstruction")
+            pred = predict_intra(frame.y, ux, uy, l2w, l2h, cu.intra_mode_l, rc.luma_avail, bd, luma=True)
+            tu = find_tu(0, ux, uy)
+            if tu is not None:
+                res = reconstruct_tu_residual(tu, trc, bd)
+                pred = pred + res
+            frame.y[uy : uy + (1 << l2h), ux : ux + (1 << l2w)] = _clip(pred, bd)
+            rc.mark_luma(ux, uy, l2w, l2h)
+
+    if tree == TREE_SINGLE and rc.params.sps.sps_chroma_format_idc and cu.tree_type == TREE_SINGLE:
+        _reconstruct_chroma(rc, cu, params, trc, cu.x0 >> 1, cu.y0 >> 1, cu.log2_w - 1, cu.log2_h - 1)
+    elif tree == TREE_DUAL_CHROMA:
+        _reconstruct_chroma(rc, cu, params, trc, cu.x0, cu.y0, cu.log2_w, cu.log2_h)
+
+
+def _reconstruct_chroma(rc: ReconCtx, cu: CU, params, trc, cx0, cy0, clog2_w, clog2_h):
+    bd = rc.bitdepth
+    frame = rc.frame
+    part = params.part_info["intra_chroma" if cu.tree_type == TREE_DUAL_CHROMA else "intra_luma"]
+    max_tb_c = part.log2_max_tb_s if cu.tree_type == TREE_DUAL_CHROMA else part.log2_max_tb_s - 1
+    mode = cu.intra_mode_c
+    if mode in (81, 82, 83):
+        raise NotImplementedError("CCLM reconstruction")
+    csign = -1 if params.ph.ph_joint_cbcr_sign_flag else 1
+
+    def find_tu(comp, x, y):
+        for tu in cu.tus:
+            if tu.comp == comp and tu.x0 == x and tu.y0 == y:
+                return tu
+        return None
+
+    for ux, uy, l2w, l2h in _tu_units(cx0, cy0, clog2_w, clog2_h, max_tb_c):
+        jtu = find_tu(3, ux, uy)
+        res_cb = res_cr = None
+        if jtu is not None:
+            res = reconstruct_tu_residual(jtu, trc, bd)
+            if jtu.joint_cbcr == 3:
+                res_cb = res
+                res_cr = csign * res
+            elif jtu.joint_cbcr == 2:
+                res_cb = res
+                res_cr = (csign * res) >> 1
+            else:
+                res_cr = res
+                res_cb = (csign * res) >> 1
+        else:
+            tb = find_tu(1, ux, uy)
+            tr = find_tu(2, ux, uy)
+            if tb is not None:
+                res_cb = reconstruct_tu_residual(tb, trc, bd)
+            if tr is not None:
+                res_cr = reconstruct_tu_residual(tr, trc, bd)
+
+        for plane, res in ((frame.cb, res_cb), (frame.cr, res_cr)):
+            pred = predict_intra(plane, ux, uy, l2w, l2h, mode, rc.chroma_avail, bd, luma=False)
+            if res is not None:
+                pred = pred + res
+            plane[uy : uy + (1 << l2h), ux : ux + (1 << l2w)] = _clip(pred, bd)
+        rc.mark_chroma(ux, uy, l2w, l2h)
+
+
+class Decoder:
+    """Minimal frame decoder over the currently supported toolset."""
+
+    def __init__(self):
+        self.nvcl = NvclContext()
+
+    def decode(self, stream: bytes) -> list[Frame]:
+        frames = []
+        for nal in demux_annexb(stream):
+            if is_vcl(nal.type):
+                frames.append(self._decode_picture(nal))
+            else:
+                self.nvcl.decode_nalu(nal)
+        return frames
+
+    def _decode_picture(self, nal) -> Frame:
+        params = self.nvcl.parse_slice(nal)
+        sps, pps = params.sps, params.pps
+        bd = sps.bitdepth
+        chroma = sps.sps_chroma_format_idc != 0
+        y = np.zeros((pps.pic_h, pps.pic_w), np.int32)
+        cb = np.zeros((pps.pic_h // 2, pps.pic_w // 2), np.int32) if chroma else None
+        cr = np.zeros((pps.pic_h // 2, pps.pic_w // 2), np.int32) if chroma else None
+        frame = Frame(params.ph.ph_pic_order_cnt_lsb, y, cb, cr, bd)
+
+        tools = {
+            "dep_quant": bool(params.sh.sh_dep_quant_used_flag),
+            "mts_implicit": bool(sps.sps_mts_enabled_flag) and not sps.sps_explicit_mts_intra_enabled_flag,
+        }
+
+        for entry in params.entries:
+            ectx, trees, dec = parse_entry(params, entry)
+            if dec.overread():
+                raise ValueError("CABAC overread in entry")
+            rc = ReconCtx(frame, params, entry)
+            for ctu in ectx.ctus:
+                for cu in ctu.cus:
+                    reconstruct_cu(rc, cu, params, tools)
+
+        if not pps.pps_deblocking_filter_disabled_flag:
+            raise NotImplementedError("deblocking filter not yet implemented")
+        return frame
+
+
+def decode_to_yuv(stream: bytes) -> bytes:
+    return b"".join(f.to_yuv_bytes() for f in Decoder().decode(stream))

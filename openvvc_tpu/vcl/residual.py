@@ -209,32 +209,52 @@ def _last_prefix(rw: _Rw, log2_d: int, log2_red: int, base: int, luma: bool, val
     return prefix
 
 
-def _last_component(rw: _Rw, log2_d: int, log2_red: int, base: int, luma: bool, value=None) -> int:
-    """Full last_x or last_y (prefix + suffix)."""
-    if rw.is_reader:
-        prefix = _last_prefix(rw, log2_d, log2_red, base, luma)
-        if prefix > 3:
-            nbits = (prefix - 2) >> 1
-            suffix = rw.bypass_bits(nbits) if nbits else 0
-            return (1 << ((prefix >> 1) - 1)) * (2 + (prefix & 1)) + suffix
-        return prefix
-    # writer: derive prefix from value
-    v = value
+def _prefix_of(v: int) -> tuple[int, int]:
+    """(prefix, group_base) for a last-position component value."""
     if v < 4:
-        _last_prefix(rw, log2_d, log2_red, base, luma, v)
-        return v
+        return v, v
     prefix = 4
     while True:
         nbits = (prefix - 2) >> 1
         lo = (1 << ((prefix >> 1) - 1)) * (2 + (prefix & 1))
         if lo <= v < lo + (1 << nbits):
-            break
+            return prefix, lo
         prefix += 1
-    _last_prefix(rw, log2_d, log2_red, base, luma, prefix)
+
+
+def _last_suffix(rw: _Rw, prefix: int, value=None) -> int:
+    """Bypass suffix for a prefix > 3; returns the full component value."""
     nbits = (prefix - 2) >> 1
+    lo = (1 << ((prefix >> 1) - 1)) * (2 + (prefix & 1))
+    if rw.is_reader:
+        suffix = rw.bypass_bits(nbits) if nbits else 0
+        return lo + suffix
     if nbits:
-        rw.bypass_bits(nbits, v - lo)
-    return v
+        rw.bypass_bits(nbits, value - lo)
+    return value
+
+
+def _last_position(rw: _Rw, log2_w, log2_h, lim_log2_w, lim_log2_h, luma: bool, last=None):
+    """last_sig_coeff position: both ctx-coded prefixes first, then both
+    bypass suffixes (spec 7.3.11.11 ordering)."""
+    bx = int(CtxOffset.LAST_X if luma else CtxOffset.LAST_X_C)
+    by = int(CtxOffset.LAST_Y if luma else CtxOffset.LAST_Y_C)
+    if rw.is_reader:
+        px = _last_prefix(rw, log2_w, lim_log2_w, bx, luma)
+        py = _last_prefix(rw, log2_h, lim_log2_h, by, luma)
+        last_x = _last_suffix(rw, px) if px > 3 else px
+        last_y = _last_suffix(rw, py) if py > 3 else py
+        return last_x, last_y
+    last_x, last_y = last
+    px, _ = _prefix_of(last_x)
+    py, _ = _prefix_of(last_y)
+    _last_prefix(rw, log2_w, lim_log2_w, bx, luma, px)
+    _last_prefix(rw, log2_h, lim_log2_h, by, luma, py)
+    if px > 3:
+        _last_suffix(rw, px, last_x)
+    if py > 3:
+        _last_suffix(rw, py, last_y)
+    return last_x, last_y
 
 
 # ----------------------------------------------------------------------
@@ -469,6 +489,7 @@ def residual_coding(
     sdh: bool,
     last_pos: tuple[int, int] | None = None,
     mts_reduced: bool = False,
+    code_last_pos: bool = True,
 ):
     """Code one transform block's coefficients.
 
@@ -492,13 +513,12 @@ def residual_coding(
     decoded = np.zeros((h, w), np.int32)
 
     # ---- last position --------------------------------------------------
-    if rw.is_reader:
-        last_x = _last_component(rw, log2_w, lim_log2_w, int(CtxOffset.LAST_X if luma else CtxOffset.LAST_X_C), luma)
-        last_y = _last_component(rw, log2_h, lim_log2_h, int(CtxOffset.LAST_Y if luma else CtxOffset.LAST_Y_C), luma)
-    else:
+    if not code_last_pos:
         last_x, last_y = last_pos
-        _last_component(rw, log2_w, lim_log2_w, int(CtxOffset.LAST_X if luma else CtxOffset.LAST_X_C), luma, last_x)
-        _last_component(rw, log2_h, lim_log2_h, int(CtxOffset.LAST_Y if luma else CtxOffset.LAST_Y_C), luma, last_y)
+    elif rw.is_reader:
+        last_x, last_y = _last_position(rw, log2_w, log2_h, lim_log2_w, lim_log2_h, luma)
+    else:
+        last_x, last_y = _last_position(rw, log2_w, log2_h, lim_log2_w, lim_log2_h, luma, last_pos)
 
     st = _TBState(luma, dep_quant, sdh, 1 << (lim_log2_w + lim_log2_h))
 
