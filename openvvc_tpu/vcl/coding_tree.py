@@ -317,6 +317,13 @@ def multi_type_tree(
                 ctx, io, node, x0, y0, log2_w, log2_h, nb_split_cand, chroma
             )
         if split_cu:
+            if not io.is_reader and node.split != NO_SPLIT:
+                allowed = {BT_V: allow_bt_v, BT_H: allow_bt_h, TT_V: allow_tt_v, TT_H: allow_tt_h}
+                if not allowed.get(node.split, False):
+                    raise ValueError(
+                        f"generator tree requests disallowed split {node.split} at "
+                        f"({x0},{y0}) {1<<log2_w}x{1<<log2_h} mtt_depth={mtt_depth} middle_tt={middle_tt}"
+                    )
             can_v = allow_tt_v or allow_bt_v
             can_h = allow_tt_h or allow_bt_h
             if can_v and can_h:
