@@ -15,8 +15,10 @@ import numpy as np
 
 from openvvc_tpu.hls.nal import NalType, demux_annexb, is_vcl
 from openvvc_tpu.hls.params import ActiveParams, NvclContext
+from openvvc_tpu.rcn.ref_dbf import DbfMaps, deblock_frame
 from openvvc_tpu.rcn.ref_intra import predict_intra
 from openvvc_tpu.rcn.ref_transform import dequant, inverse_transform_2d, reconstruct_tu_residual
+from openvvc_tpu.vcl.transform_unit import chroma_qp as _derive_chroma_qp
 from openvvc_tpu.vcl.ctu import CU, TREE_DUAL_CHROMA, TREE_DUAL_LUMA, TREE_SINGLE, UNAVAIL
 from openvvc_tpu.vcl.slice_data import parse_entry
 
@@ -106,12 +108,42 @@ def _clip(v, bitdepth):
     return np.clip(v, 0, (1 << bitdepth) - 1)
 
 
-def reconstruct_cu(rc: ReconCtx, cu: CU, params: ActiveParams, tools):
+class _QpCtx:
+    """Adapter exposing what transform_unit.chroma_qp needs."""
+
+    def __init__(self, params):
+        self.params = params
+        self.pps = params.pps
+        self.sh = params.sh
+
+
+def reconstruct_cu(rc: ReconCtx, cu: CU, params: ActiveParams, tools, dbf: DbfMaps | None = None):
     """Reconstruct one CU (all components it carries) in decode order."""
     bd = rc.bitdepth
     frame = rc.frame
     tree = cu.tree_type
     trc = _TrCtx(tools["dep_quant"], tools["mts_implicit"])
+
+    if dbf is not None and tree in (TREE_SINGLE, TREE_DUAL_LUMA):
+        dbf.add_cu_luma(cu.x0, cu.y0, 1 << cu.log2_w, 1 << cu.log2_h, cu.qp, cu.pred_mode == 0)
+        for tu in cu.tus:
+            if tu.comp == 0 and tu.cbf:
+                dbf.add_tb_luma(tu.x0, tu.y0, 1 << tu.log2_w, 1 << tu.log2_h)
+    if dbf is not None and tree != TREE_DUAL_LUMA and rc.params.sps.sps_chroma_format_idc:
+        qctx = _QpCtx(params)
+        qp_bd = params.qp_bd_offset
+        qp_cb = _derive_chroma_qp(qctx, 1, cu.qp) - qp_bd
+        qp_cr = _derive_chroma_qp(qctx, 2, cu.qp) - qp_bd
+        if tree == TREE_DUAL_CHROMA:
+            cx0, cy0, cw, ch = cu.x0, cu.y0, 1 << cu.log2_w, 1 << cu.log2_h
+        else:
+            cx0, cy0, cw, ch = cu.x0 >> 1, cu.y0 >> 1, 1 << (cu.log2_w - 1), 1 << (cu.log2_h - 1)
+        dbf.add_cu_chroma(cx0, cy0, cw, ch, qp_cb, qp_cr, cu.pred_mode == 0)
+        for tu in cu.tus:
+            if tu.comp in (1, 2, 3) and tu.cbf:
+                comps = (1, 2) if tu.comp == 3 else (tu.comp,)
+                for comp in comps:
+                    dbf.add_tb_chroma(comp, tu.x0, tu.y0, 1 << tu.log2_w, 1 << tu.log2_h)
 
     def find_tu(comp, x, y):
         for tu in cu.tus:
@@ -214,6 +246,9 @@ class Decoder:
             "mts_implicit": bool(sps.sps_mts_enabled_flag) and not sps.sps_explicit_mts_intra_enabled_flag,
         }
 
+        dbf_disabled = self._dbf_disabled(params)
+        dbf = None if dbf_disabled else DbfMaps(pps.pic_w, pps.pic_h, chroma)
+
         for entry in params.entries:
             ectx, trees, dec = parse_entry(params, entry)
             if dec.overread():
@@ -221,11 +256,20 @@ class Decoder:
             rc = ReconCtx(frame, params, entry)
             for ctu in ectx.ctus:
                 for cu in ctu.cus:
-                    reconstruct_cu(rc, cu, params, tools)
+                    reconstruct_cu(rc, cu, params, tools, dbf)
 
-        if not pps.pps_deblocking_filter_disabled_flag:
-            raise NotImplementedError("deblocking filter not yet implemented")
+        if dbf is not None:
+            deblock_frame(frame, dbf, params, sps.ctb_log2)
         return frame
+
+    @staticmethod
+    def _dbf_disabled(params) -> bool:
+        pps, ph, sh = params.pps, params.ph, params.sh
+        if sh.sh_deblocking_params_present_flag:
+            return bool(sh.sh_deblocking_filter_disabled_flag)
+        if ph.ph_deblocking_params_present_flag:
+            return bool(ph.ph_deblocking_filter_disabled_flag)
+        return bool(pps.pps_deblocking_filter_disabled_flag)
 
 
 def decode_to_yuv(stream: bytes) -> bytes:

@@ -1,0 +1,512 @@
+"""Bit-exact numpy reference for the VVC deblocking filter (luma + chroma).
+
+ITU-T H.266 8.8.3: edge derivation on the 4x4 luma-unit grid, boundary
+strengths (intra CU edges bs=2, coded-TB edges bs=1), beta/tc thresholds,
+luma long filters (7/5/3 combinations), strong/weak filters, chroma strong
+(3-tap-extended) and weak filters with CTU-top line-buffer restriction.
+
+Behavior parity: /root/reference/libovvc/rcn_df.c (compute_dbf_limits :172,
+derive_filter_length :<in-file>, filter_h/v_* kernels :217-900,
+filter_luma_weak :901, chroma drivers :1146-1430, vvc_dbf_ctu_hor/ver).
+The reference's per-CTU staged processing is replaced by the spec's
+whole-frame two-pass order (all vertical edges, then all horizontal edges) —
+equivalent by construction.
+
+Maps layout: everything on the luma 4x4-unit grid.
+  edge_ver[yu, xu]   : vertical edge on the LEFT side of unit column xu
+  bs2_ver / bs1_ver  : boundary strengths for those edges; same for _hor.
+  qp_l[yu, xu]       : luma QP per unit; qp_cb / qp_cr likewise.
+  cedge_ver, cbs2_ver, cbs1_cb_ver, cbs1_cr_ver: chroma edge/bs maps (still on
+  the luma unit grid; one unit = 2 chroma samples in 4:2:0).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_TC_LUT = [
+    0, 0,
+    0, 0, 0, 0, 0, 0, 0, 0,
+    0, 0, 0, 0, 0, 0, 0, 0,
+    3, 4, 4, 4, 4, 5, 5, 5,
+    5, 7, 7, 8, 9, 10, 10, 11,
+    13, 14, 15, 17, 19, 21, 24, 25,
+    29, 33, 36, 41, 45, 51, 57, 64,
+    71, 80, 89, 100, 112, 125, 141, 157,
+    177, 198, 222, 250, 280, 314, 352, 395,
+]
+
+_BETA_LUT = [
+    0, 0, 0, 0, 0, 0, 0, 0,
+    0, 0, 0, 0, 0, 0, 0, 0,
+    6, 7, 8, 9, 10, 11, 12, 13,
+    14, 15, 16, 17, 18, 20, 22, 24,
+    26, 28, 30, 32, 34, 36, 38, 40,
+    42, 44, 46, 48, 50, 52, 54, 56,
+    58, 60, 62, 64, 66, 68, 70, 72,
+    74, 76, 78, 80, 82, 84, 86, 88,
+]
+
+# long filter weights / tc weights per side length
+_DB_W = {7: (59, 50, 41, 32, 23, 14, 5), 5: (58, 45, 32, 19, 6), 3: (53, 32, 11)}
+_TC_W = {7: (6, 5, 4, 3, 2, 1, 1), 5: (6, 5, 4, 3, 2), 3: (6, 4, 2)}
+
+
+class DbfMaps:
+    """Edge/bs/qp maps accumulated during reconstruction."""
+
+    def __init__(self, pic_w: int, pic_h: int, chroma: bool):
+        uw, uh = (pic_w + 3) // 4, (pic_h + 3) // 4
+        z = lambda: np.zeros((uh + 1, uw + 1), bool)
+        self.edge_ver = z()
+        self.edge_hor = z()
+        self.bs2_ver = z()
+        self.bs2_hor = z()
+        self.bs1_ver = z()
+        self.bs1_hor = z()
+        self.qp_l = np.zeros((uh, uw), np.int32)
+        if chroma:
+            self.cedge_ver = z()
+            self.cedge_hor = z()
+            self.cbs2_ver = z()
+            self.cbs2_hor = z()
+            self.cbs1_cb_ver = z()
+            self.cbs1_cb_hor = z()
+            self.cbs1_cr_ver = z()
+            self.cbs1_cr_hor = z()
+            self.qp_cb = np.zeros((uh, uw), np.int32)
+            self.qp_cr = np.zeros((uh, uw), np.int32)
+
+    # -- fill helpers (luma coords) ------------------------------------
+    def _rect(self, x0, y0, w, h):
+        return x0 >> 2, y0 >> 2, max(1, w >> 2), max(1, h >> 2)
+
+    def add_cu_luma(self, x0, y0, w, h, qp, intra):
+        xu, yu, wu, hu = self._rect(x0, y0, w, h)
+        self.edge_ver[yu : yu + hu, xu] = True
+        self.edge_ver[yu : yu + hu, xu + wu] = True
+        self.edge_hor[yu, xu : xu + wu] = True
+        self.edge_hor[yu + hu, xu : xu + wu] = True
+        if intra:
+            self.bs2_ver[yu : yu + hu, xu] = True
+            self.bs2_ver[yu : yu + hu, xu + wu] = True
+            self.bs2_hor[yu, xu : xu + wu] = True
+            self.bs2_hor[yu + hu, xu : xu + wu] = True
+        self.qp_l[yu : yu + hu, xu : xu + wu] = qp
+
+    def add_tb_luma(self, x0, y0, w, h):
+        """Coded luma TB: edge + bs1 on its boundary."""
+        xu, yu, wu, hu = self._rect(x0, y0, w, h)
+        for col in (xu, xu + wu):
+            self.edge_ver[yu : yu + hu, col] = True
+            self.bs1_ver[yu : yu + hu, col] = True
+        for row in (yu, yu + hu):
+            self.edge_hor[row, xu : xu + wu] = True
+            self.bs1_hor[row, xu : xu + wu] = True
+
+    def add_cu_chroma(self, cx0, cy0, cw, ch, qp_cb, qp_cr, intra):
+        """Chroma CU rect in chroma coords (4:2:0)."""
+        xu, yu = cx0 >> 1, cy0 >> 1
+        wu, hu = max(1, cw >> 1), max(1, ch >> 1)
+        self.cedge_ver[yu : yu + hu, xu] = True
+        self.cedge_ver[yu : yu + hu, xu + wu] = True
+        self.cedge_hor[yu, xu : xu + wu] = True
+        self.cedge_hor[yu + hu, xu : xu + wu] = True
+        if intra:
+            self.cbs2_ver[yu : yu + hu, xu] = True
+            self.cbs2_ver[yu : yu + hu, xu + wu] = True
+            self.cbs2_hor[yu, xu : xu + wu] = True
+            self.cbs2_hor[yu + hu, xu : xu + wu] = True
+        self.qp_cb[yu : yu + hu, xu : xu + wu] = qp_cb
+        self.qp_cr[yu : yu + hu, xu : xu + wu] = qp_cr
+
+    def add_tb_chroma(self, comp, cx0, cy0, cw, ch):
+        xu, yu = cx0 >> 1, cy0 >> 1
+        wu, hu = max(1, cw >> 1), max(1, ch >> 1)
+        bs1v = self.cbs1_cb_ver if comp != 2 else self.cbs1_cr_ver
+        bs1h = self.cbs1_cb_hor if comp != 2 else self.cbs1_cr_hor
+        for col in (xu, xu + wu):
+            self.cedge_ver[yu : yu + hu, col] = True
+            bs1v[yu : yu + hu, col] = True
+        for row in (yu, yu + hu):
+            self.cedge_hor[row, xu : xu + wu] = True
+            bs1h[row, xu : xu + wu] = True
+
+
+def _limits(qp, bs, beta_off, tc_off, bitdepth):
+    tc_idx = max(0, min(66, qp + 2 * (bs - 1) + tc_off))
+    beta_idx = max(0, min(64, qp + beta_off))
+    if bitdepth >= 10:
+        tc = _TC_LUT[tc_idx] << (bitdepth - 10)
+    else:
+        tc = (_TC_LUT[tc_idx] + (1 << (9 - bitdepth))) >> (10 - bitdepth)
+    beta = _BETA_LUT[beta_idx] << (bitdepth - 8)
+    return beta, tc
+
+
+def _clip(v, lo, hi):
+    return lo if v < lo else (hi if v > hi else v)
+
+
+class _Line:
+    """Access helper for one line of samples perpendicular to the edge.
+
+    g(k): q-side sample k (k=0 at edge); g(-1-k): p-side sample k.
+    """
+
+    __slots__ = ("plane", "x", "y", "dx", "dy")
+
+    def __init__(self, plane, x, y, dx, dy):
+        self.plane, self.x, self.y, self.dx, self.dy = plane, x, y, dx, dy
+
+    def q(self, k):
+        return int(self.plane[self.y + self.dy * k, self.x + self.dx * k])
+
+    def p(self, k):
+        return int(self.plane[self.y - self.dy * (k + 1), self.x - self.dx * (k + 1)])
+
+    def set_q(self, k, v):
+        self.plane[self.y + self.dy * k, self.x + self.dx * k] = v
+
+    def set_p(self, k, v):
+        self.plane[self.y - self.dy * (k + 1), self.x - self.dx * (k + 1)] = v
+
+
+def _dp(ln, shift=0):
+    return abs(ln.p(2 + shift) - 2 * ln.p(1 + shift) + ln.p(0 + shift))
+
+
+def _dq(ln, shift=0):
+    return abs(ln.q(0 + shift) - 2 * ln.q(1 + shift) + ln.q(2 + shift))
+
+
+def _strong_l0(ln, beta, tc, max_l_p, max_l_q):
+    sp3 = abs(ln.p(3) - ln.p(0))
+    sq3 = abs(ln.q(3) - ln.q(0))
+    if max_l_p == 7:
+        sp3 += abs(ln.p(4) - ln.p(5) - ln.p(6) + ln.p(7))
+        sp3 = (sp3 + abs(ln.p(3) - ln.p(7)) + 1) >> 1
+    elif max_l_p == 5:
+        sp3 = (sp3 + abs(ln.p(3) - ln.p(5)) + 1) >> 1
+    if max_l_q == 7:
+        sq3 += abs(ln.q(4) - ln.q(5) - ln.q(6) + ln.q(7))
+        sq3 = (sq3 + abs(ln.q(7) - ln.q(3)) + 1) >> 1
+    elif max_l_q == 5:
+        sq3 = (sq3 + abs(ln.q(5) - ln.q(3)) + 1) >> 1
+    return (sp3 + sq3) < (beta * 3 >> 5) and abs(ln.p(0) - ln.q(0)) < ((tc * 5 + 1) >> 1)
+
+
+def _strong_l1(ln, beta, tc):
+    d = abs(ln.p(3) - ln.p(0)) + abs(ln.q(3) - ln.q(0))
+    return d < (beta >> 3) and abs(ln.p(0) - ln.q(0)) < ((tc * 5 + 1) >> 1)
+
+
+def _long_filter(lines, max_l_p, max_l_q, tc, bd_max):
+    """Large-block luma filter for one 4-line segment."""
+    wp = _DB_W[max_l_p]
+    wq = _DB_W[max_l_q]
+    tp = _TC_W[max_l_p]
+    tq = _TC_W[max_l_q]
+    for ln in lines:
+        ref_p = (ln.p(max_l_p - 1) + ln.p(max_l_p) + 1) >> 1
+        ref_q = (ln.q(max_l_q - 1) + ln.q(max_l_q) + 1) >> 1
+        key = (max_l_p, max_l_q)
+        if key == (7, 7):
+            mid = (2 * (ln.p(0) + ln.q(0)) + sum(ln.p(k) for k in range(1, 7)) + sum(ln.q(k) for k in range(1, 7)) + 8) >> 4
+        elif key in ((7, 5), (5, 7)):
+            mid = (2 * (ln.p(0) + ln.p(1) + ln.q(0) + ln.q(1)) + sum(ln.p(k) for k in range(2, 6)) + sum(ln.q(k) for k in range(2, 6)) + 8) >> 4
+        elif key == (5, 5):
+            mid = (2 * (ln.p(0) + ln.p(1) + ln.p(2) + ln.q(0) + ln.q(1) + ln.q(2)) + ln.p(3) + ln.p(4) + ln.q(3) + ln.q(4) + 8) >> 4
+        elif key == (7, 3):
+            mid = (2 * (ln.p(0) + ln.q(0)) + sum(ln.p(k) for k in range(1, 7)) + ln.q(0) + 3 * ln.q(1) + 2 * ln.q(2) + 8) >> 4
+        elif key == (3, 7):
+            mid = (2 * (ln.q(0) + ln.p(0)) + sum(ln.q(k) for k in range(1, 7)) + ln.p(0) + 3 * ln.p(1) + 2 * ln.p(2) + 8) >> 4
+        elif key == (5, 3):
+            mid = (sum(ln.p(k) for k in range(4)) + sum(ln.q(k) for k in range(4)) + 4) >> 3
+        elif key == (3, 5):
+            mid = (sum(ln.p(k) for k in range(4)) + sum(ln.q(k) for k in range(4)) + 4) >> 3
+        else:
+            raise AssertionError(key)
+        for k in range(max_l_p):
+            c = (tc * tp[k]) >> 1
+            old = ln.p(k)
+            ln.set_p(k, _clip((mid * wp[k] + ref_p * (64 - wp[k]) + 32) >> 6, old - c, old + c))
+        for k in range(max_l_q):
+            c = (tc * tq[k]) >> 1
+            old = ln.q(k)
+            ln.set_q(k, _clip((mid * wq[k] + ref_q * (64 - wq[k]) + 32) >> 6, old - c, old + c))
+
+
+def _strong_small(lines, tc, bd_max):
+    tcs = (tc, 2 * tc, 3 * tc)
+    for ln in lines:
+        p3, p2, p1, p0 = ln.p(3), ln.p(2), ln.p(1), ln.p(0)
+        q0, q1, q2, q3 = ln.q(0), ln.q(1), ln.q(2), ln.q(3)
+        ln.set_p(2, _clip((2 * p3 + 3 * p2 + p1 + p0 + q0 + 4) >> 3, p2 - tcs[0], p2 + tcs[0]))
+        ln.set_p(1, _clip((p2 + p1 + p0 + q0 + 2) >> 2, p1 - tcs[1], p1 + tcs[1]))
+        ln.set_p(0, _clip((p2 + 2 * p1 + 2 * p0 + 2 * q0 + q1 + 4) >> 3, p0 - tcs[2], p0 + tcs[2]))
+        ln.set_q(0, _clip((p1 + 2 * p0 + 2 * q0 + 2 * q1 + q2 + 4) >> 3, q0 - tcs[2], q0 + tcs[2]))
+        ln.set_q(1, _clip((p0 + q0 + q1 + q2 + 2) >> 2, q1 - tcs[1], q1 + tcs[1]))
+        ln.set_q(2, _clip((p0 + q0 + q1 + 3 * q2 + 2 * q3 + 4) >> 3, q2 - tcs[0], q2 + tcs[0]))
+
+
+def _weak(lines, tc, extend_p, extend_q, bd_max):
+    th_cut = tc * 10
+    tc2_p = (tc >> 1) if extend_p else 0
+    tc2_q = (tc >> 1) if extend_q else 0
+    for ln in lines:
+        p2, p1, p0 = ln.p(2), ln.p(1), ln.p(0)
+        q0, q1, q2 = ln.q(0), ln.q(1), ln.q(2)
+        delta = (9 * (q0 - p0) - 3 * (q1 - p1) + 8) >> 4
+        if abs(delta) < th_cut:
+            delta = _clip(delta, -tc, tc)
+            d1 = _clip((((p2 + p0 + 1) >> 1) - p1 + delta) >> 1, -tc2_p, tc2_p)
+            d2 = _clip((((q2 + q0 + 1) >> 1) - q1 - delta) >> 1, -tc2_q, tc2_q)
+            ln.set_p(1, _clip(p1 + d1, 0, bd_max))
+            ln.set_p(0, _clip(p0 + delta, 0, bd_max))
+            ln.set_q(0, _clip(q0 - delta, 0, bd_max))
+            ln.set_q(1, _clip(q1 + d2, 0, bd_max))
+
+
+def _filter_luma_segment(lines, beta, tc, max_l_p, max_l_q, bd_max):
+    """Decisions + filtering for one 4-line luma edge segment."""
+    l0, l3 = lines[0], lines[3]
+    dp0, dq0 = _dp(l0), _dq(l0)
+    dp3, dq3 = _dp(l3), _dq(l3)
+    d0, d3 = dp0 + dq0, dp3 + dq3
+    d = d0 + d3
+    if d >= beta:
+        return
+    use_strong_large = False
+    if max_l_p > 3 or max_l_q > 3:
+        dp0L, dq0L, dp3L, dq3L = dp0, dq0, dp3, dq3
+        if max_l_p > 3:
+            dp0L = (dp0L + _dp(l0, 3) + 1) >> 1
+            dp3L = (dp3L + _dp(l3, 3) + 1) >> 1
+        if max_l_q > 3:
+            dq0L = (dq0L + _dq(l0, 3) + 1) >> 1
+            dq3L = (dq3L + _dq(l3, 3) + 1) >> 1
+        d0L, d3L = dp0L + dq0L, dp3L + dq3L
+        use_strong_large = (
+            (d0L + d3L) < beta
+            and d0L < ((beta + 0x10) >> 5)
+            and d3L < ((beta + 0x10) >> 5)
+            and _strong_l0(l0, beta, tc, max_l_p, max_l_q)
+            and _strong_l0(l3, beta, tc, max_l_p, max_l_q)
+        )
+    if use_strong_large:
+        _long_filter(lines, max(3, max_l_p), max(3, max_l_q), tc, bd_max)
+    else:
+        sw = (
+            max_l_p > 2
+            and d0 < ((beta + 0x4) >> 3)
+            and d3 < ((beta + 0x4) >> 3)
+            and _strong_l1(l0, beta, tc)
+            and _strong_l1(l3, beta, tc)
+        )
+        if sw:
+            _strong_small(lines, tc, bd_max)
+        else:
+            dp, dq = dp0 + dp3, dq0 + dq3
+            side_thd = (beta + (beta >> 1)) >> 3
+            extend_p = dp < side_thd and max_l_p > 1
+            extend_q = dq < side_thd and max_l_p > 1
+            _weak(lines, tc, extend_p, extend_q, bd_max)
+
+
+def deblock_plane_luma(plane, maps: DbfMaps, beta_off, tc_off, bitdepth, pic_w, pic_h):
+    bd_max = (1 << bitdepth) - 1
+    uw, uh = pic_w // 4, pic_h // 4
+
+    def edge_cols_clear(arr, yu, lo, hi):
+        # True if no edge at columns lo..hi (exclusive hi) for row yu
+        lo = max(lo, 0)
+        return not arr[yu, lo:hi].any()
+
+    # ---- vertical edges (all of them first) ---------------------------
+    for xu in range(1, uw):
+        x = xu * 4
+        for yu in range(uh):
+            if not maps.edge_ver[yu, xu]:
+                continue
+            bs2 = maps.bs2_ver[yu, xu]
+            if not (bs2 or maps.bs1_ver[yu, xu]):
+                continue
+            qp = (int(maps.qp_l[yu, xu - 1]) + int(maps.qp_l[yu, xu]) + 1) >> 1
+            beta, tc = _limits(qp, 2 if bs2 else 1, beta_off, tc_off, bitdepth)
+            if not (beta or tc):
+                continue
+            small = maps.edge_ver[yu, xu - 1] or maps.edge_ver[yu, xu + 1]
+            if small:
+                mlp = mlq = 1
+            else:
+                mlp = mlq = 3
+                if xu % 4 == 0 and edge_cols_clear(maps.edge_ver[yu : yu + 1].T if False else maps.edge_ver, yu, xu - 7, xu):
+                    mlp = 7
+                if xu % 4 == 0 and not maps.edge_ver[yu, xu + 1 : xu + 8].any():
+                    mlq = 7
+            y = yu * 4
+            lines = [_Line(plane, x, y + i, 1, 0) for i in range(4)]
+            _filter_luma_segment(lines, beta, tc, mlp, mlq, bd_max)
+
+    # ---- horizontal edges ---------------------------------------------
+    for yu in range(1, uh):
+        y = yu * 4
+        for xu in range(uw):
+            if not maps.edge_hor[yu, xu]:
+                continue
+            bs2 = maps.bs2_hor[yu, xu]
+            if not (bs2 or maps.bs1_hor[yu, xu]):
+                continue
+            qp = (int(maps.qp_l[yu - 1, xu]) + int(maps.qp_l[yu, xu]) + 1) >> 1
+            beta, tc = _limits(qp, 2 if bs2 else 1, beta_off, tc_off, bitdepth)
+            if not (beta or tc):
+                continue
+            small = maps.edge_hor[yu - 1, xu] or maps.edge_hor[yu + 1, xu]
+            if small:
+                mlp = mlq = 1
+            else:
+                mlp = mlq = 3
+                if yu % 4 == 0 and yu >= 7 and not maps.edge_hor[yu - 7 : yu, xu].any():
+                    mlp = 7
+                if yu % 4 == 0 and not maps.edge_hor[yu + 1 : yu + 8, xu].any():
+                    mlq = 7
+            x = xu * 4
+            lines = [_Line(plane, x + i, y, 0, 1) for i in range(4)]
+            _filter_luma_segment(lines, beta, tc, mlp, mlq, bd_max)
+
+
+def _chroma_strong(lines, tc, bd_max, ctb_b):
+    for ln in lines:
+        p0, p1, p2, p3 = ln.p(0), ln.p(1), ln.p(2), ln.p(3)
+        q0, q1, q2, q3 = ln.q(0), ln.q(1), ln.q(2), ln.q(3)
+        if ctb_b:
+            ln.set_p(0, _clip((3 * p1 + 2 * p0 + q0 + q1 + q2 + 4) >> 3, p0 - tc, p0 + tc))
+            ln.set_q(0, _clip((2 * p1 + p0 + 2 * q0 + q1 + q2 + q3 + 4) >> 3, q0 - tc, q0 + tc))
+            ln.set_q(1, _clip((p1 + p0 + q0 + 2 * q1 + q2 + 2 * q3 + 4) >> 3, q1 - tc, q1 + tc))
+            ln.set_q(2, _clip((p0 + q0 + q1 + 2 * q2 + 3 * q3 + 4) >> 3, q2 - tc, q2 + tc))
+        else:
+            ln.set_p(2, _clip((3 * p3 + 2 * p2 + p1 + p0 + q0 + 4) >> 3, p2 - tc, p2 + tc))
+            ln.set_p(1, _clip((2 * p3 + p2 + 2 * p1 + p0 + q0 + q1 + 4) >> 3, p1 - tc, p1 + tc))
+            ln.set_p(0, _clip((p3 + p2 + p1 + 2 * p0 + q0 + q1 + q2 + 4) >> 3, p0 - tc, p0 + tc))
+            ln.set_q(0, _clip((p2 + p1 + p0 + 2 * q0 + q1 + q2 + q3 + 4) >> 3, q0 - tc, q0 + tc))
+            ln.set_q(1, _clip((p1 + p0 + q0 + 2 * q1 + q2 + 2 * q3 + 4) >> 3, q1 - tc, q1 + tc))
+            ln.set_q(2, _clip((p0 + q0 + q1 + 2 * q2 + 3 * q3 + 4) >> 3, q2 - tc, q2 + tc))
+
+
+def _chroma_weak(lines, tc, bd_max):
+    for ln in lines:
+        p1, p0, q0, q1 = ln.p(1), ln.p(0), ln.q(0), ln.q(1)
+        delta = _clip(((q0 << 2) - (p0 << 2) + p1 - q1 + 4) >> 3, -tc, tc)
+        ln.set_p(0, _clip(p0 + delta, 0, bd_max))
+        ln.set_q(0, _clip(q0 - delta, 0, bd_max))
+
+
+def _filter_chroma_edge(lines, qp, bs2, large, beta_off, tc_off, bitdepth, ctb_b):
+    bd_max = (1 << bitdepth) - 1
+    beta, tc = _limits(qp, 2 if bs2 else 1, beta_off, tc_off, bitdepth)
+    if tc == 0 or beta == 0:
+        return
+    strong = False
+    if large:
+        l0, l1 = lines[0], lines[1]
+
+        def dpc(ln):
+            return abs(ln.p(2 - (1 if ctb_b else 0)) - 2 * ln.p(1) + ln.p(0))
+
+        d0 = dpc(l0) + _dq(l0)
+        d3 = dpc(l1) + _dq(l1)
+        d = d0 + d3
+
+        def strong_c(ln):
+            p3 = ln.p(3 >> (1 if ctb_b else 0)) if ctb_b else ln.p(3)
+            dd = abs(p3 - ln.p(0)) + abs(ln.q(3) - ln.q(0))
+            return dd < (beta >> 3) and abs(ln.p(0) - ln.q(0)) < ((tc * 5 + 1) >> 1)
+
+        strong = (
+            d < beta
+            and 2 * d0 < (beta >> 2)
+            and 2 * d3 < (beta >> 2)
+            and strong_c(l0)
+            and strong_c(l1)
+        )
+    if strong:
+        _chroma_strong(lines, tc, bd_max, ctb_b)
+    else:
+        _chroma_weak(lines, tc, bd_max)
+
+
+def deblock_chroma(cb, cr, maps: DbfMaps, params, bitdepth, pic_w, pic_h, log2_ctb):
+    """Both chroma planes; edges on the 8-chroma-sample grid (4:2:0)."""
+    pps, sh = params.pps, params.sh
+    uw, uh = pic_w // 4, pic_h // 4  # luma units (1 unit = 2 chroma samples)
+
+    beta_off_cb = _beta_tc_offsets(params, "cb")
+    beta_off_cr = _beta_tc_offsets(params, "cr")
+
+    for plane, bs1v, bs1h, qpm, offs, _pad in ((cb, maps.cbs1_cb_ver, maps.cbs1_cb_hor, maps.qp_cb, beta_off_cb, 0),
+                                               (cr, maps.cbs1_cr_ver, maps.cbs1_cr_hor, maps.qp_cr, beta_off_cr, 0)):
+        beta_off, tc_off = offs
+        # vertical edges: every 4 luma units = 8 chroma samples
+        for xu in range(4, uw, 4):
+            cx = xu * 2
+            for yu in range(uh):
+                if not maps.cedge_ver[yu, xu]:
+                    continue
+                bs2 = maps.cbs2_ver[yu, xu]
+                bs1 = bs1v[yu, xu]
+                large = not (
+                    maps.cedge_ver[yu, max(0, xu - 3) : xu].any()
+                    or maps.cedge_ver[yu, xu + 1 : xu + 4].any()
+                )
+                if not (bs2 or (bs1 and large)):
+                    continue
+                qp = (int(qpm[yu, xu - 1]) + int(qpm[yu, xu]) + 1) >> 1
+                cy = yu * 2
+                lines = [_Line(plane, cx, cy + i, 1, 0) for i in range(2)]
+                _filter_chroma_edge(lines, qp, bs2, large, beta_off, tc_off, bitdepth, False)
+        # horizontal edges
+        for yu in range(4, uh, 4):
+            cy = yu * 2
+            is_ctb_b = (cy * 2) % (1 << log2_ctb) == 0  # luma y at CTU boundary
+            for xu in range(uw):
+                if not maps.cedge_hor[yu, xu]:
+                    continue
+                bs2 = maps.cbs2_hor[yu, xu]
+                bs1 = bs1h[yu, xu]
+                large = not (
+                    maps.cedge_hor[max(0, yu - 3) : yu, xu].any()
+                    or maps.cedge_hor[yu + 1 : yu + 4, xu].any()
+                )
+                if not (bs2 or (bs1 and large)):
+                    continue
+                qp = (int(qpm[yu - 1, xu]) + int(qpm[yu, xu]) + 1) >> 1
+                cx = xu * 2
+                lines = [_Line(plane, cx + i, cy, 0, 1) for i in range(2)]
+                _filter_chroma_edge(lines, qp, bs2, large, beta_off, tc_off, bitdepth, is_ctb_b)
+
+
+def _beta_tc_offsets(params, comp: str):
+    """(beta_offset, tc_offset) for a component, PPS/PH/SH resolution."""
+    pps, ph, sh = params.pps, params.ph, params.sh
+    if comp == "luma":
+        if sh.sh_deblocking_params_present_flag:
+            return sh.sh_luma_beta_offset_div2 * 2, sh.sh_luma_tc_offset_div2 * 2
+        if ph.ph_deblocking_params_present_flag:
+            return ph.ph_luma_beta_offset_div2 * 2, ph.ph_luma_tc_offset_div2 * 2
+        return pps.pps_luma_beta_offset_div2 * 2, pps.pps_luma_tc_offset_div2 * 2
+    pfx = comp  # "cb" | "cr"
+    if sh.sh_deblocking_params_present_flag:
+        return getattr(sh, f"sh_{pfx}_beta_offset_div2") * 2, getattr(sh, f"sh_{pfx}_tc_offset_div2") * 2
+    if ph.ph_deblocking_params_present_flag:
+        return getattr(ph, f"ph_{pfx}_beta_offset_div2") * 2, getattr(ph, f"ph_{pfx}_tc_offset_div2") * 2
+    return getattr(pps, f"pps_{pfx}_beta_offset_div2") * 2, getattr(pps, f"pps_{pfx}_tc_offset_div2") * 2
+
+
+def deblock_frame(frame, maps: DbfMaps, params, log2_ctb):
+    bitdepth = frame.bitdepth
+    pic_w, pic_h = frame.y.shape[1], frame.y.shape[0]
+    b_l, t_l = _beta_tc_offsets(params, "luma")
+    deblock_plane_luma(frame.y, maps, b_l, t_l, bitdepth, pic_w, pic_h)
+    if frame.cb is not None:
+        deblock_chroma(frame.cb, frame.cr, maps, params, bitdepth, pic_w, pic_h, log2_ctb)

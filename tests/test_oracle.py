@@ -150,3 +150,48 @@ def test_nonaligned_picture():
         return trees
 
     assert_oracle_match(cfg, tree_builder)
+
+
+def test_deblocking_qt_mix():
+    rng = np.random.RandomState(51)
+
+    def leaf_n(x, y, lw, lh):
+        m = int(rng.randint(0, 67))
+        cu = CU(x, y, lw, lh, intra_mode_l=m, intra_mode_c=0)
+        lv = (rng.randint(-14, 15, (1 << lh, 1 << lw)) * (rng.rand(1 << lh, 1 << lw) < 0.25)).astype(np.int32)
+        if not lv.any():
+            lv[0, 0] = 3
+        cu.tus.append(TU(x, y, lw, lh, 0, cbf=1, levels=lv, last_pos=_last(lv)))
+        if lw > 2:
+            n = 1 << (lw - 1)
+            clv = (rng.randint(-8, 9, (n, n)) * (rng.rand(n, n) < 0.2)).astype(np.int32)
+            if not clv.any():
+                clv[0, 0] = 2
+            cu.tus.append(TU(x >> 1, y >> 1, lw - 1, lh - 1, 1, cbf=1, levels=clv, last_pos=_last(clv)))
+        return TreeNode(NO_SPLIT, cu=cu)
+
+    def qt_node(x, y, lg, depth):
+        if lg > 3 and rng.rand() < 0.6 and depth < 3:
+            h = 1 << (lg - 1)
+            return TreeNode(
+                QT_SPLIT,
+                children=[
+                    qt_node(x, y, lg - 1, depth + 1),
+                    qt_node(x + h, y, lg - 1, depth + 1),
+                    qt_node(x, y + h, lg - 1, depth + 1),
+                    qt_node(x + h, y + h, lg - 1, depth + 1),
+                ],
+            )
+        return leaf_n(x, y, lg, lg)
+
+    def tb(params, entry):
+        trees = {}
+        lg = params.sps.ctb_log2
+        for row in range(entry.nb_ctu_h):
+            for col in range(entry.nb_ctu_w):
+                cx, cy = entry.ctu_x + col, entry.ctu_y + row
+                trees[(cx, cy)] = qt_node(cx << lg, cy << lg, lg, 0)
+        return trees
+
+    cfg = StreamConfig(width=192, height=128, qp=32, deblocking=True)
+    assert_oracle_match(cfg, tb)
