@@ -314,9 +314,12 @@ def _filter_luma_segment(lines, beta, tc, max_l_p, max_l_q, bd_max):
             _weak(lines, tc, extend_p, extend_q, bd_max)
 
 
-def deblock_plane_luma(plane, maps: DbfMaps, beta_off, tc_off, bitdepth, pic_w, pic_h):
+def deblock_plane_luma(plane, maps: DbfMaps, beta_off, tc_off, bitdepth, pic_w, pic_h,
+                       no_filter_x=(), no_filter_y=()):
     bd_max = (1 << bitdepth) - 1
     uw, uh = pic_w // 4, pic_h // 4
+    no_x = set(no_filter_x)
+    no_y = set(no_filter_y)
 
     def edge_cols_clear(arr, yu, lo, hi):
         # True if no edge at columns lo..hi (exclusive hi) for row yu
@@ -326,6 +329,8 @@ def deblock_plane_luma(plane, maps: DbfMaps, beta_off, tc_off, bitdepth, pic_w, 
     # ---- vertical edges (all of them first) ---------------------------
     for xu in range(1, uw):
         x = xu * 4
+        if x in no_x:
+            continue
         for yu in range(uh):
             if not maps.edge_ver[yu, xu]:
                 continue
@@ -352,6 +357,8 @@ def deblock_plane_luma(plane, maps: DbfMaps, beta_off, tc_off, bitdepth, pic_w, 
     # ---- horizontal edges ---------------------------------------------
     for yu in range(1, uh):
         y = yu * 4
+        if y in no_y:
+            continue
         for xu in range(uw):
             if not maps.edge_hor[yu, xu]:
                 continue
@@ -436,10 +443,13 @@ def _filter_chroma_edge(lines, qp, bs2, large, beta_off, tc_off, bitdepth, ctb_b
         _chroma_weak(lines, tc, bd_max)
 
 
-def deblock_chroma(cb, cr, maps: DbfMaps, params, bitdepth, pic_w, pic_h, log2_ctb):
+def deblock_chroma(cb, cr, maps: DbfMaps, params, bitdepth, pic_w, pic_h, log2_ctb,
+                   no_filter_x=(), no_filter_y=()):
     """Both chroma planes; edges on the 8-chroma-sample grid (4:2:0)."""
     pps, sh = params.pps, params.sh
     uw, uh = pic_w // 4, pic_h // 4  # luma units (1 unit = 2 chroma samples)
+    no_x = set(no_filter_x)
+    no_y = set(no_filter_y)
 
     beta_off_cb = _beta_tc_offsets(params, "cb")
     beta_off_cr = _beta_tc_offsets(params, "cr")
@@ -450,6 +460,8 @@ def deblock_chroma(cb, cr, maps: DbfMaps, params, bitdepth, pic_w, pic_h, log2_c
         # vertical edges: every 4 luma units = 8 chroma samples
         for xu in range(4, uw, 4):
             cx = xu * 2
+            if xu * 4 in no_x:
+                continue
             for yu in range(uh):
                 if not maps.cedge_ver[yu, xu]:
                     continue
@@ -468,6 +480,8 @@ def deblock_chroma(cb, cr, maps: DbfMaps, params, bitdepth, pic_w, pic_h, log2_c
         # horizontal edges
         for yu in range(4, uh, 4):
             cy = yu * 2
+            if yu * 4 in no_y:
+                continue
             is_ctb_b = (cy * 2) % (1 << log2_ctb) == 0  # luma y at CTU boundary
             for xu in range(uw):
                 if not maps.cedge_hor[yu, xu]:
@@ -506,7 +520,13 @@ def _beta_tc_offsets(params, comp: str):
 def deblock_frame(frame, maps: DbfMaps, params, log2_ctb):
     bitdepth = frame.bitdepth
     pic_w, pic_h = frame.y.shape[1], frame.y.shape[0]
+    # tile boundaries are not filtered when across-tiles filtering is off
+    no_x, no_y = [], []
+    ti = params.tile_info
+    if ti.nb_tiles > 1 and not params.pps.pps_loop_filter_across_tiles_enabled_flag:
+        no_x = [x << log2_ctb for x in ti.col_x()[1:-1]]
+        no_y = [y << log2_ctb for y in ti.row_y()[1:-1]]
     b_l, t_l = _beta_tc_offsets(params, "luma")
-    deblock_plane_luma(frame.y, maps, b_l, t_l, bitdepth, pic_w, pic_h)
+    deblock_plane_luma(frame.y, maps, b_l, t_l, bitdepth, pic_w, pic_h, no_x, no_y)
     if frame.cb is not None:
-        deblock_chroma(frame.cb, frame.cr, maps, params, bitdepth, pic_w, pic_h, log2_ctb)
+        deblock_chroma(frame.cb, frame.cr, maps, params, bitdepth, pic_w, pic_h, log2_ctb, no_x, no_y)
