@@ -17,7 +17,12 @@ from openvvc_tpu.hls.nal import NalType, demux_annexb, is_vcl
 from openvvc_tpu.hls.params import ActiveParams, NvclContext
 from openvvc_tpu.rcn.ref_dbf import DbfMaps, deblock_frame
 from openvvc_tpu.rcn.ref_intra import predict_intra
-from openvvc_tpu.rcn.ref_transform import dequant, inverse_transform_2d, reconstruct_tu_residual
+from openvvc_tpu.rcn.ref_transform import (
+    dequant,
+    inverse_transform_2d,
+    lfnst_intra_mode,
+    reconstruct_tu_residual,
+)
 from openvvc_tpu.vcl.transform_unit import chroma_qp as _derive_chroma_qp
 from openvvc_tpu.vcl.ctu import CU, TREE_DUAL_CHROMA, TREE_DUAL_LUMA, TREE_SINGLE, UNAVAIL
 from openvvc_tpu.vcl.slice_data import parse_entry
@@ -159,7 +164,11 @@ def reconstruct_cu(rc: ReconCtx, cu: CU, params: ActiveParams, tools, dbf: DbfMa
             pred = predict_intra(frame.y, ux, uy, l2w, l2h, cu.intra_mode_l, rc.luma_avail, bd, luma=True)
             tu = find_tu(0, ux, uy)
             if tu is not None:
-                res = reconstruct_tu_residual(tu, trc, bd)
+                lmode = None
+                if tu.lfnst_idx:
+                    base_mode = 0 if cu.mip_flag else cu.intra_mode_l
+                    lmode = lfnst_intra_mode(min(5, l2w), min(5, l2h), base_mode)
+                res = reconstruct_tu_residual(tu, trc, bd, lfnst_mode=lmode, is_mip=bool(cu.mip_flag))
                 pred = pred + res
             frame.y[uy : uy + (1 << l2h), ux : ux + (1 << l2w)] = _clip(pred, bd)
             rc.mark_luma(ux, uy, l2w, l2h)
@@ -187,10 +196,18 @@ def _reconstruct_chroma(rc: ReconCtx, cu: CU, params, trc, cx0, cy0, clog2_w, cl
         return None
 
     for ux, uy, l2w, l2h in _tu_units(cx0, cy0, clog2_w, clog2_h, max_tb_c):
+        def lmode_for(tu):
+            if not tu.lfnst_idx:
+                return None
+            m = mode
+            if m in (81, 82, 83):
+                m = 0  # CCLM: collocated luma (resolved by caller); planar fallback
+            return lfnst_intra_mode(min(5, tu.log2_w), min(5, tu.log2_h), m)
+
         jtu = find_tu(3, ux, uy)
         res_cb = res_cr = None
         if jtu is not None:
-            res = reconstruct_tu_residual(jtu, trc, bd)
+            res = reconstruct_tu_residual(jtu, trc, bd, lfnst_mode=lmode_for(jtu))
             if jtu.joint_cbcr == 3:
                 res_cb = res
                 res_cr = csign * res
@@ -204,9 +221,9 @@ def _reconstruct_chroma(rc: ReconCtx, cu: CU, params, trc, cx0, cy0, clog2_w, cl
             tb = find_tu(1, ux, uy)
             tr = find_tu(2, ux, uy)
             if tb is not None:
-                res_cb = reconstruct_tu_residual(tb, trc, bd)
+                res_cb = reconstruct_tu_residual(tb, trc, bd, lfnst_mode=lmode_for(tb))
             if tr is not None:
-                res_cr = reconstruct_tu_residual(tr, trc, bd)
+                res_cr = reconstruct_tu_residual(tr, trc, bd, lfnst_mode=lmode_for(tr))
 
         for plane, res in ((frame.cb, res_cb), (frame.cr, res_cr)):
             pred = predict_intra(plane, ux, uy, l2w, l2h, mode, rc.chroma_avail, bd, luma=False)

@@ -81,10 +81,12 @@ def inverse_transform_2d(
     return out.astype(np.int32)
 
 
-def reconstruct_tu_residual(tu, ctx_like, bitdepth: int, intra: bool = True) -> np.ndarray:
+def reconstruct_tu_residual(tu, ctx_like, bitdepth: int, intra: bool = True,
+                            lfnst_mode: int | None = None, is_mip: bool = False) -> np.ndarray:
     """Full dequant + inverse transform for one TU IR entry.
 
     ctx_like provides: dep_quant (bool), mts_implicit (bool).
+    lfnst_mode: normalized LFNST intra mode (required when tu.lfnst_idx).
     """
     log2_w, log2_h = tu.log2_w, tu.log2_h
     dq = dequant(tu.coeffs, tu.qp, log2_w, log2_h, ctx_like.dep_quant, bitdepth)
@@ -95,9 +97,10 @@ def reconstruct_tu_residual(tu, ctx_like, bitdepth: int, intra: bool = True) -> 
     luma = tu.comp == 0
     mts_idx = tu.mts_idx if luma else 0
     if tu.lfnst_idx:
-        raise NotImplementedError("LFNST reconstruction")
+        dq = apply_lfnst(dq, min(5, log2_w), min(5, log2_h), tu.lfnst_idx, lfnst_mode)
+        return inverse_transform_2d(dq, log2_w, log2_h, "DCT2", "DCT2", bitdepth)
 
-    if luma and mts_idx == 0 and ctx_like.mts_implicit and intra and (log2_w <= 4 or log2_h <= 4):
+    if luma and mts_idx == 0 and ctx_like.mts_implicit and intra and not is_mip and (log2_w <= 4 or log2_h <= 4):
         tr_h = "DST7" if 2 <= log2_w <= 4 else "DCT2"
         tr_v = "DST7" if 2 <= log2_h <= 4 else "DCT2"
     elif mts_idx:
@@ -107,3 +110,79 @@ def reconstruct_tu_residual(tu, ctx_like, bitdepth: int, intra: bool = True) -> 
     else:
         tr_h = tr_v = "DCT2"
     return inverse_transform_2d(dq, log2_w, log2_h, tr_h, tr_v, bitdepth)
+
+
+# ----------------------------------------------------------------------
+# LFNST (low-frequency non-separable secondary transform)
+# ----------------------------------------------------------------------
+
+from openvvc_tpu.rcn.data_lfnst import LFNST  # noqa: E402
+from openvvc_tpu.vcl.residual import diag_scan  # noqa: E402
+
+_LFNST_MODE_MAP = bytes(
+    [0, 0] + [1] * 11 + [2] * 11 + [3] * 21 + [2] * 11 + [1] * 39
+)
+# matches drv_lfnst.c lfnst_mode_map[67+28] exactly:
+assert list(_LFNST_MODE_MAP[:13]) == [0, 0, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1]
+
+_DIAG_4x4 = diag_scan(4, 4)
+
+OVINTRA_DIA = 34
+OVINTRA_VDIA = 66
+_MODE_SHIFT_LUT = (0, 6, 10, 12, 14, 15)
+
+
+def lfnst_intra_mode(log2_w: int, log2_h: int, intra_mode: int) -> int:
+    """drv_lfnst_mode_l parity: wide-angle remap + normalization to [0,95)."""
+    if intra_mode > 1:  # > DC
+        shift = _MODE_SHIFT_LUT[abs(log2_w - log2_h)]
+        if log2_w > log2_h and intra_mode < 2 + shift:
+            intra_mode += OVINTRA_VDIA - 1
+        elif log2_h > log2_w and intra_mode > OVINTRA_VDIA - shift:
+            intra_mode -= OVINTRA_VDIA + 1
+    if intra_mode < 0:
+        intra_mode += 14 + 67
+    elif intra_mode >= 67:
+        intra_mode += 14
+    return intra_mode
+
+
+def apply_lfnst(coeffs: np.ndarray, log2_w: int, log2_h: int, lfnst_idx: int, mode_l: int) -> np.ndarray:
+    """Inverse LFNST on dequantized coefficients (rcn_lfnst.c parity).
+
+    coeffs: [h, w] int32 dequantized levels; lfnst_idx in {1, 2};
+    mode_l: normalized LFNST intra mode (lfnst_intra_mode output).
+    Returns a new coefficient array; only DCT2 may follow.
+    """
+    out = np.zeros_like(coeffs)
+    transpose = (67 > mode_l > OVINTRA_DIA) or mode_l >= 67 + 14
+    mode_set = _LFNST_MODE_MAP[mode_l]
+    is_8x8 = log2_w >= 3 and log2_h >= 3
+
+    # gather first 16 coeffs of the top-left 4x4 in diagonal order
+    tmp = np.array([coeffs[y, x] for (x, y) in _DIAG_4x4], np.int64)
+
+    mat = LFNST[(1 if is_8x8 else 0, mode_set, lfnst_idx - 1)].astype(np.int64)
+    if not is_8x8:
+        n_in = 8 if log2_w == log2_h else 16
+        n_out = 16
+        stride = 16
+        vals = [
+            int(np.clip((np.dot(tmp[:n_in], mat[i::stride][:n_in]) + 64) >> 7, -(1 << 15), (1 << 15)))
+            for i in range(n_out)
+        ]
+        for i, v in enumerate(vals):
+            x, y = (i & 3, i >> 2) if not transpose else (i >> 2, i & 3)
+            out[y, x] = v
+    else:
+        stride = 48
+        for i in range(48):
+            v = int(np.clip((np.dot(tmp, mat[i::stride][:16]) + 64) >> 7, -(1 << 15), (1 << 15)))
+            if i < 32:
+                x, y = i & 7, i >> 3
+            else:
+                x, y = i & 3, 4 + ((i - 32) >> 2)
+            if transpose:
+                x, y = y, x
+            out[y, x] = v
+    return out
