@@ -17,6 +17,7 @@ from openvvc_tpu.hls.nal import NalType, demux_annexb, is_vcl
 from openvvc_tpu.hls.params import ActiveParams, NvclContext
 from openvvc_tpu.rcn.ref_dbf import DbfMaps, deblock_frame
 from openvvc_tpu.rcn.ref_intra import predict_intra
+from openvvc_tpu.rcn.ref_mip import predict_mip
 from openvvc_tpu.rcn.ref_transform import (
     dequant,
     inverse_transform_2d,
@@ -160,8 +161,10 @@ def reconstruct_cu(rc: ReconCtx, cu: CU, params: ActiveParams, tools, dbf: DbfMa
         part = params.part_info["intra_luma"]
         for ux, uy, l2w, l2h in _tu_units(cu.x0, cu.y0, cu.log2_w, cu.log2_h, part.log2_max_tb_s):
             if cu.mip_flag:
-                raise NotImplementedError("MIP reconstruction")
-            pred = predict_intra(frame.y, ux, uy, l2w, l2h, cu.intra_mode_l, rc.luma_avail, bd, luma=True)
+                pred = predict_mip(frame.y, ux, uy, l2w, l2h, cu.mip_mode,
+                                   cu.mip_transpose, rc.luma_avail, bd)
+            else:
+                pred = predict_intra(frame.y, ux, uy, l2w, l2h, cu.intra_mode_l, rc.luma_avail, bd, luma=True)
             tu = find_tu(0, ux, uy)
             if tu is not None:
                 lmode = None

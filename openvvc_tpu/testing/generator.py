@@ -193,6 +193,90 @@ def uniform_tree(params, entry, cu_factory) -> dict:
     return trees
 
 
+def rect_tree_builder(lw: int, lh: int, make_cu, rng, chroma_leaf=None):
+    """Tree builder carving every CTU into lw x lh luma CUs (QT then BT).
+
+    make_cu(x, y, dual) -> TreeNode leaf for a luma CU at (x, y); `dual` is
+    True under a SCIPU local dual tree (the CU must then be luma-only with
+    tree_type TREE_DUAL_LUMA). Splits creating chroma blocks under 16 samples
+    get a SCIPU chroma tree attached automatically: chroma_leaf(x, y, l2w, l2h)
+    -> TreeNode with a chroma CU covering the region (luma coords), defaulting
+    to a random DC/planar chroma CU with sparse residual.
+    """
+    from openvvc_tpu.vcl.ctu import TREE_DUAL_CHROMA, TU
+
+    def default_chroma_leaf(x, y, l2w, l2h):
+        ccu = CU(x >> 1, y >> 1, l2w - 1, l2h - 1, tree_type=TREE_DUAL_CHROMA,
+                 intra_mode_c=int(rng.randint(0, 2)))
+        shape = (1 << (l2h - 1), 1 << (l2w - 1))
+        clv = (rng.randint(-8, 9, shape) * (rng.rand(*shape) < 0.5)).astype(np.int32)
+        if clv.any():
+            last = _find_last_pos_diag(clv, l2w - 1, l2h - 1)
+            ccu.tus.append(TU(x >> 1, y >> 1, l2w - 1, l2h - 1, 1, cbf=1,
+                              levels=clv, last_pos=last))
+        return TreeNode(NO_SPLIT, cu=ccu)
+
+    chroma_leaf = chroma_leaf or default_chroma_leaf
+
+    def descend(x, y, l2w, l2h, dual=False):
+        if (l2w, l2h) == (lw, lh):
+            return make_cu(x, y, dual)
+        if l2h > lh and (l2h >= l2w or l2w == lw):
+            kind, cl2w, cl2h = BT_H, l2w, l2h - 1
+            offs = ((x, y), (x, y + (1 << cl2h)))
+        else:
+            kind, cl2w, cl2h = BT_V, l2w - 1, l2h
+            offs = ((x, y), (x + (1 << cl2w), y))
+        # SCIPU (_separate_trees): child chroma area < 16, or a BT_V on a
+        # width-8 node (creates 2-wide chroma)
+        narrow = kind == BT_V and l2w == 3
+        scipu = not dual and ((1 << (cl2w + cl2h)) >> 2 < 16 or narrow)
+        node = TreeNode(kind, children=[
+            descend(cx, cy, cl2w, cl2h, dual or scipu) for cx, cy in offs])
+        if scipu:
+            node.chroma_tree = chroma_leaf(x, y, l2w, l2h)
+            node.mode_constraint = 1
+        return node
+
+    def qt(x, y, l2):
+        if l2 > max(lw, lh, 4):
+            h = 1 << (l2 - 1)
+            return TreeNode(QT_SPLIT, children=[
+                qt(x, y, l2 - 1), qt(x + h, y, l2 - 1),
+                qt(x, y + h, l2 - 1), qt(x + h, y + h, l2 - 1)])
+        return descend(x, y, l2, l2)
+
+    def tb(params, entry):
+        trees = {}
+        clg = params.sps.ctb_log2
+        for row in range(entry.nb_ctu_h):
+            for col in range(entry.nb_ctu_w):
+                cx, cy = entry.ctu_x + col, entry.ctu_y + row
+                trees[(cx, cy)] = qt(cx << clg, cy << clg, clg)
+        return trees
+
+    return tb
+
+
+def _find_last_pos_diag(levels, log2_w, log2_h):
+    """Last significant coefficient position in 4x4-subblock diagonal scan order."""
+    from openvvc_tpu.vcl.residual import diag_scan, sb_dims
+
+    lim_w = min(1 << log2_w, 32)
+    lim_h = min(1 << log2_h, 32)
+    lsw, lsh = sb_dims(min(log2_w, 5), min(log2_h, 5))
+    sb_scan = diag_scan(lim_w >> lsw, lim_h >> lsh)
+    in_scan = diag_scan(1 << lsw, 1 << lsh)
+    last = None
+    for sx, sy in sb_scan:
+        for cx, cy in in_scan:
+            x, y = (sx << lsw) + cx, (sy << lsh) + cy
+            if levels[y, x]:
+                last = (x, y)
+    assert last is not None
+    return last
+
+
 def build_stream(cfg: StreamConfig, tree_builder, nal_type=NalType.IDR_N_LP) -> bytes:
     """Assemble a complete one-frame Annex-B stream.
 

@@ -1,0 +1,170 @@
+"""Oracle bit-exactness tests for coding tools: LFNST and SCIPU (local dual tree).
+
+Parity targets: /root/reference/libovvc/rcn_lfnst.c, drv_lfnst.c (LFNST),
+dec_ctu.c / vcl_coding_tree.c SCIPU handling (implicit separate trees when a
+split would create chroma blocks below 16 samples).
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+from openvvc_tpu.decoder import decode_to_yuv
+from openvvc_tpu.rcn.ref_mip import nb_mip_modes
+from openvvc_tpu.testing.generator import (
+    StreamConfig,
+    build_stream,
+    decode_with_oracle,
+    rect_tree_builder,
+)
+from openvvc_tpu.vcl.coding_tree import NO_SPLIT, QT_SPLIT, TreeNode
+from openvvc_tpu.vcl.ctu import CU, TU, TREE_DUAL_CHROMA, TREE_DUAL_LUMA
+from openvvc_tpu.vcl.residual import diag_scan
+
+sys.path.insert(0, os.path.dirname(__file__))
+from test_residual import find_last_pos  # noqa: E402
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists("/tmp/refbuild/dectest"), reason="reference oracle not built"
+)
+
+_DIAG44 = diag_scan(4, 4)
+
+
+def _lfnst_levels(rng, log2_w, log2_h):
+    """Levels valid for LFNST: confined to the first 8/16 diagonal positions
+    of the top-left 4x4 sub-block, not DC-only."""
+    lv = np.zeros((1 << log2_h, 1 << log2_w), np.int32)
+    nmax = 8 if (log2_w == log2_h and log2_w in (2, 3)) else 16
+    for i in range(rng.randint(2, nmax + 1)):
+        x, y = _DIAG44[i]
+        lv[y, x] = rng.randint(-20, 21)
+    if abs(lv).sum() == abs(lv[0, 0]):
+        lv[1, 0] = 4
+    return lv
+
+
+def _lfnst_tree_builder(lw, lh, rng):
+    """Every CTU carved into lw x lh CUs, each with a random LFNST index and
+    valid levels (SCIPU chroma trees attached automatically)."""
+
+    def make_cu(x, y, dual):
+        cu = CU(x, y, lw, lh, intra_mode_l=int(rng.randint(0, 67)), intra_mode_c=0,
+                tree_type=TREE_DUAL_LUMA if dual else 0)
+        idx = int(rng.randint(1, 3))
+        lv = _lfnst_levels(rng, lw, lh)
+        tu = TU(x, y, lw, lh, 0, cbf=1, levels=lv, last_pos=find_last_pos(lv, lw, lh))
+        tu.lfnst_idx = idx
+        cu.tus.append(tu)
+        cu.lfnst_idx = idx
+        return TreeNode(NO_SPLIT, cu=cu)
+
+    return rect_tree_builder(lw, lh, make_cu, rng)
+
+
+def _chroma_leaf(rng, x, y, l2w, l2h):
+    """A chroma CU covering the SCIPU region (luma coords x,y size l2w x l2h)."""
+    ccu = CU(x >> 1, y >> 1, l2w - 1, l2h - 1, tree_type=TREE_DUAL_CHROMA,
+             intra_mode_c=int(rng.randint(0, 2)))
+    shape = (1 << (l2h - 1), 1 << (l2w - 1))
+    clv = (rng.randint(-8, 9, shape) * (rng.rand(*shape) < 0.5)).astype(np.int32)
+    if clv.any():
+        ccu.tus.append(TU(x >> 1, y >> 1, l2w - 1, l2h - 1, 1, cbf=1,
+                          levels=clv, last_pos=find_last_pos(clv, l2w - 1, l2h - 1)))
+    return TreeNode(NO_SPLIT, cu=ccu)
+
+
+@pytest.mark.parametrize("lw,lh", [(2, 2), (2, 3), (3, 3), (3, 4), (4, 3), (4, 4), (4, 5), (5, 5)])
+def test_lfnst_sizes(lw, lh):
+    rng = np.random.RandomState(lw * 16 + lh)
+    size = 64 if max(lw, lh) <= 4 else 128
+    cfg = StreamConfig(width=size, height=size, qp=30, deblocking=False, lfnst=True,
+                       max_mtt_depth=4, min_cb_log2=2)
+    stream = build_stream(cfg, _lfnst_tree_builder(lw, lh, rng))
+    assert decode_with_oracle(stream) == decode_to_yuv(stream)
+
+
+@pytest.mark.parametrize("lw,lh", [(2, 2), (3, 3), (2, 4), (4, 2), (4, 4), (3, 5),
+                                   (6, 2), (4, 6), (6, 6)])
+def test_mip_sizes(lw, lh):
+    """MIP across size classes (4x4 / small / large), both transposes, with
+    residual; availability-substituted boundaries at picture edges."""
+    rng = np.random.RandomState(lw * 8 + lh)
+    size = 64 if max(lw, lh) <= 4 else 128
+    cfg = StreamConfig(width=size, height=size, qp=30, deblocking=False, mip=True,
+                       max_mtt_depth=4, min_cb_log2=2)
+
+    def make_cu(x, y, dual):
+        cu = CU(x, y, lw, lh, intra_mode_l=0, intra_mode_c=0,
+                tree_type=TREE_DUAL_LUMA if dual else 0)
+        cu.mip_flag = 1
+        cu.mip_transpose = int(rng.randint(0, 2))
+        cu.mip_mode = int(rng.randint(0, nb_mip_modes(lw, lh)))
+        if rng.rand() < 0.7:
+            n, m = 1 << lh, 1 << lw
+            lv = (rng.randint(-12, 13, (n, m)) * (rng.rand(n, m) < 0.2)).astype(np.int32)
+            if not lv.any():
+                lv[0, 0] = 2
+            cu.tus.append(TU(x, y, lw, lh, 0, cbf=1, levels=lv,
+                             last_pos=find_last_pos(lv, lw, lh)))
+        return TreeNode(NO_SPLIT, cu=cu)
+
+    stream = build_stream(cfg, rect_tree_builder(lw, lh, make_cu, rng))
+    assert decode_with_oracle(stream) == decode_to_yuv(stream)
+
+
+def test_scipu_local_dual_tree():
+    """QT down to 4x4 luma CUs: every 8x8 QT split triggers SCIPU; the shared
+    chroma CU is coded in a local dual tree and the luma CUs are luma-only."""
+    rng = np.random.RandomState(77)
+
+    def luma_cu(x0, y0, lg, tree=0):
+        cu = CU(x0, y0, lg, lg, intra_mode_l=int(rng.randint(0, 67)),
+                intra_mode_c=0, tree_type=tree)
+        if rng.rand() < 0.7:
+            n = 1 << lg
+            lv = (rng.randint(-10, 11, (n, n)) * (rng.rand(n, n) < 0.4)).astype(np.int32)
+            if not lv.any():
+                lv[0, 0] = 2
+            cu.tus.append(TU(x0, y0, lg, lg, 0, cbf=1, levels=lv,
+                             last_pos=find_last_pos(lv, lg, lg)))
+        return cu
+
+    def scipu_8x8(x0, y0):
+        node = TreeNode(QT_SPLIT)
+        for cx, cy in ((x0, y0), (x0 + 4, y0), (x0, y0 + 4), (x0 + 4, y0 + 4)):
+            node.children.append(TreeNode(NO_SPLIT, cu=luma_cu(cx, cy, 2, TREE_DUAL_LUMA)))
+        node.chroma_tree = _chroma_leaf(rng, x0, y0, 3, 3)
+        node.mode_constraint = 1
+        return node
+
+    def build(x, y, lg):
+        if lg > 3:
+            h = 1 << (lg - 1)
+            return TreeNode(QT_SPLIT, children=[
+                build(x, y, lg - 1), build(x + h, y, lg - 1),
+                build(x, y + h, lg - 1), build(x + h, y + h, lg - 1)])
+        if rng.rand() < 0.6:
+            return scipu_8x8(x, y)
+        cu = luma_cu(x, y, 3)
+        clv = (rng.randint(-8, 9, (4, 4)) * (rng.rand(4, 4) < 0.3)).astype(np.int32)
+        if clv.any():
+            cu.tus.append(TU(x >> 1, y >> 1, 2, 2, 1, cbf=1, levels=clv,
+                             last_pos=find_last_pos(clv, 2, 2)))
+        return TreeNode(NO_SPLIT, cu=cu)
+
+    def tb(params, entry):
+        trees = {}
+        clg = params.sps.ctb_log2
+        for row in range(entry.nb_ctu_h):
+            for col in range(entry.nb_ctu_w):
+                cx, cy = entry.ctu_x + col, entry.ctu_y + row
+                trees[(cx, cy)] = build(cx << clg, cy << clg, clg)
+        return trees
+
+    cfg = StreamConfig(width=64, height=64, qp=32, deblocking=False,
+                       min_cb_log2=2, min_qt_log2=2)
+    stream = build_stream(cfg, tb)
+    assert decode_with_oracle(stream) == decode_to_yuv(stream)
