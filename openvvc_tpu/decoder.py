@@ -17,6 +17,7 @@ from openvvc_tpu.hls.nal import NalType, demux_annexb, is_vcl
 from openvvc_tpu.hls.params import ActiveParams, NvclContext
 from openvvc_tpu.rcn.ref_dbf import DbfMaps, deblock_frame
 from openvvc_tpu.rcn.ref_intra import predict_intra
+from openvvc_tpu.rcn.ref_cclm import predict_cclm
 from openvvc_tpu.rcn.ref_mip import predict_mip
 from openvvc_tpu.rcn.ref_transform import (
     dequant,
@@ -188,8 +189,6 @@ def _reconstruct_chroma(rc: ReconCtx, cu: CU, params, trc, cx0, cy0, clog2_w, cl
     part = params.part_info["intra_chroma" if cu.tree_type == TREE_DUAL_CHROMA else "intra_luma"]
     max_tb_c = part.log2_max_tb_s if cu.tree_type == TREE_DUAL_CHROMA else part.log2_max_tb_s - 1
     mode = cu.intra_mode_c
-    if mode in (81, 82, 83):
-        raise NotImplementedError("CCLM reconstruction")
     csign = -1 if params.ph.ph_joint_cbcr_sign_flag else 1
 
     def find_tu(comp, x, y):
@@ -204,7 +203,8 @@ def _reconstruct_chroma(rc: ReconCtx, cu: CU, params, trc, cx0, cy0, clog2_w, cl
                 return None
             m = mode
             if m in (81, 82, 83):
-                m = 0  # CCLM: collocated luma (resolved by caller); planar fallback
+                # CCLM: center collocated luma mode (drv_lfnst.c derive_lfnst_mode_c)
+                m = getattr(cu, "col_luma_mode", 0)
             return lfnst_intra_mode(min(5, tu.log2_w), min(5, tu.log2_h), m)
 
         jtu = find_tu(3, ux, uy)
@@ -228,8 +228,17 @@ def _reconstruct_chroma(rc: ReconCtx, cu: CU, params, trc, cx0, cy0, clog2_w, cl
             if tr is not None:
                 res_cr = reconstruct_tu_residual(tr, trc, bd, lfnst_mode=lmode_for(tr))
 
-        for plane, res in ((frame.cb, res_cb), (frame.cr, res_cr)):
-            pred = predict_intra(plane, ux, uy, l2w, l2h, mode, rc.chroma_avail, bd, luma=False)
+        if mode in (81, 82, 83):
+            collocated = bool(params.sps.sps_chroma_vertical_collocated_flag)
+            pred_cb, pred_cr = predict_cclm(
+                frame.y, frame.cb, frame.cr, ux, uy, l2w, l2h, mode,
+                rc.chroma_avail, params.sps.ctb_log2, collocated, bd)
+            preds = ((frame.cb, pred_cb, res_cb), (frame.cr, pred_cr, res_cr))
+        else:
+            preds = tuple(
+                (plane, predict_intra(plane, ux, uy, l2w, l2h, mode, rc.chroma_avail, bd, luma=False), res)
+                for plane, res in ((frame.cb, res_cb), (frame.cr, res_cr)))
+        for plane, pred, res in preds:
             if res is not None:
                 pred = pred + res
             plane[uy : uy + (1 << l2h), ux : ux + (1 << l2w)] = _clip(pred, bd)

@@ -45,6 +45,7 @@ class StreamConfig:
     mrl: bool = False
     isp: bool = False
     cclm: bool = False
+    cclm_collocated: bool = False
     dual_tree: bool = False
     joint_cbcr: bool = False
     transform_skip: bool = False
@@ -97,7 +98,7 @@ def build_sps(cfg: StreamConfig) -> SPS:
         sps._list_nested("sps_delta_qp_diff_val", 0)[0] = 1  # identity table
         sps.sps_cclm_enabled_flag = 1 if cfg.cclm else 0
         sps.sps_chroma_horizontal_collocated_flag = 1
-        sps.sps_chroma_vertical_collocated_flag = 1
+        sps.sps_chroma_vertical_collocated_flag = 1 if cfg.cclm_collocated else 0
     sps.sps_sao_enabled_flag = 1 if cfg.sao else 0
     sps.sps_alf_enabled_flag = 1 if cfg.alf else 0
     sps.sps_lmcs_enabled_flag = 1 if cfg.lmcs else 0

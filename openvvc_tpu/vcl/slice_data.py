@@ -69,10 +69,13 @@ def coding_unit_dispatch(ctx, io, node, x0, y0, log2_w, log2_h):
         ctx.map_cu_type[uy : uy + hu, ux : ux + wu] = CU_MIP if cu.mip_flag else CU_INTRA
 
         if tree == TREE_SINGLE and ctx.chroma_enabled and ctx.share != 1:
-            coding_unit_intra_chroma(ctx, io, cu, cu.intra_mode_l if not cu.mip_flag else INTRA_PLANAR)
+            col_mode = cu.intra_mode_l if not cu.mip_flag else INTRA_PLANAR
+            cu.col_luma_mode = col_mode  # chroma LFNST mode source for DM/CCLM
+            coding_unit_intra_chroma(ctx, io, cu, col_mode)
 
     else:  # dual-tree chroma CU (component coords = chroma)
         col_mode = _collocated_luma_mode(ctx, x0, y0, log2_w, log2_h)
+        cu.col_luma_mode = col_mode
         coding_unit_intra_chroma(ctx, io, cu, col_mode)
 
     # transform tree + residuals

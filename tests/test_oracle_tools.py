@@ -115,6 +115,34 @@ def test_mip_sizes(lw, lh):
     assert decode_with_oracle(stream) == decode_to_yuv(stream)
 
 
+@pytest.mark.parametrize("cmode", [81, 82, 83])
+@pytest.mark.parametrize("collocated", [False, True])
+def test_cclm_modes(cmode, collocated):
+    """CCLM (LT) and MDLM (L/T) with both luma downsampling filters
+    (6-tap default, 5-tap vertical-collocated), with luma+chroma residual."""
+    lw = lh = 3
+    rng = np.random.RandomState(cmode * 2 + collocated)
+    cfg = StreamConfig(width=64, height=64, qp=30, deblocking=False, cclm=True,
+                       cclm_collocated=collocated, max_mtt_depth=4, min_cb_log2=2)
+
+    def make_cu(x, y, dual):
+        cu = CU(x, y, lw, lh, intra_mode_l=int(rng.randint(0, 67)),
+                intra_mode_c=cmode, tree_type=TREE_DUAL_LUMA if dual else 0)
+        lv = (rng.randint(-12, 13, (8, 8)) * (rng.rand(8, 8) < 0.2)).astype(np.int32)
+        if not lv.any():
+            lv[0, 0] = 2
+        cu.tus.append(TU(x, y, lw, lh, 0, cbf=1, levels=lv,
+                         last_pos=find_last_pos(lv, lw, lh)))
+        clv = (rng.randint(-8, 9, (4, 4)) * (rng.rand(4, 4) < 0.3)).astype(np.int32)
+        if clv.any():
+            cu.tus.append(TU(x >> 1, y >> 1, 2, 2, 1, cbf=1, levels=clv,
+                             last_pos=find_last_pos(clv, 2, 2)))
+        return TreeNode(NO_SPLIT, cu=cu)
+
+    stream = build_stream(cfg, rect_tree_builder(lw, lh, make_cu, rng))
+    assert decode_with_oracle(stream) == decode_to_yuv(stream)
+
+
 def test_scipu_local_dual_tree():
     """QT down to 4x4 luma CUs: every 8x8 QT split triggers SCIPU; the shared
     chroma CU is coded in a local dual tree and the luma CUs are luma-only."""
