@@ -19,6 +19,7 @@ from openvvc_tpu.rcn.ref_dbf import DbfMaps, deblock_frame
 from openvvc_tpu.rcn.ref_intra import predict_intra
 from openvvc_tpu.rcn.ref_cclm import predict_cclm
 from openvvc_tpu.rcn.ref_mip import predict_mip
+from openvvc_tpu.rcn.ref_mrl import predict_intra_mrl
 from openvvc_tpu.rcn.ref_transform import (
     dequant,
     inverse_transform_2d,
@@ -164,6 +165,9 @@ def reconstruct_cu(rc: ReconCtx, cu: CU, params: ActiveParams, tools, dbf: DbfMa
             if cu.mip_flag:
                 pred = predict_mip(frame.y, ux, uy, l2w, l2h, cu.mip_mode,
                                    cu.mip_transpose, rc.luma_avail, bd)
+            elif cu.mrl_idx:
+                pred = predict_intra_mrl(frame.y, ux, uy, l2w, l2h, cu.intra_mode_l,
+                                         cu.mrl_idx, rc.luma_avail, bd)
             else:
                 pred = predict_intra(frame.y, ux, uy, l2w, l2h, cu.intra_mode_l, rc.luma_avail, bd, luma=True)
             tu = find_tu(0, ux, uy)

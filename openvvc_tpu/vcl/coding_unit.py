@@ -232,6 +232,9 @@ def coding_unit_intra_luma(ctx, io, cu: CU):
             cu.intra_mode_l = mode_from_mpm_remainder(lft, abv, rem)
     else:
         mpm_list = derive_mpm_list(lft, abv)
+        if getattr(cu, "mpm_sel", None) is not None:
+            # generator aid: pick the mode by MPM index (context-dependent)
+            cu.intra_mode_l = mpm_list[cu.mpm_sel]
         mode = cu.intra_mode_l
         mpm_idx = mpm_list.index(mode) if mode in mpm_list else -1
         if cu.mrl_idx:

@@ -143,6 +143,33 @@ def test_cclm_modes(cmode, collocated):
     assert decode_with_oracle(stream) == decode_to_yuv(stream)
 
 
+@pytest.mark.parametrize("lw,lh", [(2, 2), (3, 3), (4, 4), (3, 5), (4, 2)])
+def test_mrl_sizes(lw, lh):
+    """Multi-reference-line prediction (lines 1 and 2), MPM-coded modes, with
+    residual; CTU-top rows fall back to line 0 as the syntax requires."""
+    rng = np.random.RandomState(lw * 8 + lh + 31)
+    size = 64 if max(lw, lh) <= 4 else 128
+    cfg = StreamConfig(width=size, height=size, qp=30, deblocking=False, mrl=True,
+                       max_mtt_depth=4, min_cb_log2=2)
+
+    def make_cu(x, y, dual):
+        cu = CU(x, y, lw, lh, intra_mode_l=0, intra_mode_c=0,
+                tree_type=TREE_DUAL_LUMA if dual else 0)
+        cu.mrl_idx = int(rng.randint(1, 3))
+        cu.mpm_sel = int(rng.randint(1, 6))
+        if rng.rand() < 0.7:
+            n, m = 1 << lh, 1 << lw
+            lv = (rng.randint(-12, 13, (n, m)) * (rng.rand(n, m) < 0.2)).astype(np.int32)
+            if not lv.any():
+                lv[0, 0] = 2
+            cu.tus.append(TU(x, y, lw, lh, 0, cbf=1, levels=lv,
+                             last_pos=find_last_pos(lv, lw, lh)))
+        return TreeNode(NO_SPLIT, cu=cu)
+
+    stream = build_stream(cfg, rect_tree_builder(lw, lh, make_cu, rng))
+    assert decode_with_oracle(stream) == decode_to_yuv(stream)
+
+
 def test_scipu_local_dual_tree():
     """QT down to 4x4 luma CUs: every 8x8 QT split triggers SCIPU; the shared
     chroma CU is coded in a local dual tree and the luma CUs are luma-only."""
