@@ -19,6 +19,7 @@ from openvvc_tpu.rcn.ref_dbf import DbfMaps, deblock_frame
 from openvvc_tpu.rcn.ref_intra import predict_intra
 from openvvc_tpu.rcn.ref_cclm import predict_cclm
 from openvvc_tpu.rcn.ref_mip import predict_mip
+from openvvc_tpu.rcn.ref_isp import isp_transform_types, predict_isp_chunk, reconstruct_isp_tb
 from openvvc_tpu.rcn.ref_mrl import predict_intra_mrl
 from openvvc_tpu.rcn.ref_transform import (
     dequant,
@@ -27,6 +28,7 @@ from openvvc_tpu.rcn.ref_transform import (
     reconstruct_tu_residual,
 )
 from openvvc_tpu.vcl.transform_unit import chroma_qp as _derive_chroma_qp
+from openvvc_tpu.vcl.transform_unit import isp_part_dims
 from openvvc_tpu.vcl.ctu import CU, TREE_DUAL_CHROMA, TREE_DUAL_LUMA, TREE_SINGLE, UNAVAIL
 from openvvc_tpu.vcl.slice_data import parse_entry
 
@@ -107,9 +109,10 @@ def _tu_units(x0, y0, log2_w, log2_h, max_tb):
 
 
 class _TrCtx:
-    def __init__(self, dep_quant, mts_implicit):
+    def __init__(self, dep_quant, mts_implicit, mts_enabled=False):
         self.dep_quant = dep_quant
         self.mts_implicit = mts_implicit
+        self.mts_enabled = mts_enabled
 
 
 def _clip(v, bitdepth):
@@ -130,13 +133,24 @@ def reconstruct_cu(rc: ReconCtx, cu: CU, params: ActiveParams, tools, dbf: DbfMa
     bd = rc.bitdepth
     frame = rc.frame
     tree = cu.tree_type
-    trc = _TrCtx(tools["dep_quant"], tools["mts_implicit"])
+    trc = _TrCtx(tools["dep_quant"], tools["mts_implicit"], tools.get("mts_enabled", False))
 
     if dbf is not None and tree in (TREE_SINGLE, TREE_DUAL_LUMA):
         dbf.add_cu_luma(cu.x0, cu.y0, 1 << cu.log2_w, 1 << cu.log2_h, cu.qp, cu.pred_mode == 0)
-        for tu in cu.tus:
-            if tu.comp == 0 and tu.cbf:
-                dbf.add_tb_luma(tu.x0, tu.y0, 1 << tu.log2_w, 1 << tu.log2_h)
+        if cu.isp_mode:
+            # ISP: edges at prediction chunks (>=4 wide/high), recon_isp_subtree
+            l2pw, l2ph, nb_pb = isp_part_dims(cu.log2_w, cu.log2_h, cu.isp_mode)
+            l2pw, l2ph = max(2, l2pw), max(2, l2ph)
+            if cu.isp_mode == 2:
+                for px in range(cu.x0, cu.x0 + (1 << cu.log2_w), 1 << l2pw):
+                    dbf.add_tb_luma(px, cu.y0, 1 << l2pw, 1 << cu.log2_h)
+            else:
+                for py in range(cu.y0, cu.y0 + (1 << cu.log2_h), 1 << l2ph):
+                    dbf.add_tb_luma(cu.x0, py, 1 << cu.log2_w, 1 << l2ph)
+        else:
+            for tu in cu.tus:
+                if tu.comp == 0 and tu.cbf:
+                    dbf.add_tb_luma(tu.x0, tu.y0, 1 << tu.log2_w, 1 << tu.log2_h)
     if dbf is not None and tree != TREE_DUAL_LUMA and rc.params.sps.sps_chroma_format_idc:
         qctx = _QpCtx(params)
         qp_bd = params.qp_bd_offset
@@ -159,7 +173,9 @@ def reconstruct_cu(rc: ReconCtx, cu: CU, params: ActiveParams, tools, dbf: DbfMa
                 return tu
         return None
 
-    if tree in (TREE_SINGLE, TREE_DUAL_LUMA):
+    if cu.isp_mode and tree in (TREE_SINGLE, TREE_DUAL_LUMA):
+        _reconstruct_isp_luma(rc, cu, trc, find_tu)
+    elif tree in (TREE_SINGLE, TREE_DUAL_LUMA):
         part = params.part_info["intra_luma"]
         for ux, uy, l2w, l2h in _tu_units(cu.x0, cu.y0, cu.log2_w, cu.log2_h, part.log2_max_tb_s):
             if cu.mip_flag:
@@ -185,6 +201,42 @@ def reconstruct_cu(rc: ReconCtx, cu: CU, params: ActiveParams, tools, dbf: DbfMa
         _reconstruct_chroma(rc, cu, params, trc, cu.x0 >> 1, cu.y0 >> 1, cu.log2_w - 1, cu.log2_h - 1)
     elif tree == TREE_DUAL_CHROMA:
         _reconstruct_chroma(rc, cu, params, trc, cu.x0, cu.y0, cu.log2_w, cu.log2_h)
+
+
+def _reconstruct_isp_luma(rc: ReconCtx, cu: CU, trc, find_tu):
+    """Sequential ISP sub-partition reconstruction (recon_isp_subtree_v/h)."""
+    bd = rc.bitdepth
+    frame = rc.frame
+    vertical = cu.isp_mode == 2
+    l2pw, l2ph, nb_pb = isp_part_dims(cu.log2_w, cu.log2_h, cu.isp_mode)
+    tr_h, tr_v = isp_transform_types(cu.log2_w, cu.log2_h, l2pw, l2ph,
+                                     vertical, trc.mts_enabled)
+    lmode = lfnst_intra_mode(cu.log2_w, cu.log2_h, cu.intra_mode_l) if cu.lfnst_idx else None
+
+    # vertical split: prediction in >=4-wide chunks (recon_isp_subtree_v);
+    # horizontal split: prediction per partition at its real height
+    pred_l2w = max(2, l2pw) if vertical else cu.log2_w
+    pred_l2h = cu.log2_h if vertical else l2ph
+
+    # the reference marks the full CU rect in the progress field before
+    # reconstruction (vcl_coding_unit.c :953); ISP chunk fills rely on it
+    rc.mark_luma(cu.x0, cu.y0, cu.log2_w, cu.log2_h)
+
+    for i in range(nb_pb):
+        sx = cu.x0 + ((i << l2pw) if vertical else 0)
+        sy = cu.y0 + (0 if vertical else (i << l2ph))
+        off = (sx - cu.x0) if vertical else (sy - cu.y0)
+        if not vertical or off % 4 == 0:
+            pred = predict_isp_chunk(frame.y, cu.x0, cu.y0, cu.log2_w, cu.log2_h,
+                                     sx, sy, pred_l2w, pred_l2h,
+                                     cu.intra_mode_l, rc.luma_avail, bd)
+            frame.y[sy : sy + (1 << pred_l2h), sx : sx + (1 << pred_l2w)] = _clip(pred, bd)
+        tu = find_tu(0, sx, sy)
+        if tu is not None:
+            res = reconstruct_isp_tb(tu, trc.dep_quant, bd, tr_h, tr_v, lmode)
+            h, w = 1 << l2ph, 1 << l2pw
+            region = frame.y[sy : sy + h, sx : sx + w].astype(np.int64)
+            frame.y[sy : sy + h, sx : sx + w] = _clip(region + res, bd)
 
 
 def _reconstruct_chroma(rc: ReconCtx, cu: CU, params, trc, cx0, cy0, clog2_w, clog2_h):
@@ -277,6 +329,7 @@ class Decoder:
         tools = {
             "dep_quant": bool(params.sh.sh_dep_quant_used_flag),
             "mts_implicit": bool(sps.sps_mts_enabled_flag) and not sps.sps_explicit_mts_intra_enabled_flag,
+            "mts_enabled": bool(sps.sps_mts_enabled_flag),
         }
 
         dbf_disabled = self._dbf_disabled(params)

@@ -313,17 +313,25 @@ def predict_intra(
     unit = 4 if luma else 2
     ref_a, ref_l = fill_side_refs(plane, x0, y0, log2_w, log2_h, avail_fn, bitdepth, unit)
 
+    # chroma planar/DC skip PDPC on 2-wide/2-high blocks (vvc_intra_pred_chroma
+    # gates on log2_pb_h > 1 && log2_pb_w > 1; luma blocks are always >= 4)
+    pdpc_flat_ok = luma or (log2_w > 1 and log2_h > 1)
+
     if mode == OVINTRA_PLANAR:
         if luma and (log2_w + log2_h) > 5:
             fa = filter_ref_array(ref_a, ref_l, w + 4)
             fl = filter_ref_array(ref_l, ref_a, h + 4)
             ref_a, ref_l = fa, fl
         pred = intra_planar(ref_a, ref_l, log2_w, log2_h)
-        return pdpc_dc_planar(pred, ref_a, ref_l, log2_w, log2_h, bitdepth)
+        if pdpc_flat_ok:
+            return pdpc_dc_planar(pred, ref_a, ref_l, log2_w, log2_h, bitdepth)
+        return pred
 
     if mode == OVINTRA_DC:
         pred = intra_dc(ref_a, ref_l, log2_w, log2_h)
-        return pdpc_dc_planar(pred, ref_a, ref_l, log2_w, log2_h, bitdepth)
+        if pdpc_flat_ok:
+            return pdpc_dc_planar(pred, ref_a, ref_l, log2_w, log2_h, bitdepth)
+        return pred
 
     pred_mode = derive_wide_angular_mode(log2_w, log2_h, mode)
     vertical = pred_mode >= OVINTRA_DIA

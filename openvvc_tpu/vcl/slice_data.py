@@ -32,7 +32,7 @@ from openvvc_tpu.vcl.ctu import (
     TREE_SINGLE,
     UNAVAIL,
 )
-from openvvc_tpu.vcl.transform_unit import lfnst_mts_idx, transform_tree_intra
+from openvvc_tpu.vcl.transform_unit import isp_subtree, lfnst_mts_idx, transform_tree_intra
 
 
 def _collocated_luma_mode(ctx, cx0, cy0, clog2_w, clog2_h) -> int:
@@ -79,8 +79,11 @@ def coding_unit_dispatch(ctx, io, node, x0, y0, log2_w, log2_h):
         coding_unit_intra_chroma(ctx, io, cu, col_mode)
 
     # transform tree + residuals
-    info = transform_tree_intra(ctx, io, cu, x0, y0, log2_w, log2_h)
-    lfnst_mts_idx(ctx, io, cu, log2_w, log2_h, info)
+    if cu.isp_mode and tree != TREE_DUAL_CHROMA:
+        isp_subtree(ctx, io, cu, x0, y0, log2_w, log2_h)
+    else:
+        info = transform_tree_intra(ctx, io, cu, x0, y0, log2_w, log2_h)
+        lfnst_mts_idx(ctx, io, cu, log2_w, log2_h, info)
 
     # map updates after the CU (reference coding_unit tail)
     if tree == TREE_DUAL_CHROMA:

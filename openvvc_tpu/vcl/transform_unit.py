@@ -239,6 +239,190 @@ def transform_unit(ctx, io, cu: CU, x0, y0, log2_w, log2_h, tr_depth: int):
     return info
 
 
+def isp_part_dims(log2_cb_w: int, log2_cb_h: int, isp_mode: int):
+    """ISP partition dims and count (isp_subtree_v/h :1361/1430 clamp rules).
+
+    isp_mode: 1 = horizontal split, 2 = vertical split.
+    Returns (log2_pb_w, log2_pb_h, nb_pb).
+    """
+    if isp_mode == 2:  # vertical
+        log2_pb_w = log2_cb_w - 2
+        if log2_cb_h < 4 and log2_pb_w <= 4 - log2_cb_h:
+            log2_pb_w = 4 - log2_cb_h
+        return log2_pb_w, log2_cb_h, (1 << log2_cb_w) >> log2_pb_w
+    log2_pb_h = log2_cb_h - 2
+    if log2_cb_w < 4 and log2_pb_h <= 4 - log2_cb_w:
+        log2_pb_h = 4 - log2_cb_w
+    return log2_cb_w, log2_pb_h, (1 << log2_cb_h) >> log2_pb_h
+
+
+def _code_chroma_tbs(ctx, io, cu, cx, cy, clog2_w, clog2_h, cbf_cb, cbf_cr, joint, info, qp_y):
+    """Joint or separate chroma TB coding (shared by TU and ISP subtree)."""
+    cbf_mask_c = (cbf_cb << 1) | cbf_cr
+    if joint:
+        tu = _find_tu(cu, 3, cx, cy) if not io.is_reader else TU(cx, cy, clog2_w, clog2_h, 3)
+        tu.cbf = 1
+        tu.joint_cbcr = cbf_mask_c
+        tu.bdpcm = cu.bdpcm_c
+        tu.qp = chroma_qp(ctx, 3 if cbf_mask_c == 3 else (1 if cbf_cb else 2), qp_y)
+        ts = _transform_skip_flag(ctx, io, tu, 1, clog2_w, clog2_h, cu.bdpcm_c)
+        tu.transform_skip = ts
+        if ts:
+            raise NotImplementedError("transform-skip residual not yet implemented")
+        last, sig = _code_tb(ctx, io, tu, False)
+        info["jcbcr_last"], info["jcbcr_sig_map"] = last, sig
+        if io.is_reader:
+            cu.tus.append(tu)
+    elif cbf_mask_c:
+        for comp, flag, key in ((1, cbf_cb, "cb"), (2, cbf_cr, "cr")):
+            if not flag:
+                continue
+            tu = _find_tu(cu, comp, cx, cy) if not io.is_reader else TU(cx, cy, clog2_w, clog2_h, comp)
+            tu.cbf = 1
+            tu.bdpcm = cu.bdpcm_c
+            tu.qp = chroma_qp(ctx, comp, qp_y)
+            ts = _transform_skip_flag(ctx, io, tu, comp, clog2_w, clog2_h, cu.bdpcm_c)
+            tu.transform_skip = ts
+            if ts:
+                raise NotImplementedError("transform-skip residual not yet implemented")
+            last, sig = _code_tb(ctx, io, tu, False)
+            info[f"{key}_last"], info[f"{key}_sig_map"] = last, sig
+            if io.is_reader:
+                cu.tus.append(tu)
+
+
+def isp_subtree(ctx, io, cu: CU, x0, y0, log2_cb_w, log2_cb_h):
+    """ISP luma partition loop + whole-CU chroma + LFNST gating.
+
+    Mirrors isp_subtree_v/h (:1344/:1562): per-partition cbf with ctx
+    QT_CBF+2+prev and residuals interleaved; chroma cbfs coded between the
+    second-to-last and last luma cbf; last cbf inferred 1 when all others 0;
+    LFNST coded after (no explicit MTS for ISP).
+    """
+    vertical = cu.isp_mode == 2
+    log2_pb_w, log2_pb_h, nb_pb = isp_part_dims(log2_cb_w, log2_cb_h, cu.isp_mode)
+    step = ((1 << log2_pb_w), 0) if vertical else (0, (1 << log2_pb_h))
+    coords = [(x0 + i * step[0], y0 + i * step[1]) for i in range(nb_pb)]
+
+    tree = ctx.tree_type
+    has_chroma = tree == TREE_SINGLE and ctx.chroma_enabled
+    info = {"cbf_mask": 0, "tr_skip": False}
+    for k in ("luma", "cb", "cr", "jcbcr"):
+        info[f"{k}_last"] = None
+        info[f"{k}_sig_map"] = 0
+
+    part_tbs = []  # (last, sig_map) per partition with cbf
+    prev_cbf = 0
+    cbf_any = 0
+    cbfs = []
+
+    def code_partition(i):
+        px, py = coords[i]
+        tu = _find_tu(cu, 0, px, py) if not io.is_reader else TU(px, py, log2_pb_w, log2_pb_h, 0)
+        tu.cbf = 1
+        tu.qp = ctx.qp + ctx.params.qp_bd_offset
+        last, sig = _code_tb(ctx, io, tu, True)
+        part_tbs.append((last, sig))
+        if io.is_reader:
+            cu.tus.append(tu)
+
+    for i in range(nb_pb - 1):
+        px, py = coords[i]
+        w_cbf = None if io.is_reader else (1 if _find_tu(cu, 0, px, py) else 0)
+        cbf = _sym_bin(io, CtxOffset.QT_CBF + 2 + prev_cbf, w_cbf)
+        prev_cbf = cbf
+        cbf_any |= cbf
+        cbfs.append(cbf)
+        if cbf:
+            _maybe_delta_qp(ctx, io, cu, 1)
+            code_partition(i)
+
+    cbf_cb = cbf_cr = joint = 0
+    if has_chroma:
+        cx, cy, clog2_w, clog2_h = x0 >> 1, y0 >> 1, log2_cb_w - 1, log2_cb_h - 1
+        w_cb = None if io.is_reader else (
+            1 if (_find_tu(cu, 1, cx, cy) or (_find_tu(cu, 3, cx, cy) and _find_tu(cu, 3, cx, cy).joint_cbcr & 2)) else 0
+        )
+        cbf_cb = _sym_bin(io, CtxOffset.QT_CBF_CB, w_cb)
+        w_cr = None if io.is_reader else (
+            1 if (_find_tu(cu, 2, cx, cy) or (_find_tu(cu, 3, cx, cy) and _find_tu(cu, 3, cx, cy).joint_cbcr & 1)) else 0
+        )
+        cbf_cr = _sym_bin(io, CtxOffset.QT_CBF_CR + cbf_cb, w_cr)
+    cbf_mask_c = (cbf_cb << 1) | cbf_cr
+
+    # last partition cbf: inferred 1 when all previous were 0
+    px, py = coords[nb_pb - 1]
+    if not cbf_any:
+        cbf = 1
+        if not io.is_reader:
+            assert _find_tu(cu, 0, px, py) is not None, \
+                "ISP: last partition must have cbf=1 when all others are 0"
+    else:
+        w_cbf = None if io.is_reader else (1 if _find_tu(cu, 0, px, py) else 0)
+        cbf = _sym_bin(io, CtxOffset.QT_CBF + 2 + prev_cbf, w_cbf)
+    cbfs.append(cbf)
+    if cbf:
+        _maybe_delta_qp(ctx, io, cu, 1)
+
+    if ctx.joint_cbcr_enabled and cbf_mask_c:
+        w_j = None if io.is_reader else (1 if _find_tu(cu, 3, x0 >> 1, y0 >> 1) else 0)
+        joint = _sym_bin(io, CtxOffset.JOINT_CB_CR_FLAG + cbf_mask_c - 1, w_j)
+
+    if cbf:
+        code_partition(nb_pb - 1)
+
+    if cbf_mask_c:
+        _code_chroma_tbs(ctx, io, cu, x0 >> 1, y0 >> 1, log2_cb_w - 1, log2_cb_h - 1,
+                         cbf_cb, cbf_cr, joint, info, ctx.qp)
+
+    cu.isp_cbfs = cbfs
+
+    # --- LFNST (no MTS for ISP) ----------------------------------------
+    narrow = (log2_pb_w if vertical else log2_pb_h) <= 1
+    if ctx.lfnst_enabled and not narrow:
+        if vertical:
+            max_pos = 7 if (log2_cb_h == log2_pb_w and log2_pb_w <= 3) else 15
+        else:
+            max_pos = 7 if (log2_pb_h == log2_cb_w and log2_cb_w <= 3) else 15
+        can_lfnst = True
+        sb_or = 0
+        for last, sig in part_tbs:
+            sb_or |= sig
+            can_lfnst &= _nb_coeffs_in_first_sb(*last) <= max_pos
+        can_lfnst &= sb_or <= 1
+        if cbf_mask_c:
+            max_pos_c = 7 if (log2_cb_h == log2_cb_w and log2_cb_w <= 4) else 15
+            if log2_cb_w - 1 > 1 and log2_cb_h - 1 > 1:
+                if joint:
+                    can_lfnst &= info["jcbcr_sig_map"] <= 1
+                    can_lfnst &= _nb_coeffs_in_first_sb(*info["jcbcr_last"]) <= max_pos_c
+                else:
+                    if cbf_mask_c & 0x2:
+                        can_lfnst &= info["cb_sig_map"] <= 1
+                        can_lfnst &= _nb_coeffs_in_first_sb(*info["cb_last"]) <= max_pos_c
+                    if cbf_mask_c & 0x1:
+                        can_lfnst &= info["cr_sig_map"] <= 1
+                        can_lfnst &= _nb_coeffs_in_first_sb(*info["cr_last"]) <= max_pos_c
+            can_lfnst &= not any(tu.transform_skip for tu in cu.tus if tu.comp)
+
+        if can_lfnst:
+            is_dual = 1 if tree != TREE_SINGLE else 0
+            if io.is_reader:
+                idx = 0
+                if io.raw_bin(CtxOffset.LFNST_IDX + is_dual):
+                    idx = 1 + io.raw_bin(CtxOffset.LFNST_IDX + 2)
+                cu.lfnst_idx = idx
+                for tu in cu.tus:
+                    tu.lfnst_idx = idx
+            else:
+                idx = cu.lfnst_idx
+                io.put_bin(1 if idx else 0, CtxOffset.LFNST_IDX + is_dual)
+                if idx:
+                    io.put_bin(idx - 1, CtxOffset.LFNST_IDX + 2)
+                for tu in cu.tus:
+                    tu.lfnst_idx = idx
+
+
 def transform_tree_intra(ctx, io, cu: CU, x0, y0, log2_w, log2_h, tr_depth=0):
     """Max-TB splitting for an intra CU without ISP/SBT; returns the single
     TU info when no split occurred (for CU-level lfnst/mts), else None."""
