@@ -489,23 +489,30 @@ def lfnst_mts_idx(ctx, io, cu: CU, log2_w, log2_h, info):
             last = info["luma_last"]
             sig_map = info["luma_sig_map"]
             if last != (0, 0) and log2_w < 6 and log2_h < 6 and not (sig_map & ~0x000000000F0F0F0F):
+                # flag at MTS_IDX, then cu_mts_idx as up to 3 bins at +1/+2/+3
+                # (ovcabac_read_ae_cu_mts_flag/_idx :176-194); TU mts_idx 1..4
+                # = flag + decoded symbol
                 luma_tu = next(tu for tu in cu.tus if tu.comp == 0)
                 if io.is_reader:
                     idx = 0
                     if io.raw_bin(CtxOffset.MTS_IDX):
-                        idx = 1
-                        if io.raw_bin(CtxOffset.MTS_IDX + 1):
-                            idx = 2
-                            if io.raw_bin(CtxOffset.MTS_IDX + 2):
-                                idx = 3
+                        sym = io.raw_bin(CtxOffset.MTS_IDX + 1)
+                        if sym and io.raw_bin(CtxOffset.MTS_IDX + 2):
+                            sym += 1
+                            if io.raw_bin(CtxOffset.MTS_IDX + 3):
+                                sym += 1
+                        idx = 1 + sym
                     luma_tu.mts_idx = idx
                 else:
                     idx = luma_tu.mts_idx
                     io.put_bin(1 if idx else 0, CtxOffset.MTS_IDX)
                     if idx:
-                        io.put_bin(1 if idx > 1 else 0, CtxOffset.MTS_IDX + 1)
-                        if idx > 1:
-                            io.put_bin(1 if idx > 2 else 0, CtxOffset.MTS_IDX + 2)
+                        sym = idx - 1
+                        io.put_bin(1 if sym > 0 else 0, CtxOffset.MTS_IDX + 1)
+                        if sym > 0:
+                            io.put_bin(1 if sym > 1 else 0, CtxOffset.MTS_IDX + 2)
+                            if sym > 1:
+                                io.put_bin(1 if sym > 2 else 0, CtxOffset.MTS_IDX + 3)
 
 
 def _lfnst_check_st(log2_w, log2_h, cbf_mask, info):

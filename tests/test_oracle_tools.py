@@ -170,6 +170,33 @@ def test_mrl_sizes(lw, lh):
     assert decode_with_oracle(stream) == decode_to_yuv(stream)
 
 
+@pytest.mark.parametrize("lw,lh", [(2, 2), (3, 3), (5, 5), (3, 4), (2, 4)])
+def test_explicit_mts(lw, lh):
+    """Explicit MTS: cu_mts_flag + up-to-3-bin index, DST7/DCT8 pairs; coeffs
+    confined to the low-frequency 16x16 region as the syntax requires."""
+    rng = np.random.RandomState(lw * 8 + lh)
+    cfg = StreamConfig(width=64, height=64, qp=30, deblocking=False, mts=True,
+                       explicit_mts_intra=True, max_mtt_depth=4, min_cb_log2=2)
+
+    def make_cu(x, y, dual):
+        cu = CU(x, y, lw, lh, intra_mode_l=int(rng.randint(0, 67)), intra_mode_c=0,
+                tree_type=TREE_DUAL_LUMA if dual else 0)
+        n, m = 1 << lh, 1 << lw
+        lv = np.zeros((n, m), np.int32)
+        lim_h, lim_w = min(n, 16), min(m, 16)
+        sub = (rng.randint(-12, 13, (lim_h, lim_w)) * (rng.rand(lim_h, lim_w) < 0.25)).astype(np.int32)
+        lv[:lim_h, :lim_w] = sub
+        if not lv.any():
+            lv[1, 0] = 2
+        tu = TU(x, y, lw, lh, 0, cbf=1, levels=lv, last_pos=find_last_pos(lv, lw, lh))
+        tu.mts_idx = int(rng.randint(0, 5))
+        cu.tus.append(tu)
+        return TreeNode(NO_SPLIT, cu=cu)
+
+    stream = build_stream(cfg, rect_tree_builder(lw, lh, make_cu, rng))
+    assert decode_with_oracle(stream) == decode_to_yuv(stream)
+
+
 def test_scipu_local_dual_tree():
     """QT down to 4x4 luma CUs: every 8x8 QT split triggers SCIPU; the shared
     chroma CU is coded in a local dual tree and the luma CUs are luma-only."""
