@@ -16,7 +16,7 @@ import numpy as np
 from openvvc_tpu.hls.nal import NalType, demux_annexb, is_vcl
 from openvvc_tpu.hls.params import ActiveParams, NvclContext
 from openvvc_tpu.rcn.ref_dbf import DbfMaps, deblock_frame
-from openvvc_tpu.rcn.ref_intra import predict_intra
+from openvvc_tpu.rcn.ref_intra import predict_bdpcm, predict_intra
 from openvvc_tpu.rcn.ref_cclm import predict_cclm
 from openvvc_tpu.rcn.ref_mip import predict_mip
 from openvvc_tpu.rcn.ref_isp import isp_transform_types, predict_isp_chunk, reconstruct_isp_tb
@@ -178,7 +178,10 @@ def reconstruct_cu(rc: ReconCtx, cu: CU, params: ActiveParams, tools, dbf: DbfMa
     elif tree in (TREE_SINGLE, TREE_DUAL_LUMA):
         part = params.part_info["intra_luma"]
         for ux, uy, l2w, l2h in _tu_units(cu.x0, cu.y0, cu.log2_w, cu.log2_h, part.log2_max_tb_s):
-            if cu.mip_flag:
+            if cu.bdpcm_l:
+                pred = predict_bdpcm(frame.y, ux, uy, l2w, l2h, cu.bdpcm_dir_l,
+                                     rc.luma_avail, bd, 4)
+            elif cu.mip_flag:
                 pred = predict_mip(frame.y, ux, uy, l2w, l2h, cu.mip_mode,
                                    cu.mip_transpose, rc.luma_avail, bd)
             elif cu.mrl_idx:
@@ -284,7 +287,12 @@ def _reconstruct_chroma(rc: ReconCtx, cu: CU, params, trc, cx0, cy0, clog2_w, cl
             if tr is not None:
                 res_cr = reconstruct_tu_residual(tr, trc, bd, lfnst_mode=lmode_for(tr))
 
-        if mode in (81, 82, 83):
+        if cu.bdpcm_c:
+            preds = tuple(
+                (plane, predict_bdpcm(plane, ux, uy, l2w, l2h, cu.bdpcm_dir_c,
+                                      rc.chroma_avail, bd, 2), res)
+                for plane, res in ((frame.cb, res_cb), (frame.cr, res_cr)))
+        elif mode in (81, 82, 83):
             collocated = bool(params.sps.sps_chroma_vertical_collocated_flag)
             pred_cb, pred_cr = predict_cclm(
                 frame.y, frame.cb, frame.cr, ux, uy, l2w, l2h, mode,

@@ -411,3 +411,13 @@ def predict_intra(
     if pdpc_scale >= 0 and (pdpc_dim_ok if not use_gauss else True):
         pred = _pdpc_angular(pred, ref_side, inv_angle, pdpc_scale, n_lines, line_len, bitdepth)
     return oriented(pred)
+
+
+def predict_bdpcm(plane, x0, y0, log2_w, log2_h, direction, avail_fn, bitdepth, unit):
+    """BDPCM prediction: pure horizontal/vertical copy from unfiltered refs,
+    no PDPC (rcn_intra.c vvc_intra_pred :513-523 bdpcm branch)."""
+    w, h = 1 << log2_w, 1 << log2_h
+    ref_a, ref_l = fill_side_refs(plane, x0, y0, log2_w, log2_h, avail_fn, bitdepth, unit)
+    if direction:  # vertical
+        return np.tile(ref_a.view(1, 1 + w), (h, 1))
+    return np.tile(ref_l.view(1, 1 + h), (w, 1)).T

@@ -43,6 +43,38 @@ def dequant(levels: np.ndarray, qp: int, log2_w: int, log2_h: int, dep_quant: bo
     return np.clip(out, -(1 << MAX_LOG2_TR_RANGE), (1 << MAX_LOG2_TR_RANGE) - 1).astype(np.int32)
 
 
+def dequant_ts(levels: np.ndarray, qp: int) -> np.ndarray:
+    """Transform-skip dequant: no transform shift, 17-bit clip
+    (rcn_dequant.c derive_dequant_ts :139, dequant_sb/dequant_sb_neg)."""
+    shift = IQUANT_SHIFT - qp // 6
+    scale = _IQ_SCALE[0][qp % 6]
+    lv = levels.astype(np.int64)
+    if shift >= 0:
+        add = (1 << shift) >> 1
+        out = (lv * scale + add) >> shift
+    else:
+        out = lv * (scale << -shift)
+    lim = 1 << (MAX_LOG2_TR_RANGE + 1)
+    return np.clip(out, -lim, lim - 1).astype(np.int32)
+
+
+def reconstruct_bdpcm(levels: np.ndarray, qp: int, direction: int) -> np.ndarray:
+    """BDPCM: accumulate raw levels along the direction (int16 clip), then
+    transform-skip dequant (rcn_transform_tree.c rcn_bdpcm_tb :666,
+    apply_bdpcm_1/2 :631-663)."""
+    acc = np.zeros_like(levels, np.int64)
+    lv = levels.astype(np.int64)
+    if direction:  # vertical
+        acc[0] = lv[0]
+        for y in range(1, lv.shape[0]):
+            acc[y] = np.clip(acc[y - 1] + lv[y], -(1 << 15), (1 << 15) - 1)
+    else:  # horizontal
+        acc[:, 0] = lv[:, 0]
+        for x in range(1, lv.shape[1]):
+            acc[:, x] = np.clip(acc[:, x - 1] + lv[:, x], -(1 << 15), (1 << 15) - 1)
+    return dequant_ts(acc.astype(np.int32), qp)
+
+
 _TR_NAME = {0: "DST7", 1: "DCT8", 2: "DCT2"}
 
 # mts_idx (TU IR): 0 = DCT2/DCT2; 1..4 = (DST7,DST7),(DCT8,DST7),(DST7,DCT8),(DCT8,DCT8)
@@ -92,7 +124,9 @@ def reconstruct_tu_residual(tu, ctx_like, bitdepth: int, intra: bool = True,
     dq = dequant(tu.coeffs, tu.qp, log2_w, log2_h, ctx_like.dep_quant, bitdepth)
 
     if tu.transform_skip:
-        raise NotImplementedError("transform skip reconstruction")
+        if tu.bdpcm:
+            return reconstruct_bdpcm(tu.coeffs, tu.qp, tu.bdpcm_dir)
+        return dequant_ts(tu.coeffs, tu.qp)
 
     luma = tu.comp == 0
     mts_idx = tu.mts_idx if luma else 0

@@ -616,3 +616,264 @@ def residual_coding(
         (1 << (log2_sb_w + log2_sb_h)) - 1, False, True,
     )
     return levels, decoded, (last_x, last_y), sig_sb_map | 1
+
+
+# ----------------------------------------------------------------------
+# transform-skip residual coding (spec 7.3.11.12)
+# ----------------------------------------------------------------------
+
+
+def residual_ts_coding(io, levels, log2_w, log2_h, bdpcm=False, luma=True):
+    """Transform-skip residual coding, symmetric reader/writer.
+
+    Parity: /root/reference/libovvc/vcl_residual_coding.c residual_coding_ts
+    :3576, ovcabac_read_ae_sb_ts_core :1401, decode_pass2_ts :1352. Forward
+    subblock/coefficient scan, context-coded signs, level prediction remap
+    (disabled for BDPCM), 7N/4 context-bin budget with bypass fallback.
+
+    levels: None (reader) or target decoded levels [h, w] (writer).
+    Returns (levels, sig_sb_map).
+    """
+    rw = _Rw(io)
+    w, h = 1 << log2_w, 1 << log2_h
+    lsw, lsh = sb_dims(log2_w, log2_h)
+    sb_w, sb_h = 1 << lsw, 1 << lsh
+    nb_sb_w, nb_sb_h = max(1, w >> lsw), max(1, h >> lsh)
+    sb_scan = diag_scan(nb_sb_w, nb_sb_h)
+    in_scan = diag_scan(sb_w, sb_h)
+    max_pos = sb_w * sb_h - 1
+
+    out = np.zeros((h, w), np.int32) if rw.is_reader else levels.astype(np.int32)
+    budget = [((w * h) << 3) // 4 - (w * h) // 4]  # 7N/4
+    # neighbour grids: value at (x, y) counts/sums its left+above neighbours
+    nb_sig = np.zeros((h + 1, w + 1), np.int32)
+    sign_sum = np.zeros((h + 1, w + 1), np.int32)
+    abs_c = np.zeros((h + 1, w + 1), np.int32)  # indexed [y+1][x+1]
+
+    TSG = int(CtxOffset.TS_SIG_COEFF_GROUP)
+    TSS = int(CtxOffset.TS_SIG_FLAG)
+    TSP = int(CtxOffset.TS_PAR_FLAG)
+    TSX = int(CtxOffset.TS_GTX_FLAG)
+    TSL = int(CtxOffset.TS_LRG1_FLAG)
+    TSN = int(CtxOffset.TS_RESIDUAL_SIGN)
+
+    def target(ax, ay):
+        return int(levels[ay, ax])
+
+    def code_sb(sx, sy):
+        base_x, base_y = sx << lsw, sy << lsh
+        sig_list = []      # (ax, ay) pass1-significant, scan order
+        signs = []         # sign bits in registration order
+        vmap = {}          # coded |value| per (ax, ay)
+        pass2 = []
+        pass3 = []
+
+        def inverse_map(ax, ay, X):
+            """Writer: coded value v whose decode-remap yields X (non-bdpcm)."""
+            if bdpcm:
+                return X
+            m = max(int(abs_c[ay, ax + 1]), int(abs_c[ay + 1, ax]))
+            if m and X == m:
+                return 1
+            return X + 1 if X < m else X
+
+        def code_first_pass(pos, infer_sig):
+            x, y = in_scan[pos]
+            ax, ay = base_x + x, base_y + y
+            nb = int(nb_sig[ay, ax])
+            if infer_sig:
+                sig = 1
+            else:
+                sig = rw.bin(TSS + nb, None if rw.is_reader else (1 if target(ax, ay) else 0))
+                budget[0] -= 1
+            if not sig:
+                return
+            nsign = int(sign_sum[ay, ax])
+            sign_off = nb + nsign if nb != 2 else (2 if nsign == 2 else nsign ^ 1)
+            gt1_ctx = nb
+            if bdpcm:
+                gt1_ctx = 3
+                sign_off += 3
+            if rw.is_reader:
+                sign = rw.bin(TSN + sign_off)
+                gt1 = rw.bin(TSL + gt1_ctx)
+                budget[0] -= 2
+                value = 1
+                if gt1:
+                    par = rw.bin(TSP)
+                    budget[0] -= 1
+                    value += 1 + par
+                    pass2.append((ax, ay))
+                vmap[(ax, ay)] = value
+            else:
+                X = abs(target(ax, ay))
+                v = inverse_map(ax, ay, X)
+                sign = 1 if target(ax, ay) < 0 else 0
+                rw.bin(TSN + sign_off, sign)
+                gt1 = 1 if v > 1 else 0
+                rw.bin(TSL + gt1_ctx, gt1)
+                budget[0] -= 2
+                value = 1
+                if gt1:
+                    par = (v - 2) & 1
+                    rw.bin(TSP, par)
+                    budget[0] -= 1
+                    value += 1 + par
+                    pass2.append((ax, ay))
+                vmap[(ax, ay)] = value
+                vmap[(ax, ay, "v")] = v
+            signs.append(sign)
+            sig_list.append((ax, ay))
+            nb_sig[ay, ax + 1] += 1
+            nb_sig[ay + 1, ax] += 1
+            sign_sum[ay, ax + 1] += sign
+            sign_sum[ay + 1, ax] += sign
+            abs_c[ay + 1, ax + 1] = value
+
+        pos = 0
+        while pos < max_pos and budget[0] >= 4:
+            code_first_pass(pos, False)
+            pos += 1
+        if pos == max_pos and budget[0] >= 4:
+            infer = len(sig_list) == 0
+            code_first_pass(pos, infer)
+            pos += 1
+
+        # pass 2: gt2..gt5 (+2 each), budget-gated per coefficient
+        nb_read_pass2 = 0
+        for (ax, ay) in pass2:
+            if budget[0] < 4:
+                break
+            nb_read_pass2 += 1
+            if rw.is_reader:
+                add = 0
+                gt = rw.bin(TSX + 1)
+                budget[0] -= 1
+                if gt:
+                    add += 2
+                    gt = rw.bin(TSX + 2)
+                    budget[0] -= 1
+                    if gt:
+                        add += 2
+                        gt = rw.bin(TSX + 3)
+                        budget[0] -= 1
+                        if gt:
+                            add += 2
+                            gt = rw.bin(TSX + 4)
+                            budget[0] -= 1
+                            if gt:
+                                add += 2
+                                pass3.append((ax, ay))
+                vmap[(ax, ay)] += add
+            else:
+                v = vmap[(ax, ay, "v")]
+                par = (v - 2) & 1
+                k = (v - 2 - par) >> 1
+                gt2 = 1 if k >= 1 else 0
+                rw.bin(TSX + 1, gt2)
+                budget[0] -= 1
+                add = 0
+                if gt2:
+                    add += 2
+                    gt3 = 1 if k >= 2 else 0
+                    rw.bin(TSX + 2, gt3)
+                    budget[0] -= 1
+                    if gt3:
+                        add += 2
+                        gt4 = 1 if k >= 3 else 0
+                        rw.bin(TSX + 3, gt4)
+                        budget[0] -= 1
+                        if gt4:
+                            add += 2
+                            gt5 = 1 if k >= 4 else 0
+                            rw.bin(TSX + 4, gt5)
+                            budget[0] -= 1
+                            if gt5:
+                                add += 2
+                                pass3.append((ax, ay))
+                vmap[(ax, ay)] += add
+            abs_c[ay + 1, ax + 1] = vmap[(ax, ay)]
+
+        # pass 3: rice remainders for gt5 coefficients (doubled contribution)
+        for (ax, ay) in pass3:
+            if rw.is_reader:
+                r = _rice(rw, 1)
+            else:
+                v = vmap[(ax, ay, "v")]
+                par = (v - 2) & 1
+                r = (v - 2 - par - 8) >> 1
+                _rice(rw, 1, r)
+            vmap[(ax, ay)] += 2 * r
+            abs_c[ay + 1, ax + 1] = vmap[(ax, ay)]
+
+        # pass-2-skipped coefficients: full remainder as rice (doubled)
+        for (ax, ay) in pass2[nb_read_pass2:]:
+            if rw.is_reader:
+                r = _rice(rw, 1)
+            else:
+                v = vmap[(ax, ay, "v")]
+                par = (v - 2) & 1
+                r = (v - 2 - par) >> 1
+                _rice(rw, 1, r)
+            vmap[(ax, ay)] += 2 * r
+            abs_c[ay + 1, ax + 1] = vmap[(ax, ay)]
+
+        # level prediction remap (decoder side; skipped for BDPCM)
+        if not bdpcm:
+            for (ax, ay) in sig_list:
+                m = max(int(abs_c[ay, ax + 1]), int(abs_c[ay + 1, ax]))
+                v = vmap[(ax, ay)]
+                if v == 1 and m:
+                    v = m
+                else:
+                    v -= 1 if v <= m else 0
+                vmap[(ax, ay)] = v
+                abs_c[ay + 1, ax + 1] = v
+
+        # bypass tail: positions not covered by pass 1
+        for p in range(pos, max_pos + 1):
+            x, y = in_scan[p]
+            ax, ay = base_x + x, base_y + y
+            if rw.is_reader:
+                v = _rice(rw, 1)
+            else:
+                v = abs(target(ax, ay))
+                _rice(rw, 1, v)
+            vmap[(ax, ay)] = v
+            if v:
+                sign = rw.bypass(None if rw.is_reader else (1 if target(ax, ay) < 0 else 0))
+                signs.append(sign)
+                sig_list.append((ax, ay))
+
+        if rw.is_reader:
+            for (ax, ay), sign in zip(sig_list, signs):
+                out[ay, ax] = -vmap[(ax, ay)] if sign else vmap[(ax, ay)]
+
+    sig_sb_map = 0
+    if len(sb_scan) == 1:
+        code_sb(0, 0)
+        return out, 0x1
+    for si, (sx, sy) in enumerate(sb_scan):
+        abv = 1 if sy > 0 and (sig_sb_map >> (sx + ((sy - 1) << 3))) & 1 else 0
+        lft = 1 if sx > 0 and (sig_sb_map >> ((sx - 1) + (sy << 3))) & 1 else 0
+        ctx_off = abv + lft
+        if si < len(sb_scan) - 1:
+            if rw.is_reader:
+                flag = rw.bin(TSG + ctx_off)
+            else:
+                sb_lv = levels[sy << lsh : (sy + 1) << lsh, sx << lsw : (sx + 1) << lsw]
+                flag = 1 if np.any(sb_lv) else 0
+                rw.bin(TSG + ctx_off, flag)
+        else:
+            if sig_sb_map == 0:
+                flag = 1
+            elif rw.is_reader:
+                flag = rw.bin(TSG + ctx_off)
+            else:
+                sb_lv = levels[sy << lsh : (sy + 1) << lsh, sx << lsw : (sx + 1) << lsw]
+                flag = 1 if np.any(sb_lv) else 0
+                rw.bin(TSG + ctx_off, flag)
+        if flag:
+            sig_sb_map |= 1 << (sx + (sy << 3))
+            code_sb(sx, sy)
+    return out, sig_sb_map

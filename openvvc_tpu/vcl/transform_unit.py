@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from openvvc_tpu.cabac.ctx import CtxOffset
 from openvvc_tpu.vcl.ctu import CU, TREE_DUAL_CHROMA, TREE_DUAL_LUMA, TREE_SINGLE, TU
-from openvvc_tpu.vcl.residual import diag_scan, residual_coding
+from openvvc_tpu.vcl.residual import diag_scan, residual_coding, residual_ts_coding
 
 _SCAN_4x4_INDEX = {pos: i for i, pos in enumerate(diag_scan(4, 4))}
 
@@ -144,6 +144,24 @@ def _code_tb(ctx, io, tu: TU, luma: bool):
     return last, sig_map
 
 
+
+def _code_ts_tb(ctx, io, tu: TU, luma: bool, bdpcm_dir: int):
+    """Transform-skip TB: qp floor at QpPrimeTsMin, no last-position."""
+    tu.qp = max(tu.qp, 4 + 6 * ctx.sps.sps_min_qp_prime_ts)
+    tu.bdpcm_dir = bdpcm_dir
+    if io.is_reader:
+        levels, sig_map = residual_ts_coding(io, None, tu.log2_w, tu.log2_h,
+                                             bool(tu.bdpcm), luma)
+    else:
+        levels, sig_map = residual_ts_coding(io, tu.levels, tu.log2_w, tu.log2_h,
+                                             bool(tu.bdpcm), luma)
+    tu.levels = levels
+    tu.coeffs = levels
+    tu.last_pos = (0, 0)
+    tu.sig_sb_map = sig_map
+    return (0, 0), sig_map
+
+
 def transform_unit(ctx, io, cu: CU, x0, y0, log2_w, log2_h, tr_depth: int):
     """One TU unit at luma coords (x0,y0); coords are component-local for
     dual-tree chroma. Returns the info dict used by lfnst/mts gating."""
@@ -199,8 +217,9 @@ def transform_unit(ctx, io, cu: CU, x0, y0, log2_w, log2_h, tr_depth: int):
         ts = _transform_skip_flag(ctx, io, tu, 0, log2_w, log2_h, cu.bdpcm_l)
         tu.transform_skip = ts
         if ts:
-            raise NotImplementedError("transform-skip residual not yet implemented")
-        last, sig = _code_tb(ctx, io, tu, True)
+            last, sig = _code_ts_tb(ctx, io, tu, True, cu.bdpcm_dir_l)
+        else:
+            last, sig = _code_tb(ctx, io, tu, True)
         info["luma_last"], info["luma_sig_map"] = last, sig
         if io.is_reader:
             cu.tus.append(tu)
@@ -215,8 +234,9 @@ def transform_unit(ctx, io, cu: CU, x0, y0, log2_w, log2_h, tr_depth: int):
         ts = _transform_skip_flag(ctx, io, tu, 1, clog2_w, clog2_h, cu.bdpcm_c)
         tu.transform_skip = ts
         if ts:
-            raise NotImplementedError("transform-skip residual not yet implemented")
-        last, sig = _code_tb(ctx, io, tu, False)
+            last, sig = _code_ts_tb(ctx, io, tu, False, cu.bdpcm_dir_c)
+        else:
+            last, sig = _code_tb(ctx, io, tu, False)
         info["jcbcr_last"], info["jcbcr_sig_map"] = last, sig
         if io.is_reader:
             cu.tus.append(tu)
@@ -231,8 +251,9 @@ def transform_unit(ctx, io, cu: CU, x0, y0, log2_w, log2_h, tr_depth: int):
             ts = _transform_skip_flag(ctx, io, tu, comp, clog2_w, clog2_h, cu.bdpcm_c)
             tu.transform_skip = ts
             if ts:
-                raise NotImplementedError("transform-skip residual not yet implemented")
-            last, sig = _code_tb(ctx, io, tu, False)
+                last, sig = _code_ts_tb(ctx, io, tu, False, cu.bdpcm_dir_c)
+            else:
+                last, sig = _code_tb(ctx, io, tu, False)
             info[f"{key}_last"], info[f"{key}_sig_map"] = last, sig
             if io.is_reader:
                 cu.tus.append(tu)
@@ -268,8 +289,9 @@ def _code_chroma_tbs(ctx, io, cu, cx, cy, clog2_w, clog2_h, cbf_cb, cbf_cr, join
         ts = _transform_skip_flag(ctx, io, tu, 1, clog2_w, clog2_h, cu.bdpcm_c)
         tu.transform_skip = ts
         if ts:
-            raise NotImplementedError("transform-skip residual not yet implemented")
-        last, sig = _code_tb(ctx, io, tu, False)
+            last, sig = _code_ts_tb(ctx, io, tu, False, cu.bdpcm_dir_c)
+        else:
+            last, sig = _code_tb(ctx, io, tu, False)
         info["jcbcr_last"], info["jcbcr_sig_map"] = last, sig
         if io.is_reader:
             cu.tus.append(tu)
@@ -284,8 +306,9 @@ def _code_chroma_tbs(ctx, io, cu, cx, cy, clog2_w, clog2_h, cbf_cb, cbf_cr, join
             ts = _transform_skip_flag(ctx, io, tu, comp, clog2_w, clog2_h, cu.bdpcm_c)
             tu.transform_skip = ts
             if ts:
-                raise NotImplementedError("transform-skip residual not yet implemented")
-            last, sig = _code_tb(ctx, io, tu, False)
+                last, sig = _code_ts_tb(ctx, io, tu, False, cu.bdpcm_dir_c)
+            else:
+                last, sig = _code_tb(ctx, io, tu, False)
             info[f"{key}_last"], info[f"{key}_sig_map"] = last, sig
             if io.is_reader:
                 cu.tus.append(tu)
@@ -482,8 +505,9 @@ def lfnst_mts_idx(ctx, io, cu: CU, log2_w, log2_h, info):
             if idx:
                 io.put_bin(idx - 1, CtxOffset.LFNST_IDX + 2)
 
-    # explicit MTS on the luma TB
-    if tree != TREE_DUAL_CHROMA and (cbf_mask & 0x10) and not tr_skip:
+    # explicit MTS on the luma TB (gated on the luma TB's ts only)
+    luma_ts = any(tu.transform_skip for tu in cu.tus if tu.comp == 0)
+    if tree != TREE_DUAL_CHROMA and (cbf_mask & 0x10) and not luma_ts:
         explicit = ctx.explicit_mts_intra if cu.pred_mode == 0 else ctx.explicit_mts_inter
         if ctx.mts_enabled and explicit and not cu.lfnst_idx:
             last = info["luma_last"]

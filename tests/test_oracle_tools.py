@@ -197,6 +197,78 @@ def test_explicit_mts(lw, lh):
     assert decode_with_oracle(stream) == decode_to_yuv(stream)
 
 
+@pytest.mark.parametrize("lw,lh", [(2, 2), (3, 3), (4, 4), (4, 3)])
+def test_transform_skip(lw, lh):
+    """Transform-skip residual coding: forward scan, context signs, level
+    prediction remap, bin budget; TS dequant with QpPrimeTsMin floor."""
+    rng = np.random.RandomState(lw * 8 + lh)
+    cfg = StreamConfig(width=64, height=64, qp=30, deblocking=False,
+                       transform_skip=True, max_mtt_depth=4, min_cb_log2=2)
+
+    def make_cu(x, y, dual):
+        cu = CU(x, y, lw, lh, intra_mode_l=int(rng.randint(0, 67)), intra_mode_c=0,
+                tree_type=TREE_DUAL_LUMA if dual else 0)
+        n, m = 1 << lh, 1 << lw
+        lv = (rng.randint(-6, 7, (n, m)) * (rng.rand(n, m) < 0.4)).astype(np.int32)
+        if not lv.any():
+            lv[0, 0] = 2
+        tu = TU(x, y, lw, lh, 0, cbf=1, levels=lv)
+        tu.transform_skip = 1
+        cu.tus.append(tu)
+        if lw > 2 and rng.rand() < 0.5:
+            clv = (rng.randint(-5, 6, (n >> 1, m >> 1)) * (rng.rand(n >> 1, m >> 1) < 0.4)).astype(np.int32)
+            if not clv.any():
+                clv[0, 0] = 1
+            ctu = TU(x >> 1, y >> 1, lw - 1, lh - 1, 1, cbf=1, levels=clv)
+            ctu.transform_skip = 1
+            cu.tus.append(ctu)
+        return TreeNode(NO_SPLIT, cu=cu)
+
+    stream = build_stream(cfg, rect_tree_builder(lw, lh, make_cu, rng))
+    assert decode_with_oracle(stream) == decode_to_yuv(stream)
+
+
+@pytest.mark.parametrize("lw,lh", [(2, 2), (3, 3), (4, 4)])
+def test_bdpcm(lw, lh):
+    """BDPCM luma+chroma: TS residual with bdpcm contexts, directional
+    accumulation, pure H/V prediction without PDPC."""
+    from openvvc_tpu.rcn.ref_intra import OVINTRA_HOR, OVINTRA_VER
+
+    rng = np.random.RandomState(lw * 8 + lh + 5)
+    cfg = StreamConfig(width=64, height=64, qp=30, deblocking=False,
+                       transform_skip=True, bdpcm=True, max_mtt_depth=4, min_cb_log2=2)
+
+    def make_cu(x, y, dual):
+        cu = CU(x, y, lw, lh, intra_mode_l=0, intra_mode_c=0,
+                tree_type=TREE_DUAL_LUMA if dual else 0)
+        cu.bdpcm_l = 1
+        cu.bdpcm_dir_l = int(rng.randint(0, 2))
+        cu.intra_mode_l = OVINTRA_VER if cu.bdpcm_dir_l else OVINTRA_HOR
+        n, m = 1 << lh, 1 << lw
+        lv = (rng.randint(-4, 5, (n, m)) * (rng.rand(n, m) < 0.4)).astype(np.int32)
+        if not lv.any():
+            lv[0, 0] = 2
+        tu = TU(x, y, lw, lh, 0, cbf=1, levels=lv)
+        tu.transform_skip = 1
+        tu.bdpcm = 1
+        cu.tus.append(tu)
+        if rng.rand() < 0.5 and lw > 2:
+            cu.bdpcm_c = 1
+            cu.bdpcm_dir_c = int(rng.randint(0, 2))
+            cu.intra_mode_c = OVINTRA_VER if cu.bdpcm_dir_c else OVINTRA_HOR
+            clv = (rng.randint(-4, 5, (n >> 1, m >> 1)) * (rng.rand(n >> 1, m >> 1) < 0.4)).astype(np.int32)
+            if not clv.any():
+                clv[0, 0] = 1
+            ctu = TU(x >> 1, y >> 1, lw - 1, lh - 1, 1, cbf=1, levels=clv)
+            ctu.transform_skip = 1
+            ctu.bdpcm = 1
+            cu.tus.append(ctu)
+        return TreeNode(NO_SPLIT, cu=cu)
+
+    stream = build_stream(cfg, rect_tree_builder(lw, lh, make_cu, rng))
+    assert decode_with_oracle(stream) == decode_to_yuv(stream)
+
+
 def test_scipu_local_dual_tree():
     """QT down to 4x4 luma CUs: every 8x8 QT split triggers SCIPU; the shared
     chroma CU is coded in a local dual tree and the luma CUs are luma-only."""
