@@ -40,12 +40,18 @@ def dequant(levels: np.ndarray, qp: int, log2_w: int, log2_h: int, dep_quant: bo
         out = (lv * scale + add) >> shift
     else:
         out = lv * (scale << -shift)
-    return np.clip(out, -(1 << MAX_LOG2_TR_RANGE), (1 << MAX_LOG2_TR_RANGE) - 1).astype(np.int32)
+    return _clip17_wrap16(out)
+
+
+def _clip17_wrap16(out: np.ndarray) -> np.ndarray:
+    """Reference dequant_sb/_neg parity: ov_clip_intp2(v, MAX_LOG2_TR_RANGE+1)
+    clips SYMMETRICALLY to +/-(2^15 - 1) (ovutils.h :79-92)."""
+    lim = (1 << MAX_LOG2_TR_RANGE) - 1
+    return np.clip(out, -lim, lim).astype(np.int32)
 
 
 def dequant_ts(levels: np.ndarray, qp: int) -> np.ndarray:
-    """Transform-skip dequant: no transform shift, 17-bit clip
-    (rcn_dequant.c derive_dequant_ts :139, dequant_sb/dequant_sb_neg)."""
+    """Transform-skip dequant: no transform shift (derive_dequant_ts :139)."""
     shift = IQUANT_SHIFT - qp // 6
     scale = _IQ_SCALE[0][qp % 6]
     lv = levels.astype(np.int64)
@@ -54,8 +60,7 @@ def dequant_ts(levels: np.ndarray, qp: int) -> np.ndarray:
         out = (lv * scale + add) >> shift
     else:
         out = lv * (scale << -shift)
-    lim = 1 << (MAX_LOG2_TR_RANGE + 1)
-    return np.clip(out, -lim, lim - 1).astype(np.int32)
+    return _clip17_wrap16(out)
 
 
 def reconstruct_bdpcm(levels: np.ndarray, qp: int, direction: int) -> np.ndarray:

@@ -54,6 +54,8 @@ class StreamConfig:
     alf: bool = False
     lmcs: bool = False
     deblocking: bool = True  # on unless disabled in PPS
+    delta_qp: bool = False
+    delta_qp_subdiv: int = 0
     max_tb_64: bool = True
     min_qt_log2: int = 3
     max_mtt_depth: int = 2
@@ -125,6 +127,7 @@ def build_pps(cfg: StreamConfig, sps: SPS) -> PPS:
     pps.pps_seq_parameter_set_id = 0
     pps.pps_pic_width_in_luma_samples = cfg.width
     pps.pps_pic_height_in_luma_samples = cfg.height
+    pps.pps_cu_qp_delta_enabled_flag = 1 if cfg.delta_qp else 0
     if cfg.tile_cols or cfg.tile_rows:
         pps.pps_no_pic_partition_flag = 0
         pps.pps_log2_ctu_size_minus5 = cfg.ctu_log2 - 5
@@ -158,6 +161,8 @@ def build_ph(cfg: StreamConfig, poc: int = 0) -> PH:
     ph.ph_intra_slice_allowed_flag = 1
     ph.ph_pic_order_cnt_lsb = poc & 0xFF
     ph.ph_pic_output_flag = 1
+    if cfg.delta_qp:
+        ph.ph_cu_qp_delta_subdiv_intra_slice = cfg.delta_qp_subdiv
     return ph
 
 

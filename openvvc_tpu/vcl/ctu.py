@@ -199,10 +199,17 @@ class CTUParseCtx:
         # dual tree. Managed by the tree walker when dual tree is active.
         self._cclm_allowed = True
 
-        # delta-QP bookkeeping
-        self.qp_y_pred = self.slice_qp
+        # delta-QP bookkeeping (vcl_coding_unit.c :732-751, rcn_dequant.c
+        # derive_dequant_ctx): ctx.qp is the running current_qp; qp_map_x/y
+        # hold the last coded qp per min-cb column/row of the current CTU
         self.cu_qp_delta = 0
         self.is_cu_qp_delta_coded = False
+        self.cu_qp_delta_subdiv = (ph.ph_cu_qp_delta_subdiv_intra_slice
+                                   if params.slice_type == 2 else
+                                   ph.ph_cu_qp_delta_subdiv_inter_slice)
+        nb_units = self.ctb_size >> self.part_luma.log2_min_cb_s
+        self.qp_map_x = [self.slice_qp] * nb_units
+        self.qp_map_y = [self.slice_qp] * nb_units
 
         # output
         self.ctus: list[CtuIR] = []

@@ -57,6 +57,19 @@ def coding_unit_dispatch(ctx, io, node, x0, y0, log2_w, log2_h):
         node.cu = cu
     else:
         cu = node.cu
+
+    # delta-QP group start: spec-style (left+above+1)>>1 prediction with
+    # CTU-local maps (vcl_coding_unit.c :732-751)
+    if tree != TREE_DUAL_CHROMA and ctx.cu_qp_delta_enabled:
+        min_cb = ctx.part_luma.log2_min_cb_s
+        x0l, y0l = x0 & (ctx.ctb_size - 1), y0 & (ctx.ctb_size - 1)
+        msk = (1 << (ctx.log2_ctb + 1 - ctx.cu_qp_delta_subdiv)) - 1
+        if not ((x0l & msk) | (y0l & msk)):
+            gx, gy = x0l & ~msk, y0l & ~msk
+            abv = ctx.qp_map_x[gx >> min_cb] if y0l else ctx.qp
+            lft = ctx.qp_map_y[gy >> min_cb] if x0l else ctx.qp
+            ctx.qp = (abv + lft + 1) >> 1
+            ctx.is_cu_qp_delta_coded = False
     cu.qp = ctx.qp
 
     if tree in (TREE_SINGLE, TREE_DUAL_LUMA):
@@ -93,6 +106,17 @@ def coding_unit_dispatch(ctx, io, node, x0, y0, log2_w, log2_h):
         if ctx.share != 1 and tree == TREE_SINGLE and ctx.chroma_enabled:
             ctx.store_cu_chroma(x0 >> 1, y0 >> 1, log2_w, log2_h)
 
+    # update delta-QP maps with the CU's final qp (vcl_coding_unit.c :808-817)
+    if tree != TREE_DUAL_CHROMA:
+        cu.qp = ctx.qp
+        if ctx.cu_qp_delta_enabled:
+            min_cb = ctx.part_luma.log2_min_cb_s
+            x0l, y0l = x0 & (ctx.ctb_size - 1), y0 & (ctx.ctb_size - 1)
+            for i in range((1 << log2_w) >> min_cb):
+                ctx.qp_map_x[(x0l >> min_cb) + i] = ctx.qp
+            for i in range((1 << log2_h) >> min_cb):
+                ctx.qp_map_y[(y0l >> min_cb) + i] = ctx.qp
+
     ctx.ctu_ir.cus.append(cu)
     return cu
 
@@ -116,6 +140,7 @@ def code_entry(params, entry, io, trees=None):
     log2_ctb = ctx.log2_ctb
 
     for ctb_row in range(entry.nb_ctu_h):
+        row_backup_qp = None
         for ctb_col in range(entry.nb_ctu_w):
             ctb_x = entry.ctu_x + ctb_col
             ctb_y = entry.ctu_y + ctb_row
@@ -124,8 +149,6 @@ def code_entry(params, entry, io, trees=None):
             if x0 >= ctx.pic_w or y0 >= ctx.pic_h:
                 continue
             ctx.ctu_ir = CtuIR(ctb_x, ctb_y)
-            ctx.is_cu_qp_delta_coded = False
-            ctx.qp_y_pred = ctx.qp  # simple qp prediction; refined with dqp
             _parse_sao_alf_ctu(ctx, io)
 
             if io.is_reader:
@@ -140,6 +163,12 @@ def code_entry(params, entry, io, trees=None):
                 coding_quadtree(ctx, io, node, x0, y0, log2_ctb, 0, coding_unit_dispatch)
 
             ctx.ctus.append(ctx.ctu_ir)
+            if ctb_col == 0:
+                # next CTU row starts qp prediction from the first CTU's
+                # column-0 qp (slicedec.c :854-965)
+                row_backup_qp = ctx.qp_map_x[0]
+        if row_backup_qp is not None:
+            ctx.qp = row_backup_qp
 
     # end_of_tile/slice terminate bin
     if io.is_reader:

@@ -87,8 +87,7 @@ def _maybe_delta_qp(ctx, io, cu: CU, any_cbf: int):
             io.put_bypass(1 if v < 0 else 0)
     ctx.is_cu_qp_delta_coded = True
     qp_bd = ctx.params.qp_bd_offset
-    rng = 64 + qp_bd
-    ctx.qp = ((ctx.qp_y_pred + int(getattr(cu, "cu_qp_delta", 0)) + 64 + 2 * qp_bd) % rng) - qp_bd
+    ctx.qp = ((ctx.qp + int(getattr(cu, "cu_qp_delta", 0)) + 64 + 2 * qp_bd) % (64 + qp_bd)) - qp_bd
 
 
 def _eg_bypass_read(io):

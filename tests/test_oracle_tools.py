@@ -269,6 +269,36 @@ def test_bdpcm(lw, lh):
     assert decode_with_oracle(stream) == decode_to_yuv(stream)
 
 
+@pytest.mark.parametrize("lw,lh,subdiv,dbf", [
+    (4, 4, 0, False), (3, 3, 2, False), (4, 3, 1, False), (3, 3, 2, True)])
+def test_delta_qp(lw, lh, subdiv, dbf):
+    """Per-group cu_qp_delta with (left+above+1)>>1 prediction, CTU-local qp
+    maps, per-row carry; exercises wide QP range incl. dequant clip edge."""
+    rng = np.random.RandomState(lw * 8 + lh + subdiv)
+    cfg = StreamConfig(width=128, height=128, qp=30, deblocking=dbf, delta_qp=True,
+                       delta_qp_subdiv=subdiv, max_mtt_depth=4, min_cb_log2=2)
+
+    def make_cu(x, y, dual):
+        cu = CU(x, y, lw, lh, intra_mode_l=int(rng.randint(0, 67)), intra_mode_c=0,
+                tree_type=TREE_DUAL_LUMA if dual else 0)
+        cu.cu_qp_delta = int(rng.randint(-6, 7))
+        n, m = 1 << lh, 1 << lw
+        lv = (rng.randint(-12, 13, (n, m)) * (rng.rand(n, m) < 0.25)).astype(np.int32)
+        if not lv.any():
+            lv[0, 0] = 2
+        cu.tus.append(TU(x, y, lw, lh, 0, cbf=1, levels=lv,
+                         last_pos=find_last_pos(lv, lw, lh)))
+        if rng.rand() < 0.5:
+            clv = (rng.randint(-8, 9, (n >> 1, m >> 1)) * (rng.rand(n >> 1, m >> 1) < 0.3)).astype(np.int32)
+            if clv.any():
+                cu.tus.append(TU(x >> 1, y >> 1, lw - 1, lh - 1, 1, cbf=1, levels=clv,
+                                 last_pos=find_last_pos(clv, lw - 1, lh - 1)))
+        return TreeNode(NO_SPLIT, cu=cu)
+
+    stream = build_stream(cfg, rect_tree_builder(lw, lh, make_cu, rng))
+    assert decode_with_oracle(stream) == decode_to_yuv(stream)
+
+
 def test_scipu_local_dual_tree():
     """QT down to 4x4 luma CUs: every 8x8 QT split triggers SCIPU; the shared
     chroma CU is coded in a local dual tree and the luma CUs are luma-only."""
