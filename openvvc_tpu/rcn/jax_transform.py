@@ -55,7 +55,8 @@ def dequant_batch(levels, qp, log2_w, log2_h, dep_quant, bitdepth):
         (lv * scale + add) >> pos_shift,
         lv * (scale << neg_shift),
     )
-    return jnp.clip(val, -(1 << 15), (1 << 15) - 1).astype(jnp.int32)
+    # symmetric +/-(2^15 - 1) clip (reference ov_clip_intp2 parity)
+    return jnp.clip(val, -((1 << 15) - 1), (1 << 15) - 1).astype(jnp.int32)
 
 
 @partial(jax.jit, static_argnames=("tr_h", "tr_v", "log2_w", "log2_h", "bitdepth"))
