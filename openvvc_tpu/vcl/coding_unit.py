@@ -312,6 +312,10 @@ def coding_unit_intra_chroma(ctx, io, cu: CU, collocated_luma_mode: int):
         else:
             cu.intra_mode_c = collocated_luma_mode  # direct mode
     else:
+        if getattr(cu, "cmode_sel", None) is not None:
+            # generator aid: pick mode by list index (4 = DM), context-resolved
+            lst = [OVINTRA_VDIA if m == collocated_luma_mode else m for m in mode_list]
+            cu.intra_mode_c = collocated_luma_mode if cu.cmode_sel >= 4 else lst[cu.cmode_sel]
         if cu.intra_mode_c == collocated_luma_mode:
             io.put_bin(0, CtxOffset.INTRA_CHROMA_PRED_MODE)
         else:

@@ -299,6 +299,66 @@ def test_delta_qp(lw, lh, subdiv, dbf):
     assert decode_with_oracle(stream) == decode_to_yuv(stream)
 
 
+@pytest.mark.parametrize("lmin,cmin", [(4, 3), (3, 2)])
+def test_dual_tree_intra(lmin, cmin):
+    """sps_qtbtt_dual_tree_intra: separate luma/chroma quadtrees per 64x64,
+    chroma modes incl. DM from collocated luma center."""
+    from openvvc_tpu.vcl.coding_tree import QT_SPLIT
+
+    rng = np.random.RandomState(40 + lmin + cmin)
+    cfg = StreamConfig(width=128, height=128, qp=30, deblocking=False, dual_tree=True,
+                       max_mtt_depth=2, min_cb_log2=2)
+
+    def rand_lv(lw, lh, density=0.25):
+        n, m = 1 << lh, 1 << lw
+        lv = (rng.randint(-12, 13, (n, m)) * (rng.rand(n, m) < density)).astype(np.int32)
+        if not lv.any():
+            lv[0, 0] = 2
+        return lv
+
+    def luma_qt(x, y, l2):
+        if l2 > lmin:
+            h = 1 << (l2 - 1)
+            return TreeNode(QT_SPLIT, children=[
+                luma_qt(x, y, l2 - 1), luma_qt(x + h, y, l2 - 1),
+                luma_qt(x, y + h, l2 - 1), luma_qt(x + h, y + h, l2 - 1)])
+        cu = CU(x, y, l2, l2, intra_mode_l=int(rng.randint(0, 67)), intra_mode_c=0,
+                tree_type=TREE_DUAL_LUMA)
+        lv = rand_lv(l2, l2)
+        cu.tus.append(TU(x, y, l2, l2, 0, cbf=1, levels=lv,
+                         last_pos=find_last_pos(lv, l2, l2)))
+        return TreeNode(NO_SPLIT, cu=cu)
+
+    def chroma_qt(cx, cy, l2):
+        if l2 > cmin:
+            h = 1 << (l2 - 1)
+            return TreeNode(QT_SPLIT, children=[
+                chroma_qt(cx, cy, l2 - 1), chroma_qt(cx + h, cy, l2 - 1),
+                chroma_qt(cx, cy + h, l2 - 1), chroma_qt(cx + h, cy + h, l2 - 1)])
+        cu = CU(cx, cy, l2, l2, tree_type=TREE_DUAL_CHROMA)
+        cu.cmode_sel = int(rng.randint(0, 5))
+        if rng.rand() < 0.7:
+            lv = rand_lv(l2, l2, 0.3)
+            cu.tus.append(TU(cx, cy, l2, l2, 1, cbf=1, levels=lv,
+                             last_pos=find_last_pos(lv, l2, l2)))
+        return TreeNode(NO_SPLIT, cu=cu)
+
+    def tb(params, entry):
+        trees = {}
+        clg = params.sps.ctb_log2
+        for row in range(entry.nb_ctu_h):
+            for col in range(entry.nb_ctu_w):
+                cx, cy = entry.ctu_x + col, entry.ctu_y + row
+                node = TreeNode(NO_SPLIT)
+                node.luma_tree = luma_qt(cx << clg, cy << clg, clg)
+                node.chroma_tree = chroma_qt((cx << clg) >> 1, (cy << clg) >> 1, clg - 1)
+                trees[(cx, cy)] = node
+        return trees
+
+    stream = build_stream(cfg, tb)
+    assert decode_with_oracle(stream) == decode_to_yuv(stream)
+
+
 def test_scipu_local_dual_tree():
     """QT down to 4x4 luma CUs: every 8x8 QT split triggers SCIPU; the shared
     chroma CU is coded in a local dual tree and the luma CUs are luma-only."""
