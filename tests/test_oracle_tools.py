@@ -359,6 +359,46 @@ def test_dual_tree_intra(lmin, cmin):
     assert decode_with_oracle(stream) == decode_to_yuv(stream)
 
 
+@pytest.mark.parametrize("tool", ["none", "lfnst", "mip", "dbf"])
+def test_10bit(tool):
+    """10-bit decoding across representative tools (bd-parameterized maths)."""
+    from openvvc_tpu.rcn.ref_mip import nb_mip_modes as _nbm
+
+    lw = lh = 4 if tool != "mip" else 3
+    rng = np.random.RandomState(hash(tool) % 1000)
+    cfg = StreamConfig(width=64, height=64, qp=32, deblocking=(tool == "dbf"),
+                       bitdepth=10, lfnst=(tool == "lfnst"), mip=(tool == "mip"),
+                       max_mtt_depth=4, min_cb_log2=2)
+
+    def make_cu(x, y, dual):
+        cu = CU(x, y, lw, lh, intra_mode_l=int(rng.randint(0, 67)), intra_mode_c=0,
+                tree_type=TREE_DUAL_LUMA if dual else 0)
+        n, m = 1 << lh, 1 << lw
+        if tool == "mip":
+            cu.mip_flag = 1
+            cu.mip_transpose = int(rng.randint(0, 2))
+            cu.mip_mode = int(rng.randint(0, _nbm(lw, lh)))
+        if tool == "lfnst":
+            cu.lfnst_idx = int(rng.randint(1, 3))
+            lv = np.zeros((n, m), np.int32)
+            for i in range(rng.randint(1, 16)):
+                cx2, cy2 = _DIAG44[i]
+                lv[cy2, cx2] = rng.randint(-15, 16)
+            if not lv.any():
+                lv[1, 0] = 3
+        else:
+            lv = (rng.randint(-20, 21, (n, m)) * (rng.rand(n, m) < 0.25)).astype(np.int32)
+            if not lv.any():
+                lv[0, 0] = 2
+        tu = TU(x, y, lw, lh, 0, cbf=1, levels=lv, last_pos=find_last_pos(lv, lw, lh))
+        tu.lfnst_idx = getattr(cu, "lfnst_idx", 0)
+        cu.tus.append(tu)
+        return TreeNode(NO_SPLIT, cu=cu)
+
+    stream = build_stream(cfg, rect_tree_builder(lw, lh, make_cu, rng))
+    assert decode_with_oracle(stream) == decode_to_yuv(stream)
+
+
 def test_scipu_local_dual_tree():
     """QT down to 4x4 luma CUs: every 8x8 QT split triggers SCIPU; the shared
     chroma CU is coded in a local dual tree and the luma CUs are luma-only."""
