@@ -16,6 +16,7 @@ import numpy as np
 from openvvc_tpu.hls.nal import NalType, demux_annexb, is_vcl
 from openvvc_tpu.hls.params import ActiveParams, NvclContext
 from openvvc_tpu.rcn.ref_dbf import DbfMaps, deblock_frame
+from openvvc_tpu.rcn.ref_sao import apply_sao_entry
 from openvvc_tpu.rcn.ref_intra import predict_bdpcm, predict_intra
 from openvvc_tpu.rcn.ref_cclm import predict_cclm
 from openvvc_tpu.rcn.ref_mip import predict_mip
@@ -343,6 +344,7 @@ class Decoder:
         dbf_disabled = self._dbf_disabled(params)
         dbf = None if dbf_disabled else DbfMaps(pps.pic_w, pps.pic_h, chroma)
 
+        sao_entries = []
         for entry in params.entries:
             ectx, trees, dec = parse_entry(params, entry)
             if dec.overread():
@@ -351,9 +353,14 @@ class Decoder:
             for ctu in ectx.ctus:
                 for cu in ctu.cus:
                     reconstruct_cu(rc, cu, params, tools, dbf)
+            if ectx.sao_params:
+                sao_entries.append((entry, ectx.sao_params))
 
         if dbf is not None:
             deblock_frame(frame, dbf, params, sps.ctb_log2)
+        for entry, sao_params in sao_entries:
+            apply_sao_entry(frame, (entry.ctu_x, entry.ctu_y, entry.nb_ctu_w, entry.nb_ctu_h),
+                            sps.ctb_log2, sao_params, bd, pps.pic_w, pps.pic_h)
         return frame
 
     @staticmethod

@@ -172,6 +172,9 @@ def build_sh(cfg: StreamConfig, sps, pps) -> SH:
     sh.sh_qp_delta = cfg.qp - 26
     sh.sh_slice_type = 2
     sh.sh_num_ref_idx_active_override_flag = 1
+    if cfg.sao:
+        sh.sh_sao_luma_used_flag = 1
+        sh.sh_sao_chroma_used_flag = 1 if cfg.chroma_format else 0
     if cfg.dep_quant:
         sh.sh_dep_quant_used_flag = 1
     elif cfg.sign_hiding:

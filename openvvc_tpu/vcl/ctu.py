@@ -211,6 +211,10 @@ class CTUParseCtx:
         self.qp_map_x = [self.slice_qp] * nb_units
         self.qp_map_y = [self.slice_qp] * nb_units
 
+        # per-CTU SAO parameters (filled by code_sao_ctu)
+        self.sao_params = {}
+        self.writer_node = None
+
         # output
         self.ctus: list[CtuIR] = []
 

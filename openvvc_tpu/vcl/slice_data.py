@@ -32,6 +32,7 @@ from openvvc_tpu.vcl.ctu import (
     TREE_SINGLE,
     UNAVAIL,
 )
+from openvvc_tpu.vcl.sao import code_sao_ctu
 from openvvc_tpu.vcl.transform_unit import isp_subtree, lfnst_mts_idx, transform_tree_intra
 
 
@@ -121,10 +122,11 @@ def coding_unit_dispatch(ctx, io, node, x0, y0, log2_w, log2_h):
     return cu
 
 
-def _parse_sao_alf_ctu(ctx, io):
-    """Per-CTU SAO/ALF flags; tools disabled -> nothing coded."""
+def _parse_sao_alf_ctu(ctx, io, node, ctb_x, ctb_y):
+    """Per-CTU SAO/ALF data."""
     if ctx.sao_luma or ctx.sao_chroma:
-        raise NotImplementedError("SAO CTU flags not yet implemented")
+        ctx.writer_node = node
+        code_sao_ctu(ctx, io, ctb_x, ctb_y)
     if ctx.sh.sh_alf_enabled_flag or ctx.ph.ph_alf_enabled_flag:
         raise NotImplementedError("ALF CTU flags not yet implemented")
 
@@ -149,13 +151,12 @@ def code_entry(params, entry, io, trees=None):
             if x0 >= ctx.pic_w or y0 >= ctx.pic_h:
                 continue
             ctx.ctu_ir = CtuIR(ctb_x, ctb_y)
-            _parse_sao_alf_ctu(ctx, io)
-
             if io.is_reader:
                 node = TreeNode()
                 out_trees[(ctb_x, ctb_y)] = node
             else:
                 node = out_trees[(ctb_x, ctb_y)]
+            _parse_sao_alf_ctu(ctx, io, node, ctb_x, ctb_y)
 
             if ctx.dual_tree_intra:
                 dual_tree_ctu(ctx, io, node, x0, y0, log2_ctb, 0, coding_unit_dispatch)

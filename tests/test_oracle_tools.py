@@ -452,3 +452,65 @@ def test_scipu_local_dual_tree():
                        min_cb_log2=2, min_qt_log2=2)
     stream = build_stream(cfg, tb)
     assert decode_with_oracle(stream) == decode_to_yuv(stream)
+
+
+def _rand_sao(rng, nmax=7):
+    from openvvc_tpu.vcl.sao import SAO_BAND, SaoParams
+
+    sao = SaoParams()
+    for c in [0, 1]:
+        t = int(rng.randint(0, 3))
+        for cc in ([0] if c == 0 else [1, 2]):
+            sao.type_idx[cc] = t
+            if t == 0:
+                continue
+            sao.offset_abs[cc] = [int(rng.randint(0, nmax + 1)) for _ in range(4)]
+            if t == SAO_BAND:
+                sao.offset_sign[cc] = [int(rng.randint(0, 2)) for _ in range(4)]
+                sao.band_position[cc] = int(rng.randint(0, 29))
+            else:
+                sao.eo_class[cc] = int(rng.randint(0, 4))
+    return sao
+
+
+@pytest.mark.parametrize("label,kw", [
+    ("single", dict(width=128, height=128)),
+    ("single_dbf", dict(width=128, height=128, deblocking=True)),
+    ("tiles_1row", dict(width=256, height=128, tile_cols=[2, 2], tile_rows=[1, 1])),
+])
+def test_sao(label, kw):
+    """SAO band/edge/merge with the reference's line-pipeline border quirks."""
+    rng = np.random.RandomState(9)
+    base = dict(qp=32, deblocking=False, sao=True, max_mtt_depth=4, min_cb_log2=2)
+    base.update(kw)
+    cfg = StreamConfig(**base)
+    lw = lh = 4
+
+    def make_cu(x, y, dual):
+        cu = CU(x, y, lw, lh, intra_mode_l=int(rng.randint(0, 67)), intra_mode_c=0,
+                tree_type=TREE_DUAL_LUMA if dual else 0)
+        n, m = 1 << lh, 1 << lw
+        lv = (rng.randint(-12, 13, (n, m)) * (rng.rand(n, m) < 0.25)).astype(np.int32)
+        if not lv.any():
+            lv[0, 0] = 2
+        cu.tus.append(TU(x, y, lw, lh, 0, cbf=1, levels=lv,
+                         last_pos=find_last_pos(lv, lw, lh)))
+        return TreeNode(NO_SPLIT, cu=cu)
+
+    base_tb = rect_tree_builder(lw, lh, make_cu, rng)
+
+    def tb(params, entry):
+        trees = base_tb(params, entry)
+        for (cx, cy), node in trees.items():
+            r = rng.rand()
+            if cx > entry.ctu_x and r < 0.2:
+                node.sao_merge = 1
+            elif cy > entry.ctu_y and r < 0.4:
+                node.sao_merge = 2
+            else:
+                node.sao_merge = 0
+                node.sao = _rand_sao(rng)
+        return trees
+
+    stream = build_stream(cfg, tb)
+    assert decode_with_oracle(stream) == decode_to_yuv(stream)
