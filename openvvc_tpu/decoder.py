@@ -16,6 +16,7 @@ import numpy as np
 from openvvc_tpu.hls.nal import NalType, demux_annexb, is_vcl
 from openvvc_tpu.hls.params import ActiveParams, NvclContext
 from openvvc_tpu.rcn.ref_dbf import DbfMaps, deblock_frame
+from openvvc_tpu.rcn.ref_lmcs import build_lmcs, compute_chroma_scale, scale_residual
 from openvvc_tpu.rcn.ref_sao import apply_sao_entry
 from openvvc_tpu.rcn.ref_intra import predict_bdpcm, predict_intra
 from openvvc_tpu.rcn.ref_cclm import predict_cclm
@@ -110,10 +111,12 @@ def _tu_units(x0, y0, log2_w, log2_h, max_tb):
 
 
 class _TrCtx:
-    def __init__(self, dep_quant, mts_implicit, mts_enabled=False):
+    def __init__(self, dep_quant, mts_implicit, mts_enabled=False, scale_c=False, lmcs=None):
         self.dep_quant = dep_quant
         self.mts_implicit = mts_implicit
         self.mts_enabled = mts_enabled
+        self.scale_c = scale_c
+        self.lmcs = lmcs
 
 
 def _clip(v, bitdepth):
@@ -134,7 +137,12 @@ def reconstruct_cu(rc: ReconCtx, cu: CU, params: ActiveParams, tools, dbf: DbfMa
     bd = rc.bitdepth
     frame = rc.frame
     tree = cu.tree_type
-    trc = _TrCtx(tools["dep_quant"], tools["mts_implicit"], tools.get("mts_enabled", False))
+    trc = _TrCtx(tools["dep_quant"], tools["mts_implicit"], tools.get("mts_enabled", False),
+                 tools.get("scale_c", False), tools.get("lmcs"))
+
+    lmcs = tools.get("lmcs")
+    if lmcs is not None and tree != TREE_DUAL_CHROMA and (cu.x0 & 0x3F) == 0 and (cu.y0 & 0x3F) == 0:
+        compute_chroma_scale(lmcs, frame.y, cu.x0, cu.y0, rc.luma_avail)
 
     if dbf is not None and tree in (TREE_SINGLE, TREE_DUAL_LUMA):
         dbf.add_cu_luma(cu.x0, cu.y0, 1 << cu.log2_w, 1 << cu.log2_h, cu.qp, cu.pred_mode == 0)
@@ -305,6 +313,9 @@ def _reconstruct_chroma(rc: ReconCtx, cu: CU, params, trc, cx0, cy0, clog2_w, cl
                 for plane, res in ((frame.cb, res_cb), (frame.cr, res_cr)))
         for plane, pred, res in preds:
             if res is not None:
+                if trc.scale_c and l2w + l2h > 2:
+                    if trc.lmcs is not None:
+                        res = scale_residual(res, trc.lmcs.chroma_scale, bd)
                 pred = pred + res
             plane[uy : uy + (1 << l2h), ux : ux + (1 << l2w)] = _clip(pred, bd)
         rc.mark_chroma(ux, uy, l2w, l2h)
@@ -339,7 +350,14 @@ class Decoder:
             "dep_quant": bool(params.sh.sh_dep_quant_used_flag),
             "mts_implicit": bool(sps.sps_mts_enabled_flag) and not sps.sps_explicit_mts_intra_enabled_flag,
             "mts_enabled": bool(sps.sps_mts_enabled_flag),
+            "scale_c": bool(params.ph.ph_chroma_residual_scale_flag),
         }
+        # gating per the reference: luma reshape + chroma-scale state follow
+        # ph_lmcs_enabled_flag (slicedec.c :1462, ctudec.c :159)
+        lmcs = None
+        if params.ph.ph_lmcs_enabled_flag and getattr(params, "lmcs_data", None) is not None:
+            lmcs = build_lmcs(params.lmcs_data, bd)
+        tools["lmcs"] = lmcs
 
         dbf_disabled = self._dbf_disabled(params)
         dbf = None if dbf_disabled else DbfMaps(pps.pic_w, pps.pic_h, chroma)
@@ -356,6 +374,8 @@ class Decoder:
             if ectx.sao_params:
                 sao_entries.append((entry, ectx.sao_params))
 
+        if lmcs is not None:
+            frame.y = lmcs.bwd_lut[np.clip(frame.y, 0, (1 << bd) - 1)].astype(np.int32)
         if dbf is not None:
             deblock_frame(frame, dbf, params, sps.ctb_log2)
         for entry, sao_params in sao_entries:

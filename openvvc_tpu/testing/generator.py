@@ -53,6 +53,8 @@ class StreamConfig:
     sao: bool = False
     alf: bool = False
     lmcs: bool = False
+    lmcs_params: object = None  # dict of lmcs_* syntax values (None -> default curve)
+    lmcs_chroma_scaling: bool = False
     deblocking: bool = True  # on unless disabled in PPS
     delta_qp: bool = False
     delta_qp_subdiv: int = 0
@@ -161,6 +163,11 @@ def build_ph(cfg: StreamConfig, poc: int = 0) -> PH:
     ph.ph_intra_slice_allowed_flag = 1
     ph.ph_pic_order_cnt_lsb = poc & 0xFF
     ph.ph_pic_output_flag = 1
+    if cfg.lmcs:
+        ph.ph_lmcs_enabled_flag = 1
+        ph.ph_lmcs_aps_id = 0
+        if cfg.lmcs_chroma_scaling and cfg.chroma_format:
+            ph.ph_chroma_residual_scale_flag = 1
     if cfg.delta_qp:
         ph.ph_cu_qp_delta_subdiv_intra_slice = cfg.delta_qp_subdiv
     return ph
@@ -286,6 +293,38 @@ def _find_last_pos_diag(levels, log2_w, log2_h):
     return last
 
 
+def _build_lmcs_aps_nal(cfg: StreamConfig) -> NalUnit:
+    from openvvc_tpu.hls.aps import APS, APS_LMCS, aps_syntax
+    from openvvc_tpu.hls.syntax import SyntaxStruct
+
+    aps = APS()
+    aps.aps_params_type = APS_LMCS
+    aps.aps_adaptation_parameter_set_id = 0
+    aps.aps_chroma_present_flag = 1 if cfg.chroma_format else 0
+    lmcs = SyntaxStruct()
+    p = cfg.lmcs_params or {}
+    lmcs.lmcs_min_bin_idx = p.get("min_bin_idx", 1)
+    lmcs.lmcs_delta_max_bin_idx = p.get("delta_max_bin_idx", 1)
+    deltas = p.get("cw_deltas", {})
+    prec = max([1] + [abs(v).bit_length() for v in deltas.values()])
+    lmcs.lmcs_delta_cw_prec_minus1 = prec - 1
+    from openvvc_tpu.hls.syntax import ListField as _LF
+    lmcs.lmcs_delta_abs_cw = _LF()
+    lmcs.lmcs_delta_sign_cw_flag = _LF()
+    for i in range(lmcs.lmcs_min_bin_idx, 16 - lmcs.lmcs_delta_max_bin_idx):
+        v = deltas.get(i, 0)
+        lmcs.lmcs_delta_abs_cw[i] = abs(v)
+        if v < 0:
+            lmcs.lmcs_delta_sign_cw_flag[i] = 1
+    if aps.aps_chroma_present_flag:
+        crs = p.get("crs", 0)
+        lmcs.lmcs_delta_abs_crs = abs(crs)
+        if crs:
+            lmcs.lmcs_delta_sign_crs_flag = 1 if crs < 0 else 0
+    aps.lmcs_data = lmcs
+    return _write_ps_nal(aps_syntax, aps, NalType.PREFIX_APS)
+
+
 def build_stream(cfg: StreamConfig, tree_builder, nal_type=NalType.IDR_N_LP) -> bytes:
     """Assemble a complete one-frame Annex-B stream.
 
@@ -302,12 +341,17 @@ def build_stream(cfg: StreamConfig, tree_builder, nal_type=NalType.IDR_N_LP) -> 
 
     sps_nal = _write_ps_nal(sps_syntax, sps, NalType.SPS)
     pps_nal = _write_ps_nal(pps_syntax, pps, NalType.PPS)
+    aps_nals = []
+    if cfg.lmcs:
+        aps_nals.append(_build_lmcs_aps_nal(cfg))
     ph_nal = _write_ps_nal(picture_header_syntax, ph, NalType.PH, sps, pps)
 
     # activation pass to derive tiles/entries (with a placeholder payload)
     ctx = NvclContext()
     ctx.decode_nalu(sps_nal)
     ctx.decode_nalu(pps_nal)
+    for nal in aps_nals:
+        ctx.decode_nalu(nal)
     ctx.decode_nalu(ph_nal)
     sps_r = ctx.sps_list[0]
     pps_r = ctx.pps_list[0]
@@ -351,7 +395,7 @@ def build_stream(cfg: StreamConfig, tree_builder, nal_type=NalType.IDR_N_LP) -> 
         sh_bytes = sh_bytes_for(None)
 
     slice_nal = NalUnit(nal_type, sh_bytes + b"".join(payloads))
-    return mux_annexb([sps_nal, pps_nal, ph_nal, slice_nal])
+    return mux_annexb([sps_nal, pps_nal] + aps_nals + [ph_nal, slice_nal])
 
 
 def _ebsp_entry_sizes(sh_bytes: bytes, payloads) -> list[int]:

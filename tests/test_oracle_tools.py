@@ -514,3 +514,36 @@ def test_sao(label, kw):
 
     stream = build_stream(cfg, tb)
     assert decode_with_oracle(stream) == decode_to_yuv(stream)
+
+
+@pytest.mark.parametrize("label,lp,dbf,crs_scaling", [
+    ("curve", dict(cw_deltas={2: 10, 5: -8, 8: 16, 12: -12}), True, False),
+    ("crs", dict(cw_deltas={3: 12, 9: -10}, crs=3), False, True),
+])
+def test_lmcs(label, lp, dbf, crs_scaling):
+    """LMCS: forward/backward luma mapping LUTs from the APS piecewise model,
+    chroma residual scaling from the mapped-luma neighbour average."""
+    rng = np.random.RandomState(7)
+    cfg = StreamConfig(width=128, height=128, qp=30, deblocking=dbf, lmcs=True,
+                       lmcs_params=lp, lmcs_chroma_scaling=crs_scaling,
+                       max_mtt_depth=4, min_cb_log2=2)
+    lw = lh = 4
+
+    def make_cu(x, y, dual):
+        cu = CU(x, y, lw, lh, intra_mode_l=int(rng.randint(0, 67)), intra_mode_c=0,
+                tree_type=TREE_DUAL_LUMA if dual else 0)
+        n, m = 1 << lh, 1 << lw
+        lv = (rng.randint(-12, 13, (n, m)) * (rng.rand(n, m) < 0.25)).astype(np.int32)
+        if not lv.any():
+            lv[0, 0] = 2
+        cu.tus.append(TU(x, y, lw, lh, 0, cbf=1, levels=lv,
+                         last_pos=find_last_pos(lv, lw, lh)))
+        if rng.rand() < 0.6:
+            clv = (rng.randint(-8, 9, (n >> 1, m >> 1)) * (rng.rand(n >> 1, m >> 1) < 0.3)).astype(np.int32)
+            if clv.any():
+                cu.tus.append(TU(x >> 1, y >> 1, lw - 1, lh - 1, 1, cbf=1, levels=clv,
+                                 last_pos=find_last_pos(clv, lw - 1, lh - 1)))
+        return TreeNode(NO_SPLIT, cu=cu)
+
+    stream = build_stream(cfg, rect_tree_builder(lw, lh, make_cu, rng))
+    assert decode_with_oracle(stream) == decode_to_yuv(stream)
