@@ -17,6 +17,7 @@ from openvvc_tpu.hls.nal import NalType, demux_annexb, is_vcl
 from openvvc_tpu.hls.params import ActiveParams, NvclContext
 from openvvc_tpu.rcn.ref_dbf import DbfMaps, deblock_frame
 from openvvc_tpu.rcn.ref_lmcs import build_lmcs, compute_chroma_scale, scale_residual
+from openvvc_tpu.rcn.ref_alf import AlfFilters, apply_alf_entry
 from openvvc_tpu.rcn.ref_sao import apply_sao_entry
 from openvvc_tpu.rcn.ref_intra import predict_bdpcm, predict_intra
 from openvvc_tpu.rcn.ref_cclm import predict_cclm
@@ -363,6 +364,7 @@ class Decoder:
         dbf = None if dbf_disabled else DbfMaps(pps.pic_w, pps.pic_h, chroma)
 
         sao_entries = []
+        alf_entries = []
         for entry in params.entries:
             ectx, trees, dec = parse_entry(params, entry)
             if dec.overread():
@@ -373,6 +375,8 @@ class Decoder:
                     reconstruct_cu(rc, cu, params, tools, dbf)
             if ectx.sao_params:
                 sao_entries.append((entry, ectx.sao_params))
+            if ectx.alf_params:
+                alf_entries.append((entry, ectx.alf_params))
 
         if lmcs is not None:
             frame.y = lmcs.bwd_lut[np.clip(frame.y, 0, (1 << bd) - 1)].astype(np.int32)
@@ -381,6 +385,17 @@ class Decoder:
         for entry, sao_params in sao_entries:
             apply_sao_entry(frame, (entry.ctu_x, entry.ctu_y, entry.nb_ctu_w, entry.nb_ctu_h),
                             sps.ctb_log2, sao_params, bd, pps.pic_w, pps.pic_h)
+        if alf_entries:
+            aps_luma = [a.alf_data for a in getattr(params, "alf_aps_luma", []) if a is not None]
+            aps_c = getattr(params, "alf_aps_chroma", None)
+            filters = AlfFilters(aps_luma, aps_c.alf_data if aps_c is not None else None, bd)
+            cc = getattr(params, "alf_aps_cc", (None, None))
+            cc_data = (cc[0].alf_data if cc[0] is not None else None,
+                       cc[1].alf_data if cc[1] is not None else None)
+            for entry, alf_params in alf_entries:
+                apply_alf_entry(frame, (entry.ctu_x, entry.ctu_y, entry.nb_ctu_w, entry.nb_ctu_h),
+                                sps.ctb_log2, alf_params, filters, cc_data, bd,
+                                pps.pic_w, pps.pic_h)
         return frame
 
     @staticmethod

@@ -52,6 +52,10 @@ class StreamConfig:
     bdpcm: bool = False
     sao: bool = False
     alf: bool = False
+    alf_chroma: bool = False
+    cc_alf: bool = False
+    alf_seed: int = 123
+    alf_num_alts: int = 2
     lmcs: bool = False
     lmcs_params: object = None  # dict of lmcs_* syntax values (None -> default curve)
     lmcs_chroma_scaling: bool = False
@@ -105,6 +109,8 @@ def build_sps(cfg: StreamConfig) -> SPS:
         sps.sps_chroma_vertical_collocated_flag = 1 if cfg.cclm_collocated else 0
     sps.sps_sao_enabled_flag = 1 if cfg.sao else 0
     sps.sps_alf_enabled_flag = 1 if cfg.alf else 0
+    if cfg.alf and cfg.chroma_format:
+        sps.sps_ccalf_enabled_flag = 1 if cfg.cc_alf else 0
     sps.sps_lmcs_enabled_flag = 1 if cfg.lmcs else 0
     sps.sps_transform_skip_enabled_flag = 1 if cfg.transform_skip else 0
     if cfg.transform_skip:
@@ -179,6 +185,20 @@ def build_sh(cfg: StreamConfig, sps, pps) -> SH:
     sh.sh_qp_delta = cfg.qp - 26
     sh.sh_slice_type = 2
     sh.sh_num_ref_idx_active_override_flag = 1
+    if cfg.alf:
+        sh.sh_alf_enabled_flag = 1
+        sh.sh_num_alf_aps_ids_luma = 1
+        from openvvc_tpu.hls.syntax import ListField as _LF
+        sh.sh_alf_aps_id_luma = _LF({0: 1})
+        if cfg.alf_chroma and cfg.chroma_format:
+            sh.sh_alf_cb_enabled_flag = 1
+            sh.sh_alf_cr_enabled_flag = 1
+            sh.sh_alf_aps_id_chroma = 1
+        if cfg.cc_alf and cfg.chroma_format:
+            sh.sh_alf_cc_cb_enabled_flag = 1
+            sh.sh_alf_cc_cb_aps_id = 1
+            sh.sh_alf_cc_cr_enabled_flag = 1
+            sh.sh_alf_cc_cr_aps_id = 1
     if cfg.sao:
         sh.sh_sao_luma_used_flag = 1
         sh.sh_sao_chroma_used_flag = 1 if cfg.chroma_format else 0
@@ -293,6 +313,62 @@ def _find_last_pos_diag(levels, log2_w, log2_h):
     return last
 
 
+def _build_alf_aps_nal(cfg: StreamConfig) -> NalUnit:
+    """One APS (id 1) carrying luma + chroma + CC-ALF filter data derived
+    from cfg.alf_seed."""
+    from openvvc_tpu.hls.aps import APS, APS_ALF, aps_syntax
+    from openvvc_tpu.hls.syntax import ListField as _LF
+    from openvvc_tpu.hls.syntax import SyntaxStruct
+
+    rng = np.random.RandomState(cfg.alf_seed)
+    aps = APS()
+    aps.aps_params_type = APS_ALF
+    aps.aps_adaptation_parameter_set_id = 1
+    aps.aps_chroma_present_flag = 1 if cfg.chroma_format else 0
+    alf = SyntaxStruct()
+    alf.alf_luma_filter_signal_flag = 1
+    alf.alf_luma_clip_flag = int(rng.randint(0, 2))
+    n_filters = int(rng.randint(2, 6))
+    alf.alf_luma_num_filters_signalled_minus1 = n_filters - 1
+    alf.alf_luma_coeff_delta_idx = _LF({k: int(rng.randint(0, n_filters)) for k in range(25)})
+    alf.alf_luma_coeff = _LF()
+    alf.alf_luma_clip_idx = _LF()
+    for f in range(n_filters):
+        co = alf.alf_luma_coeff.nested(f)
+        cl = alf.alf_luma_clip_idx.nested(f)
+        for j in range(12):
+            co[j] = int(rng.randint(-12, 13))
+            cl[j] = int(rng.randint(0, 4))
+    if cfg.alf_chroma and cfg.chroma_format:
+        alf.alf_chroma_filter_signal_flag = 1
+        alf.alf_chroma_clip_flag = int(rng.randint(0, 2))
+        alf.alf_chroma_num_alt_filters_minus1 = cfg.alf_num_alts - 1
+        alf.alf_chroma_coeff = _LF()
+        alf.alf_chroma_clip_idx = _LF()
+        for a in range(cfg.alf_num_alts):
+            co = alf.alf_chroma_coeff.nested(a)
+            cl = alf.alf_chroma_clip_idx.nested(a)
+            for j in range(6):
+                co[j] = int(rng.randint(-10, 11))
+                cl[j] = int(rng.randint(0, 4))
+    if cfg.cc_alf and cfg.chroma_format:
+        for flag, cnt, name in (("alf_cc_cb_filter_signal_flag", "alf_cc_cb_filters_signalled_minus1", "alf_cc_cb_coeff"),
+                                ("alf_cc_cr_filter_signal_flag", "alf_cc_cr_filters_signalled_minus1", "alf_cc_cr_coeff")):
+            setattr(alf, flag, 1)
+            nf = int(rng.randint(1, 4))
+            setattr(alf, cnt, nf - 1)
+            lf = _LF()
+            setattr(alf, name, lf)
+            for k in range(nf):
+                co = lf.nested(k)
+                for j in range(7):
+                    mag = int(rng.randint(0, 5))  # 0 or 2^(0..3)
+                    v = 0 if mag == 0 else (1 << (mag - 1)) * (1 if rng.rand() < 0.5 else -1)
+                    co[j] = v
+    aps.alf_data = alf
+    return _write_ps_nal(aps_syntax, aps, NalType.PREFIX_APS)
+
+
 def _build_lmcs_aps_nal(cfg: StreamConfig) -> NalUnit:
     from openvvc_tpu.hls.aps import APS, APS_LMCS, aps_syntax
     from openvvc_tpu.hls.syntax import SyntaxStruct
@@ -344,6 +420,8 @@ def build_stream(cfg: StreamConfig, tree_builder, nal_type=NalType.IDR_N_LP) -> 
     aps_nals = []
     if cfg.lmcs:
         aps_nals.append(_build_lmcs_aps_nal(cfg))
+    if cfg.alf:
+        aps_nals.append(_build_alf_aps_nal(cfg))
     ph_nal = _write_ps_nal(picture_header_syntax, ph, NalType.PH, sps, pps)
 
     # activation pass to derive tiles/entries (with a placeholder payload)

@@ -215,6 +215,28 @@ class CTUParseCtx:
         self.sao_params = {}
         self.writer_node = None
 
+        # ALF / CC-ALF state (vcl_alf.c parity); SH carries the slice flags
+        self.alf_luma_enabled = bool(sh.sh_alf_enabled_flag)
+        self.alf_cb_enabled = bool(sh.sh_alf_cb_enabled_flag)
+        self.alf_cr_enabled = bool(sh.sh_alf_cr_enabled_flag)
+        self.num_alf_aps_luma = int(sh.sh_num_alf_aps_ids_luma)
+        self.alf_chroma_num_alts = 1
+        aps_c = getattr(params, "alf_aps_chroma", None)
+        if aps_c is not None:
+            self.alf_chroma_num_alts = aps_c.alf_data.alf_chroma_num_alt_filters_minus1 + 1
+        self.cc_alf_cb_enabled = bool(sh.sh_alf_cc_cb_enabled_flag)
+        self.cc_alf_cr_enabled = bool(sh.sh_alf_cc_cr_enabled_flag)
+        cc = getattr(params, "alf_aps_cc", (None, None))
+        self.cc_alf_nb_filters = [
+            (cc[0].alf_data.alf_cc_cb_filters_signalled_minus1 + 1) if cc[0] is not None else 0,
+            (cc[1].alf_data.alf_cc_cr_filters_signalled_minus1 + 1) if cc[1] is not None else 0,
+        ]
+        self.alf_left_flag = 0
+        self.alf_line_flags = {}
+        self.cc_alf_left_flag = [0, 0]
+        self.cc_alf_line_flags = [{}, {}]
+        self.alf_params = {}
+
         # output
         self.ctus: list[CtuIR] = []
 

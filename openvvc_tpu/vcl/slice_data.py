@@ -32,6 +32,7 @@ from openvvc_tpu.vcl.ctu import (
     TREE_SINGLE,
     UNAVAIL,
 )
+from openvvc_tpu.vcl.alf import code_alf_ctu, code_cc_alf_ctu
 from openvvc_tpu.vcl.sao import code_sao_ctu
 from openvvc_tpu.vcl.transform_unit import isp_subtree, lfnst_mts_idx, transform_tree_intra
 
@@ -123,12 +124,12 @@ def coding_unit_dispatch(ctx, io, node, x0, y0, log2_w, log2_h):
 
 
 def _parse_sao_alf_ctu(ctx, io, node, ctb_x, ctb_y):
-    """Per-CTU SAO/ALF data."""
+    """Per-CTU SAO/ALF data (order: SAO, ALF, CC-ALF — slicedec.c :726-728)."""
+    ctx.writer_node = node
     if ctx.sao_luma or ctx.sao_chroma:
-        ctx.writer_node = node
         code_sao_ctu(ctx, io, ctb_x, ctb_y)
-    if ctx.sh.sh_alf_enabled_flag or ctx.ph.ph_alf_enabled_flag:
-        raise NotImplementedError("ALF CTU flags not yet implemented")
+    code_alf_ctu(ctx, io, ctb_x, ctb_y)
+    code_cc_alf_ctu(ctx, io, ctb_x, ctb_y)
 
 
 def code_entry(params, entry, io, trees=None):

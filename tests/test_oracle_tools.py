@@ -547,3 +547,64 @@ def test_lmcs(label, lp, dbf, crs_scaling):
 
     stream = build_stream(cfg, rect_tree_builder(lw, lh, make_cu, rng))
     assert decode_with_oracle(stream) == decode_to_yuv(stream)
+
+
+@pytest.mark.parametrize("label,kw", [
+    ("luma", dict(deblocking=False)),
+    ("full", dict(alf_chroma=True, cc_alf=True, deblocking=True, sao=True)),
+    ("partial_ctu", dict(width=96, height=80, alf_chroma=True, cc_alf=True, deblocking=False)),
+    ("10bit", dict(bitdepth=10, alf_chroma=True, deblocking=False)),
+])
+def test_alf(label, kw):
+    """ALF: classification, 7x7/5x5 clipped diamond filters, fixed+APS sets,
+    chroma alternatives, CC-ALF, virtual boundaries."""
+    from openvvc_tpu.vcl.alf import AlfCtuParams
+    from openvvc_tpu.vcl.sao import SAO_BAND, SaoParams
+
+    rng = np.random.RandomState(13)
+    base = dict(width=128, height=128, qp=32, alf=True, max_mtt_depth=4, min_cb_log2=2)
+    base.update(kw)
+    use_sao = base.pop("sao", False)
+    cfg = StreamConfig(sao=use_sao, **base)
+    lw = lh = 4
+
+    def make_cu(x, y, dual):
+        cu = CU(x, y, lw, lh, intra_mode_l=int(rng.randint(0, 67)), intra_mode_c=0,
+                tree_type=TREE_DUAL_LUMA if dual else 0)
+        n, m = 1 << lh, 1 << lw
+        lv = (rng.randint(-14, 15, (n, m)) * (rng.rand(n, m) < 0.3)).astype(np.int32)
+        if not lv.any():
+            lv[0, 0] = 2
+        cu.tus.append(TU(x, y, lw, lh, 0, cbf=1, levels=lv,
+                         last_pos=find_last_pos(lv, lw, lh)))
+        return TreeNode(NO_SPLIT, cu=cu)
+
+    base_tb = rect_tree_builder(lw, lh, make_cu, rng)
+    chroma_on = kw.get("alf_chroma", False)
+    cc_on = kw.get("cc_alf", False)
+
+    def tb(params, entry):
+        trees = base_tb(params, entry)
+        for (cx, cy), node in trees.items():
+            if use_sao:
+                node.sao_merge = 0
+                node.sao = _rand_sao(rng)
+            p = AlfCtuParams()
+            luma_on = rng.rand() < 0.85
+            p.ctb_alf_flag = luma_on << 2
+            if luma_on:
+                p.ctb_alf_idx = int(rng.randint(0, 17))
+            if chroma_on:
+                cb, cr = rng.rand() < 0.7, rng.rand() < 0.7
+                p.ctb_alf_flag |= (cb << 1) | cr
+                if cb:
+                    p.cb_alternative = int(rng.randint(0, 2))
+                if cr:
+                    p.cr_alternative = int(rng.randint(0, 2))
+            if cc_on:
+                p.cc_alf_idx = (int(rng.randint(0, 2)), int(rng.randint(0, 2)))
+            node.alf = p
+        return trees
+
+    stream = build_stream(cfg, tb)
+    assert decode_with_oracle(stream) == decode_to_yuv(stream)
