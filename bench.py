@@ -1,12 +1,13 @@
 """Benchmark entry point (driver-run on real TPU hardware).
 
-Round-1 metric: batched intra-TB reconstruction throughput on one chip
-(dequant + inverse DCT-II + residual add, exact integer math) over a
-realistic TB size mix, in megasamples/s. vs_baseline normalizes against the
-luma+chroma sample rate of 1080p60 4:2:0 (~187 Msamples/s) — i.e. how many
-real-time 1080p60 streams worth of residual reconstruction one chip sustains.
-As the toolset widens this will become end-to-end frames/s against the
-measured reference-decoder baseline (BASELINE.md).
+Round-1 metric: batched intra-TB residual reconstruction throughput on one
+chip (dequant + inverse transform + clip, exact integer math), processing
+one 4K-frame-equivalent of transform blocks per device launch with a
+realistic size mix. vs_baseline normalizes against the luma+chroma sample
+rate of 1080p60 4:2:0 (~187 Msamples/s): how many real-time 1080p60 streams
+worth of residual reconstruction one chip sustains. As the host parse moves
+to native code this will become end-to-end frames/s against the measured
+reference-decoder baseline (BASELINE.md).
 
 Prints exactly one JSON line.
 """
@@ -15,42 +16,48 @@ import json
 import time
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 
 def main():
+    import jax.numpy as jnp
+
     from openvvc_tpu.rcn.jax_transform import reconstruct_residual_batch
 
     rng = np.random.RandomState(0)
-    # TB mix roughly matching an intra frame: mostly 16x16/32x32, some 8x8
+    # One 4K 4:2:0 frame = 3840*2160*1.5 ~= 12.4M samples; realistic intra TB
+    # mix by area: ~25% 8x8 (DST7), ~50% 16x16 (DST7), ~25% 32x32 (DCT2).
+    frame_samples = 3840 * 2160 * 3 // 2
     cases = [
-        (2048, 3, "DST7"),   # 8x8 DST7 (implicit MTS)
-        (2048, 4, "DST7"),   # 16x16
-        (512, 5, "DCT2"),    # 32x32
+        (frame_samples // 4 // 64, 3, "DST7"),
+        (frame_samples // 2 // 256, 4, "DST7"),
+        (frame_samples // 4 // 1024, 5, "DCT2"),
     ]
-    compiled = []
+
+    batches = []
     total_samples = 0
-    for n, log2, tr in cases:
+    for n, log2, _ in cases:
         s = 1 << log2
         levels = jnp.asarray(rng.randint(-128, 128, (n, s, s)), jnp.int32)
         qp = jnp.asarray(np.full(n, 32), jnp.int32)
-        fn = jax.jit(
-            lambda lv, q, tr=tr, log2=log2: reconstruct_residual_batch(
-                lv, q, tr, tr, log2, log2, True, 8
-            )
-        )
-        fn(levels, qp).block_until_ready()  # compile
-        compiled.append((fn, levels, qp))
+        batches.append((levels, qp))
         total_samples += n * s * s
 
-    # timed loop
-    reps = 20
+    @jax.jit
+    def frame_step(b8, q8, b16, q16, b32, q32):
+        o8 = reconstruct_residual_batch(b8, q8, "DST7", "DST7", 3, 3, True, 8)
+        o16 = reconstruct_residual_batch(b16, q16, "DST7", "DST7", 4, 4, True, 8)
+        o32 = reconstruct_residual_batch(b32, q32, "DCT2", "DCT2", 5, 5, True, 8)
+        return o8, o16, o32
+
+    args = [x for pair in batches for x in pair]
+    jax.tree_util.tree_map(lambda x: x.block_until_ready(), frame_step(*args))
+
+    reps = 50
     t0 = time.perf_counter()
     for _ in range(reps):
-        outs = [fn(lv, q) for fn, lv, q in compiled]
-    for o in outs:
-        o.block_until_ready()
+        outs = frame_step(*args)
+    jax.tree_util.tree_map(lambda x: x.block_until_ready(), outs)
     dt = time.perf_counter() - t0
 
     msps = total_samples * reps / dt / 1e6
@@ -58,7 +65,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "intra TB reconstruction throughput (dequant+invDCT+add)",
+                "metric": "intra TB residual reconstruction (4K-frame batches)",
                 "value": round(msps, 1),
                 "unit": "Msamples/s",
                 "vs_baseline": round(msps / baseline_msps, 2),
