@@ -323,10 +323,16 @@ def _reconstruct_chroma(rc: ReconCtx, cu: CU, params, trc, cx0, cy0, clog2_w, cl
 
 
 class Decoder:
-    """Minimal frame decoder over the currently supported toolset."""
+    """Frame decoder over the currently supported toolset.
 
-    def __init__(self):
+    use_tpu_residuals: batch all eligible TU residual reconstructions
+    through the JAX/XLA path (one launch per TB class) before the
+    sequential prediction loop — the host/device split of the TPU design.
+    """
+
+    def __init__(self, use_tpu_residuals: bool = False):
         self.nvcl = NvclContext()
+        self.use_tpu_residuals = use_tpu_residuals
 
     def decode(self, stream: bytes) -> list[Frame]:
         frames = []
@@ -365,10 +371,17 @@ class Decoder:
 
         sao_entries = []
         alf_entries = []
+        parsed = []
         for entry in params.entries:
             ectx, trees, dec = parse_entry(params, entry)
             if dec.overread():
                 raise ValueError("CABAC overread in entry")
+            parsed.append((entry, ectx))
+
+        if self.use_tpu_residuals:
+            precompute_residuals_batched(parsed, tools, bd)
+
+        for entry, ectx in parsed:
             rc = ReconCtx(frame, params, entry)
             for ctu in ectx.ctus:
                 for cu in ctu.cus:
@@ -406,6 +419,41 @@ class Decoder:
         if ph.ph_deblocking_params_present_flag:
             return bool(ph.ph_deblocking_filter_disabled_flag)
         return bool(pps.pps_deblocking_filter_disabled_flag)
+
+
+def precompute_residuals_batched(parsed, tools, bitdepth):
+    """Group eligible TUs by (comp-class, size, transform pair) and run their
+    dequant + inverse transform as batched device launches; results are
+    attached as tu.residual_precomputed and consumed by reconstruct_cu.
+
+    Eligible: non-transform-skip, non-LFNST, non-ISP TUs (the rest fall back
+    to the scalar reference path)."""
+    import numpy as np
+
+    from openvvc_tpu.rcn.jax_transform import reconstruct_residual_batch
+    from openvvc_tpu.rcn.ref_transform import transform_pair
+
+    trc = _TrCtx(tools["dep_quant"], tools["mts_implicit"], tools.get("mts_enabled", False))
+    groups = {}
+    for _, ectx in parsed:
+        for ctu in ectx.ctus:
+            for cu in ctu.cus:
+                if cu.isp_mode:
+                    continue
+                for tu in cu.tus:
+                    if not tu.cbf or tu.transform_skip or tu.lfnst_idx:
+                        continue
+                    tr_h, tr_v = transform_pair(tu, trc, True, bool(cu.mip_flag))
+                    key = (tu.log2_w, tu.log2_h, tr_h, tr_v)
+                    groups.setdefault(key, []).append(tu)
+
+    for (l2w, l2h, tr_h, tr_v), tus in groups.items():
+        levels = np.stack([tu.coeffs for tu in tus]).astype(np.int32)
+        qps = np.asarray([tu.qp for tu in tus], np.int32)
+        res = np.asarray(reconstruct_residual_batch(
+            levels, qps, tr_h, tr_v, l2w, l2h, tools["dep_quant"], bitdepth))
+        for i, tu in enumerate(tus):
+            tu.residual_precomputed = res[i]
 
 
 def decode_to_yuv(stream: bytes) -> bytes:

@@ -118,6 +118,24 @@ def inverse_transform_2d(
     return out.astype(np.int32)
 
 
+def transform_pair(tu, ctx_like, intra: bool = True, is_mip: bool = False):
+    """(tr_h, tr_v) for a non-TS non-LFNST TU; LFNST TUs use DCT2/DCT2 after
+    the secondary transform."""
+    luma = tu.comp == 0
+    mts_idx = tu.mts_idx if luma else 0
+    if tu.lfnst_idx:
+        return "DCT2", "DCT2"
+    if luma and mts_idx == 0 and ctx_like.mts_implicit and intra and not is_mip \
+            and (tu.log2_w <= 4 or tu.log2_h <= 4):
+        tr_h = "DST7" if 2 <= tu.log2_w <= 4 else "DCT2"
+        tr_v = "DST7" if 2 <= tu.log2_h <= 4 else "DCT2"
+        return tr_h, tr_v
+    if mts_idx:
+        sym = mts_idx - 1
+        return ("DCT8" if (sym & 1) else "DST7", "DCT8" if (sym >> 1) else "DST7")
+    return "DCT2", "DCT2"
+
+
 def reconstruct_tu_residual(tu, ctx_like, bitdepth: int, intra: bool = True,
                             lfnst_mode: int | None = None, is_mip: bool = False) -> np.ndarray:
     """Full dequant + inverse transform for one TU IR entry.
@@ -125,29 +143,23 @@ def reconstruct_tu_residual(tu, ctx_like, bitdepth: int, intra: bool = True,
     ctx_like provides: dep_quant (bool), mts_implicit (bool).
     lfnst_mode: normalized LFNST intra mode (required when tu.lfnst_idx).
     """
+    pre = getattr(tu, "residual_precomputed", None)
+    if pre is not None:
+        return pre
+
     log2_w, log2_h = tu.log2_w, tu.log2_h
-    dq = dequant(tu.coeffs, tu.qp, log2_w, log2_h, ctx_like.dep_quant, bitdepth)
 
     if tu.transform_skip:
         if tu.bdpcm:
             return reconstruct_bdpcm(tu.coeffs, tu.qp, tu.bdpcm_dir)
         return dequant_ts(tu.coeffs, tu.qp)
 
-    luma = tu.comp == 0
-    mts_idx = tu.mts_idx if luma else 0
+    dq = dequant(tu.coeffs, tu.qp, log2_w, log2_h, ctx_like.dep_quant, bitdepth)
     if tu.lfnst_idx:
         dq = apply_lfnst(dq, min(5, log2_w), min(5, log2_h), tu.lfnst_idx, lfnst_mode)
         return inverse_transform_2d(dq, log2_w, log2_h, "DCT2", "DCT2", bitdepth)
 
-    if luma and mts_idx == 0 and ctx_like.mts_implicit and intra and not is_mip and (log2_w <= 4 or log2_h <= 4):
-        tr_h = "DST7" if 2 <= log2_w <= 4 else "DCT2"
-        tr_v = "DST7" if 2 <= log2_h <= 4 else "DCT2"
-    elif mts_idx:
-        sym = mts_idx - 1
-        tr_h = "DCT8" if (sym & 1) else "DST7"
-        tr_v = "DCT8" if (sym >> 1) else "DST7"
-    else:
-        tr_h = tr_v = "DCT2"
+    tr_h, tr_v = transform_pair(tu, ctx_like, intra, is_mip)
     return inverse_transform_2d(dq, log2_w, log2_h, tr_h, tr_v, bitdepth)
 
 
