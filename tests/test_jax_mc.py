@@ -20,9 +20,8 @@ def _rand_blocks(rng, n, H, W, w, h, fmax):
     return xs, ys, fxs, fys
 
 
-@pytest.mark.parametrize("bd", [8, 10])
-@pytest.mark.parametrize("w,h,luma", [(16, 8, True), (8, 16, True), (4, 4, True),
-                                      (8, 4, False), (4, 8, False)])
+@pytest.mark.parametrize("bd,w,h,luma", [(8, 16, 8, True), (10, 16, 8, True),
+                                         (10, 4, 4, True), (10, 8, 4, False)])
 def test_interp_uni(bd, w, h, luma):
     plane = _mk(bd, seed=w * h + bd)
     rng = np.random.RandomState(1)
