@@ -34,6 +34,10 @@ from openvvc_tpu.vcl.transform_unit import chroma_qp as _derive_chroma_qp
 from openvvc_tpu.vcl.transform_unit import isp_part_dims
 from openvvc_tpu.vcl.ctu import CU, TREE_DUAL_CHROMA, TREE_DUAL_LUMA, TREE_SINGLE, UNAVAIL
 from openvvc_tpu.vcl.slice_data import parse_entry
+from openvvc_tpu.dpb import DPB
+from openvvc_tpu.rcn import ref_mc
+from openvvc_tpu.drv.inter_mvp import MV_PRECISION_HALF
+from openvvc_tpu.hls.ph import SLICE_I
 
 
 @dataclass
@@ -133,7 +137,8 @@ class _QpCtx:
         self.sh = params.sh
 
 
-def reconstruct_cu(rc: ReconCtx, cu: CU, params: ActiveParams, tools, dbf: DbfMaps | None = None):
+def reconstruct_cu(rc: ReconCtx, cu: CU, params: ActiveParams, tools,
+                   dbf: DbfMaps | None = None, refs0=None):
     """Reconstruct one CU (all components it carries) in decode order."""
     bd = rc.bitdepth
     frame = rc.frame
@@ -183,6 +188,10 @@ def reconstruct_cu(rc: ReconCtx, cu: CU, params: ActiveParams, tools, dbf: DbfMa
                 return tu
         return None
 
+    if cu.pred_mode == 1:  # MODE_INTER
+        _reconstruct_inter(rc, cu, params, trc, refs0, find_tu)
+        return
+
     if cu.isp_mode and tree in (TREE_SINGLE, TREE_DUAL_LUMA):
         _reconstruct_isp_luma(rc, cu, trc, find_tu)
     elif tree in (TREE_SINGLE, TREE_DUAL_LUMA):
@@ -214,6 +223,86 @@ def reconstruct_cu(rc: ReconCtx, cu: CU, params: ActiveParams, tools, dbf: DbfMa
         _reconstruct_chroma(rc, cu, params, trc, cu.x0 >> 1, cu.y0 >> 1, cu.log2_w - 1, cu.log2_h - 1)
     elif tree == TREE_DUAL_CHROMA:
         _reconstruct_chroma(rc, cu, params, trc, cu.x0, cu.y0, cu.log2_w, cu.log2_h)
+
+
+def _clip_mv(pos_x, pos_y, pic_w, pic_h, pb_w, pb_h, mvx, mvy):
+    """rcn_inter.c clip_mv parity (:97)."""
+    x_max = (pic_w + 2 - pos_x) << 4
+    y_max = (pic_h + 2 - pos_y) << 4
+    x_min = -((pb_w + 3 + pos_x) << 4)
+    y_min = -((pb_h + 3 + pos_y) << 4)
+    return max(x_min, min(x_max, mvx)), max(y_min, min(y_max, mvy))
+
+
+def _reconstruct_inter(rc: ReconCtx, cu: CU, params, trc, refs0, find_tu):
+    """Uni-pred P reconstruction: MC from RPL0 + residual add.
+
+    Parity: rcn_inter.c rcn_mcp_l/rcn_mcp_c (:430-530) with the hpel AMVR
+    filter switch, then the regular transform-tree residual path.
+    """
+    bd = rc.bitdepth
+    frame = rc.frame
+    mv = cu.mv0
+    ref = refs0[mv.ref_idx]
+    pic_w, pic_h = params.pps.pic_w, params.pps.pic_h
+    w, h = 1 << cu.log2_w, 1 << cu.log2_h
+    mvx, mvy = _clip_mv(cu.x0, cu.y0, pic_w, pic_h, w, h, mv.x, mv.y)
+    hpel = cu.prec_amvr_eff == MV_PRECISION_HALF
+
+    pred_y = ref_mc.mc_uni(ref.y, cu.x0 + (mvx >> 4), cu.y0 + (mvy >> 4),
+                           mvx & 0xF, mvy & 0xF, w, h, bd, luma=True, hpel=hpel)
+
+    part = params.part_info["inter_luma"]
+    for ux, uy, l2w, l2h in _tu_units(cu.x0, cu.y0, cu.log2_w, cu.log2_h,
+                                      part.log2_max_tb_s):
+        blk = pred_y[uy - cu.y0 : uy - cu.y0 + (1 << l2h),
+                     ux - cu.x0 : ux - cu.x0 + (1 << l2w)]
+        tu = find_tu(0, ux, uy)
+        if tu is not None:
+            blk = blk + reconstruct_tu_residual(tu, trc, bd, intra=False)
+        frame.y[uy : uy + (1 << l2h), ux : ux + (1 << l2w)] = _clip(blk, bd)
+    rc.mark_luma(cu.x0, cu.y0, cu.log2_w, cu.log2_h)
+
+    if not params.sps.sps_chroma_format_idc:
+        return
+    cx0, cy0 = cu.x0 >> 1, cu.y0 >> 1
+    cw, ch = w >> 1, h >> 1
+    pred_cb = ref_mc.mc_uni(ref.cb, cx0 + (mvx >> 5), cy0 + (mvy >> 5),
+                            mvx & 0x1F, mvy & 0x1F, cw, ch, bd, luma=False)
+    pred_cr = ref_mc.mc_uni(ref.cr, cx0 + (mvx >> 5), cy0 + (mvy >> 5),
+                            mvx & 0x1F, mvy & 0x1F, cw, ch, bd, luma=False)
+
+    csign = -1 if params.ph.ph_joint_cbcr_sign_flag else 1
+    max_tb_c = part.log2_max_tb_s - 1
+    for ux, uy, l2w, l2h in _tu_units(cx0, cy0, cu.log2_w - 1, cu.log2_h - 1,
+                                      max_tb_c):
+        jtu = find_tu(3, ux, uy)
+        res_cb = res_cr = None
+        if jtu is not None:
+            res = reconstruct_tu_residual(jtu, trc, bd, intra=False)
+            if jtu.joint_cbcr == 3:
+                res_cb, res_cr = res, csign * res
+            elif jtu.joint_cbcr == 2:
+                res_cb, res_cr = res, (csign * res) >> 1
+            else:
+                res_cr, res_cb = res, (csign * res) >> 1
+        else:
+            tb = find_tu(1, ux, uy)
+            tr = find_tu(2, ux, uy)
+            if tb is not None:
+                res_cb = reconstruct_tu_residual(tb, trc, bd, intra=False)
+            if tr is not None:
+                res_cr = reconstruct_tu_residual(tr, trc, bd, intra=False)
+        for plane, pred, res in ((frame.cb, pred_cb, res_cb),
+                                 (frame.cr, pred_cr, res_cr)):
+            blk = pred[uy - cy0 : uy - cy0 + (1 << l2h),
+                       ux - cx0 : ux - cx0 + (1 << l2w)]
+            if res is not None:
+                if trc.scale_c and l2w + l2h > 2 and trc.lmcs is not None:
+                    res = scale_residual(res, trc.lmcs.chroma_scale, bd)
+                blk = blk + res
+            plane[uy : uy + (1 << l2h), ux : ux + (1 << l2w)] = _clip(blk, bd)
+    rc.mark_chroma(cx0, cy0, cu.log2_w - 1, cu.log2_h - 1)
 
 
 def _reconstruct_isp_luma(rc: ReconCtx, cu: CU, trc, find_tu):
@@ -333,6 +422,7 @@ class Decoder:
     def __init__(self, use_tpu_residuals: bool = False):
         self.nvcl = NvclContext()
         self.use_tpu_residuals = use_tpu_residuals
+        self.dpb = DPB()
 
     def decode(self, stream: bytes) -> list[Frame]:
         frames = []
@@ -351,7 +441,14 @@ class Decoder:
         y = np.zeros((pps.pic_h, pps.pic_w), np.int32)
         cb = np.zeros((pps.pic_h // 2, pps.pic_w // 2), np.int32) if chroma else None
         cr = np.zeros((pps.pic_h // 2, pps.pic_w // 2), np.int32) if chroma else None
-        frame = Frame(params.ph.ph_pic_order_cnt_lsb, y, cb, cr, bd)
+        poc = self.dpb.picture_poc(params, int(nal.type))
+        frame = Frame(poc, y, cb, cr, bd)
+
+        refs0 = None
+        if params.slice_type != SLICE_I:
+            hrpl0, _ = params.sh.resolved_rpls(pps, params.ph)
+            nra = getattr(params.sh, "_num_ref_idx_active", [1, 0])
+            refs0, _dist0 = self.dpb.resolve_rpl(hrpl0, sps, poc, nra[0])
 
         tools = {
             "dep_quant": bool(params.sh.sh_dep_quant_used_flag),
@@ -385,7 +482,7 @@ class Decoder:
             rc = ReconCtx(frame, params, entry)
             for ctu in ectx.ctus:
                 for cu in ctu.cus:
-                    reconstruct_cu(rc, cu, params, tools, dbf)
+                    reconstruct_cu(rc, cu, params, tools, dbf, refs0)
             if ectx.sao_params:
                 sao_entries.append((entry, ectx.sao_params))
             if ectx.alf_params:
@@ -409,6 +506,7 @@ class Decoder:
                 apply_alf_entry(frame, (entry.ctu_x, entry.ctu_y, entry.nb_ctu_w, entry.nb_ctu_h),
                                 sps.ctb_log2, alf_params, filters, cc_data, bd,
                                 pps.pic_w, pps.pic_h)
+        self.dpb.store(poc, frame)
         return frame
 
     @staticmethod

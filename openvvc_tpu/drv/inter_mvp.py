@@ -1,0 +1,321 @@
+"""Inter MV derivation: AMVP candidates, merge list, HMVP (P slices).
+
+Behavior parity: /root/reference/libovvc/drv_mvp.c —
+drv_change_precision_mv (:71), hmvp_add_cand_1 (:136), hmvp_add_merge_cand
+(:166), hmvp_update_lut_b (:225), derive_mvp_candidates_1 (:542),
+vvc_derive_merge_mvp (:670), drv_merge_mvp / drv_mvp_b (:1700, :899-ish),
+update_mv_ctx + fill_mvp_map (:1335-1480).
+
+Maps are kept at picture(-tile) 4x4-unit granularity instead of the
+reference's rotating 34x34 CTU window + line buffers; for raster decode
+within a tile the two are observationally identical: every candidate probe
+hits either the current CTU, the left CTU's last column, or the above CTU
+row's last line, all of which hold the same values in a flat map.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, replace
+
+MV_PRECISION_4PEL = 0
+MV_PRECISION_INT = 2
+MV_PRECISION_HALF = 3
+MV_PRECISION_QUARTER = 4
+MV_PRECISION_SIXTEENTH = 6
+MV_PRECISION_INTERNAL = MV_PRECISION_SIXTEENTH
+
+
+@dataclass
+class MV:
+    x: int = 0
+    y: int = 0
+    ref_idx: int = 0
+    bcw_idx_plus1: int = 0
+    prec_amvr: int = 0
+
+
+def change_precision(mv: MV, src: int, dst: int) -> MV:
+    """drv_change_precision_mv parity (round-half-away-from-zero down)."""
+    shift = dst - src
+    if shift >= 0:
+        return replace(mv, x=mv.x << shift, y=mv.y << shift)
+    shift = -shift
+    off = 1 << (shift - 1)
+    x = (mv.x + off - 1) >> shift if mv.x >= 0 else (mv.x + off) >> shift
+    y = (mv.y + off - 1) >> shift if mv.y >= 0 else (mv.y + off) >> shift
+    return replace(mv, x=x, y=y)
+
+
+def round_to_precision(mv: MV, src: int, dst: int) -> MV:
+    return change_precision(change_precision(mv, src, dst), dst, src)
+
+
+def mv_cmp(a: MV, b: MV) -> bool:
+    return a.x == b.x and a.y == b.y
+
+
+def mv_cmp2(a: MV, b: MV) -> bool:
+    return a.x == b.x and a.y == b.y and a.ref_idx == b.ref_idx
+
+
+class HmvpLut:
+    """History-based MVP LUT, 5 entries (hmvp_update_lut_b parity)."""
+
+    def __init__(self):
+        self.mv0: list[MV] = []
+        self.mv1: list[MV] = []
+        self.dir: list[int] = []
+
+    @property
+    def nb_mv(self) -> int:
+        return len(self.dir)
+
+    def reset(self):
+        self.mv0, self.mv1, self.dir = [], [], []
+
+    def update(self, mv0: MV, mv1: MV, inter_dir: int):
+        dup_at = -1
+        for i in range(min(5, self.nb_mv)):
+            if self.dir[i] == inter_dir:
+                if inter_dir == 1:
+                    dup = mv_cmp(mv0, self.mv0[i]) and mv0.ref_idx == self.mv0[i].ref_idx
+                elif inter_dir == 2:
+                    dup = mv_cmp(mv1, self.mv1[i]) and mv1.ref_idx == self.mv1[i].ref_idx
+                else:
+                    dup = (mv_cmp(mv0, self.mv0[i]) and mv_cmp(mv1, self.mv1[i])
+                           and mv0.ref_idx == self.mv0[i].ref_idx
+                           and mv1.ref_idx == self.mv1[i].ref_idx)
+                if dup:
+                    dup_at = i
+                    break
+        if dup_at >= 0:
+            del self.mv0[dup_at]; del self.mv1[dup_at]; del self.dir[dup_at]
+        elif self.nb_mv == 5:
+            del self.mv0[0]; del self.mv1[0]; del self.dir[0]
+        self.mv0.append(mv0)
+        self.mv1.append(mv1)
+        self.dir.append(inter_dir)
+
+
+class InterCtx:
+    """Per-tile inter derivation state at 4x4-unit granularity."""
+
+    def __init__(self, nb_units_w: int, nb_units_h: int, nb_active_ref0: int,
+                 nb_active_ref1: int = 0, max_merge_cand: int = 6):
+        self.uw, self.uh = nb_units_w, nb_units_h
+        self.nb_active_ref0 = nb_active_ref0
+        self.nb_active_ref1 = nb_active_ref1
+        self.max_merge_cand = max_merge_cand
+        self.hmvp = HmvpLut()
+        # dir maps: 1 bit per list; MV planes as dicts (sparse writes, dense
+        # reads are bounded by candidate probes)
+        self.dir0 = [[0] * nb_units_w for _ in range(nb_units_h)]
+        self.dir1 = [[0] * nb_units_w for _ in range(nb_units_h)]
+        self.mvs0: dict[tuple[int, int], MV] = {}
+        self.mvs1: dict[tuple[int, int], MV] = {}
+        self.rpl0_opp = [0xFF] * 16
+        self.rpl1_opp = [0xFF] * 16
+        self.tmvp_enabled = False
+        self.prec_amvr = MV_PRECISION_QUARTER
+
+    # -- map queries ----------------------------------------------------
+    def _avail(self, lst: int, ux: int, uy: int) -> bool:
+        if ux < 0 or uy < 0 or ux >= self.uw or uy >= self.uh:
+            return False
+        d = self.dir0 if lst == 0 else self.dir1
+        return bool(d[uy][ux])
+
+    def _mv_at(self, lst: int, ux: int, uy: int) -> MV:
+        return (self.mvs0 if lst == 0 else self.mvs1)[(ux, uy)]
+
+    # -- updates (fill_mvp_map / update_mv_ctx parity) ------------------
+    def fill(self, lst: int, mv: MV, ux: int, uy: int, nw: int, nh: int):
+        d = self.dir0 if lst == 0 else self.dir1
+        mvs = self.mvs0 if lst == 0 else self.mvs1
+        for j in range(nh):
+            row = d[uy + j]
+            for i in range(nw):
+                row[ux + i] = 1
+                mvs[(ux + i, uy + j)] = mv
+
+    def update_mv_ctx(self, mv: MV, ux: int, uy: int, nw: int, nh: int,
+                      inter_dir: int):
+        """P-path update (update_mv_ctx :1454): one list + HMVP."""
+        if inter_dir & 0x2:
+            self.fill(1, mv, ux, uy, nw, nh)
+        elif inter_dir & 0x1:
+            self.fill(0, mv, ux, uy, nw, nh)
+        self.hmvp.update(mv, mv, 0x1)
+
+    # -- AMVP (derive_mvp_candidates_1 :542) ----------------------------
+    def derive_mvp_cand(self, lst: int, ref_idx: int, ux: int, uy: int,
+                        nw: int, nh: int, mvp_idx: int, inter_dir: int,
+                        prec_amvr: int, is_small: bool) -> MV:
+        opp = (self.rpl0_opp if lst == 0 else self.rpl1_opp)[ref_idx]
+        olst = 1 - lst
+        cand: list[MV] = []
+
+        def probe(px, py):
+            """A/B candidate: same-list same-ref first, else opp-list opp-ref."""
+            if self._avail(lst, px, py) and self._mv_at(lst, px, py).ref_idx == ref_idx:
+                cand.append(self._mv_at(lst, px, py))
+                return True
+            if self._avail(olst, px, py) and self._mv_at(olst, px, py).ref_idx == opp:
+                cand.append(self._mv_at(olst, px, py))
+                return True
+            return False
+
+        # A0 then A1 (left side), found stops the side
+        if not probe(ux - 1, uy + nh):
+            probe(ux - 1, uy + nh - 1)
+        # B0, B1, B2 (above side)
+        if not probe(ux + nw, uy - 1):
+            if not probe(ux + nw - 1, uy - 1):
+                probe(ux - 1, uy - 1)
+
+        cand = [round_to_precision(c, MV_PRECISION_INTERNAL, prec_amvr) for c in cand]
+        if len(cand) == 2 and mv_cmp(cand[0], cand[1]):
+            cand.pop()
+
+        # TMVP (not yet wired; generator keeps ph_temporal_mvp off)
+        if len(cand) < 2:
+            self._hmvp_amvp(cand, inter_dir, ref_idx, opp)
+
+        while len(cand) < 2:
+            cand.append(MV(0, 0, ref_idx))
+        cand = [round_to_precision(c, MV_PRECISION_INTERNAL, prec_amvr) for c in cand]
+        return cand[mvp_idx]
+
+    def _hmvp_amvp(self, cand: list[MV], inter_dir: int, ref_idx: int, opp: int):
+        """hmvp_add_cand_1 parity: oldest-first, same-dir then opposite."""
+        lut = self.hmvp
+        for i in range(min(4, lut.nb_mv)):
+            if len(cand) >= 2:
+                return
+            if lut.dir[i] & inter_dir:
+                c = lut.mv0[i] if inter_dir & 0x1 else lut.mv1[i]
+                if c.ref_idx == ref_idx:
+                    cand.append(c)
+            if len(cand) >= 2:
+                return
+            if lut.dir[i] & (3 - inter_dir):
+                c = lut.mv0[i] if (3 - inter_dir) & 0x1 else lut.mv1[i]
+                if c.ref_idx == opp:
+                    cand.append(c)
+
+    # -- merge (vvc_derive_merge_mvp :670) ------------------------------
+    def derive_merge_mvp(self, ux: int, uy: int, nw: int, nh: int,
+                         merge_idx: int, max_nb_cand: int, is_small: bool) -> MV:
+        cand: list[MV] = []
+        NONE = MV(-1, 0, -1)
+        amvp = [NONE] * 5
+
+        got_t = self._avail(0, ux + nw - 1, uy - 1)
+        got_l = self._avail(0, ux - 1, uy + nh - 1)
+
+        if got_t:  # B1
+            mv = self._mv_at(0, ux + nw - 1, uy - 1)
+            amvp[0] = mv
+            cand.append(mv)
+            if len(cand) - 1 == merge_idx:
+                return mv
+        if got_l:  # A1
+            mv = self._mv_at(0, ux - 1, uy + nh - 1)
+            amvp[1] = mv
+            if not got_t or not mv_cmp2(mv, amvp[0]):
+                cand.append(mv)
+                if len(cand) - 1 == merge_idx:
+                    return mv
+        if self._avail(0, ux + nw, uy - 1):  # B0
+            mv = self._mv_at(0, ux + nw, uy - 1)
+            amvp[2] = mv
+            if not got_t or not mv_cmp2(mv, amvp[0]):
+                cand.append(mv)
+                if len(cand) - 1 == merge_idx:
+                    return mv
+        if self._avail(0, ux - 1, uy + nh):  # A0
+            mv = self._mv_at(0, ux - 1, uy + nh)
+            amvp[3] = mv
+            if not got_l or not mv_cmp2(mv, amvp[1]):
+                cand.append(mv)
+                if len(cand) - 1 == merge_idx:
+                    return mv
+        if len(cand) < 4 and self._avail(0, ux - 1, uy - 1):  # B2
+            mv = self._mv_at(0, ux - 1, uy - 1)
+            amvp[4] = mv
+            if ((not got_l or not mv_cmp2(mv, amvp[1]))
+                    and (not got_t or not mv_cmp2(mv, amvp[0]))):
+                cand.append(mv)
+                if len(cand) - 1 == merge_idx:
+                    return mv
+
+        # TMVP merge candidate: not yet wired (tmvp_enabled stays False)
+
+        if len(cand) != max_nb_cand - 1:
+            got = self._hmvp_merge(cand, amvp, got_t, got_l, merge_idx,
+                                   max_nb_cand - 1)
+            if got:
+                return cand[-1]
+
+        if 1 < len(cand) < max_nb_cand:
+            a, b = cand[0], cand[1]
+            ax = a.x + b.x
+            ay = a.y + b.y
+            ax += 1 - (ax >= 0)
+            ay += 1 - (ay >= 0)
+            avg = replace(a, x=ax >> 1, y=ay >> 1)
+            if a.prec_amvr != b.prec_amvr:
+                avg = replace(avg, prec_amvr=0)
+            if len(cand) == merge_idx:
+                return avg
+            cand.append(avg)
+
+        diff = merge_idx - len(cand)
+        ref_idx = diff if diff <= self.nb_active_ref0 - 1 else 0
+        while len(cand) < max_nb_cand:
+            cand.append(MV(0, 0, ref_idx))
+        return cand[-1]
+
+    def _hmvp_merge(self, cand, amvp, got_t, got_l, merge_idx, max_min1) -> bool:
+        """hmvp_add_merge_cand parity: newest-first, prune vs B1/A1 for the
+        two newest entries only."""
+        lut = self.hmvp
+        for i in range(1, lut.nb_mv + 1):
+            idx = lut.nb_mv - i
+            if lut.dir[idx] & 0x1:
+                mv = lut.mv0[idx]
+                if i > 2 or ((not got_t or not mv_cmp2(mv, amvp[0]))
+                             and (not got_l or not mv_cmp2(mv, amvp[1]))):
+                    cand.append(mv)
+                    if len(cand) == merge_idx + 1:
+                        return True
+                    if len(cand) == max_min1:
+                        return False
+        return False
+
+
+# -- CU-level wrappers (drv_merge_mvp / drv_mvp_b P path) ---------------
+
+def drv_merge_mvp_p(ictx: InterCtx, x0, y0, log2_w, log2_h, merge_idx,
+                    max_nb_cand) -> MV:
+    ux, uy = x0 >> 2, y0 >> 2
+    nw, nh = (1 << log2_w) >> 2, (1 << log2_h) >> 2
+    mv = ictx.derive_merge_mvp(ux, uy, nw, nh, merge_idx, max_nb_cand,
+                               log2_w + log2_h <= 5)
+    ictx.update_mv_ctx(mv, ux, uy, nw, nh, 0x1)
+    return mv
+
+
+def drv_mvp_p(ictx: InterCtx, x0, y0, log2_w, log2_h, mvd: MV, prec_amvr,
+              mvp_idx, ref_idx) -> MV:
+    """drv_mvp_b with inter_dir=0x1 (P uni-pred) parity."""
+    ux, uy = x0 >> 2, y0 >> 2
+    nw, nh = (1 << log2_w) >> 2, (1 << log2_h) >> 2
+    mv = ictx.derive_mvp_cand(0, ref_idx, ux, uy, nw, nh, mvp_idx, 0x1,
+                              prec_amvr, log2_w + log2_h <= 5)
+    mvd_i = change_precision(mvd, prec_amvr, MV_PRECISION_INTERNAL)
+    # BCW_DEFAULT = 2 (vcl_coding_unit.c :52), stored +1
+    mv = replace(mv, x=mv.x + mvd_i.x, y=mv.y + mvd_i.y, ref_idx=ref_idx,
+                 bcw_idx_plus1=3, prec_amvr=prec_amvr)
+    ictx.update_mv_ctx(mv, ux, uy, nw, nh, 0x1)
+    return mv

@@ -60,6 +60,7 @@ class StreamConfig:
     lmcs_params: object = None  # dict of lmcs_* syntax values (None -> default curve)
     lmcs_chroma_scaling: bool = False
     deblocking: bool = True  # on unless disabled in PPS
+    amvr: bool = False
     delta_qp: bool = False
     delta_qp_subdiv: int = 0
     max_tb_64: bool = True
@@ -90,7 +91,11 @@ def build_sps(cfg: StreamConfig) -> SPS:
         sps.sps_log2_diff_max_bt_min_qt_intra_slice_luma = max(0, cfg.max_bt_log2 - cfg.min_qt_log2)
         sps.sps_log2_diff_max_tt_min_qt_intra_slice_luma = max(0, min(cfg.max_tt_log2, 6) - cfg.min_qt_log2)
     sps.sps_log2_diff_min_qt_min_cb_inter_slice = cfg.min_qt_log2 - cfg.min_cb_log2
-    sps.sps_max_mtt_hierarchy_depth_inter_slice = 0
+    sps.sps_max_mtt_hierarchy_depth_inter_slice = cfg.max_mtt_depth
+    if cfg.max_mtt_depth:
+        sps.sps_log2_diff_max_bt_min_qt_inter_slice = max(0, cfg.max_bt_log2 - cfg.min_qt_log2)
+        sps.sps_log2_diff_max_tt_min_qt_inter_slice = max(0, min(cfg.max_tt_log2, 6) - cfg.min_qt_log2)
+    sps.sps_amvr_enabled_flag = 1 if cfg.amvr else 0
     if cfg.ctu_log2 > 5:
         sps.sps_max_luma_transform_size_64_flag = 1 if cfg.max_tb_64 else 0
     if cfg.dual_tree:
@@ -162,10 +167,10 @@ def build_pps(cfg: StreamConfig, sps: SPS) -> PPS:
     return pps
 
 
-def build_ph(cfg: StreamConfig, poc: int = 0) -> PH:
+def build_ph(cfg: StreamConfig, poc: int = 0, inter: bool = False) -> PH:
     ph = PH()
-    ph.ph_gdr_or_irap_pic_flag = 1
-    ph.ph_inter_slice_allowed_flag = 0
+    ph.ph_gdr_or_irap_pic_flag = 0 if inter else 1
+    ph.ph_inter_slice_allowed_flag = 1 if inter else 0
     ph.ph_intra_slice_allowed_flag = 1
     ph.ph_pic_order_cnt_lsb = poc & 0xFF
     ph.ph_pic_output_flag = 1
@@ -176,15 +181,36 @@ def build_ph(cfg: StreamConfig, poc: int = 0) -> PH:
             ph.ph_chroma_residual_scale_flag = 1
     if cfg.delta_qp:
         ph.ph_cu_qp_delta_subdiv_intra_slice = cfg.delta_qp_subdiv
+        if inter:
+            ph.ph_cu_qp_delta_subdiv_inter_slice = cfg.delta_qp_subdiv
     return ph
 
 
-def build_sh(cfg: StreamConfig, sps, pps) -> SH:
+def build_sh(cfg: StreamConfig, sps, pps, slice_type: int = 2,
+             ref_deltas=None) -> SH:
+    """ref_deltas: for P slices, the list-0 POC deltas (positive = past)."""
+    from openvvc_tpu.hls.rpl import RPL
+
     sh = SH()
     sh.sh_picture_header_in_slice_header_flag = 0
     sh.sh_qp_delta = cfg.qp - 26
-    sh.sh_slice_type = 2
+    sh.sh_slice_type = slice_type
     sh.sh_num_ref_idx_active_override_flag = 1
+    if slice_type != 2:
+        rpl = RPL()
+        rpl.num_ref_entries = len(ref_deltas)
+        rpl.abs_delta_poc_st = ListField()
+        rpl.strp_entry_sign_flag = ListField()
+        rpl.st_ref_pic_flag = ListField()
+        for i, d in enumerate(ref_deltas):
+            # reference parity (dpb.c :459): RefPoc[i] = poc -/+ (abs+1),
+            # sign 1 = past; no pocBase chaining
+            rpl.abs_delta_poc_st[i] = abs(d) - 1
+            rpl.strp_entry_sign_flag[i] = 1 if d > 0 else 0
+        sh.hrpl0.rpl = rpl
+        rpl1 = RPL()
+        rpl1.num_ref_entries = 0
+        sh.hrpl1.rpl = rpl1
     if cfg.alf:
         sh.sh_alf_enabled_flag = 1
         sh.sh_num_alf_aps_ids_luma = 1
@@ -399,6 +425,85 @@ def _build_lmcs_aps_nal(cfg: StreamConfig) -> NalUnit:
             lmcs.lmcs_delta_sign_crs_flag = 1 if crs < 0 else 0
     aps.lmcs_data = lmcs
     return _write_ps_nal(aps_syntax, aps, NalType.PREFIX_APS)
+
+
+def build_slice_nals(ctx, cfg, sps_r, pps_r, ph, sh, nal_type, tree_builder):
+    """PH + slice NALs for one frame (entry fixpoint as in build_stream)."""
+    from openvvc_tpu.vcl.slice_data import write_entry
+
+    ph_nal = _write_ps_nal(picture_header_syntax, ph, NalType.PH, sps_r, pps_r)
+    ctx.decode_nalu(ph_nal)
+
+    probe_w = SyntaxWriter(BitWriter())
+    slice_header_syntax(probe_w, sh, nal_type, sps_r, pps_r, ctx.ph)
+    probe_w.bw.u(0x80, 8)
+    probe_nal = NalUnit(nal_type, probe_w.bw.get_bytes())
+    params = ctx.parse_slice(probe_nal)
+
+    payloads = []
+    for entry in params.entries:
+        trees = tree_builder(params, entry)
+        payloads.append(write_entry(params, entry, trees))
+
+    def sh_bytes_for(sizes):
+        w = SyntaxWriter(BitWriter())
+        if sizes:
+            sh.sh_entry_point_offset_minus1 = ListField({i: v - 1 for i, v in enumerate(sizes)})
+            sh.sh_entry_offset_len_minus1 = max(0, (max(v - 1 for v in sizes)).bit_length() - 1)
+        slice_header_syntax(w, sh, nal_type, sps_r, pps_r, ctx.ph)
+        return w.bw.get_bytes()
+
+    if len(payloads) > 1:
+        sizes = [len(pl) for pl in payloads[:-1]]
+        for _ in range(4):
+            sh_bytes = sh_bytes_for(sizes)
+            new_sizes = _ebsp_entry_sizes(sh_bytes, payloads)[:-1]
+            if new_sizes == sizes:
+                break
+            sizes = new_sizes
+        sh_bytes = sh_bytes_for(sizes)
+    else:
+        sh_bytes = sh_bytes_for(None)
+
+    return [ph_nal, NalUnit(nal_type, sh_bytes + b"".join(payloads))]
+
+
+def build_stream_frames(cfg: StreamConfig, frames) -> bytes:
+    """Multi-frame Annex-B stream.
+
+    frames: list of dicts with keys: tree_builder, poc (default index),
+    slice_type (default 2), ref_deltas (P slices: list-0 POC deltas).
+    Frame 0 is an IDR; later frames are TRAIL.
+    """
+    from openvvc_tpu.hls.params import NvclContext
+
+    sps = build_sps(cfg)
+    pps = build_pps(cfg, sps)
+    sps_nal = _write_ps_nal(sps_syntax, sps, NalType.SPS)
+    pps_nal = _write_ps_nal(pps_syntax, pps, NalType.PPS)
+    aps_nals = []
+    if cfg.lmcs:
+        aps_nals.append(_build_lmcs_aps_nal(cfg))
+    if cfg.alf:
+        aps_nals.append(_build_alf_aps_nal(cfg))
+
+    ctx = NvclContext()
+    ctx.decode_nalu(sps_nal)
+    ctx.decode_nalu(pps_nal)
+    for nal in aps_nals:
+        ctx.decode_nalu(nal)
+    sps_r, pps_r = ctx.sps_list[0], ctx.pps_list[0]
+
+    nals = [sps_nal, pps_nal] + aps_nals
+    for i, spec in enumerate(frames):
+        poc = spec.get("poc", i)
+        slice_type = spec.get("slice_type", 2)
+        nal_type = NalType.IDR_N_LP if i == 0 else NalType.TRAIL
+        ph = build_ph(cfg, poc=poc, inter=slice_type != 2)
+        sh = build_sh(cfg, sps, pps, slice_type, spec.get("ref_deltas"))
+        nals += build_slice_nals(ctx, cfg, sps_r, pps_r, ph, sh, nal_type,
+                                 spec["tree_builder"])
+    return mux_annexb(nals)
 
 
 def build_stream(cfg: StreamConfig, tree_builder, nal_type=NalType.IDR_N_LP) -> bytes:

@@ -95,9 +95,17 @@ class CU:
     bdpcm_c: int = 0
     bdpcm_dir_c: int = 0
     lfnst_idx: int = 0
-    # inter (filled by inter parse later)
+    # inter
     skip_flag: int = 0
     merge_flag: int = 0
+    merge_idx: int = 0
+    ref_idx: int = 0
+    mvd: tuple = (0, 0)
+    mvp_idx: int = 0
+    amvr_prec: int = 4  # MV_PRECISION_QUARTER
+    mv0: object = None  # drv result (drv.inter_mvp.MV)
+    prec_amvr_eff: int = 4  # slice-running prec after this CU (hpel MC select)
+    root_cbf: int = 1
     qp: int = 0
     tus: list = field(default_factory=list)
 
@@ -164,6 +172,16 @@ class CTUParseCtx:
         self.cu_qp_delta_enabled = bool(pps.pps_cu_qp_delta_enabled_flag)
         self.max_num_merge_cand = 6 - sps.sps_six_minus_max_num_merge_cand
 
+        # inter tool enables (slicedec.c :1399-1440)
+        self.sbtmvp_enabled = bool(sps.sps_sbtmvp_enabled_flag) and bool(
+            getattr(ph, "ph_temporal_mvp_enabled_flag", 0))
+        self.affine_enabled = bool(sps.sps_affine_enabled_flag)
+        self.mmvd_enabled = bool(sps.sps_mmvd_enabled_flag)
+        self.ciip_enabled = bool(sps.sps_ciip_enabled_flag)
+        self.gpm_enabled = bool(getattr(sps, "sps_gpm_enabled_flag", 0))
+        self.amvr_enabled = bool(sps.sps_amvr_enabled_flag)
+        self.tmvp_enabled = bool(getattr(ph, "ph_temporal_mvp_enabled_flag", 0))
+
         # tile geometry in luma samples
         self.tile_x0 = entry.ctu_x << self.log2_ctb
         self.tile_y0 = entry.ctu_y << self.log2_ctb
@@ -171,6 +189,16 @@ class CTUParseCtx:
         self.tile_h = min(entry.nb_ctu_h << self.log2_ctb, pps.pic_h - self.tile_y0)
         self.pic_w = pps.pic_w
         self.pic_h = pps.pic_h
+
+        self.inter_ctx = None
+        if self.slice_type != SLICE_I:
+            from openvvc_tpu.drv.inter_mvp import InterCtx
+
+            uw_i = (self.tile_w + 3) >> 2
+            uh_i = (self.tile_h + 3) >> 2
+            nra = getattr(sh, "_num_ref_idx_active", [1, 0])
+            self.inter_ctx = InterCtx(uw_i, uh_i, nra[0], nra[1],
+                                      self.max_num_merge_cand)
 
         # 2-D neighbor maps at 4x4 luma granularity over the tile
         uw = (self.tile_w + 3) >> 2

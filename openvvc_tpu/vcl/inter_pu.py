@@ -1,0 +1,256 @@
+"""Inter CU / prediction-unit syntax (P slices).
+
+Symmetric reader/writer for: cu_skip_flag, pred_mode_flag, merge_flag,
+merge data (subset: regular merge; sb-merge/mmvd/gpm/ciip bins appear only
+when the SPS enables those tools), MVP data (ref_idx, mvd, mvp_idx, amvr
+precision), root cbf + inter transform unit.
+
+Behavior parity: /root/reference/libovvc/vcl_coding_unit.c —
+coding_unit_inter_st (:1012), inter_skip_data_p (:1528),
+inter_merge_data_p (:1583), inter_mvp_read_p (:897, :1766),
+ovcabac_read_ae_mvd (:391), vvc_exp_golomb_mv (:356),
+ovcabac_read_ae_ref_idx (:661), amvr (:297); drv wrappers
+drv_merge_motion_info_p (:1500), drv_rcn_wrap_mvp_p (:1856);
+vcl_transform_unit.c root cbf (:1896).
+"""
+
+from __future__ import annotations
+
+from openvvc_tpu.cabac.ctx import CtxOffset
+from openvvc_tpu.drv.inter_mvp import (
+    MV,
+    MV_PRECISION_4PEL,
+    MV_PRECISION_HALF,
+    MV_PRECISION_INT,
+    MV_PRECISION_QUARTER,
+    drv_merge_mvp_p,
+    drv_mvp_p,
+)
+from openvvc_tpu.vcl.ctu import MODE_INTER, UNAVAIL
+
+# cu_utils.h :133-141
+CU_NA = 0xFF
+CU_INTER = 1
+CU_INTRA = 2
+CU_INTER_SKIP = 3
+CU_MIP = 4
+CU_AFFINE = 5
+CU_INTER_SKIP_AFFINE = 6
+CU_IBC = 7
+CU_IBC_SKIP = 8
+
+_SKIPPY = (CU_IBC_SKIP, CU_INTER_SKIP, CU_INTER_SKIP_AFFINE)
+
+
+def _sym_bin(io, ctx_idx, wval):
+    if io.is_reader:
+        return io.raw_bin(ctx_idx)
+    return io.put_bin(wval, ctx_idx)
+
+
+def _sym_bypass(io, wval):
+    if io.is_reader:
+        return io.raw_bypass()
+    return io.put_bypass(wval)
+
+
+def read_skip_flag(ctx, io, cu, abv, lft) -> int:
+    off = int(abv in _SKIPPY) + int(lft in _SKIPPY)
+    v = _sym_bin(io, CtxOffset.SKIP_FLAG + off, cu.skip_flag)
+    cu.skip_flag = v
+    return v
+
+
+def read_pred_mode_flag(ctx, io, cu, abv, lft) -> int:
+    off = int(abv in (CU_INTRA, CU_MIP) or lft in (CU_INTRA, CU_MIP))
+    wv = None if io.is_reader else (1 if cu.pred_mode == 0 else 0)
+    return _sym_bin(io, CtxOffset.PRED_MODE + off, wv)
+
+
+def code_merge_idx(ctx, io, cu, max_nb_cand) -> int:
+    """ovcabac_read_ae_mvp_merge_idx parity (first bin ctx, rest bypass)."""
+    if max_nb_cand <= 1:
+        cu.merge_idx = 0
+        return 0
+    if io.is_reader:
+        v = 0
+        if io.raw_bin(CtxOffset.MERGE_IDX):
+            v = 1
+            while v < max_nb_cand - 1 and io.raw_bypass():
+                v += 1
+        cu.merge_idx = v
+        return v
+    v = cu.merge_idx
+    io.put_bin(1 if v > 0 else 0, CtxOffset.MERGE_IDX)
+    for k in range(1, v):
+        io.put_bypass(1)
+    if 0 < v < max_nb_cand - 1:
+        io.put_bypass(0)
+    return v
+
+
+def _exp_golomb_mv(io, wval=None) -> int:
+    """vvc_exp_golomb_mv parity: prefix of 1s (term 0), EG with length
+    prefix+1 (17 cap)."""
+    if io.is_reader:
+        prefix = 0
+        bit = 1
+        while True:
+            prefix += 1
+            bit = io.raw_bypass()
+            if not (bit and prefix < 15):
+                break
+        prefix -= 1 - bit
+        offset = ((1 << prefix) - 1) << 1
+        length = 1 + (16 if prefix == 15 else prefix)
+        add = 0
+        for _ in range(length):
+            add = (add << 1) | io.raw_bypass()
+        return offset + add
+    # writer: value -> prefix/suffix
+    v = wval
+    prefix = 0
+    while v >= (((1 << (prefix + 1)) - 1) << 1) and prefix < 15:
+        prefix += 1
+    # check value fits prefix's bucket: offset = ((2^prefix)-1)*2, span 2^(prefix+1)
+    offset = ((1 << prefix) - 1) << 1
+    length = 1 + (16 if prefix == 15 else prefix)
+    add = v - offset
+    assert 0 <= add < (1 << length), (v, prefix)
+    for _ in range(prefix):
+        io.put_bypass(1)
+    if prefix < 15:
+        io.put_bypass(0)
+    for k in range(length - 1, -1, -1):
+        io.put_bypass((add >> k) & 1)
+    return v
+
+
+def code_mvd(ctx, io, wmvd=None) -> MV:
+    """ovcabac_read_ae_mvd parity. Writer passes the (x, y) quarter-pel MVD."""
+    if io.is_reader:
+        abs_x = io.raw_bin(CtxOffset.MVD)
+        abs_y = io.raw_bin(CtxOffset.MVD)
+        if abs_x:
+            abs_x += io.raw_bin(CtxOffset.MVD + 1)
+        if abs_y:
+            abs_y += io.raw_bin(CtxOffset.MVD + 1)
+        if abs_x:
+            if abs_x > 1:
+                abs_x += _exp_golomb_mv(io)
+            abs_x = -abs_x if io.raw_bypass() else abs_x
+        if abs_y:
+            if abs_y > 1:
+                abs_y += _exp_golomb_mv(io)
+            abs_y = -abs_y if io.raw_bypass() else abs_y
+        return MV(abs_x, abs_y)
+    x, y = wmvd
+    ax, ay = abs(x), abs(y)
+    io.put_bin(1 if ax else 0, CtxOffset.MVD)
+    io.put_bin(1 if ay else 0, CtxOffset.MVD)
+    if ax:
+        io.put_bin(1 if ax > 1 else 0, CtxOffset.MVD + 1)
+    if ay:
+        io.put_bin(1 if ay > 1 else 0, CtxOffset.MVD + 1)
+    if ax:
+        if ax > 1:
+            _exp_golomb_mv(io, ax - 2)
+        io.put_bypass(1 if x < 0 else 0)
+    if ay:
+        if ay > 1:
+            _exp_golomb_mv(io, ay - 2)
+        io.put_bypass(1 if y < 0 else 0)
+    return MV(x, y)
+
+
+def code_ref_idx(ctx, io, cu, nb_active) -> int:
+    """ovcabac_read_ae_ref_idx parity."""
+    if io.is_reader:
+        v = 0
+        if io.raw_bin(CtxOffset.REF_PIC):
+            v = 1
+            if nb_active > 2 and io.raw_bin(CtxOffset.REF_PIC + 1):
+                v = 2
+                while nb_active > v + 1 and io.raw_bypass():
+                    v += 1
+        return v
+    v = cu.ref_idx
+    io.put_bin(1 if v > 0 else 0, CtxOffset.REF_PIC)
+    if v > 0 and nb_active > 2:
+        io.put_bin(1 if v > 1 else 0, CtxOffset.REF_PIC + 1)
+        for k in range(2, v):
+            io.put_bypass(1)
+        if v >= 2 and nb_active > v + 1:
+            io.put_bypass(0)
+    return v
+
+
+def code_amvr_precision(ctx, io, cu) -> int:
+    """ovcabac_read_ae_amvr_precision parity."""
+    order = (MV_PRECISION_QUARTER, MV_PRECISION_INT, MV_PRECISION_4PEL,
+             MV_PRECISION_HALF)
+    if io.is_reader:
+        if not io.raw_bin(CtxOffset.IMV_FLAG):
+            return order[0]
+        if io.raw_bin(CtxOffset.IMV_FLAG + 4):
+            return order[1 + io.raw_bin(CtxOffset.IMV_FLAG + 1)]
+        return order[3]
+    prec = cu.amvr_prec
+    io.put_bin(0 if prec == MV_PRECISION_QUARTER else 1, CtxOffset.IMV_FLAG)
+    if prec == MV_PRECISION_QUARTER:
+        return prec
+    io.put_bin(0 if prec == MV_PRECISION_HALF else 1, CtxOffset.IMV_FLAG + 4)
+    if prec != MV_PRECISION_HALF:
+        io.put_bin(1 if prec == MV_PRECISION_4PEL else 0, CtxOffset.IMV_FLAG + 1)
+    return prec
+
+
+def merge_data_p(ctx, io, cu, x0, y0, log2_w, log2_h, skip: bool):
+    """inter_skip_data_p / inter_merge_data_p parity (subset: the optional
+    tool bins only appear when the SPS enables them; generator keeps
+    sbtmvp/affine/mmvd/ciip/gpm off this round)."""
+    if (ctx.sbtmvp_enabled or ctx.affine_enabled) and log2_w >= 3 and log2_h >= 3:
+        raise NotImplementedError("sb_merge syntax (affine/sbtmvp) not yet supported")
+    if ctx.mmvd_enabled:
+        raise NotImplementedError("mmvd syntax not yet supported")
+    if not skip and ctx.ciip_enabled:
+        ciip_ok = log2_w < 7 and log2_h < 7 and (log2_w + log2_h) >= 6
+        if ciip_ok:
+            raise NotImplementedError("ciip syntax not yet supported")
+    code_merge_idx(ctx, io, cu, ctx.max_num_merge_cand)
+
+
+def prediction_unit_inter_p(ctx, io, cu, x0, y0, log2_w, log2_h,
+                            skip: bool, merge: bool):
+    """prediction_unit_inter_p parity (:1946): merge or MVP, runs the MV
+    derivation so reader and writer keep identical drv state."""
+    ictx = ctx.inter_ctx
+    ictx.prec_amvr = MV_PRECISION_QUARTER
+    if merge:
+        merge_data_p(ctx, io, cu, x0, y0, log2_w, log2_h, skip)
+        mv0 = drv_merge_mvp_p(ictx, x0 - ctx.tile_x0, y0 - ctx.tile_y0,
+                              log2_w, log2_h, cu.merge_idx,
+                              ctx.max_num_merge_cand)
+        ictx.prec_amvr = mv0.prec_amvr
+    else:
+        nb_active = ictx.nb_active_ref0
+        cu.ref_idx = code_ref_idx(ctx, io, cu, nb_active) if nb_active > 1 \
+            else (nb_active - 1 if io.is_reader else cu.ref_idx)
+        mvd = code_mvd(ctx, io, None if io.is_reader else cu.mvd)
+        if io.is_reader:
+            cu.mvd = (mvd.x, mvd.y)
+        if io.is_reader:
+            cu.mvp_idx = io.raw_bin(CtxOffset.MVP_IDX)
+        else:
+            io.put_bin(cu.mvp_idx, CtxOffset.MVP_IDX)
+        prec = MV_PRECISION_QUARTER
+        if ctx.amvr_enabled and (mvd.x or mvd.y):
+            prec = code_amvr_precision(ctx, io, cu)
+        if io.is_reader:
+            cu.amvr_prec = prec
+        ictx.prec_amvr = prec
+        mv0 = drv_mvp_p(ictx, x0 - ctx.tile_x0, y0 - ctx.tile_y0,
+                        log2_w, log2_h, mvd, prec, cu.mvp_idx, cu.ref_idx)
+    cu.mv0 = mv0
+    cu.pred_mode = MODE_INTER
+    return mv0

@@ -35,6 +35,16 @@ from openvvc_tpu.vcl.ctu import (
 from openvvc_tpu.vcl.alf import code_alf_ctu, code_cc_alf_ctu
 from openvvc_tpu.vcl.sao import code_sao_ctu
 from openvvc_tpu.vcl.transform_unit import isp_subtree, lfnst_mts_idx, transform_tree_intra
+from openvvc_tpu.vcl.inter_pu import (
+    CU_INTER,
+    CU_INTER_SKIP,
+    CU_NA,
+    prediction_unit_inter_p,
+    read_pred_mode_flag,
+    read_skip_flag,
+)
+from openvvc_tpu.cabac.ctx import CtxOffset
+from openvvc_tpu.vcl.ctu import MODE_INTER
 
 
 def _collocated_luma_mode(ctx, cx0, cy0, clog2_w, clog2_h) -> int:
@@ -52,7 +62,9 @@ def coding_unit_dispatch(ctx, io, node, x0, y0, log2_w, log2_h):
     tree = ctx.tree_type
 
     if ctx.slice_type != SLICE_I:
-        raise NotImplementedError("inter slices not yet implemented")
+        if tree != TREE_SINGLE or ctx.share == 1:
+            raise NotImplementedError("P/B dual-tree / SCIPU share not yet implemented")
+        return coding_unit_inter_st(ctx, io, node, x0, y0, log2_w, log2_h)
 
     if io.is_reader:
         cu = CU(x0, y0, log2_w, log2_h, tree_type=tree)
@@ -123,6 +135,144 @@ def coding_unit_dispatch(ctx, io, node, x0, y0, log2_w, log2_h):
     return cu
 
 
+
+def _nbr_cu_type(ctx, x, y) -> int:
+    """cu_mode map probe (part_map.cu_mode_x/y analog, tile-bounded)."""
+    if not ctx.in_tile(x, y):
+        return CU_NA
+    ux, uy = ctx._lu(x, y)
+    return int(ctx.map_cu_type[uy, ux])
+
+
+def _dqp_group_start(ctx, x0, y0):
+    """Delta-QP group-start prediction (shared intra/inter CU head)."""
+    if ctx.cu_qp_delta_enabled:
+        min_cb = ctx.part_luma.log2_min_cb_s
+        x0l, y0l = x0 & (ctx.ctb_size - 1), y0 & (ctx.ctb_size - 1)
+        msk = (1 << (ctx.log2_ctb + 1 - ctx.cu_qp_delta_subdiv)) - 1
+        if not ((x0l & msk) | (y0l & msk)):
+            abv = ctx.qp_map_x[(x0l & ~msk) >> min_cb] if y0l else ctx.qp
+            lft = ctx.qp_map_y[(y0l & ~msk) >> min_cb] if x0l else ctx.qp
+            ctx.qp = (abv + lft + 1) >> 1
+            ctx.is_cu_qp_delta_coded = False
+
+
+def _cu_tail_maps(ctx, cu, x0, y0, log2_w, log2_h, cu_type):
+    """updt_cu_maps + qp map updates + IR append (dispatch tail analog)."""
+    ux, uy = ctx._lu(x0, y0)
+    wu = max(1, (1 << log2_w) >> 2)
+    hu = max(1, (1 << log2_h) >> 2)
+    ctx.map_cu_type[uy : uy + hu, ux : ux + wu] = cu_type
+    cu.qp = ctx.qp
+    if ctx.cu_qp_delta_enabled:
+        min_cb = ctx.part_luma.log2_min_cb_s
+        x0l, y0l = x0 & (ctx.ctb_size - 1), y0 & (ctx.ctb_size - 1)
+        for i in range((1 << log2_w) >> min_cb):
+            ctx.qp_map_x[(x0l >> min_cb) + i] = ctx.qp
+        for i in range((1 << log2_h) >> min_cb):
+            ctx.qp_map_y[(y0l >> min_cb) + i] = ctx.qp
+    ctx.ctu_ir.cus.append(cu)
+
+
+def coding_unit_inter_st(ctx, io, node, x0, y0, log2_w, log2_h):
+    """coding_unit_inter_st parity (vcl_coding_unit.c :1012), P slices,
+    IBC off. Single tree only; SCIPU share regions are rejected upstream."""
+    if io.is_reader:
+        cu = CU(x0, y0, log2_w, log2_h, tree_type=TREE_SINGLE)
+        node.cu = cu
+    else:
+        cu = node.cu
+
+    _dqp_group_start(ctx, x0, y0)
+    cu.qp = ctx.qp
+
+    abv = _nbr_cu_type(ctx, x0, y0 - 1)
+    lft = _nbr_cu_type(ctx, x0 - 1, y0)
+
+    skip = read_skip_flag(ctx, io, cu, abv, lft)
+
+    if skip:
+        cu.merge_flag = 1
+        prediction_unit_inter_p(ctx, io, cu, x0, y0, log2_w, log2_h, 1, 1)
+        cu_type = CU_INTER_SKIP
+        cu.prec_amvr_eff = ctx.inter_ctx.prec_amvr
+        _reset_intra_map(ctx, x0, y0, log2_w, log2_h)
+        _cu_tail_maps(ctx, cu, x0, y0, log2_w, log2_h, cu_type)
+        return cu
+
+    if log2_w == 2 and log2_h == 2:
+        raise NotImplementedError("4x4 in inter slice implies SCIPU share")
+
+    pred_mode_flag = read_pred_mode_flag(ctx, io, cu, abv, lft)
+    if io.is_reader:
+        cu.pred_mode = MODE_INTRA if pred_mode_flag else MODE_INTER
+
+    if pred_mode_flag:
+        # intra CU inside a P slice: same single-tree intra flow as I slices
+        coding_unit_intra_luma(ctx, io, cu)
+        ctx.store_cu_luma(cu)
+        ux, uy = ctx._lu(x0, y0)
+        wu = max(1, (1 << log2_w) >> 2)
+        hu = max(1, (1 << log2_h) >> 2)
+        ctx.map_cu_type[uy : uy + hu, ux : ux + wu] = CU_MIP if cu.mip_flag else CU_INTRA
+        if ctx.chroma_enabled:
+            col_mode = cu.intra_mode_l if not cu.mip_flag else INTRA_PLANAR
+            cu.col_luma_mode = col_mode
+            coding_unit_intra_chroma(ctx, io, cu, col_mode)
+        if cu.isp_mode:
+            isp_subtree(ctx, io, cu, x0, y0, log2_w, log2_h)
+        else:
+            info = transform_tree_intra(ctx, io, cu, x0, y0, log2_w, log2_h)
+            lfnst_mts_idx(ctx, io, cu, log2_w, log2_h, info)
+        if ctx.chroma_enabled:
+            ctx.store_cu_chroma(x0 >> 1, y0 >> 1, log2_w, log2_h)
+        cu_type = CU_MIP if cu.mip_flag else CU_INTRA
+        _cu_tail_maps(ctx, cu, x0, y0, log2_w, log2_h, cu_type)
+        return cu
+
+    # inter, non-skip
+    if io.is_reader:
+        cu.merge_flag = io.raw_bin(CtxOffset.MERGE_FLAG)
+    else:
+        io.put_bin(cu.merge_flag, CtxOffset.MERGE_FLAG)
+    prediction_unit_inter_p(ctx, io, cu, x0, y0, log2_w, log2_h, 0, cu.merge_flag)
+    cu.prec_amvr_eff = ctx.inter_ctx.prec_amvr
+    cu_type = CU_INTER
+    _reset_intra_map(ctx, x0, y0, log2_w, log2_h)
+
+    # root cbf + transforms (vcl_transform_unit.c :1896; SBT off)
+    if io.is_reader:
+        root = 1 if cu.merge_flag else io.raw_bin(CtxOffset.QT_ROOT_CBF)
+        cu.root_cbf = root
+    else:
+        root = 1 if cu.tus else 0
+        if cu.merge_flag:
+            assert root, "non-skip merge CU requires residual (root cbf inferred 1)"
+        else:
+            io.put_bin(root, CtxOffset.QT_ROOT_CBF)
+        cu.root_cbf = root
+    if root:
+        transform_tree_intra(ctx, io, cu, x0, y0, log2_w, log2_h, root_cbf=1)
+
+    if ctx.chroma_enabled:
+        ctx.store_cu_chroma(x0 >> 1, y0 >> 1, log2_w, log2_h)
+    ctx.store_cu_luma(cu)
+    _cu_tail_maps(ctx, cu, x0, y0, log2_w, log2_h, cu_type)
+    return cu
+
+
+def _reset_intra_map(ctx, x0, y0, log2_w, log2_h):
+    """reset_intra_map parity: inter area reads as PLANAR for MPM (the
+    UNAVAIL map value maps to PLANAR in the MPM derivation)."""
+    ux, uy = ctx._lu(x0, y0)
+    wu = max(1, (1 << log2_w) >> 2)
+    hu = max(1, (1 << log2_h) >> 2)
+    ctx.map_intra_mode[uy : uy + hu, ux : ux + wu] = UNAVAIL
+    ctx.map_log2_w[uy : uy + hu, ux : ux + wu] = log2_w
+    ctx.map_log2_h[uy : uy + hu, ux : ux + wu] = log2_h
+    ctx.map_pred_mode[uy : uy + hu, ux : ux + wu] = MODE_INTER
+
+
 def _parse_sao_alf_ctu(ctx, io, node, ctb_x, ctb_y):
     """Per-CTU SAO/ALF data (order: SAO, ALF, CC-ALF — slicedec.c :726-728)."""
     ctx.writer_node = node
@@ -144,6 +294,10 @@ def code_entry(params, entry, io, trees=None):
 
     for ctb_row in range(entry.nb_ctu_h):
         row_backup_qp = None
+        if ctx.inter_ctx is not None:
+            # HMVP LUT resets at each CTU row start (drv_lines.c
+            # load_first_ctu_inter :hmvp_lut.nb_mv = 0)
+            ctx.inter_ctx.hmvp.reset()
         for ctb_col in range(entry.nb_ctu_w):
             ctb_x = entry.ctu_x + ctb_col
             ctb_y = entry.ctu_y + ctb_row

@@ -161,7 +161,8 @@ def _code_ts_tb(ctx, io, tu: TU, luma: bool, bdpcm_dir: int):
     return (0, 0), sig_map
 
 
-def transform_unit(ctx, io, cu: CU, x0, y0, log2_w, log2_h, tr_depth: int):
+def transform_unit(ctx, io, cu: CU, x0, y0, log2_w, log2_h, tr_depth: int,
+                   root_cbf: int = 0):
     """One TU unit at luma coords (x0,y0); coords are component-local for
     dual-tree chroma. Returns the info dict used by lfnst/mts gating."""
     tree = ctx.tree_type
@@ -193,12 +194,18 @@ def transform_unit(ctx, io, cu: CU, x0, y0, log2_w, log2_h, tr_depth: int):
 
     cbf_luma = 0
     if has_luma:
-        # intra: luma cbf always coded (root cbf 0 semantics)
-        bd = 1 if cu.bdpcm_l else 0
-        w_l = None if io.is_reader else (1 if _find_tu(cu, 0, x0, y0) else 0)
-        cbf_luma = _sym_bin(io, CtxOffset.QT_CBF + bd, w_l)
+        # luma cbf coded unless inferred 1 by an inter root cbf with no
+        # chroma cbf at depth 0 (decode_cbf_st :397-412)
+        if root_cbf and not cbf_mask_c and not tr_depth:
+            cbf_luma = 1
+            if not io.is_reader:
+                assert _find_tu(cu, 0, x0, y0) is not None, "root cbf forces luma cbf"
+        else:
+            bd = 1 if cu.bdpcm_l else 0
+            w_l = None if io.is_reader else (1 if _find_tu(cu, 0, x0, y0) else 0)
+            cbf_luma = _sym_bin(io, CtxOffset.QT_CBF + bd, w_l)
 
-    _maybe_delta_qp(ctx, io, cu, cbf_luma | cbf_mask_c)
+    _maybe_delta_qp(ctx, io, cu, root_cbf | cbf_luma | cbf_mask_c)
 
     if ctx.joint_cbcr_enabled and cbf_mask_c:
         w_j = None if io.is_reader else (1 if _find_tu(cu, 3, cx, cy) else 0)
@@ -445,7 +452,8 @@ def isp_subtree(ctx, io, cu: CU, x0, y0, log2_cb_w, log2_cb_h):
                     tu.lfnst_idx = idx
 
 
-def transform_tree_intra(ctx, io, cu: CU, x0, y0, log2_w, log2_h, tr_depth=0):
+def transform_tree_intra(ctx, io, cu: CU, x0, y0, log2_w, log2_h, tr_depth=0,
+                         root_cbf=0):
     """Max-TB splitting for an intra CU without ISP/SBT; returns the single
     TU info when no split occurred (for CU-level lfnst/mts), else None."""
     part = ctx.part_chroma if ctx.tree_type == TREE_DUAL_CHROMA else ctx.part_luma
@@ -463,9 +471,10 @@ def transform_tree_intra(ctx, io, cu: CU, x0, y0, log2_w, log2_h, tr_depth=0):
         if split_v and split_h:
             coords.append((x0 + (1 << l2w), y0 + (1 << l2h)))
         for nx, ny in coords:
-            transform_tree_intra(ctx, io, cu, nx, ny, l2w, l2h, tr_depth + 1)
+            transform_tree_intra(ctx, io, cu, nx, ny, l2w, l2h, tr_depth + 1,
+                                 root_cbf)
         return None
-    return transform_unit(ctx, io, cu, x0, y0, log2_w, log2_h, tr_depth)
+    return transform_unit(ctx, io, cu, x0, y0, log2_w, log2_h, tr_depth, root_cbf)
 
 
 def lfnst_mts_idx(ctx, io, cu: CU, log2_w, log2_h, info):

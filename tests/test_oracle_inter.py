@@ -1,0 +1,181 @@
+"""P-slice end-to-end oracle tests: self-generated conformant streams
+decoded byte-identically by the reference decoder and ours.
+
+Covers: skip/merge (full candidate list + HMVP + per-CTU-row reset),
+AMVP with fractional MVDs and mvp_idx, multi-ref ref_idx, intra CUs in P
+slices, inter residuals (root cbf inference, chroma-only cbf), 3-frame
+chains, AMVR precision signaling.
+"""
+
+import numpy as np
+import pytest
+
+from openvvc_tpu.decoder import Decoder
+from openvvc_tpu.testing.generator import (
+    StreamConfig,
+    _find_last_pos_diag,
+    build_stream_frames,
+    decode_with_oracle,
+)
+from openvvc_tpu.vcl.coding_tree import NO_SPLIT, QT_SPLIT, TreeNode
+from openvvc_tpu.vcl.ctu import CU, TU
+
+
+def _sparse(rng, l2w, l2h, p=0.1, mag=10):
+    shape = (1 << l2h, 1 << l2w)
+    return (rng.randint(-mag, mag + 1, shape) * (rng.rand(*shape) < p)).astype(np.int32)
+
+
+def _add_luma_tu(rng, cu, x, y, l2, force=False):
+    lv = _sparse(rng, l2, l2)
+    if force and not lv.any():
+        lv[rng.randint(1 << l2), rng.randint(1 << l2)] = int(rng.randint(1, 9))
+    if lv.any():
+        cu.tus.append(TU(x, y, l2, l2, 0, cbf=1, levels=lv,
+                         last_pos=_find_last_pos_diag(lv, l2, l2)))
+        return True
+    return False
+
+
+def _add_chroma_tus(rng, cu, x, y, l2):
+    got = False
+    for comp in (1, 2):
+        lv = _sparse(rng, l2 - 1, l2 - 1, p=0.15, mag=6)
+        if lv.any():
+            cu.tus.append(TU(x >> 1, y >> 1, l2 - 1, l2 - 1, comp, cbf=1,
+                             levels=lv, last_pos=_find_last_pos_diag(lv, l2 - 1, l2 - 1)))
+            got = True
+    return got
+
+
+def _intra_cu(rng, x, y, log2):
+    cu = CU(x, y, log2, log2, intra_mode_l=int(rng.randint(0, 67)),
+            intra_mode_c=int(rng.randint(0, 2)))
+    _add_luma_tu(rng, cu, x, y, log2)
+    _add_chroma_tus(rng, cu, x, y, log2)
+    return cu
+
+
+def _qt_tree(cu_factory, leaf_log2):
+    def qt(x, y, l2):
+        if l2 > leaf_log2:
+            h = 1 << (l2 - 1)
+            return TreeNode(QT_SPLIT, children=[
+                qt(x, y, l2 - 1), qt(x + h, y, l2 - 1),
+                qt(x, y + h, l2 - 1), qt(x + h, y + h, l2 - 1)])
+        return TreeNode(NO_SPLIT, cu=cu_factory(x, y, l2))
+
+    def tb(params, entry):
+        clg = params.sps.ctb_log2
+        return {(entry.ctu_x + c, entry.ctu_y + r):
+                qt((entry.ctu_x + c) << clg, (entry.ctu_y + r) << clg, clg)
+                for r in range(entry.nb_ctu_h) for c in range(entry.nb_ctu_w)}
+    return tb
+
+
+def _check(cfg, frames_spec):
+    stream = build_stream_frames(cfg, frames_spec)
+    frames = Decoder().decode(stream)
+    mine = b"".join(f.to_yuv_bytes() for f in frames)
+    ref = decode_with_oracle(stream)
+    if ref is None:
+        pytest.skip("reference decoder unavailable")
+    assert ref == mine
+
+
+def test_p_all_skip():
+    rng = np.random.RandomState(3)
+    cfg = StreamConfig(width=128, height=128, deblocking=False)
+
+    def skip_cu(x, y, log2):
+        cu = CU(x, y, log2, log2)
+        cu.pred_mode = 1
+        cu.skip_flag = 1
+        cu.merge_flag = 1
+        cu.merge_idx = int(rng.randint(0, 5))
+        return cu
+
+    _check(cfg, [
+        {"tree_builder": _qt_tree(lambda x, y, l: _intra_cu(rng, x, y, l), 5)},
+        {"tree_builder": _qt_tree(skip_cu, 4), "slice_type": 1, "ref_deltas": [1]},
+    ])
+
+
+def test_p_mvp_fractional():
+    rng = np.random.RandomState(5)
+    cfg = StreamConfig(width=128, height=128, deblocking=False)
+
+    def mvp_cu(x, y, log2):
+        cu = CU(x, y, log2, log2)
+        cu.pred_mode = 1
+        cu.merge_flag = 0
+        cu.ref_idx = 0
+        cu.mvd = (int(rng.randint(-20, 21)), int(rng.randint(-20, 21)))
+        cu.mvp_idx = int(rng.randint(0, 2))
+        return cu
+
+    _check(cfg, [
+        {"tree_builder": _qt_tree(lambda x, y, l: _intra_cu(rng, x, y, l), 5)},
+        {"tree_builder": _qt_tree(mvp_cu, 4), "slice_type": 1, "ref_deltas": [1]},
+    ])
+
+
+def test_p_mixed_three_frames():
+    rng = np.random.RandomState(11)
+    cfg = StreamConfig(width=128, height=128, deblocking=False)
+
+    def mixed_cu(x, y, log2):
+        if rng.rand() < 0.25:
+            return _intra_cu(rng, x, y, log2)
+        cu = CU(x, y, log2, log2)
+        cu.pred_mode = 1
+        kind = rng.randint(0, 4)
+        if kind == 0:
+            cu.skip_flag = 1
+            cu.merge_flag = 1
+            cu.merge_idx = int(rng.randint(0, 5))
+        elif kind == 1:
+            cu.merge_flag = 1
+            cu.merge_idx = int(rng.randint(0, 5))
+            got_l = _add_luma_tu(rng, cu, x, y, log2)
+            got_c = _add_chroma_tus(rng, cu, x, y, log2)
+            if not (got_l or got_c):
+                _add_luma_tu(rng, cu, x, y, log2, force=True)
+        else:
+            cu.merge_flag = 0
+            cu.ref_idx = int(rng.randint(0, 2))
+            cu.mvd = (int(rng.randint(-40, 41)), int(rng.randint(-40, 41)))
+            cu.mvp_idx = int(rng.randint(0, 2))
+            if rng.rand() < 0.7:
+                _add_luma_tu(rng, cu, x, y, log2)
+                _add_chroma_tus(rng, cu, x, y, log2)
+        return cu
+
+    _check(cfg, [
+        {"tree_builder": _qt_tree(lambda x, y, l: _intra_cu(rng, x, y, l), 5)},
+        {"tree_builder": _qt_tree(mixed_cu, 4), "slice_type": 1, "ref_deltas": [1]},
+        {"tree_builder": _qt_tree(mixed_cu, 4), "slice_type": 1, "ref_deltas": [1, 2]},
+    ])
+
+
+def test_p_amvr():
+    rng = np.random.RandomState(17)
+    cfg = StreamConfig(width=128, height=128, deblocking=False, amvr=True)
+
+    def amvr_cu(x, y, log2):
+        cu = CU(x, y, log2, log2)
+        cu.pred_mode = 1
+        cu.merge_flag = 0
+        cu.ref_idx = 0
+        cu.mvp_idx = int(rng.randint(0, 2))
+        prec = int(rng.choice([4, 3, 2, 0]))  # quarter/half/int/4-pel
+        cu.mvd = (int(rng.randint(-10, 11)), int(rng.randint(-10, 11)))
+        if cu.mvd == (0, 0):
+            cu.mvd = (1, 0)
+        cu.amvr_prec = prec
+        return cu
+
+    _check(cfg, [
+        {"tree_builder": _qt_tree(lambda x, y, l: _intra_cu(rng, x, y, l), 5)},
+        {"tree_builder": _qt_tree(amvr_cu, 4), "slice_type": 1, "ref_deltas": [1]},
+    ])
