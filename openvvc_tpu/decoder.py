@@ -138,7 +138,7 @@ class _QpCtx:
 
 
 def reconstruct_cu(rc: ReconCtx, cu: CU, params: ActiveParams, tools,
-                   dbf: DbfMaps | None = None, refs0=None):
+                   dbf: DbfMaps | None = None, refs=None):
     """Reconstruct one CU (all components it carries) in decode order."""
     bd = rc.bitdepth
     frame = rc.frame
@@ -189,7 +189,7 @@ def reconstruct_cu(rc: ReconCtx, cu: CU, params: ActiveParams, tools,
         return None
 
     if cu.pred_mode == 1:  # MODE_INTER
-        _reconstruct_inter(rc, cu, params, trc, refs0, find_tu)
+        _reconstruct_inter(rc, cu, params, trc, refs, find_tu)
         return
 
     if cu.isp_mode and tree in (TREE_SINGLE, TREE_DUAL_LUMA):
@@ -234,23 +234,43 @@ def _clip_mv(pos_x, pos_y, pic_w, pic_h, pb_w, pb_h, mvx, mvy):
     return max(x_min, min(x_max, mvx)), max(y_min, min(y_max, mvy))
 
 
-def _reconstruct_inter(rc: ReconCtx, cu: CU, params, trc, refs0, find_tu):
-    """Uni-pred P reconstruction: MC from RPL0 + residual add.
+def _reconstruct_inter(rc: ReconCtx, cu: CU, params, trc, refs, find_tu):
+    """Inter reconstruction: uni (P or B dir 1/2) or bi MC + residual add.
 
-    Parity: rcn_inter.c rcn_mcp_l/rcn_mcp_c (:430-530) with the hpel AMVR
-    filter switch, then the regular transform-tree residual path.
+    Parity: rcn_inter.c rcn_mcp_l/rcn_mcp_c (:430-530, uni) and
+    rcn_motion_compensation_b (:540+, bi 14-bit + average), with the hpel
+    AMVR filter switch, then the regular transform-tree residual path.
     """
     bd = rc.bitdepth
     frame = rc.frame
-    mv = cu.mv0
-    ref = refs0[mv.ref_idx]
+    refs0, refs1 = refs
     pic_w, pic_h = params.pps.pic_w, params.pps.pic_h
     w, h = 1 << cu.log2_w, 1 << cu.log2_h
-    mvx, mvy = _clip_mv(cu.x0, cu.y0, pic_w, pic_h, w, h, mv.x, mv.y)
     hpel = cu.prec_amvr_eff == MV_PRECISION_HALF
+    inter_dir = cu.inter_dir if cu.mv1 is not None else 1
 
-    pred_y = ref_mc.mc_uni(ref.y, cu.x0 + (mvx >> 4), cu.y0 + (mvy >> 4),
-                           mvx & 0xF, mvy & 0xF, w, h, bd, luma=True, hpel=hpel)
+    def mv_for(lst):
+        mv = cu.mv0 if lst == 0 else cu.mv1
+        ref = (refs0 if lst == 0 else refs1)[mv.ref_idx]
+        mvx, mvy = _clip_mv(cu.x0, cu.y0, pic_w, pic_h, w, h, mv.x, mv.y)
+        return ref, mvx, mvy
+
+    if inter_dir == 3:
+        r0, x0v, y0v = mv_for(0)
+        r1, x1v, y1v = mv_for(1)
+        p0 = ref_mc.interp_14bit(r0.y, cu.x0 + (x0v >> 4), cu.y0 + (y0v >> 4),
+                                 x0v & 0xF, y0v & 0xF, w, h, bd, luma=True,
+                                 hpel=hpel)
+        p1 = ref_mc.interp_14bit(r1.y, cu.x0 + (x1v >> 4), cu.y0 + (y1v >> 4),
+                                 x1v & 0xF, y1v & 0xF, w, h, bd, luma=True,
+                                 hpel=hpel)
+        pred_y = ref_mc.mc_bi(p0, p1, bd)
+    else:
+        lst = 0 if inter_dir & 0x1 else 1
+        ref, mvx, mvy = mv_for(lst)
+        pred_y = ref_mc.mc_uni(ref.y, cu.x0 + (mvx >> 4), cu.y0 + (mvy >> 4),
+                               mvx & 0xF, mvy & 0xF, w, h, bd, luma=True,
+                               hpel=hpel)
 
     part = params.part_info["inter_luma"]
     for ux, uy, l2w, l2h in _tu_units(cu.x0, cu.y0, cu.log2_w, cu.log2_h,
@@ -267,10 +287,21 @@ def _reconstruct_inter(rc: ReconCtx, cu: CU, params, trc, refs0, find_tu):
         return
     cx0, cy0 = cu.x0 >> 1, cu.y0 >> 1
     cw, ch = w >> 1, h >> 1
-    pred_cb = ref_mc.mc_uni(ref.cb, cx0 + (mvx >> 5), cy0 + (mvy >> 5),
-                            mvx & 0x1F, mvy & 0x1F, cw, ch, bd, luma=False)
-    pred_cr = ref_mc.mc_uni(ref.cr, cx0 + (mvx >> 5), cy0 + (mvy >> 5),
-                            mvx & 0x1F, mvy & 0x1F, cw, ch, bd, luma=False)
+    if inter_dir == 3:
+        cbs, crs = [], []
+        for lst in (0, 1):
+            ref, mvx, mvy = mv_for(lst)
+            cbs.append(ref_mc.interp_14bit(ref.cb, cx0 + (mvx >> 5), cy0 + (mvy >> 5),
+                                           mvx & 0x1F, mvy & 0x1F, cw, ch, bd, luma=False))
+            crs.append(ref_mc.interp_14bit(ref.cr, cx0 + (mvx >> 5), cy0 + (mvy >> 5),
+                                           mvx & 0x1F, mvy & 0x1F, cw, ch, bd, luma=False))
+        pred_cb = ref_mc.mc_bi(cbs[0], cbs[1], bd)
+        pred_cr = ref_mc.mc_bi(crs[0], crs[1], bd)
+    else:
+        pred_cb = ref_mc.mc_uni(ref.cb, cx0 + (mvx >> 5), cy0 + (mvy >> 5),
+                                mvx & 0x1F, mvy & 0x1F, cw, ch, bd, luma=False)
+        pred_cr = ref_mc.mc_uni(ref.cr, cx0 + (mvx >> 5), cy0 + (mvy >> 5),
+                                mvx & 0x1F, mvy & 0x1F, cw, ch, bd, luma=False)
 
     csign = -1 if params.ph.ph_joint_cbcr_sign_flag else 1
     max_tb_c = part.log2_max_tb_s - 1
@@ -444,11 +475,13 @@ class Decoder:
         poc = self.dpb.picture_poc(params, int(nal.type))
         frame = Frame(poc, y, cb, cr, bd)
 
-        refs0 = None
+        refs0 = refs1 = None
         if params.slice_type != SLICE_I:
-            hrpl0, _ = params.sh.resolved_rpls(pps, params.ph)
+            hrpl0, hrpl1 = params.sh.resolved_rpls(pps, params.ph)
             nra = getattr(params.sh, "_num_ref_idx_active", [1, 0])
             refs0, _dist0 = self.dpb.resolve_rpl(hrpl0, sps, poc, nra[0])
+            if params.slice_type == 0:  # B
+                refs1, _dist1 = self.dpb.resolve_rpl(hrpl1, sps, poc, nra[1])
 
         tools = {
             "dep_quant": bool(params.sh.sh_dep_quant_used_flag),
@@ -482,7 +515,7 @@ class Decoder:
             rc = ReconCtx(frame, params, entry)
             for ctu in ectx.ctus:
                 for cu in ctu.cus:
-                    reconstruct_cu(rc, cu, params, tools, dbf, refs0)
+                    reconstruct_cu(rc, cu, params, tools, dbf, (refs0, refs1))
             if ectx.sao_params:
                 sao_entries.append((entry, ectx.sao_params))
             if ectx.alf_params:

@@ -319,3 +319,182 @@ def drv_mvp_p(ictx: InterCtx, x0, y0, log2_w, log2_h, mvd: MV, prec_amvr,
                  bcw_idx_plus1=3, prec_amvr=prec_amvr)
     ictx.update_mv_ctx(mv, ux, uy, nw, nh, 0x1)
     return mv
+
+
+# ----------------------------------------------------------------------
+# B slices (vvc_derive_merge_mvp_b :899, drv_mvp_b :899-980,
+# hmvp_add_merge_cand_b :195, update_mv_ctx_b :1419)
+# ----------------------------------------------------------------------
+
+@dataclass
+class MergeInfo:
+    inter_dir: int = 3
+    mv0: MV = None
+    mv1: MV = None
+
+
+def mi_cmp(a: MergeInfo, b: MergeInfo) -> bool:
+    """mi_cmp parity: equal when same dir and the active lists' MVs match."""
+    if a.inter_dir != b.inter_dir:
+        return False
+    if a.inter_dir & 0x1 and not (mv_cmp(a.mv0, b.mv0) and a.mv0.ref_idx == b.mv0.ref_idx):
+        return False
+    if a.inter_dir & 0x2 and not (mv_cmp(a.mv1, b.mv1) and a.mv1.ref_idx == b.mv1.ref_idx):
+        return False
+    return True
+
+
+def _ictx_mi_at(ictx: InterCtx, ux: int, uy: int) -> MergeInfo:
+    """Joint probe of both lists at a unit; unset-list MVs default to zero
+    (the reference reads stale buffer values there, but they are never
+    observable — usage is always masked by inter_dir)."""
+    d0 = ictx._avail(0, ux, uy)
+    d1 = ictx._avail(1, ux, uy)
+    mv0 = ictx.mvs0.get((ux, uy), MV()) if d0 else ictx.mvs0.get((ux, uy), MV())
+    mv1 = ictx.mvs1.get((ux, uy), MV()) if d1 else ictx.mvs1.get((ux, uy), MV())
+    return MergeInfo(int(d0) | (int(d1) << 1), mv0, mv1)
+
+
+def _avg_mv_pair(a: MV, b: MV) -> MV:
+    x = a.x + b.x
+    y = a.y + b.y
+    x += 1 - (x >= 0)
+    y += 1 - (y >= 0)
+    return replace(a, x=x >> 1, y=y >> 1)
+
+
+def derive_merge_mvp_b(ictx: InterCtx, ux, uy, nw, nh, merge_idx,
+                       max_nb_cand, is_small) -> MergeInfo:
+    cand: list[MergeInfo] = []
+    ZMI = MergeInfo(3, MV(), MV())
+    amvp = [ZMI] * 5
+
+    got_t = ictx._avail(0, ux + nw - 1, uy - 1) or ictx._avail(1, ux + nw - 1, uy - 1)
+    got_l = ictx._avail(0, ux - 1, uy + nh - 1) or ictx._avail(1, ux - 1, uy + nh - 1)
+
+    if got_t:  # B1
+        mi = _ictx_mi_at(ictx, ux + nw - 1, uy - 1)
+        amvp[0] = mi
+        cand.append(mi)
+        if len(cand) - 1 == merge_idx:
+            return mi
+    if got_l:  # A1
+        mi = _ictx_mi_at(ictx, ux - 1, uy + nh - 1)
+        amvp[1] = mi
+        if not got_t or not mi_cmp(mi, amvp[0]):
+            cand.append(mi)
+            if len(cand) - 1 == merge_idx:
+                return mi
+    if ictx._avail(0, ux + nw, uy - 1) or ictx._avail(1, ux + nw, uy - 1):  # B0
+        mi = _ictx_mi_at(ictx, ux + nw, uy - 1)
+        amvp[2] = mi
+        if not got_t or not mi_cmp(mi, amvp[0]):
+            cand.append(mi)
+            if len(cand) - 1 == merge_idx:
+                return mi
+    if ictx._avail(0, ux - 1, uy + nh) or ictx._avail(1, ux - 1, uy + nh):  # A0
+        mi = _ictx_mi_at(ictx, ux - 1, uy + nh)
+        amvp[3] = mi
+        if not got_l or not mi_cmp(mi, amvp[1]):
+            cand.append(mi)
+            if len(cand) - 1 == merge_idx:
+                return mi
+    if len(cand) < 4 and (ictx._avail(0, ux - 1, uy - 1) or ictx._avail(1, ux - 1, uy - 1)):  # B2
+        mi = _ictx_mi_at(ictx, ux - 1, uy - 1)
+        amvp[4] = mi
+        if ((not got_l or not mi_cmp(mi, amvp[1]))
+                and (not got_t or not mi_cmp(mi, amvp[0]))):
+            cand.append(mi)
+            if len(cand) - 1 == merge_idx:
+                return mi
+
+    # TMVP: not yet wired
+
+    if len(cand) != max_nb_cand - 1:
+        lut = ictx.hmvp
+        for i in range(1, lut.nb_mv + 1):
+            idx = lut.nb_mv - i
+            lut_mi = MergeInfo(lut.dir[idx], lut.mv0[idx], lut.mv1[idx])
+            if i > 2 or ((not got_t or not mi_cmp(lut_mi, amvp[0]))
+                         and (not got_l or not mi_cmp(lut_mi, amvp[1]))):
+                cand.append(lut_mi)
+                if len(cand) == merge_idx + 1:
+                    return cand[-1]
+                if len(cand) == max_nb_cand - 1:
+                    break
+
+    if 1 < len(cand) < max_nb_cand:
+        a, b = cand[0], cand[1]
+        inter_dir = a.inter_dir & b.inter_dir
+        mv0, mv1 = a.mv0, a.mv1
+        if inter_dir & 0x1:
+            mv0 = _avg_mv_pair(a.mv0, b.mv0)
+        elif b.inter_dir & 0x1:
+            mv0 = b.mv0
+            inter_dir |= 1
+        elif a.inter_dir & 0x1:
+            inter_dir |= 1
+        if inter_dir & 0x2:
+            mv1 = _avg_mv_pair(a.mv1, b.mv1)
+        elif b.inter_dir & 0x2:
+            mv1 = b.mv1
+            inter_dir |= 2
+        elif a.inter_dir & 0x2:
+            inter_dir |= 2
+        if len(cand) == merge_idx:
+            pa = a.mv0.prec_amvr if a.inter_dir & 0x1 else a.mv1.prec_amvr
+            pb = b.mv0.prec_amvr if b.inter_dir & 0x1 else b.mv1.prec_amvr
+            prec = pa if pa == pb else 0
+            mv0 = replace(mv0, prec_amvr=prec, bcw_idx_plus1=0)
+            mv1 = replace(mv1, prec_amvr=prec, bcw_idx_plus1=0)
+            return MergeInfo(inter_dir, mv0, mv1)
+        cand.append(None)  # placeholder: C increments without storing
+
+    diff = merge_idx - len(cand)
+    nmin = min(ictx.nb_active_ref0, ictx.nb_active_ref1)
+    ridx = diff if diff <= nmin - 1 else 0
+    return MergeInfo(3, MV(0, 0, ridx), MV(0, 0, ridx))
+
+
+def update_mv_ctx_b(ictx: InterCtx, mv0: MV, mv1: MV, ux, uy, nw, nh,
+                    inter_dir: int):
+    if inter_dir & 0x1:
+        ictx.fill(0, mv0, ux, uy, nw, nh)
+    if inter_dir & 0x2:
+        ictx.fill(1, mv1, ux, uy, nw, nh)
+    ictx.hmvp.update(mv0, mv1, inter_dir)
+
+
+def drv_merge_mvp_b(ictx: InterCtx, x0, y0, log2_w, log2_h, merge_idx,
+                    max_nb_cand) -> MergeInfo:
+    ux, uy = x0 >> 2, y0 >> 2
+    nw, nh = (1 << log2_w) >> 2, (1 << log2_h) >> 2
+    mi = derive_merge_mvp_b(ictx, ux, uy, nw, nh, merge_idx, max_nb_cand,
+                            log2_w + log2_h <= 5)
+    update_mv_ctx_b(ictx, mi.mv0, mi.mv1, ux, uy, nw, nh, mi.inter_dir)
+    return mi
+
+
+def drv_mvp_b(ictx: InterCtx, x0, y0, log2_w, log2_h, mvd0: MV, mvd1: MV,
+              prec_amvr, mvp_idx0, mvp_idx1, inter_dir, ref_idx0,
+              ref_idx1) -> MergeInfo:
+    """drv_mvp_b parity (AMVP, both directions, BCW default)."""
+    ux, uy = x0 >> 2, y0 >> 2
+    nw, nh = (1 << log2_w) >> 2, (1 << log2_h) >> 2
+    is_small = log2_w + log2_h <= 5
+    mv0 = MV()
+    mv1 = MV()
+    if inter_dir & 0x1:
+        mv0 = ictx.derive_mvp_cand(0, ref_idx0, ux, uy, nw, nh, mvp_idx0,
+                                   inter_dir & 0x1, prec_amvr, is_small)
+        d = change_precision(mvd0, prec_amvr, MV_PRECISION_INTERNAL)
+        mv0 = replace(mv0, x=mv0.x + d.x, y=mv0.y + d.y, ref_idx=ref_idx0,
+                      bcw_idx_plus1=3, prec_amvr=prec_amvr)
+    if inter_dir & 0x2:
+        mv1 = ictx.derive_mvp_cand(1, ref_idx1, ux, uy, nw, nh, mvp_idx1,
+                                   inter_dir & 0x2, prec_amvr, is_small)
+        d = change_precision(mvd1, prec_amvr, MV_PRECISION_INTERNAL)
+        mv1 = replace(mv1, x=mv1.x + d.x, y=mv1.y + d.y, ref_idx=ref_idx1,
+                      bcw_idx_plus1=3, prec_amvr=prec_amvr)
+    update_mv_ctx_b(ictx, mv0, mv1, ux, uy, nw, nh, inter_dir)
+    return MergeInfo(inter_dir, mv0, mv1)

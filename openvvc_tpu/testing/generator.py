@@ -186,31 +186,33 @@ def build_ph(cfg: StreamConfig, poc: int = 0, inter: bool = False) -> PH:
     return ph
 
 
-def build_sh(cfg: StreamConfig, sps, pps, slice_type: int = 2,
-             ref_deltas=None) -> SH:
-    """ref_deltas: for P slices, the list-0 POC deltas (positive = past)."""
+def _mk_rpl(ref_deltas):
     from openvvc_tpu.hls.rpl import RPL
 
+    rpl = RPL()
+    rpl.num_ref_entries = len(ref_deltas)
+    rpl.abs_delta_poc_st = ListField()
+    rpl.strp_entry_sign_flag = ListField()
+    rpl.st_ref_pic_flag = ListField()
+    for i, d in enumerate(ref_deltas):
+        # reference parity (dpb.c :459): RefPoc[i] = poc -/+ (abs+1),
+        # sign 1 = past; no pocBase chaining
+        rpl.abs_delta_poc_st[i] = abs(d) - 1
+        rpl.strp_entry_sign_flag[i] = 1 if d > 0 else 0
+    return rpl
+
+
+def build_sh(cfg: StreamConfig, sps, pps, slice_type: int = 2,
+             ref_deltas=None, ref_deltas1=None) -> SH:
+    """ref_deltas: POC deltas per list (positive = past reference)."""
     sh = SH()
     sh.sh_picture_header_in_slice_header_flag = 0
     sh.sh_qp_delta = cfg.qp - 26
     sh.sh_slice_type = slice_type
     sh.sh_num_ref_idx_active_override_flag = 1
-    if slice_type != 2:
-        rpl = RPL()
-        rpl.num_ref_entries = len(ref_deltas)
-        rpl.abs_delta_poc_st = ListField()
-        rpl.strp_entry_sign_flag = ListField()
-        rpl.st_ref_pic_flag = ListField()
-        for i, d in enumerate(ref_deltas):
-            # reference parity (dpb.c :459): RefPoc[i] = poc -/+ (abs+1),
-            # sign 1 = past; no pocBase chaining
-            rpl.abs_delta_poc_st[i] = abs(d) - 1
-            rpl.strp_entry_sign_flag[i] = 1 if d > 0 else 0
-        sh.hrpl0.rpl = rpl
-        rpl1 = RPL()
-        rpl1.num_ref_entries = 0
-        sh.hrpl1.rpl = rpl1
+    # non-IDR NALs carry ref_pic_lists() even for I slices (empty lists)
+    sh.hrpl0.rpl = _mk_rpl(ref_deltas or [])
+    sh.hrpl1.rpl = _mk_rpl(ref_deltas1 or [])
     if cfg.alf:
         sh.sh_alf_enabled_flag = 1
         sh.sh_num_alf_aps_ids_luma = 1
@@ -500,7 +502,8 @@ def build_stream_frames(cfg: StreamConfig, frames) -> bytes:
         slice_type = spec.get("slice_type", 2)
         nal_type = NalType.IDR_N_LP if i == 0 else NalType.TRAIL
         ph = build_ph(cfg, poc=poc, inter=slice_type != 2)
-        sh = build_sh(cfg, sps, pps, slice_type, spec.get("ref_deltas"))
+        sh = build_sh(cfg, sps, pps, slice_type, spec.get("ref_deltas"),
+                      spec.get("ref_deltas1"))
         nals += build_slice_nals(ctx, cfg, sps_r, pps_r, ph, sh, nal_type,
                                  spec["tree_builder"])
     return mux_annexb(nals)

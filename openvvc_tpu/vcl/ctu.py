@@ -102,6 +102,11 @@ class CU:
     ref_idx: int = 0
     mvd: tuple = (0, 0)
     mvp_idx: int = 0
+    inter_dir: int = 1
+    ref_idx1: int = 0
+    mvd1: tuple = (0, 0)
+    mvp_idx1: int = 0
+    mv1: object = None
     amvr_prec: int = 4  # MV_PRECISION_QUARTER
     mv0: object = None  # drv result (drv.inter_mvp.MV)
     prec_amvr_eff: int = 4  # slice-running prec after this CU (hpel MC select)
@@ -119,6 +124,16 @@ class CtuIR:
     cus: list = field(default_factory=list)
     sao: object = None
     alf: object = None
+
+
+def _signed_rpl_deltas(rpl, nb_active):
+    """Signed ref-POC offsets (ref_poc - cur_poc) per active ST entry
+    (dpb.c compute_ref_poc :459 convention)."""
+    out = []
+    for i in range(min(nb_active, getattr(rpl, "num_ref_entries", 0))):
+        a = rpl.abs_delta_poc_st[i] + 1
+        out.append(-a if rpl.strp_entry_sign_flag[i] else a)
+    return out
 
 
 class CTUParseCtx:
@@ -191,6 +206,8 @@ class CTUParseCtx:
         self.pic_h = pps.pic_h
 
         self.inter_ctx = None
+        self.mvd1_zero = bool(getattr(ph, "ph_mvd_l1_zero_flag", 0))
+        self.smvd_enabled = False  # slicedec_smvd_params: off without sps_smvd
         if self.slice_type != SLICE_I:
             from openvvc_tpu.drv.inter_mvp import InterCtx
 
@@ -199,6 +216,18 @@ class CTUParseCtx:
             nra = getattr(sh, "_num_ref_idx_active", [1, 0])
             self.inter_ctx = InterCtx(uw_i, uh_i, nra[0], nra[1],
                                       self.max_num_merge_cand)
+            # rpl0_opp / rpl1_opp: index of the same picture in the other
+            # list (slicedec.c :1261-1293); POC equality == signed-delta
+            # equality, derivable straight from the RPL entries
+            hr0, hr1 = sh.resolved_rpls(pps, ph)
+            d0 = _signed_rpl_deltas(hr0.rpl, nra[0])
+            d1 = _signed_rpl_deltas(hr1.rpl, nra[1])
+            for i, d in enumerate(d0):
+                self.inter_ctx.rpl0_opp[i] = d1.index(d) if d in d1 else 0xFF
+            for i, d in enumerate(d1):
+                self.inter_ctx.rpl1_opp[i] = d0.index(d) if d in d0 else 0xFF
+            self.inter_ctx.dist_ref0 = [-d for d in d0]
+            self.inter_ctx.dist_ref1 = [-d for d in d1]
 
         # 2-D neighbor maps at 4x4 luma granularity over the tile
         uw = (self.tile_w + 3) >> 2

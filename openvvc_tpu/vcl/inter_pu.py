@@ -254,3 +254,128 @@ def prediction_unit_inter_p(ctx, io, cu, x0, y0, log2_w, log2_h,
     cu.mv0 = mv0
     cu.pred_mode = MODE_INTER
     return mv0
+
+
+def prediction_unit_inter_b(ctx, io, cu, x0, y0, log2_w, log2_h,
+                            skip: bool, merge: bool):
+    """prediction_unit_inter_b parity (:2481), subset without
+    affine/smvd/mmvd/gpm/ciip/bcw/bdof/dmvr (the SPS keeps them off)."""
+    from openvvc_tpu.drv.inter_mvp import drv_merge_mvp_b, drv_mvp_b
+
+    ictx = ctx.inter_ctx
+    ictx.prec_amvr = MV_PRECISION_QUARTER
+    if merge:
+        merge_data_p(ctx, io, cu, x0, y0, log2_w, log2_h, skip)
+        mi = drv_merge_mvp_b(ictx, x0 - ctx.tile_x0, y0 - ctx.tile_y0,
+                             log2_w, log2_h, cu.merge_idx,
+                             ctx.max_num_merge_cand)
+        ictx.prec_amvr = mi.mv0.prec_amvr if mi.inter_dir & 0x1 else mi.mv1.prec_amvr
+    else:
+        inter_dir = code_inter_dir(ctx, io, cu, log2_w, log2_h)
+        if ctx.smvd_enabled:
+            raise NotImplementedError("smvd syntax not yet supported")
+        if inter_dir == 3:
+            nb0, nb1 = ictx.nb_active_ref0, ictx.nb_active_ref1
+            cu.ref_idx = code_ref_idx(ctx, io, cu, nb0) if nb0 > 1 \
+                else (nb0 - 1 if io.is_reader else cu.ref_idx)
+            mvd0 = code_mvd(ctx, io, None if io.is_reader else cu.mvd)
+            if io.is_reader:
+                cu.mvp_idx = io.raw_bin(CtxOffset.MVP_IDX)
+            else:
+                io.put_bin(cu.mvp_idx, CtxOffset.MVP_IDX)
+            cu.ref_idx1 = _code_ref_idx1(ctx, io, cu, nb1)
+            if not ctx.mvd1_zero:
+                mvd1 = code_mvd(ctx, io, None if io.is_reader else cu.mvd1)
+            else:
+                mvd1 = MV(0, 0)
+            if io.is_reader:
+                cu.mvd = (mvd0.x, mvd0.y)
+                cu.mvd1 = (mvd1.x, mvd1.y)
+                cu.mvp_idx1 = io.raw_bin(CtxOffset.MVP_IDX)
+            else:
+                io.put_bin(cu.mvp_idx1, CtxOffset.MVP_IDX)
+            prec = MV_PRECISION_QUARTER
+            nz = (mvd0.x or mvd0.y) or (not ctx.mvd1_zero and (mvd1.x or mvd1.y))
+            if ctx.amvr_enabled and nz:
+                prec = code_amvr_precision(ctx, io, cu)
+            if io.is_reader:
+                cu.amvr_prec = prec
+            ictx.prec_amvr = prec
+            mi = drv_mvp_b(ictx, x0 - ctx.tile_x0, y0 - ctx.tile_y0,
+                           log2_w, log2_h, mvd0, mvd1, prec,
+                           cu.mvp_idx, cu.mvp_idx1, 3, cu.ref_idx, cu.ref_idx1)
+        else:
+            nb = ictx.nb_active_ref0 if inter_dir == 1 else ictx.nb_active_ref1
+            if inter_dir == 1:
+                cu.ref_idx = code_ref_idx(ctx, io, cu, nb) if nb > 1 \
+                    else (nb - 1 if io.is_reader else cu.ref_idx)
+                ridx = cu.ref_idx
+            else:
+                cu.ref_idx1 = _code_ref_idx1(ctx, io, cu, nb, always=True)
+                ridx = cu.ref_idx1
+            mvd0 = code_mvd(ctx, io, None if io.is_reader else cu.mvd)
+            if io.is_reader:
+                cu.mvd = (mvd0.x, mvd0.y)
+                cu.mvp_idx = io.raw_bin(CtxOffset.MVP_IDX)
+            else:
+                io.put_bin(cu.mvp_idx, CtxOffset.MVP_IDX)
+            prec = MV_PRECISION_QUARTER
+            if ctx.amvr_enabled and (mvd0.x or mvd0.y):
+                prec = code_amvr_precision(ctx, io, cu)
+            if io.is_reader:
+                cu.amvr_prec = prec
+            ictx.prec_amvr = prec
+            mi = drv_mvp_b(ictx, x0 - ctx.tile_x0, y0 - ctx.tile_y0,
+                           log2_w, log2_h, mvd0, mvd0, prec,
+                           cu.mvp_idx, cu.mvp_idx, inter_dir, ridx, ridx)
+    cu.mv0 = mi.mv0
+    cu.mv1 = mi.mv1
+    cu.inter_dir = mi.inter_dir
+    cu.pred_mode = MODE_INTER
+    return mi
+
+
+def _code_ref_idx1(ctx, io, cu, nb_active, always=False):
+    """List-1 ref idx (same binarization as list 0)."""
+    if nb_active <= 1:
+        return nb_active - 1 if io.is_reader else getattr(cu, "ref_idx1", 0)
+    if io.is_reader:
+        v = 0
+        if io.raw_bin(CtxOffset.REF_PIC):
+            v = 1
+            if nb_active > 2 and io.raw_bin(CtxOffset.REF_PIC + 1):
+                v = 2
+                while nb_active > v + 1 and io.raw_bypass():
+                    v += 1
+        return v
+    v = cu.ref_idx1
+    io.put_bin(1 if v > 0 else 0, CtxOffset.REF_PIC)
+    if v > 0 and nb_active > 2:
+        io.put_bin(1 if v > 1 else 0, CtxOffset.REF_PIC + 1)
+        for k in range(2, v):
+            io.put_bypass(1)
+        if v >= 2 and nb_active > v + 1:
+            io.put_bypass(0)
+    return v
+
+
+def code_inter_dir(ctx, io, cu, log2_w, log2_h) -> int:
+    """ovcabac_read_ae_inter_dir parity (:2445)."""
+    if io.is_reader:
+        if log2_w + log2_h > 5:
+            ctx_id = 7 - ((log2_w + log2_h + 1) >> 1)
+            if io.raw_bin(CtxOffset.INTER_DIR + ctx_id):
+                cu.inter_dir = 3
+                return 3
+        cu.inter_dir = 1 + io.raw_bin(CtxOffset.INTER_DIR + 5)
+        return cu.inter_dir
+    v = cu.inter_dir
+    if log2_w + log2_h > 5:
+        ctx_id = 7 - ((log2_w + log2_h + 1) >> 1)
+        io.put_bin(1 if v == 3 else 0, CtxOffset.INTER_DIR + ctx_id)
+        if v == 3:
+            return 3
+    else:
+        assert v != 3, "no bi-pred on small blocks"
+    io.put_bin(v - 1, CtxOffset.INTER_DIR + 5)
+    return v

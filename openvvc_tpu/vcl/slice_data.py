@@ -39,6 +39,7 @@ from openvvc_tpu.vcl.inter_pu import (
     CU_INTER,
     CU_INTER_SKIP,
     CU_NA,
+    prediction_unit_inter_b,
     prediction_unit_inter_p,
     read_pred_mode_flag,
     read_skip_flag,
@@ -190,10 +191,11 @@ def coding_unit_inter_st(ctx, io, node, x0, y0, log2_w, log2_h):
     lft = _nbr_cu_type(ctx, x0 - 1, y0)
 
     skip = read_skip_flag(ctx, io, cu, abv, lft)
+    pred_unit = prediction_unit_inter_p if ctx.slice_type == 1 else prediction_unit_inter_b
 
     if skip:
         cu.merge_flag = 1
-        prediction_unit_inter_p(ctx, io, cu, x0, y0, log2_w, log2_h, 1, 1)
+        pred_unit(ctx, io, cu, x0, y0, log2_w, log2_h, 1, 1)
         cu_type = CU_INTER_SKIP
         cu.prec_amvr_eff = ctx.inter_ctx.prec_amvr
         _reset_intra_map(ctx, x0, y0, log2_w, log2_h)
@@ -235,7 +237,7 @@ def coding_unit_inter_st(ctx, io, node, x0, y0, log2_w, log2_h):
         cu.merge_flag = io.raw_bin(CtxOffset.MERGE_FLAG)
     else:
         io.put_bin(cu.merge_flag, CtxOffset.MERGE_FLAG)
-    prediction_unit_inter_p(ctx, io, cu, x0, y0, log2_w, log2_h, 0, cu.merge_flag)
+    pred_unit(ctx, io, cu, x0, y0, log2_w, log2_h, 0, cu.merge_flag)
     cu.prec_amvr_eff = ctx.inter_ctx.prec_amvr
     cu_type = CU_INTER
     _reset_intra_map(ctx, x0, y0, log2_w, log2_h)

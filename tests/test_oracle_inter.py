@@ -179,3 +179,46 @@ def test_p_amvr():
         {"tree_builder": _qt_tree(lambda x, y, l: _intra_cu(rng, x, y, l), 5)},
         {"tree_builder": _qt_tree(amvr_cu, 4), "slice_type": 1, "ref_deltas": [1]},
     ])
+
+
+def test_b_mixed():
+    rng = np.random.RandomState(23)
+    cfg = StreamConfig(width=128, height=128, deblocking=False)
+
+    def b_cu(x, y, log2):
+        if rng.rand() < 0.2:
+            return _intra_cu(rng, x, y, log2)
+        cu = CU(x, y, log2, log2)
+        cu.pred_mode = 1
+        kind = rng.randint(0, 5)
+        if kind == 0:
+            cu.skip_flag = 1
+            cu.merge_flag = 1
+            cu.merge_idx = int(rng.randint(0, 5))
+        elif kind == 1:
+            cu.merge_flag = 1
+            cu.merge_idx = int(rng.randint(0, 5))
+            if not _add_luma_tu(rng, cu, x, y, log2) | _add_chroma_tus(rng, cu, x, y, log2):
+                _add_luma_tu(rng, cu, x, y, log2, force=True)
+        else:
+            cu.merge_flag = 0
+            cu.inter_dir = int(rng.choice([1, 2, 3]))
+            cu.ref_idx = 0
+            cu.ref_idx1 = 0
+            cu.mvd = (int(rng.randint(-30, 31)), int(rng.randint(-30, 31)))
+            cu.mvd1 = (int(rng.randint(-30, 31)), int(rng.randint(-30, 31)))
+            cu.mvp_idx = int(rng.randint(0, 2))
+            cu.mvp_idx1 = int(rng.randint(0, 2))
+            if rng.rand() < 0.6:
+                _add_luma_tu(rng, cu, x, y, log2)
+                _add_chroma_tus(rng, cu, x, y, log2)
+        return cu
+
+    _check(cfg, [
+        {"tree_builder": _qt_tree(lambda x, y, l: _intra_cu(rng, x, y, l), 5)},
+        {"tree_builder": _qt_tree(lambda x, y, l: _intra_cu(rng, x, y, l), 5)},
+        {"tree_builder": _qt_tree(b_cu, 4), "slice_type": 0,
+         "ref_deltas": [2], "ref_deltas1": [1]},
+        {"tree_builder": _qt_tree(b_cu, 4), "slice_type": 0,
+         "ref_deltas": [1, 3], "ref_deltas1": [2, 1]},
+    ])
