@@ -152,6 +152,12 @@ def reconstruct_cu(rc: ReconCtx, cu: CU, params: ActiveParams, tools,
 
     if dbf is not None and tree in (TREE_SINGLE, TREE_DUAL_LUMA):
         dbf.add_cu_luma(cu.x0, cu.y0, 1 << cu.log2_w, 1 << cu.log2_h, cu.qp, cu.pred_mode == 0)
+        if cu.pred_mode == 1 and refs is not None:
+            inter_dir = cu.inter_dir if cu.mv1 is not None else 1
+            d0 = refs[2][cu.mv0.ref_idx] if inter_dir & 1 else 0
+            d1 = refs[3][cu.mv1.ref_idx] if (inter_dir & 2 and cu.mv1 is not None) else 0
+            dbf.add_cu_motion(cu.x0, cu.y0, 1 << cu.log2_w, 1 << cu.log2_h,
+                              inter_dir, cu.mv0, cu.mv1, d0, d1)
         if cu.isp_mode:
             # ISP: edges at prediction chunks (>=4 wide/high), recon_isp_subtree
             l2pw, l2ph, nb_pb = isp_part_dims(cu.log2_w, cu.log2_h, cu.isp_mode)
@@ -243,7 +249,7 @@ def _reconstruct_inter(rc: ReconCtx, cu: CU, params, trc, refs, find_tu):
     """
     bd = rc.bitdepth
     frame = rc.frame
-    refs0, refs1 = refs
+    refs0, refs1 = refs[0], refs[1]
     pic_w, pic_h = params.pps.pic_w, params.pps.pic_h
     w, h = 1 << cu.log2_w, 1 << cu.log2_h
     hpel = cu.prec_amvr_eff == MV_PRECISION_HALF
@@ -479,9 +485,10 @@ class Decoder:
         if params.slice_type != SLICE_I:
             hrpl0, hrpl1 = params.sh.resolved_rpls(pps, params.ph)
             nra = getattr(params.sh, "_num_ref_idx_active", [1, 0])
-            refs0, _dist0 = self.dpb.resolve_rpl(hrpl0, sps, poc, nra[0])
+            refs0, dist0 = self.dpb.resolve_rpl(hrpl0, sps, poc, nra[0])
+            dist1 = []
             if params.slice_type == 0:  # B
-                refs1, _dist1 = self.dpb.resolve_rpl(hrpl1, sps, poc, nra[1])
+                refs1, dist1 = self.dpb.resolve_rpl(hrpl1, sps, poc, nra[1])
 
         tools = {
             "dep_quant": bool(params.sh.sh_dep_quant_used_flag),
@@ -515,7 +522,8 @@ class Decoder:
             rc = ReconCtx(frame, params, entry)
             for ctu in ectx.ctus:
                 for cu in ctu.cus:
-                    reconstruct_cu(rc, cu, params, tools, dbf, (refs0, refs1))
+                    reconstruct_cu(rc, cu, params, tools, dbf,
+                                   (refs0, refs1, dist0, dist1) if refs0 is not None else None)
             if ectx.sao_params:
                 sao_entries.append((entry, ectx.sao_params))
             if ectx.alf_params:
@@ -524,6 +532,7 @@ class Decoder:
         if lmcs is not None:
             frame.y = lmcs.bwd_lut[np.clip(frame.y, 0, (1 << bd) - 1)].astype(np.int32)
         if dbf is not None:
+            dbf.finalize_inter_bs()
             deblock_frame(frame, dbf, params, sps.ctb_log2)
         for entry, sao_params in sao_entries:
             apply_sao_entry(frame, (entry.ctu_x, entry.ctu_y, entry.nb_ctu_w, entry.nb_ctu_h),

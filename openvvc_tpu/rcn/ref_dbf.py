@@ -65,6 +65,13 @@ class DbfMaps:
         self.bs1_ver = z()
         self.bs1_hor = z()
         self.qp_l = np.zeros((uh, uw), np.int32)
+        # CU-edge-only maps + per-unit motion info for the inter BS pass
+        # (rcn_df.c dbf_ctu_preproc_h/v :1822-1875)
+        self.cu_edge_ver = z()
+        self.cu_edge_hor = z()
+        self.mv_dir = np.zeros((uh, uw), np.uint8)  # 0 intra/none, 1/2/3
+        self.mv_vals = np.zeros((uh, uw, 2, 2), np.int32)  # [list][x,y]
+        self.mv_dist = np.zeros((uh, uw, 2), np.int32)  # POC dist per list
         if chroma:
             self.cedge_ver = z()
             self.cedge_hor = z()
@@ -87,6 +94,10 @@ class DbfMaps:
         self.edge_ver[yu : yu + hu, xu + wu] = True
         self.edge_hor[yu, xu : xu + wu] = True
         self.edge_hor[yu + hu, xu : xu + wu] = True
+        self.cu_edge_ver[yu : yu + hu, xu] = True
+        self.cu_edge_ver[yu : yu + hu, xu + wu] = True
+        self.cu_edge_hor[yu, xu : xu + wu] = True
+        self.cu_edge_hor[yu + hu, xu : xu + wu] = True
         if intra:
             self.bs2_ver[yu : yu + hu, xu] = True
             self.bs2_ver[yu : yu + hu, xu + wu] = True
@@ -119,6 +130,71 @@ class DbfMaps:
             self.cbs2_hor[yu + hu, xu : xu + wu] = True
         self.qp_cb[yu : yu + hu, xu : xu + wu] = qp_cb
         self.qp_cr[yu : yu + hu, xu : xu + wu] = qp_cr
+
+    def add_cu_motion(self, x0, y0, w, h, inter_dir, mv0, mv1, dist0, dist1):
+        """Per-unit motion info for the MV boundary-strength rule.
+
+        dist0/dist1: POC distance of the referenced picture per list (0 for
+        an unused list)."""
+        xu, yu, wu, hu = self._rect(x0, y0, w, h)
+        self.mv_dir[yu : yu + hu, xu : xu + wu] = inter_dir
+        if inter_dir & 1:
+            self.mv_vals[yu : yu + hu, xu : xu + wu, 0] = (mv0.x, mv0.y)
+            self.mv_dist[yu : yu + hu, xu : xu + wu, 0] = dist0
+        if inter_dir & 2:
+            self.mv_vals[yu : yu + hu, xu : xu + wu, 1] = (mv1.x, mv1.y)
+            self.mv_dist[yu : yu + hu, xu : xu + wu, 1] = dist1
+
+    def _mv_edge_bs(self, pu, qu) -> bool:
+        """check_dbf_enabled / check_dbf_enabled_p parity (rcn_df.c :1527)."""
+        dp = int(self.mv_dir[pu])
+        dq = int(self.mv_dir[qu])
+        if dp == 0 or dq == 0:
+            return True
+
+        def thr(a, b):
+            return (abs(int(a[0]) - int(b[0])) >= 8
+                    or abs(int(a[1]) - int(b[1])) >= 8)
+
+        if dp == 3 and dq == 3:
+            p0, p1 = self.mv_vals[pu][0], self.mv_vals[pu][1]
+            q0, q1 = self.mv_vals[qu][0], self.mv_vals[qu][1]
+            r0p, r1p = int(self.mv_dist[pu][0]), int(self.mv_dist[pu][1])
+            r0q, r1q = int(self.mv_dist[qu][0]), int(self.mv_dist[qu][1])
+            paired = r0p == r0q and r1p == r1q
+            swapped = r0p == r1q and r1p == r0q
+            coupled = r0p == r1p
+            bs = True
+            if coupled and paired:
+                bs = thr(q0, p0) or thr(q1, p1)
+                bs = bs and (thr(q1, p0) or thr(q0, p1))
+            elif paired:
+                bs = thr(q0, p0) or thr(q1, p1)
+            elif swapped:
+                bs = thr(q1, p0) or thr(q0, p1)
+            return bs
+        if dp in (1, 2) and dq in (1, 2):
+            lp, lq = dp - 1, dq - 1
+            mvp = self.mv_vals[pu][lp]
+            mvq = self.mv_vals[qu][lq]
+            if int(self.mv_dist[pu][lp]) == int(self.mv_dist[qu][lq]):
+                return thr(mvq, mvp)
+            return True
+        return True
+
+    def finalize_inter_bs(self):
+        """MV-based bs1 on CU edges not already bs1/bs2 (preproc parity)."""
+        uh, uw = self.qp_l.shape
+        cv = self.cu_edge_ver & ~(self.bs2_ver | self.bs1_ver)
+        for yu, xu in zip(*np.nonzero(cv[:uh, 1:uw])):
+            xu = xu + 1
+            if self._mv_edge_bs((yu, xu - 1), (yu, xu)):
+                self.bs1_ver[yu, xu] = True
+        ch = self.cu_edge_hor & ~(self.bs2_hor | self.bs1_hor)
+        for yu, xu in zip(*np.nonzero(ch[1:uh, :uw])):
+            yu = yu + 1
+            if self._mv_edge_bs((yu - 1, xu), (yu, xu)):
+                self.bs1_hor[yu, xu] = True
 
     def add_tb_chroma(self, comp, cx0, cy0, cw, ch):
         xu, yu = cx0 >> 1, cy0 >> 1

@@ -222,3 +222,51 @@ def test_b_mixed():
         {"tree_builder": _qt_tree(b_cu, 4), "slice_type": 0,
          "ref_deltas": [1, 3], "ref_deltas1": [2, 1]},
     ])
+
+
+def test_pb_deblocking():
+    """Inter frames with deblocking on: MV-based boundary strengths."""
+    rng = np.random.RandomState(31)
+    cfg = StreamConfig(width=128, height=128, deblocking=True)
+
+    def cu_any(x, y, log2):
+        if rng.rand() < 0.2:
+            return _intra_cu(rng, x, y, log2)
+        cu = CU(x, y, log2, log2)
+        cu.pred_mode = 1
+        kind = rng.randint(0, 4)
+        if kind == 0:
+            cu.skip_flag = 1
+            cu.merge_flag = 1
+            cu.merge_idx = int(rng.randint(0, 5))
+        elif kind == 1:
+            cu.merge_flag = 1
+            cu.merge_idx = int(rng.randint(0, 5))
+            if not _add_luma_tu(rng, cu, x, y, log2) | _add_chroma_tus(rng, cu, x, y, log2):
+                _add_luma_tu(rng, cu, x, y, log2, force=True)
+        else:
+            cu.merge_flag = 0
+            cu.ref_idx = 0
+            # small mvds: many CU pairs land under/over the half-pel BS
+            # threshold, exercising both rule outcomes
+            cu.mvd = (int(rng.randint(-4, 5)), int(rng.randint(-4, 5)))
+            cu.mvp_idx = int(rng.randint(0, 2))
+            if rng.rand() < 0.5:
+                _add_luma_tu(rng, cu, x, y, log2)
+        return cu
+
+    def b_cu(x, y, log2):
+        cu = cu_any(x, y, log2)
+        if cu.pred_mode == 1 and not cu.merge_flag:
+            cu.inter_dir = int(rng.choice([1, 2, 3]))
+            cu.ref_idx1 = 0
+            cu.mvd1 = (int(rng.randint(-4, 5)), int(rng.randint(-4, 5)))
+            cu.mvp_idx1 = int(rng.randint(0, 2))
+        return cu
+
+    _check(cfg, [
+        {"tree_builder": _qt_tree(lambda x, y, l: _intra_cu(rng, x, y, l), 5)},
+        {"tree_builder": _qt_tree(cu_any, 4), "slice_type": 1, "ref_deltas": [1]},
+        {"tree_builder": _qt_tree(b_cu, 4), "slice_type": 0,
+         "ref_deltas": [1, 2], "ref_deltas1": [2, 1]},
+    ])
