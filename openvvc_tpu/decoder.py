@@ -448,6 +448,34 @@ def _reconstruct_chroma(rc: ReconCtx, cu: CU, params, trc, cx0, cy0, clog2_w, cl
         rc.mark_chroma(ux, uy, l2w, l2h)
 
 
+def _sd(params, lst):
+    from openvvc_tpu.vcl.ctu import _signed_rpl_deltas
+    hr0, hr1 = params.sh.resolved_rpls(params.pps, params.ph)
+    nra = getattr(params.sh, "_num_ref_idx_active", [1, 0])
+    return _signed_rpl_deltas(hr0.rpl if lst == 0 else hr1.rpl, nra[lst])
+
+
+def _merge_tmvp_export(acc, ectx, pps):
+    """Assemble picture-level TMVP field from per-tile InterCtx state."""
+    uw, uh = (pps.pic_w + 3) >> 2, (pps.pic_h + 3) >> 2
+    if acc is None:
+        dir0 = [[0] * uw for _ in range(uh)]
+        dir1 = [[0] * uw for _ in range(uh)]
+        acc = (dir0, dir1, {}, {}, None, None)
+    ictx = ectx.inter_ctx
+    ox, oy = ectx.tile_x0 >> 2, ectx.tile_y0 >> 2
+    for j in range(ictx.uh):
+        for i in range(ictx.uw):
+            if oy + j < uh and ox + i < uw:
+                acc[0][oy + j][ox + i] = ictx.dir0[j][i]
+                acc[1][oy + j][ox + i] = ictx.dir1[j][i]
+    for (x, y), mv in ictx.tmvp_mv0.items():
+        acc[2][(x + (ox >> 1), y + (oy >> 1))] = mv
+    for (x, y), mv in ictx.tmvp_mv1.items():
+        acc[3][(x + (ox >> 1), y + (oy >> 1))] = mv
+    return acc
+
+
 class Decoder:
     """Frame decoder over the currently supported toolset.
 
@@ -489,6 +517,14 @@ class Decoder:
             dist1 = []
             if params.slice_type == 0:  # B
                 refs1, dist1 = self.dpb.resolve_rpl(hrpl1, sps, poc, nra[1])
+            if getattr(params.ph, "ph_temporal_mvp_enabled_flag", 0):
+                # collocated ref selection (dpb.c init_tmvp_info :1016)
+                from_l0 = bool(getattr(params.sh, "sh_collocated_from_l0_flag", 1)) \
+                    or params.slice_type == 1
+                cidx = int(getattr(params.sh, "sh_collocated_ref_idx", 0))
+                col_f = (refs0 if from_l0 else refs1)[cidx]
+                if getattr(col_f, "tmvp", None) is not None:
+                    params._tmvp_col = col_f.tmvp
 
         tools = {
             "dep_quant": bool(params.sh.sh_dep_quant_used_flag),
@@ -518,6 +554,7 @@ class Decoder:
         if self.use_tpu_residuals:
             precompute_residuals_batched(parsed, tools, bd)
 
+        tmvp_export = None
         for entry, ectx in parsed:
             rc = ReconCtx(frame, params, entry)
             for ctu in ectx.ctus:
@@ -528,6 +565,8 @@ class Decoder:
                 sao_entries.append((entry, ectx.sao_params))
             if ectx.alf_params:
                 alf_entries.append((entry, ectx.alf_params))
+            if ectx.inter_ctx is not None:
+                tmvp_export = _merge_tmvp_export(tmvp_export, ectx, pps)
 
         if lmcs is not None:
             frame.y = lmcs.bwd_lut[np.clip(frame.y, 0, (1 << bd) - 1)].astype(np.int32)
@@ -548,6 +587,10 @@ class Decoder:
                 apply_alf_entry(frame, (entry.ctu_x, entry.ctu_y, entry.nb_ctu_w, entry.nb_ctu_h),
                                 sps.ctb_log2, alf_params, filters, cc_data, bd,
                                 pps.pic_w, pps.pic_h)
+        if tmvp_export is not None:
+            tmvp_export = tmvp_export[:4] + ([-d for d in _sd(params, 0)],
+                                             [-d for d in _sd(params, 1)])
+        frame.tmvp = tmvp_export
         self.dpb.store(poc, frame)
         return frame
 

@@ -52,17 +52,19 @@ class DPB:
     def resolve_rpl(self, hrpl, sps, cur_poc: int, nb_active: int):
         """Active reference frames + POC distances for list resolution.
 
-        Reference parity (dpb.c compute_ref_poc :440): every short-term
-        entry is relative to the CURRENT poc (no pocBase chaining), and
-        sign 0 means a FUTURE reference: poc + abs + 1 / poc - (abs + 1).
+        Reference parity (dpb.c compute_ref_poc :440-481): each short-term
+        entry chains from the previous resolved POC (poc = ref_poc at loop
+        end), sign 0 meaning a FUTURE step: prev +/- (abs + 1).
         """
         rpl = hrpl.rpl
         refs, dist = [], []
+        base = cur_poc
         for i in range(min(nb_active, rpl.num_ref_entries)):
             if not rpl.st_ref_pic_flag[i]:
                 raise NotImplementedError("long-term refs not supported")
             a = rpl.abs_delta_poc_st[i] + 1
-            ref_poc = cur_poc - a if rpl.strp_entry_sign_flag[i] else cur_poc + a
+            ref_poc = base - a if rpl.strp_entry_sign_flag[i] else base + a
+            base = ref_poc
             if ref_poc not in self.pics:
                 raise ValueError(f"reference POC {ref_poc} not in DPB")
             refs.append(self.pics[ref_poc])

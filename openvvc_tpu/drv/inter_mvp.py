@@ -117,6 +117,24 @@ class InterCtx:
         self.rpl1_opp = [0xFF] * 16
         self.tmvp_enabled = False
         self.prec_amvr = MV_PRECISION_QUARTER
+        # own-picture TMVP field (8x8 grid), exported to the DPB after decode
+        self.tmvp_mv0: dict[tuple[int, int], MV] = {}
+        self.tmvp_mv1: dict[tuple[int, int], MV] = {}
+        # collocated-picture state (set_tmvp)
+        self.col = None
+        self.dist_ref0: list[int] = []
+        self.dist_ref1: list[int] = []
+        self.ldc = True
+        self.log2_ctb_units = 4
+        self.tile_uoff = (0, 0)  # tile origin in 4x4 units (picture coords)
+
+    def set_tmvp(self, col, ldc: bool, log2_ctb: int):
+        """col: (dir0, dir1, mv0, mv1, dist_col0, dist_col1) from the
+        collocated picture (dir at 4x4 tile units, mv on the 8x8 grid)."""
+        self.tmvp_enabled = True
+        self.col = col
+        self.ldc = ldc
+        self.log2_ctb_units = log2_ctb - 2
 
     # -- map queries ----------------------------------------------------
     def _avail(self, lst: int, ux: int, uy: int) -> bool:
@@ -138,14 +156,118 @@ class InterCtx:
                 row[ux + i] = 1
                 mvs[(ux + i, uy + j)] = mv
 
+    def fill_tmvp(self, lst: int, mv: MV, ux: int, uy: int, nw: int, nh: int):
+        """fill_tmvp_map parity (:1358): 8x8 grid, bcw/prec cleared."""
+        mvt = replace(mv, bcw_idx_plus1=0, prec_amvr=0)
+        dst = self.tmvp_mv0 if lst == 0 else self.tmvp_mv1
+        sx, sy = ux & 1, uy & 1
+        x0, y0 = (ux + sx) >> 1, (uy + sy) >> 1
+        for j in range((nh + (1 - sy)) >> 1):
+            for i in range((nw + (1 - sx)) >> 1):
+                dst[(x0 + i, y0 + j)] = mvt
+
     def update_mv_ctx(self, mv: MV, ux: int, uy: int, nw: int, nh: int,
                       inter_dir: int):
         """P-path update (update_mv_ctx :1454): one list + HMVP."""
         if inter_dir & 0x2:
             self.fill(1, mv, ux, uy, nw, nh)
+            self.fill_tmvp(1, mv, ux, uy, nw, nh)
         elif inter_dir & 0x1:
             self.fill(0, mv, ux, uy, nw, nh)
+            self.fill_tmvp(0, mv, ux, uy, nw, nh)
         self.hmvp.update(mv, mv, 0x1)
+
+    # -- TMVP (load_ctb_tmvp / derive_tmvp_cand :297-540) ---------------
+    def _col_avail(self, lst: int, cx: int, cy: int, cu_uy: int, cu_ux: int) -> bool:
+        """Collocated availability: the reference's per-CTU window allows
+        one column beyond the CTU right edge but nothing below the CTU."""
+        if self.col is None:
+            return False
+        sh = self.log2_ctb_units
+        if (cy >> sh) != (cu_uy >> sh):  # below/above the CU's CTU row
+            return False
+        if (cx >> sh) > (cu_ux >> sh) + 1 or (cx - ((cu_ux >> sh) << sh)) > (1 << sh):
+            return False
+        dir_m = self.col[0] if lst == 0 else self.col[1]
+        px, py = cx + self.tile_uoff[0], cy + self.tile_uoff[1]
+        if py < 0 or px < 0 or py >= len(dir_m) or px >= len(dir_m[0]):
+            return False
+        return bool(dir_m[py][px])
+
+    def _col_mv(self, lst: int, cx: int, cy: int) -> MV:
+        px, py = cx + self.tile_uoff[0], cy + self.tile_uoff[1]
+        return (self.col[2] if lst == 0 else self.col[3])[(px >> 1, py >> 1)]
+
+    def _tmvp_scaled(self, lst_cur: int, ref_idx: int, col_lst: int,
+                     cx: int, cy: int, prec_amvr=None) -> MV:
+        mv = self._col_mv(col_lst, cx, cy)
+        dist_col = (self.col[4] if col_lst == 0 else self.col[5])[mv.ref_idx]
+        dist_ref = (self.dist_ref0 if lst_cur == 0 else self.dist_ref1)[ref_idx]
+        scale = derive_tmvp_scale(dist_ref, dist_col)
+        out = MV(tmvp_round_mv(mv.x), tmvp_round_mv(mv.y))
+        out = tmvp_scale_mv(scale, out)
+        if prec_amvr is not None:
+            out = round_to_precision(out, MV_PRECISION_INTERNAL, prec_amvr)
+        return replace(out, ref_idx=ref_idx, bcw_idx_plus1=0, prec_amvr=0)
+
+    def derive_tmvp_amvp(self, lst: int, ref_idx: int, ux, uy, nw, nh,
+                         prec_amvr) -> MV | None:
+        """derive_tmvp_cand parity (:403); col_ref_l0 is always 0 in the
+        reference, so branch selection reduces to !ldc || lst==0."""
+        c1x, c1y = (ux + (nw >> 1)) & ~1, (uy + (nh >> 1)) & ~1
+        c0x, c0y = (ux + nw) & ~1, (uy + nh) & ~1
+        a_c0 = self._col_avail(0, c0x, c0y, uy, ux)
+        a_c01 = self._col_avail(1, c0x, c0y, uy, ux)
+        a_c1 = self._col_avail(0, c1x, c1y, uy, ux)
+        a_c11 = self._col_avail(1, c1x, c1y, uy, ux)
+        if (not self.ldc) or lst == 0:
+            order = ((a_c0, 0, c0x, c0y), (a_c01, 1, c0x, c0y),
+                     (a_c1, 0, c1x, c1y), (a_c11, 1, c1x, c1y))
+        else:
+            order = ((a_c01, 1, c0x, c0y), (a_c0, 0, c0x, c0y),
+                     (a_c11, 1, c1x, c1y), (a_c1, 0, c1x, c1y))
+        for avail, col_lst, cx, cy in order:
+            if avail:
+                mv = self._tmvp_scaled(lst, ref_idx, col_lst, cx, cy, prec_amvr)
+                return replace(mv, prec_amvr=0)
+        return None
+
+    def derive_tmvp_merge_p(self, ux, uy, nw, nh) -> MV | None:
+        """TMVP merge candidate, P path (vvc_derive_merge_mvp :760)."""
+        c1x, c1y = (ux + (nw >> 1)) & ~1, (uy + (nh >> 1)) & ~1
+        c0x, c0y = (ux + nw) & ~1, (uy + nh) & ~1
+        for avail, col_lst, cx, cy in (
+                (self._col_avail(0, c0x, c0y, uy, ux), 0, c0x, c0y),
+                (self._col_avail(1, c0x, c0y, uy, ux), 1, c0x, c0y),
+                (self._col_avail(0, c1x, c1y, uy, ux), 0, c1x, c1y),
+                (self._col_avail(1, c1x, c1y, uy, ux), 1, c1x, c1y)):
+            if avail:
+                mv = self._tmvp_scaled(0, 0, col_lst, cx, cy)
+                return replace(mv, ref_idx=0)
+        return None
+
+    def derive_tmvp_merge_b(self, ux, uy, nw, nh):
+        """TMVP merge candidate, B path (vvc_derive_merge_mvp_b): bi
+        candidate from c0 (both-plane aware) else c1."""
+        c1x, c1y = (ux + (nw >> 1)) & ~1, (uy + (nh >> 1)) & ~1
+        c0x, c0y = (ux + nw) & ~1, (uy + nh) & ~1
+        for (a0, a1, cx, cy) in (
+                (self._col_avail(0, c0x, c0y, uy, ux),
+                 self._col_avail(1, c0x, c0y, uy, ux), c0x, c0y),
+                (self._col_avail(0, c1x, c1y, uy, ux),
+                 self._col_avail(1, c1x, c1y, uy, ux), c1x, c1y)):
+            if a0 or a1:
+                if a0:
+                    mv0 = self._tmvp_scaled(0, 0, 0, cx, cy)
+                    if a1 and self.ldc:
+                        mv1 = self._tmvp_scaled(1, 0, 1, cx, cy)
+                    else:
+                        mv1 = self._tmvp_scaled(1, 0, 0, cx, cy)
+                else:
+                    mv0 = self._tmvp_scaled(0, 0, 1, cx, cy)
+                    mv1 = self._tmvp_scaled(1, 0, 1, cx, cy)
+                return MergeInfo(3, mv0, mv1)
+        return None
 
     # -- AMVP (derive_mvp_candidates_1 :542) ----------------------------
     def derive_mvp_cand(self, lst: int, ref_idx: int, ux: int, uy: int,
@@ -177,7 +299,11 @@ class InterCtx:
         if len(cand) == 2 and mv_cmp(cand[0], cand[1]):
             cand.pop()
 
-        # TMVP (not yet wired; generator keeps ph_temporal_mvp off)
+        if self.tmvp_enabled and len(cand) < 2 and not is_small:
+            t = self.derive_tmvp_amvp(lst, ref_idx, ux, uy, nw, nh, prec_amvr)
+            if t is not None:
+                cand.append(t)
+
         if len(cand) < 2:
             self._hmvp_amvp(cand, inter_dir, ref_idx, opp)
 
@@ -249,7 +375,12 @@ class InterCtx:
                 if len(cand) - 1 == merge_idx:
                     return mv
 
-        # TMVP merge candidate: not yet wired (tmvp_enabled stays False)
+        if self.tmvp_enabled and not is_small:
+            t = self.derive_tmvp_merge_p(ux, uy, nw, nh)
+            if t is not None:
+                cand.append(t)
+                if len(cand) - 1 == merge_idx:
+                    return t
 
         if len(cand) != max_nb_cand - 1:
             got = self._hmvp_merge(cand, amvp, got_t, got_l, merge_idx,
@@ -319,6 +450,50 @@ def drv_mvp_p(ictx: InterCtx, x0, y0, log2_w, log2_h, mvd: MV, prec_amvr,
                  bcw_idx_plus1=3, prec_amvr=prec_amvr)
     ictx.update_mv_ctx(mv, ux, uy, nw, nh, 0x1)
     return mv
+
+
+MV_MAX = (1 << 17) - 1
+MV_MIN = -(1 << 17)
+
+
+def tmvp_round_mv(val: int) -> int:
+    """tmvp_round_mv parity (:119): mantissa/exponent MV compression.
+
+    Python's bitwise ops on negative ints follow two's-complement with
+    infinite sign extension, so the C int arithmetic maps directly."""
+    sign = -1 if val < 0 else 0
+    if ((val ^ sign) - (1 if sign else 0)) > 31:
+        scale = ((val ^ sign) | 31).bit_length() - 1 - 5
+        rnd = (1 << scale) >> 1
+        n = (val + rnd) >> scale
+        exponent = scale + ((n ^ sign) >> 5)
+        mantissa = (n & 31) | (sign << 5)
+        return (mantissa ^ 32) << (exponent - (1 if exponent else 0))
+    return val
+
+
+def tmvp_scale_mv(scale: int, mv: MV) -> MV:
+    def one(v):
+        p = scale * v
+        r = (p + 128 - (1 if p >= 0 else 0)) >> 8
+        return max(MV_MIN, min(MV_MAX, r))
+    return replace(mv, x=one(mv.x), y=one(mv.y))
+
+
+def _trunc_div(a: int, b: int) -> int:
+    q = abs(a) // abs(b)
+    return -q if (a < 0) != (b < 0) else q
+
+
+def derive_tmvp_scale(dist_ref: int, dist_col: int) -> int:
+    if dist_ref == dist_col or not dist_col:
+        return 256
+    dist_ref = max(-128, min(127, dist_ref))
+    dist_col = max(-128, min(127, dist_col))
+    scale = dist_ref * _trunc_div(0x4000 + abs(dist_col >> 1), dist_col)
+    scale += 32
+    scale >>= 6
+    return max(-4096, min(4095, scale))
 
 
 # ----------------------------------------------------------------------
@@ -408,7 +583,12 @@ def derive_merge_mvp_b(ictx: InterCtx, ux, uy, nw, nh, merge_idx,
             if len(cand) - 1 == merge_idx:
                 return mi
 
-    # TMVP: not yet wired
+    if ictx.tmvp_enabled and not is_small:
+        t = ictx.derive_tmvp_merge_b(ux, uy, nw, nh)
+        if t is not None:
+            cand.append(t)
+            if len(cand) - 1 == merge_idx:
+                return t
 
     if len(cand) != max_nb_cand - 1:
         lut = ictx.hmvp
@@ -460,8 +640,10 @@ def update_mv_ctx_b(ictx: InterCtx, mv0: MV, mv1: MV, ux, uy, nw, nh,
                     inter_dir: int):
     if inter_dir & 0x1:
         ictx.fill(0, mv0, ux, uy, nw, nh)
+        ictx.fill_tmvp(0, mv0, ux, uy, nw, nh)
     if inter_dir & 0x2:
         ictx.fill(1, mv1, ux, uy, nw, nh)
+        ictx.fill_tmvp(1, mv1, ux, uy, nw, nh)
     ictx.hmvp.update(mv0, mv1, inter_dir)
 
 

@@ -43,8 +43,9 @@ def ref_pic_list_struct_syntax(io, rpl: RPL, sps, list_idx: int, rpls_idx: int):
                 rpl.st_ref_pic_flag[i] = 1  # inferred (spec 7.4.11)
             if rpl.st_ref_pic_flag[i]:
                 abs_delta = io.ue_i(rpl, "abs_delta_poc_st", i)
-                # AbsDeltaPocSt[i] = abs+1 unless (weightedPred && i>0)
-                if abs_delta > 0 or not (weighted and i != 0):
+                # sign present iff abs > 0, non-weighted pred, or entry 0
+                # (nvcl_rpl.c ref_pic_list_strp :179)
+                if abs_delta > 0 or not weighted or i == 0:
                     io.flag_i(rpl, "strp_entry_sign_flag", i)
             elif not rpl.ltrp_in_header_flag:
                 nb = sps.sps_log2_max_pic_order_cnt_lsb_minus4 + 4

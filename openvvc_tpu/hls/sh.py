@@ -158,8 +158,10 @@ def slice_header_syntax(io, sh: SH, nal_type: int, sps, pps, ph_ctx):
                 io.flag(sh, "sh_collocated_from_l0_flag")
             elif io.is_reader:
                 sh.sh_collocated_from_l0_flag = 1
-            if (sh.sh_collocated_from_l0_flag and n0 > 1) or (
-                not sh.sh_collocated_from_l0_flag and n1 > 1
+            # spec 7.3.7: the >1 checks use NumRefIdxActive, not the raw
+            # entry counts (vcl_sh.c :273-333 reassigns nb_ref_entries)
+            if (sh.sh_collocated_from_l0_flag and num_ref_active[0] > 1) or (
+                not sh.sh_collocated_from_l0_flag and num_ref_active[1] > 1
             ):
                 io.ue(sh, "sh_collocated_ref_idx")
         if not pps.pps_wp_info_in_ph_flag and (

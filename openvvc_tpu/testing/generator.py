@@ -61,6 +61,7 @@ class StreamConfig:
     lmcs_chroma_scaling: bool = False
     deblocking: bool = True  # on unless disabled in PPS
     amvr: bool = False
+    tmvp: bool = False
     delta_qp: bool = False
     delta_qp_subdiv: int = 0
     max_tb_64: bool = True
@@ -96,6 +97,7 @@ def build_sps(cfg: StreamConfig) -> SPS:
         sps.sps_log2_diff_max_bt_min_qt_inter_slice = max(0, cfg.max_bt_log2 - cfg.min_qt_log2)
         sps.sps_log2_diff_max_tt_min_qt_inter_slice = max(0, min(cfg.max_tt_log2, 6) - cfg.min_qt_log2)
     sps.sps_amvr_enabled_flag = 1 if cfg.amvr else 0
+    sps.sps_temporal_mvp_enabled_flag = 1 if cfg.tmvp else 0
     if cfg.ctu_log2 > 5:
         sps.sps_max_luma_transform_size_64_flag = 1 if cfg.max_tb_64 else 0
     if cfg.dual_tree:
@@ -174,6 +176,8 @@ def build_ph(cfg: StreamConfig, poc: int = 0, inter: bool = False) -> PH:
     ph.ph_intra_slice_allowed_flag = 1
     ph.ph_pic_order_cnt_lsb = poc & 0xFF
     ph.ph_pic_output_flag = 1
+    if inter and cfg.tmvp:
+        ph.ph_temporal_mvp_enabled_flag = 1
     if cfg.lmcs:
         ph.ph_lmcs_enabled_flag = 1
         ph.ph_lmcs_aps_id = 0
@@ -194,11 +198,14 @@ def _mk_rpl(ref_deltas):
     rpl.abs_delta_poc_st = ListField()
     rpl.strp_entry_sign_flag = ListField()
     rpl.st_ref_pic_flag = ListField()
+    prev = 0
     for i, d in enumerate(ref_deltas):
-        # reference parity (dpb.c :459): RefPoc[i] = poc -/+ (abs+1),
-        # sign 1 = past; no pocBase chaining
-        rpl.abs_delta_poc_st[i] = abs(d) - 1
-        rpl.strp_entry_sign_flag[i] = 1 if d > 0 else 0
+        # chained (dpb.c :459-481): step from the previous resolved POC;
+        # sign 1 = toward the past
+        step = d - prev
+        prev = d
+        rpl.abs_delta_poc_st[i] = abs(step) - 1
+        rpl.strp_entry_sign_flag[i] = 1 if step > 0 else 0
     return rpl
 
 
@@ -210,9 +217,16 @@ def build_sh(cfg: StreamConfig, sps, pps, slice_type: int = 2,
     sh.sh_qp_delta = cfg.qp - 26
     sh.sh_slice_type = slice_type
     sh.sh_num_ref_idx_active_override_flag = 1
+    if slice_type != 2 and ref_deltas:
+        from openvvc_tpu.hls.syntax import ListField as _LF2
+        sh.sh_num_ref_idx_active_minus1 = _LF2(
+            {0: len(ref_deltas) - 1, 1: len(ref_deltas1 or []) - 1 if ref_deltas1 else 0})
     # non-IDR NALs carry ref_pic_lists() even for I slices (empty lists)
     sh.hrpl0.rpl = _mk_rpl(ref_deltas or [])
     sh.hrpl1.rpl = _mk_rpl(ref_deltas1 or [])
+    if slice_type != 2 and cfg.tmvp:
+        sh.sh_collocated_from_l0_flag = 1
+        sh.sh_collocated_ref_idx = 0
     if cfg.alf:
         sh.sh_alf_enabled_flag = 1
         sh.sh_num_alf_aps_ids_luma = 1

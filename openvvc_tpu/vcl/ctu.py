@@ -128,11 +128,13 @@ class CtuIR:
 
 def _signed_rpl_deltas(rpl, nb_active):
     """Signed ref-POC offsets (ref_poc - cur_poc) per active ST entry
-    (dpb.c compute_ref_poc :459 convention)."""
+    (dpb.c compute_ref_poc :459-481: chained, sign 0 = future step)."""
     out = []
+    base = 0
     for i in range(min(nb_active, getattr(rpl, "num_ref_entries", 0))):
         a = rpl.abs_delta_poc_st[i] + 1
-        out.append(-a if rpl.strp_entry_sign_flag[i] else a)
+        base = base - a if rpl.strp_entry_sign_flag[i] else base + a
+        out.append(base)
     return out
 
 
@@ -228,6 +230,17 @@ class CTUParseCtx:
                 self.inter_ctx.rpl1_opp[i] = d0.index(d) if d in d0 else 0xFF
             self.inter_ctx.dist_ref0 = [-d for d in d0]
             self.inter_ctx.dist_ref1 = [-d for d in d1]
+            # TMVP: collocated data is attached by the decoder before parse
+            # (params._tmvp_col); the writer runs without it, which matches
+            # the reference's NULL col planes (no TMVP candidates, same bins)
+            if self.tmvp_enabled:
+                ldc = not any(d > 0 for d in d0 + d1)
+                col = getattr(params, "_tmvp_col", None)
+                self.inter_ctx.tmvp_enabled = True
+                self.inter_ctx.ldc = ldc
+                self.inter_ctx.log2_ctb_units = self.log2_ctb - 2
+                self.inter_ctx.col = col
+                self.inter_ctx.tile_uoff = (self.tile_x0 >> 2, self.tile_y0 >> 2)
 
         # 2-D neighbor maps at 4x4 luma granularity over the tile
         uw = (self.tile_w + 3) >> 2

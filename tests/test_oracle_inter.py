@@ -154,7 +154,7 @@ def test_p_mixed_three_frames():
     _check(cfg, [
         {"tree_builder": _qt_tree(lambda x, y, l: _intra_cu(rng, x, y, l), 5)},
         {"tree_builder": _qt_tree(mixed_cu, 4), "slice_type": 1, "ref_deltas": [1]},
-        {"tree_builder": _qt_tree(mixed_cu, 4), "slice_type": 1, "ref_deltas": [1, 2]},
+        {"tree_builder": _qt_tree(mixed_cu, 4), "slice_type": 1, "ref_deltas": [2, 1]},
     ])
 
 
@@ -268,5 +268,47 @@ def test_pb_deblocking():
         {"tree_builder": _qt_tree(lambda x, y, l: _intra_cu(rng, x, y, l), 5)},
         {"tree_builder": _qt_tree(cu_any, 4), "slice_type": 1, "ref_deltas": [1]},
         {"tree_builder": _qt_tree(b_cu, 4), "slice_type": 0,
-         "ref_deltas": [1, 2], "ref_deltas1": [2, 1]},
+         "ref_deltas": [2, 1], "ref_deltas1": [2, 1]},
+    ])
+
+
+def test_tmvp():
+    """Temporal MVP: P and B chains with ph_temporal_mvp on."""
+    rng = np.random.RandomState(41)
+    cfg = StreamConfig(width=128, height=128, deblocking=False, tmvp=True)
+
+    def p_cu(x, y, log2):
+        cu = CU(x, y, log2, log2)
+        cu.pred_mode = 1
+        kind = rng.randint(0, 3)
+        if kind == 0:
+            cu.skip_flag = 1
+            cu.merge_flag = 1
+            cu.merge_idx = int(rng.randint(0, 5))
+        elif kind == 1:
+            cu.merge_flag = 1
+            cu.merge_idx = int(rng.randint(0, 5))
+            _add_luma_tu(rng, cu, x, y, log2, force=True)
+        else:
+            cu.merge_flag = 0
+            cu.ref_idx = 0
+            cu.mvd = (int(rng.randint(-25, 26)), int(rng.randint(-25, 26)))
+            cu.mvp_idx = int(rng.randint(0, 2))
+        return cu
+
+    def b_cu(x, y, log2):
+        cu = p_cu(x, y, log2)
+        if not cu.merge_flag:
+            cu.inter_dir = int(rng.choice([1, 2, 3]))
+            cu.ref_idx1 = 0
+            cu.mvd1 = (int(rng.randint(-25, 26)), int(rng.randint(-25, 26)))
+            cu.mvp_idx1 = int(rng.randint(0, 2))
+        return cu
+
+    _check(cfg, [
+        {"tree_builder": _qt_tree(lambda x, y, l: _intra_cu(rng, x, y, l), 5)},
+        {"tree_builder": _qt_tree(p_cu, 4), "slice_type": 1, "ref_deltas": [1]},
+        {"tree_builder": _qt_tree(p_cu, 4), "slice_type": 1, "ref_deltas": [2, 1]},
+        {"tree_builder": _qt_tree(b_cu, 4), "slice_type": 0,
+         "ref_deltas": [1, 3], "ref_deltas1": [2, 1]},
     ])
