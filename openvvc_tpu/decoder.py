@@ -151,7 +151,8 @@ def reconstruct_cu(rc: ReconCtx, cu: CU, params: ActiveParams, tools,
         compute_chroma_scale(lmcs, frame.y, cu.x0, cu.y0, rc.luma_avail)
 
     if dbf is not None and tree in (TREE_SINGLE, TREE_DUAL_LUMA):
-        dbf.add_cu_luma(cu.x0, cu.y0, 1 << cu.log2_w, 1 << cu.log2_h, cu.qp, cu.pred_mode == 0)
+        dbf.add_cu_luma(cu.x0, cu.y0, 1 << cu.log2_w, 1 << cu.log2_h, cu.qp,
+                        cu.pred_mode == 0 or bool(cu.ciip_flag))
         if cu.pred_mode == 1 and refs is not None:
             inter_dir = cu.inter_dir if cu.mv1 is not None else 1
             d0 = refs[2][cu.mv0.ref_idx] if inter_dir & 1 else 0
@@ -181,7 +182,8 @@ def reconstruct_cu(rc: ReconCtx, cu: CU, params: ActiveParams, tools,
             cx0, cy0, cw, ch = cu.x0, cu.y0, 1 << cu.log2_w, 1 << cu.log2_h
         else:
             cx0, cy0, cw, ch = cu.x0 >> 1, cu.y0 >> 1, 1 << (cu.log2_w - 1), 1 << (cu.log2_h - 1)
-        dbf.add_cu_chroma(cx0, cy0, cw, ch, qp_cb, qp_cr, cu.pred_mode == 0)
+        dbf.add_cu_chroma(cx0, cy0, cw, ch, qp_cb, qp_cr,
+                          cu.pred_mode == 0 or bool(cu.ciip_flag))
         for tu in cu.tus:
             if tu.comp in (1, 2, 3) and tu.cbf:
                 comps = (1, 2) if tu.comp == 3 else (tu.comp,)
@@ -261,6 +263,16 @@ def _reconstruct_inter(rc: ReconCtx, cu: CU, params, trc, refs, find_tu):
         mvx, mvy = _clip_mv(cu.x0, cu.y0, pic_w, pic_h, w, h, mv.x, mv.y)
         return ref, mvx, mvy
 
+    bcw_p1 = cu.mv0.bcw_idx_plus1 if cu.mv0 is not None else 0
+    bcw_weighted = inter_dir == 3 and bcw_p1 not in (0, 3)
+    _BCW_W = (-2, 3, 4, 5, 10)
+
+    def bi_comb(p0, p1):
+        if bcw_weighted:
+            w1 = _BCW_W[bcw_p1 - 1]
+            return ref_mc.mc_bi_weighted(p0, p1, bd, 3, 8 - w1, w1)
+        return ref_mc.mc_bi(p0, p1, bd)
+
     if inter_dir == 3:
         r0, x0v, y0v = mv_for(0)
         r1, x1v, y1v = mv_for(1)
@@ -270,13 +282,18 @@ def _reconstruct_inter(rc: ReconCtx, cu: CU, params, trc, refs, find_tu):
         p1 = ref_mc.interp_14bit(r1.y, cu.x0 + (x1v >> 4), cu.y0 + (y1v >> 4),
                                  x1v & 0xF, y1v & 0xF, w, h, bd, luma=True,
                                  hpel=hpel)
-        pred_y = ref_mc.mc_bi(p0, p1, bd)
+        pred_y = bi_comb(p0, p1)
     else:
         lst = 0 if inter_dir & 0x1 else 1
         ref, mvx, mvy = mv_for(lst)
         pred_y = ref_mc.mc_uni(ref.y, cu.x0 + (mvx >> 4), cu.y0 + (mvy >> 4),
                                mvx & 0xF, mvy & 0xF, w, h, bd, luma=True,
                                hpel=hpel)
+
+    if cu.ciip_flag:
+        intra_y = predict_intra(frame.y, cu.x0, cu.y0, cu.log2_w, cu.log2_h,
+                                0, rc.luma_avail, bd, luma=True)
+        pred_y = ref_mc.ciip_blend(np.asarray(intra_y), pred_y, cu.ciip_wt, bd)
 
     part = params.part_info["inter_luma"]
     for ux, uy, l2w, l2h in _tu_units(cu.x0, cu.y0, cu.log2_w, cu.log2_h,
@@ -301,13 +318,21 @@ def _reconstruct_inter(rc: ReconCtx, cu: CU, params, trc, refs, find_tu):
                                            mvx & 0x1F, mvy & 0x1F, cw, ch, bd, luma=False))
             crs.append(ref_mc.interp_14bit(ref.cr, cx0 + (mvx >> 5), cy0 + (mvy >> 5),
                                            mvx & 0x1F, mvy & 0x1F, cw, ch, bd, luma=False))
-        pred_cb = ref_mc.mc_bi(cbs[0], cbs[1], bd)
-        pred_cr = ref_mc.mc_bi(crs[0], crs[1], bd)
+        pred_cb = bi_comb(cbs[0], cbs[1])
+        pred_cr = bi_comb(crs[0], crs[1])
     else:
         pred_cb = ref_mc.mc_uni(ref.cb, cx0 + (mvx >> 5), cy0 + (mvy >> 5),
                                 mvx & 0x1F, mvy & 0x1F, cw, ch, bd, luma=False)
         pred_cr = ref_mc.mc_uni(ref.cr, cx0 + (mvx >> 5), cy0 + (mvy >> 5),
                                 mvx & 0x1F, mvy & 0x1F, cw, ch, bd, luma=False)
+
+    if cu.ciip_flag and cu.log2_w > 2:
+        icb = predict_intra(frame.cb, cx0, cy0, cu.log2_w - 1, cu.log2_h - 1,
+                            0, rc.chroma_avail, bd, luma=False)
+        icr = predict_intra(frame.cr, cx0, cy0, cu.log2_w - 1, cu.log2_h - 1,
+                            0, rc.chroma_avail, bd, luma=False)
+        pred_cb = ref_mc.ciip_blend(np.asarray(icb), pred_cb, cu.ciip_wt, bd)
+        pred_cr = ref_mc.ciip_blend(np.asarray(icr), pred_cr, cu.ciip_wt, bd)
 
     csign = -1 if params.ph.ph_joint_cbcr_sign_flag else 1
     max_tb_c = part.log2_max_tb_s - 1

@@ -659,8 +659,8 @@ def drv_merge_mvp_b(ictx: InterCtx, x0, y0, log2_w, log2_h, merge_idx,
 
 def drv_mvp_b(ictx: InterCtx, x0, y0, log2_w, log2_h, mvd0: MV, mvd1: MV,
               prec_amvr, mvp_idx0, mvp_idx1, inter_dir, ref_idx0,
-              ref_idx1) -> MergeInfo:
-    """drv_mvp_b parity (AMVP, both directions, BCW default)."""
+              ref_idx1, bcw_idx: int = 2) -> MergeInfo:
+    """drv_mvp_b parity (AMVP, both directions, BCW index stored +1)."""
     ux, uy = x0 >> 2, y0 >> 2
     nw, nh = (1 << log2_w) >> 2, (1 << log2_h) >> 2
     is_small = log2_w + log2_h <= 5
@@ -671,12 +671,84 @@ def drv_mvp_b(ictx: InterCtx, x0, y0, log2_w, log2_h, mvd0: MV, mvd1: MV,
                                    inter_dir & 0x1, prec_amvr, is_small)
         d = change_precision(mvd0, prec_amvr, MV_PRECISION_INTERNAL)
         mv0 = replace(mv0, x=mv0.x + d.x, y=mv0.y + d.y, ref_idx=ref_idx0,
-                      bcw_idx_plus1=3, prec_amvr=prec_amvr)
+                      bcw_idx_plus1=bcw_idx + 1, prec_amvr=prec_amvr)
     if inter_dir & 0x2:
         mv1 = ictx.derive_mvp_cand(1, ref_idx1, ux, uy, nw, nh, mvp_idx1,
                                    inter_dir & 0x2, prec_amvr, is_small)
         d = change_precision(mvd1, prec_amvr, MV_PRECISION_INTERNAL)
         mv1 = replace(mv1, x=mv1.x + d.x, y=mv1.y + d.y, ref_idx=ref_idx1,
-                      bcw_idx_plus1=3, prec_amvr=prec_amvr)
+                      bcw_idx_plus1=bcw_idx + 1, prec_amvr=prec_amvr)
+    update_mv_ctx_b(ictx, mv0, mv1, ux, uy, nw, nh, inter_dir)
+    return MergeInfo(inter_dir, mv0, mv1)
+
+
+# ----------------------------------------------------------------------
+# MMVD (drv_mmvd_merge_mvp :1637 / drv_mmvd_merge_mvp_b :1848)
+# ----------------------------------------------------------------------
+
+_MMVD_STEPS = (1, 2, 4, 8, 16, 32, 64, 128)
+MMVD_MAX_REFINE_NUM = 32  # 8 steps * 4 directions
+
+
+def _mmvd_offset(idx: int, mmvd_shift: int) -> tuple[int, int]:
+    f_pos_step = idx >> 2
+    f_pos = idx & 3
+    off = (_MMVD_STEPS[f_pos_step] << 2) << mmvd_shift
+    if f_pos == 0:
+        return off, 0
+    if f_pos == 1:
+        return -off, 0
+    if f_pos == 2:
+        return 0, off
+    return 0, -off
+
+
+def drv_mmvd_merge_mvp_p(ictx: InterCtx, x0, y0, log2_w, log2_h, merge_idx,
+                         max_nb_cand, mmvd_shift) -> MV:
+    ux, uy = x0 >> 2, y0 >> 2
+    nw, nh = (1 << log2_w) >> 2, (1 << log2_h) >> 2
+    base_idx = merge_idx // MMVD_MAX_REFINE_NUM
+    mv = ictx.derive_merge_mvp(ux, uy, nw, nh, base_idx, max_nb_cand,
+                               log2_w + log2_h <= 5)
+    idx = merge_idx % (2 * MMVD_MAX_REFINE_NUM) % MMVD_MAX_REFINE_NUM
+    dx, dy = _mmvd_offset(idx, mmvd_shift)
+    mv = replace(mv, x=mv.x + dx, y=mv.y + dy)
+    ictx.update_mv_ctx(mv, ux, uy, nw, nh, 0x1)
+    return mv
+
+
+def drv_mmvd_merge_mvp_b(ictx: InterCtx, x0, y0, log2_w, log2_h, merge_idx,
+                         max_nb_cand, mmvd_shift) -> MergeInfo:
+    ux, uy = x0 >> 2, y0 >> 2
+    nw, nh = (1 << log2_w) >> 2, (1 << log2_h) >> 2
+    is_small = log2_w + log2_h <= 5
+    base_idx = merge_idx // MMVD_MAX_REFINE_NUM
+    mi = derive_merge_mvp_b(ictx, ux, uy, nw, nh, base_idx, max_nb_cand,
+                            is_small)
+    idx = merge_idx - (merge_idx // (2 * MMVD_MAX_REFINE_NUM)) * 2 * MMVD_MAX_REFINE_NUM
+    idx -= base_idx * MMVD_MAX_REFINE_NUM
+    dx, dy = _mmvd_offset(idx, mmvd_shift)
+    mvd0 = MV(dx, dy)
+    mvd1 = MV(dx, dy)
+    if mi.inter_dir == 3:
+        d0 = ictx.dist_ref0[mi.mv0.ref_idx]
+        d1 = ictx.dist_ref1[mi.mv1.ref_idx]
+        if d0 == d1:
+            pass
+        elif abs(d0) < abs(d1):
+            scale = derive_tmvp_scale(d0, d1)
+            mvd0 = tmvp_scale_mv(scale, mvd1)
+        else:
+            scale = derive_tmvp_scale(d1, d0)
+            mvd1 = tmvp_scale_mv(scale, mvd0)
+    elif mi.inter_dir == 2:
+        mvd0 = MV(0, 0)
+    else:
+        mvd1 = MV(0, 0)
+    mv0 = replace(mi.mv0, x=mi.mv0.x + mvd0.x, y=mi.mv0.y + mvd0.y)
+    mv1 = replace(mi.mv1, x=mi.mv1.x + mvd1.x, y=mi.mv1.y + mvd1.y)
+    inter_dir = mi.inter_dir
+    if is_small and inter_dir == 3:
+        inter_dir = 1
     update_mv_ctx_b(ictx, mv0, mv1, ux, uy, nw, nh, inter_dir)
     return MergeInfo(inter_dir, mv0, mv1)

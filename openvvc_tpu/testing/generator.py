@@ -62,6 +62,10 @@ class StreamConfig:
     deblocking: bool = True  # on unless disabled in PPS
     amvr: bool = False
     tmvp: bool = False
+    mmvd: bool = False
+    ciip: bool = False
+    bcw: bool = False
+    smvd: bool = False
     delta_qp: bool = False
     delta_qp_subdiv: int = 0
     max_tb_64: bool = True
@@ -98,6 +102,10 @@ def build_sps(cfg: StreamConfig) -> SPS:
         sps.sps_log2_diff_max_tt_min_qt_inter_slice = max(0, min(cfg.max_tt_log2, 6) - cfg.min_qt_log2)
     sps.sps_amvr_enabled_flag = 1 if cfg.amvr else 0
     sps.sps_temporal_mvp_enabled_flag = 1 if cfg.tmvp else 0
+    sps.sps_mmvd_enabled_flag = 1 if cfg.mmvd else 0
+    sps.sps_ciip_enabled_flag = 1 if cfg.ciip else 0
+    sps.sps_bcw_enabled_flag = 1 if cfg.bcw else 0
+    sps.sps_smvd_enabled_flag = 1 if cfg.smvd else 0
     if cfg.ctu_log2 > 5:
         sps.sps_max_luma_transform_size_64_flag = 1 if cfg.max_tb_64 else 0
     if cfg.dual_tree:

@@ -107,6 +107,11 @@ class CU:
     mvd1: tuple = (0, 0)
     mvp_idx1: int = 0
     mv1: object = None
+    mmvd_flag: int = 0
+    ciip_flag: int = 0
+    ciip_wt: int = 1
+    bcw_idx: int = 2
+    smvd_flag: int = 0
     amvr_prec: int = 4  # MV_PRECISION_QUARTER
     mv0: object = None  # drv result (drv.inter_mvp.MV)
     prec_amvr_eff: int = 4  # slice-running prec after this CU (hpel MC select)
@@ -197,6 +202,11 @@ class CTUParseCtx:
         self.ciip_enabled = bool(sps.sps_ciip_enabled_flag)
         self.gpm_enabled = bool(getattr(sps, "sps_gpm_enabled_flag", 0))
         self.amvr_enabled = bool(sps.sps_amvr_enabled_flag)
+        self.bcw_enabled = bool(getattr(sps, "sps_bcw_enabled_flag", 0))
+        self.smvd_sps = bool(getattr(sps, "sps_smvd_enabled_flag", 0))
+        self.mmvd_shift = int(getattr(ph, "ph_mmvd_fullpel_only_flag", 0)) << 1
+        self.ref_smvd_idx0 = -1
+        self.ref_smvd_idx1 = -1
         self.tmvp_enabled = bool(getattr(ph, "ph_temporal_mvp_enabled_flag", 0))
 
         # tile geometry in luma samples
@@ -209,7 +219,7 @@ class CTUParseCtx:
 
         self.inter_ctx = None
         self.mvd1_zero = bool(getattr(ph, "ph_mvd_l1_zero_flag", 0))
-        self.smvd_enabled = False  # slicedec_smvd_params: off without sps_smvd
+        self.smvd_enabled = False  # resolved below (slicedec_smvd_params)
         if self.slice_type != SLICE_I:
             from openvvc_tpu.drv.inter_mvp import InterCtx
 
@@ -230,6 +240,16 @@ class CTUParseCtx:
                 self.inter_ctx.rpl1_opp[i] = d0.index(d) if d in d0 else 0xFF
             self.inter_ctx.dist_ref0 = [-d for d in d0]
             self.inter_ctx.dist_ref1 = [-d for d in d1]
+            # SMVD ref pair (slicedec_smvd_params :1140): nearest past in
+            # L0, nearest future in L1; both must exist and tmvp ldc == 0
+            ldc_all = not any(d > 0 for d in d0 + d1)
+            if self.smvd_sps and not ldc_all and not self.mvd1_zero:
+                fw = [(d, i) for i, d in enumerate(d0) if d < 0]
+                bw = [(d, i) for i, d in enumerate(d1) if d > 0]
+                if fw and bw:
+                    self.ref_smvd_idx0 = max(fw)[1]
+                    self.ref_smvd_idx1 = min(bw)[1]
+                    self.smvd_enabled = True
             # TMVP: collocated data is attached by the decoder before parse
             # (params._tmvp_col); the writer runs without it, which matches
             # the reference's NULL col planes (no TMVP candidates, same bins)

@@ -24,6 +24,7 @@ from openvvc_tpu.drv.inter_mvp import (
     MV_PRECISION_INT,
     MV_PRECISION_QUARTER,
     drv_merge_mvp_p,
+    drv_mmvd_merge_mvp_p,
     drv_mvp_p,
 )
 from openvvc_tpu.vcl.ctu import MODE_INTER, UNAVAIL
@@ -205,19 +206,70 @@ def code_amvr_precision(ctx, io, cu) -> int:
     return prec
 
 
+def code_mmvd_merge_idx(ctx, io, cu, max_nb_cand) -> int:
+    """ovcabac_read_ae_mmvd_merge_idx parity: base (ctx bin), step
+    (TU: ctx bin + bypass), direction (2 bypass bins)."""
+    if io.is_reader:
+        var0 = io.raw_bin(CtxOffset.MMVD_MERGE_IDX) if max_nb_cand > 1 else 0
+        var1 = 0
+        if io.raw_bin(CtxOffset.MMVD_STEP_MVP_IDX):
+            var1 = 1
+            while var1 < 7 and io.raw_bypass():
+                var1 += 1
+        var2 = 2 if io.raw_bypass() else 0
+        var2 += io.raw_bypass()
+        cu.merge_idx = var0 * 32 + var1 * 4 + var2
+        return cu.merge_idx
+    v = cu.merge_idx
+    var0, rem = v // 32, v % 32
+    var1, var2 = rem >> 2, rem & 3
+    if max_nb_cand > 1:
+        io.put_bin(var0, CtxOffset.MMVD_MERGE_IDX)
+    io.put_bin(1 if var1 > 0 else 0, CtxOffset.MMVD_STEP_MVP_IDX)
+    for k in range(1, var1):
+        io.put_bypass(1)
+    if 0 < var1 < 7:
+        io.put_bypass(0)
+    io.put_bypass(var2 >> 1)
+    io.put_bypass(var2 & 1)
+    return v
+
+
 def merge_data_p(ctx, io, cu, x0, y0, log2_w, log2_h, skip: bool):
-    """inter_skip_data_p / inter_merge_data_p parity (subset: the optional
-    tool bins only appear when the SPS enables them; generator keeps
-    sbtmvp/affine/mmvd/ciip/gpm off this round)."""
+    """inter_skip_data_p/b / inter_merge_data_p/b parity; returns the merge
+    type: "mmvd", "ciip" or "default". sb-merge (affine/sbtmvp) and GPM
+    stay unsupported (their SPS flags are off)."""
     if (ctx.sbtmvp_enabled or ctx.affine_enabled) and log2_w >= 3 and log2_h >= 3:
         raise NotImplementedError("sb_merge syntax (affine/sbtmvp) not yet supported")
-    if ctx.mmvd_enabled:
-        raise NotImplementedError("mmvd syntax not yet supported")
-    if not skip and ctx.ciip_enabled:
-        ciip_ok = log2_w < 7 and log2_h < 7 and (log2_w + log2_h) >= 6
+    if ctx.gpm_enabled and skip and ctx.slice_type == 0:
+        raise NotImplementedError("gpm syntax not yet supported")
+    mmvd = 0
+    ciip = 0
+    if not skip:
+        ciip_ok = (ctx.ciip_enabled and log2_w < 7 and log2_h < 7
+                   and (log2_w + log2_h) >= 6)
+        reg = 1
         if ciip_ok:
-            raise NotImplementedError("ciip syntax not yet supported")
+            wv = None if io.is_reader else (0 if cu.ciip_flag else 1)
+            reg = _sym_bin(io, CtxOffset.REGULAR_MERGE_FLAG + 1, wv)
+        if reg:
+            if ctx.mmvd_enabled:
+                wv = None if io.is_reader else (1 if cu.mmvd_flag else 0)
+                mmvd = _sym_bin(io, CtxOffset.MMVD_FLAG, wv)
+        else:
+            ciip = 1
+    else:
+        if ctx.mmvd_enabled:
+            wv = None if io.is_reader else (1 if cu.mmvd_flag else 0)
+            mmvd = _sym_bin(io, CtxOffset.MMVD_FLAG, wv)
+    if io.is_reader:
+        cu.mmvd_flag = mmvd
+        cu.ciip_flag = ciip
+    if mmvd:
+        code_mmvd_merge_idx(ctx, io, cu, ctx.max_num_merge_cand)
+        return "mmvd"
     code_merge_idx(ctx, io, cu, ctx.max_num_merge_cand)
+    return "ciip" if ciip else "default"
 
 
 def prediction_unit_inter_p(ctx, io, cu, x0, y0, log2_w, log2_h,
@@ -227,11 +279,19 @@ def prediction_unit_inter_p(ctx, io, cu, x0, y0, log2_w, log2_h,
     ictx = ctx.inter_ctx
     ictx.prec_amvr = MV_PRECISION_QUARTER
     if merge:
-        merge_data_p(ctx, io, cu, x0, y0, log2_w, log2_h, skip)
-        mv0 = drv_merge_mvp_p(ictx, x0 - ctx.tile_x0, y0 - ctx.tile_y0,
-                              log2_w, log2_h, cu.merge_idx,
-                              ctx.max_num_merge_cand)
-        ictx.prec_amvr = mv0.prec_amvr
+        mtype = merge_data_p(ctx, io, cu, x0, y0, log2_w, log2_h, skip)
+        if mtype == "mmvd":
+            mv0 = drv_mmvd_merge_mvp_p(ictx, x0 - ctx.tile_x0, y0 - ctx.tile_y0,
+                                       log2_w, log2_h, cu.merge_idx,
+                                       ctx.max_num_merge_cand, ctx.mmvd_shift)
+            ictx.prec_amvr = mv0.prec_amvr
+        else:
+            mv0 = drv_merge_mvp_p(ictx, x0 - ctx.tile_x0, y0 - ctx.tile_y0,
+                                  log2_w, log2_h, cu.merge_idx,
+                                  ctx.max_num_merge_cand)
+            ictx.prec_amvr = mv0.prec_amvr
+        if mtype == "ciip":
+            _derive_ciip_wt(ctx, cu, x0, y0, log2_w, log2_h)
     else:
         nb_active = ictx.nb_active_ref0
         cu.ref_idx = code_ref_idx(ctx, io, cu, nb_active) if nb_active > 1 \
@@ -256,6 +316,43 @@ def prediction_unit_inter_p(ctx, io, cu, x0, y0, log2_w, log2_h,
     return mv0
 
 
+def _derive_ciip_wt(ctx, cu, x0, y0, log2_w, log2_h):
+    """CIIP blend weight from the top-right-above / bottom-left-left CU
+    modes (rcn_inter.c rcn_ciip_weighted_sum)."""
+    from openvvc_tpu.vcl.slice_data import _nbr_cu_type
+
+    x_r = x0 + (1 << log2_w) - 1
+    y_b = y0 + (1 << log2_h) - 1
+    abv = _nbr_cu_type(ctx, x_r, y0 - 1)
+    lft = _nbr_cu_type(ctx, x0 - 1, y_b)
+    cu.ciip_wt = 1 + int(abv in (CU_INTRA, CU_MIP)) + int(lft in (CU_INTRA, CU_MIP))
+
+
+def code_bcw_idx(ctx, io, cu, ldc: bool) -> int:
+    """ovcabac_read_ae_bcw_flag/_idx parity. Returns bcw_idx (2=default)."""
+    order = (2, 3, 1, 4, 0)  # parsing_order[BCW_NUM]
+    nb_bits = (5 if ldc else 3) - 2
+    if io.is_reader:
+        if not io.raw_bin(CtxOffset.BCW_IDX):
+            return 2
+        k = 1
+        for _ in range(nb_bits):
+            if not io.raw_bypass():
+                break
+            k += 1
+        return order[k]
+    idx = cu.bcw_idx
+    io.put_bin(0 if idx == 2 else 1, CtxOffset.BCW_IDX)
+    if idx == 2:
+        return 2
+    k = order.index(idx)  # rank in parsing order, 1..nb_bits+1
+    for _ in range(k - 1):
+        io.put_bypass(1)
+    if k <= nb_bits:
+        io.put_bypass(0)
+    return idx
+
+
 def prediction_unit_inter_b(ctx, io, cu, x0, y0, log2_w, log2_h,
                             skip: bool, merge: bool):
     """prediction_unit_inter_b parity (:2481), subset without
@@ -265,16 +362,53 @@ def prediction_unit_inter_b(ctx, io, cu, x0, y0, log2_w, log2_h,
     ictx = ctx.inter_ctx
     ictx.prec_amvr = MV_PRECISION_QUARTER
     if merge:
-        merge_data_p(ctx, io, cu, x0, y0, log2_w, log2_h, skip)
-        mi = drv_merge_mvp_b(ictx, x0 - ctx.tile_x0, y0 - ctx.tile_y0,
-                             log2_w, log2_h, cu.merge_idx,
-                             ctx.max_num_merge_cand)
+        from openvvc_tpu.drv.inter_mvp import drv_mmvd_merge_mvp_b
+
+        mtype = merge_data_p(ctx, io, cu, x0, y0, log2_w, log2_h, skip)
+        if mtype == "mmvd":
+            mi = drv_mmvd_merge_mvp_b(ictx, x0 - ctx.tile_x0, y0 - ctx.tile_y0,
+                                      log2_w, log2_h, cu.merge_idx,
+                                      ctx.max_num_merge_cand, ctx.mmvd_shift)
+        else:
+            mi = drv_merge_mvp_b(ictx, x0 - ctx.tile_x0, y0 - ctx.tile_y0,
+                                 log2_w, log2_h, cu.merge_idx,
+                                 ctx.max_num_merge_cand)
+        if mtype == "ciip":
+            _derive_ciip_wt(ctx, cu, x0, y0, log2_w, log2_h)
         ictx.prec_amvr = mi.mv0.prec_amvr if mi.inter_dir & 0x1 else mi.mv1.prec_amvr
     else:
         inter_dir = code_inter_dir(ctx, io, cu, log2_w, log2_h)
-        if ctx.smvd_enabled:
-            raise NotImplementedError("smvd syntax not yet supported")
-        if inter_dir == 3:
+        smvd = 0
+        if inter_dir == 3 and ctx.smvd_enabled:
+            wv = None if io.is_reader else (1 if cu.smvd_flag else 0)
+            smvd = _sym_bin(io, CtxOffset.SMVD_FLAG, wv)
+            if io.is_reader:
+                cu.smvd_flag = smvd
+        if smvd:
+            mvd0 = code_mvd(ctx, io, None if io.is_reader else cu.mvd)
+            if io.is_reader:
+                cu.mvd = (mvd0.x, mvd0.y)
+                cu.mvp_idx = io.raw_bin(CtxOffset.MVP_IDX)
+                cu.mvp_idx1 = io.raw_bin(CtxOffset.MVP_IDX)
+            else:
+                io.put_bin(cu.mvp_idx, CtxOffset.MVP_IDX)
+                io.put_bin(cu.mvp_idx1, CtxOffset.MVP_IDX)
+            prec = MV_PRECISION_QUARTER
+            if ctx.amvr_enabled and (mvd0.x or mvd0.y):
+                prec = code_amvr_precision(ctx, io, cu)
+            if io.is_reader:
+                cu.amvr_prec = prec
+            ictx.prec_amvr = prec
+            bcw = _maybe_bcw(ctx, io, cu, log2_w, log2_h)
+            mvd1 = MV(-mvd0.x, -mvd0.y)
+            mi = drv_mvp_b(ictx, x0 - ctx.tile_x0, y0 - ctx.tile_y0,
+                           log2_w, log2_h, mvd0, mvd1, prec,
+                           cu.mvp_idx, cu.mvp_idx1, 3,
+                           ctx.ref_smvd_idx0, ctx.ref_smvd_idx1, bcw_idx=bcw)
+            if io.is_reader:
+                cu.ref_idx = ctx.ref_smvd_idx0
+                cu.ref_idx1 = ctx.ref_smvd_idx1
+        elif inter_dir == 3:
             nb0, nb1 = ictx.nb_active_ref0, ictx.nb_active_ref1
             cu.ref_idx = code_ref_idx(ctx, io, cu, nb0) if nb0 > 1 \
                 else (nb0 - 1 if io.is_reader else cu.ref_idx)
@@ -301,9 +435,11 @@ def prediction_unit_inter_b(ctx, io, cu, x0, y0, log2_w, log2_h,
             if io.is_reader:
                 cu.amvr_prec = prec
             ictx.prec_amvr = prec
+            bcw = _maybe_bcw(ctx, io, cu, log2_w, log2_h)
             mi = drv_mvp_b(ictx, x0 - ctx.tile_x0, y0 - ctx.tile_y0,
                            log2_w, log2_h, mvd0, mvd1, prec,
-                           cu.mvp_idx, cu.mvp_idx1, 3, cu.ref_idx, cu.ref_idx1)
+                           cu.mvp_idx, cu.mvp_idx1, 3, cu.ref_idx, cu.ref_idx1,
+                           bcw_idx=bcw)
         else:
             nb = ictx.nb_active_ref0 if inter_dir == 1 else ictx.nb_active_ref1
             if inter_dir == 1:
@@ -333,6 +469,16 @@ def prediction_unit_inter_b(ctx, io, cu, x0, y0, log2_w, log2_h,
     cu.inter_dir = mi.inter_dir
     cu.pred_mode = MODE_INTER
     return mi
+
+
+def _maybe_bcw(ctx, io, cu, log2_w, log2_h) -> int:
+    """BCW idx read gate (read_bidir_mvp :2380): sps flag + size >= 256."""
+    if ctx.bcw_enabled and (1 << (log2_w + log2_h)) >= 256:
+        v = code_bcw_idx(ctx, io, cu, ctx.inter_ctx.ldc)
+        if io.is_reader:
+            cu.bcw_idx = v
+        return v
+    return 2
 
 
 def _code_ref_idx1(ctx, io, cu, nb_active, always=False):

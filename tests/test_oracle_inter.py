@@ -76,7 +76,8 @@ def _qt_tree(cu_factory, leaf_log2):
 def _check(cfg, frames_spec):
     stream = build_stream_frames(cfg, frames_spec)
     frames = Decoder().decode(stream)
-    mine = b"".join(f.to_yuv_bytes() for f in frames)
+    # the reference outputs pictures in POC (display) order
+    mine = b"".join(f.to_yuv_bytes() for f in sorted(frames, key=lambda f: f.poc))
     ref = decode_with_oracle(stream)
     if ref is None:
         pytest.skip("reference decoder unavailable")
@@ -311,4 +312,99 @@ def test_tmvp():
         {"tree_builder": _qt_tree(p_cu, 4), "slice_type": 1, "ref_deltas": [2, 1]},
         {"tree_builder": _qt_tree(b_cu, 4), "slice_type": 0,
          "ref_deltas": [1, 3], "ref_deltas1": [2, 1]},
+    ])
+
+
+def test_mmvd_ciip_bcw():
+    """MMVD offsets, CIIP blend, BCW weighted bi-prediction."""
+    rng = np.random.RandomState(47)
+    cfg = StreamConfig(width=128, height=128, deblocking=False,
+                       mmvd=True, ciip=True, bcw=True)
+
+    def p_cu(x, y, log2):
+        if rng.rand() < 0.2:
+            return _intra_cu(rng, x, y, log2)
+        cu = CU(x, y, log2, log2)
+        cu.pred_mode = 1
+        kind = rng.randint(0, 4)
+        if kind == 0:
+            cu.skip_flag = 1
+            cu.merge_flag = 1
+            if rng.rand() < 0.5:
+                cu.mmvd_flag = 1
+                cu.merge_idx = int(rng.randint(0, 64))
+            else:
+                cu.merge_idx = int(rng.randint(0, 5))
+        elif kind == 1:
+            cu.merge_flag = 1
+            if rng.rand() < 0.4:
+                cu.ciip_flag = 1
+                cu.merge_idx = int(rng.randint(0, 5))
+            elif rng.rand() < 0.5:
+                cu.mmvd_flag = 1
+                cu.merge_idx = int(rng.randint(0, 64))
+            else:
+                cu.merge_idx = int(rng.randint(0, 5))
+            _add_luma_tu(rng, cu, x, y, log2, force=True)
+        else:
+            cu.merge_flag = 0
+            cu.ref_idx = 0
+            cu.mvd = (int(rng.randint(-20, 21)), int(rng.randint(-20, 21)))
+            cu.mvp_idx = int(rng.randint(0, 2))
+        return cu
+
+    def b_cu(x, y, log2):
+        cu = p_cu(x, y, log2)
+        if cu.pred_mode == 1 and not cu.merge_flag:
+            cu.inter_dir = int(rng.choice([1, 2, 3]))
+            cu.ref_idx1 = 0
+            cu.mvd1 = (int(rng.randint(-20, 21)), int(rng.randint(-20, 21)))
+            cu.mvp_idx1 = int(rng.randint(0, 2))
+            if cu.inter_dir == 3 and log2 + log2 >= 8:
+                cu.bcw_idx = int(rng.choice([0, 1, 2, 3, 4]))
+        return cu
+
+    _check(cfg, [
+        {"tree_builder": _qt_tree(lambda x, y, l: _intra_cu(rng, x, y, l), 5)},
+        {"tree_builder": _qt_tree(p_cu, 4), "slice_type": 1, "ref_deltas": [1]},
+        {"tree_builder": _qt_tree(b_cu, 4), "slice_type": 0,
+         "ref_deltas": [2, 1], "ref_deltas1": [1, 2]},
+    ])
+
+
+def test_smvd():
+    """Symmetric MVD: B frame between two refs (ldc=0)."""
+    rng = np.random.RandomState(53)
+    cfg = StreamConfig(width=128, height=128, deblocking=False, smvd=True)
+
+    def b_cu(x, y, log2):
+        cu = CU(x, y, log2, log2)
+        cu.pred_mode = 1
+        kind = rng.randint(0, 3)
+        if kind == 0:
+            cu.skip_flag = 1
+            cu.merge_flag = 1
+            cu.merge_idx = int(rng.randint(0, 5))
+        else:
+            cu.merge_flag = 0
+            cu.inter_dir = 3
+            if kind == 1:
+                cu.smvd_flag = 1
+                cu.mvd = (int(rng.randint(-15, 16)), int(rng.randint(-15, 16)))
+                cu.mvp_idx = int(rng.randint(0, 2))
+                cu.mvp_idx1 = int(rng.randint(0, 2))
+            else:
+                cu.ref_idx = 0
+                cu.ref_idx1 = 0
+                cu.mvd = (int(rng.randint(-15, 16)), int(rng.randint(-15, 16)))
+                cu.mvd1 = (int(rng.randint(-15, 16)), int(rng.randint(-15, 16)))
+                cu.mvp_idx = int(rng.randint(0, 2))
+                cu.mvp_idx1 = int(rng.randint(0, 2))
+        return cu
+
+    _check(cfg, [
+        {"tree_builder": _qt_tree(lambda x, y, l: _intra_cu(rng, x, y, l), 5), "poc": 0},
+        {"tree_builder": _qt_tree(lambda x, y, l: _intra_cu(rng, x, y, l), 5), "poc": 2},
+        {"tree_builder": _qt_tree(b_cu, 4), "slice_type": 0, "poc": 1,
+         "ref_deltas": [1], "ref_deltas1": [-1]},
     ])
