@@ -154,11 +154,18 @@ def reconstruct_cu(rc: ReconCtx, cu: CU, params: ActiveParams, tools,
         dbf.add_cu_luma(cu.x0, cu.y0, 1 << cu.log2_w, 1 << cu.log2_h, cu.qp,
                         cu.pred_mode == 0 or bool(cu.ciip_flag))
         if cu.pred_mode == 1 and refs is not None:
-            inter_dir = cu.inter_dir if cu.mv1 is not None else 1
-            d0 = refs[2][cu.mv0.ref_idx] if inter_dir & 1 else 0
-            d1 = refs[3][cu.mv1.ref_idx] if (inter_dir & 2 and cu.mv1 is not None) else 0
-            dbf.add_cu_motion(cu.x0, cu.y0, 1 << cu.log2_w, 1 << cu.log2_h,
-                              inter_dir, cu.mv0, cu.mv1, d0, d1)
+            if cu.gpm_flag:
+                for (ox, oy, idir, m0, m1) in cu.gpm_units:
+                    d0 = refs[2][m0.ref_idx] if idir & 1 else 0
+                    d1 = refs[3][m1.ref_idx] if idir & 2 else 0
+                    dbf.add_cu_motion(cu.x0 + 4 * ox, cu.y0 + 4 * oy, 4, 4,
+                                      idir, m0, m1, d0, d1)
+            else:
+                inter_dir = cu.inter_dir if cu.mv1 is not None else 1
+                d0 = refs[2][cu.mv0.ref_idx] if inter_dir & 1 else 0
+                d1 = refs[3][cu.mv1.ref_idx] if (inter_dir & 2 and cu.mv1 is not None) else 0
+                dbf.add_cu_motion(cu.x0, cu.y0, 1 << cu.log2_w, 1 << cu.log2_h,
+                                  inter_dir, cu.mv0, cu.mv1, d0, d1)
         if cu.isp_mode:
             # ISP: edges at prediction chunks (>=4 wide/high), recon_isp_subtree
             l2pw, l2ph, nb_pb = isp_part_dims(cu.log2_w, cu.log2_h, cu.isp_mode)
@@ -233,6 +240,87 @@ def reconstruct_cu(rc: ReconCtx, cu: CU, params: ActiveParams, tools,
         _reconstruct_chroma(rc, cu, params, trc, cu.x0, cu.y0, cu.log2_w, cu.log2_h)
 
 
+def _reconstruct_gpm(rc: ReconCtx, cu, params, trc, refs, find_tu):
+    """GPM: two uni 14-bit predictions blended with the geometric weight
+    mask (rcn_inter.c :2560-2615), then the regular residual path."""
+    from openvvc_tpu.drv.gpm import gpm_weights
+
+    bd = rc.bitdepth
+    frame = rc.frame
+    refs0, refs1 = refs[0], refs[1]
+    pic_w, pic_h = params.pps.pic_w, params.pps.pic_h
+    w, h = 1 << cu.log2_w, 1 << cu.log2_h
+    (d0, d1), (m0, m1) = cu.gpm_dirs, cu.gpm_mvs
+
+    def uni14(mv, lst, plane_sel, cx, cy, bw, bh, luma):
+        ref = (refs0 if lst == 1 else refs1)[mv.ref_idx]
+        plane = getattr(ref, plane_sel)
+        mvx, mvy = _clip_mv(cu.x0, cu.y0, pic_w, pic_h, w, h, mv.x, mv.y)
+        sh = 4 if luma else 5
+        msk = 0xF if luma else 0x1F
+        return ref_mc.interp_14bit(plane, cx + (mvx >> sh), cy + (mvy >> sh),
+                                   mvx & msk, mvy & msk, bw, bh, bd, luma=luma)
+
+    w0 = gpm_weights(cu.gpm_split_dir, cu.log2_w, cu.log2_h)
+    p0 = uni14(m0, d0, "y", cu.x0, cu.y0, w, h, True)
+    p1 = uni14(m1, d1, "y", cu.x0, cu.y0, w, h, True)
+    pred_y = ref_mc.gpm_blend(p0, p1, w0, bd)
+
+    part = params.part_info["inter_luma"]
+    for ux, uy, l2w, l2h in _tu_units(cu.x0, cu.y0, cu.log2_w, cu.log2_h,
+                                      part.log2_max_tb_s):
+        blk = pred_y[uy - cu.y0 : uy - cu.y0 + (1 << l2h),
+                     ux - cu.x0 : ux - cu.x0 + (1 << l2w)]
+        tu = find_tu(0, ux, uy)
+        if tu is not None:
+            blk = blk + reconstruct_tu_residual(tu, trc, bd, intra=False)
+        frame.y[uy : uy + (1 << l2h), ux : ux + (1 << l2w)] = _clip(blk, bd)
+    rc.mark_luma(cu.x0, cu.y0, cu.log2_w, cu.log2_h)
+
+    if not params.sps.sps_chroma_format_idc:
+        return
+    cx0, cy0 = cu.x0 >> 1, cu.y0 >> 1
+    cw, ch = w >> 1, h >> 1
+    w0c = w0[::2, ::2]
+    pcb0 = uni14(m0, d0, "cb", cx0, cy0, cw, ch, False)
+    pcb1 = uni14(m1, d1, "cb", cx0, cy0, cw, ch, False)
+    pcr0 = uni14(m0, d0, "cr", cx0, cy0, cw, ch, False)
+    pcr1 = uni14(m1, d1, "cr", cx0, cy0, cw, ch, False)
+    pred_cb = ref_mc.gpm_blend(pcb0, pcb1, w0c, bd)
+    pred_cr = ref_mc.gpm_blend(pcr0, pcr1, w0c, bd)
+    csign = -1 if params.ph.ph_joint_cbcr_sign_flag else 1
+    max_tb_c = part.log2_max_tb_s - 1
+    for ux, uy, l2w, l2h in _tu_units(cx0, cy0, cu.log2_w - 1, cu.log2_h - 1,
+                                      max_tb_c):
+        jtu = find_tu(3, ux, uy)
+        res_cb = res_cr = None
+        if jtu is not None:
+            res = reconstruct_tu_residual(jtu, trc, bd, intra=False)
+            if jtu.joint_cbcr == 3:
+                res_cb, res_cr = res, csign * res
+            elif jtu.joint_cbcr == 2:
+                res_cb, res_cr = res, (csign * res) >> 1
+            else:
+                res_cr, res_cb = res, (csign * res) >> 1
+        else:
+            tb = find_tu(1, ux, uy)
+            tr = find_tu(2, ux, uy)
+            if tb is not None:
+                res_cb = reconstruct_tu_residual(tb, trc, bd, intra=False)
+            if tr is not None:
+                res_cr = reconstruct_tu_residual(tr, trc, bd, intra=False)
+        for plane, pred, res in ((frame.cb, pred_cb, res_cb),
+                                 (frame.cr, pred_cr, res_cr)):
+            blk = pred[uy - cy0 : uy - cy0 + (1 << l2h),
+                       ux - cx0 : ux - cx0 + (1 << l2w)]
+            if res is not None:
+                if trc.scale_c and l2w + l2h > 2 and trc.lmcs is not None:
+                    res = scale_residual(res, trc.lmcs.chroma_scale, bd)
+                blk = blk + res
+            plane[uy : uy + (1 << l2h), ux : ux + (1 << l2w)] = _clip(blk, bd)
+    rc.mark_chroma(cx0, cy0, cu.log2_w - 1, cu.log2_h - 1)
+
+
 def _clip_mv(pos_x, pos_y, pic_w, pic_h, pb_w, pb_h, mvx, mvy):
     """rcn_inter.c clip_mv parity (:97)."""
     x_max = (pic_w + 2 - pos_x) << 4
@@ -262,6 +350,10 @@ def _reconstruct_inter(rc: ReconCtx, cu: CU, params, trc, refs, find_tu):
         ref = (refs0 if lst == 0 else refs1)[mv.ref_idx]
         mvx, mvy = _clip_mv(cu.x0, cu.y0, pic_w, pic_h, w, h, mv.x, mv.y)
         return ref, mvx, mvy
+
+    if cu.gpm_flag:
+        _reconstruct_gpm(rc, cu, params, trc, refs, find_tu)
+        return
 
     bcw_p1 = cu.mv0.bcw_idx_plus1 if cu.mv0 is not None else 0
     bcw_weighted = inter_dir == 3 and bcw_p1 not in (0, 3)

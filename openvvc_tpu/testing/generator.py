@@ -66,6 +66,7 @@ class StreamConfig:
     ciip: bool = False
     bcw: bool = False
     smvd: bool = False
+    gpm: bool = False
     delta_qp: bool = False
     delta_qp_subdiv: int = 0
     max_tb_64: bool = True
@@ -106,6 +107,9 @@ def build_sps(cfg: StreamConfig) -> SPS:
     sps.sps_ciip_enabled_flag = 1 if cfg.ciip else 0
     sps.sps_bcw_enabled_flag = 1 if cfg.bcw else 0
     sps.sps_smvd_enabled_flag = 1 if cfg.smvd else 0
+    sps.sps_gpm_enabled_flag = 1 if cfg.gpm else 0
+    if cfg.gpm:
+        sps.sps_max_num_merge_cand_minus_max_num_gpm_cand = 0
     if cfg.ctu_log2 > 5:
         sps.sps_max_luma_transform_size_64_flag = 1 if cfg.max_tb_64 else 0
     if cfg.dual_tree:

@@ -112,6 +112,13 @@ class CU:
     ciip_wt: int = 1
     bcw_idx: int = 2
     smvd_flag: int = 0
+    gpm_flag: int = 0
+    gpm_split_dir: int = 0
+    gpm_idx0: int = 0
+    gpm_idx1: int = 1
+    gpm_dirs: tuple = None
+    gpm_mvs: tuple = None
+    gpm_units: list = None
     amvr_prec: int = 4  # MV_PRECISION_QUARTER
     mv0: object = None  # drv result (drv.inter_mvp.MV)
     prec_amvr_eff: int = 4  # slice-running prec after this CU (hpel MC select)
@@ -201,6 +208,14 @@ class CTUParseCtx:
         self.mmvd_enabled = bool(sps.sps_mmvd_enabled_flag)
         self.ciip_enabled = bool(sps.sps_ciip_enabled_flag)
         self.gpm_enabled = bool(getattr(sps, "sps_gpm_enabled_flag", 0))
+        # slicedec.c :1447-1456
+        if self.gpm_enabled and self.max_num_merge_cand >= 3:
+            self.max_gpm_cand = self.max_num_merge_cand - int(
+                getattr(sps, "sps_max_num_merge_cand_minus_max_num_gpm_cand", 0))
+        elif self.gpm_enabled and self.max_num_merge_cand == 2:
+            self.max_gpm_cand = 2
+        else:
+            self.max_gpm_cand = 0
         self.amvr_enabled = bool(sps.sps_amvr_enabled_flag)
         self.bcw_enabled = bool(getattr(sps, "sps_bcw_enabled_flag", 0))
         self.smvd_sps = bool(getattr(sps, "sps_smvd_enabled_flag", 0))

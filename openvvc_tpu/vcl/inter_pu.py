@@ -235,36 +235,106 @@ def code_mmvd_merge_idx(ctx, io, cu, max_nb_cand) -> int:
     return v
 
 
+def _gpm_possible(ctx, log2_w, log2_h) -> bool:
+    return (ctx.slice_type == 0 and ctx.gpm_enabled and ctx.max_gpm_cand > 1
+            and log2_w > 2 and log2_h > 2 and log2_w < 7 and log2_h < 7
+            and log2_w < 3 + log2_h and log2_h < 3 + log2_w)
+
+
+def code_gpm_merge_idx(ctx, io, cu):
+    """ovcabac_read_ae_gpm_merge_idx parity."""
+    from openvvc_tpu.vcl.alf import _truncated
+
+    if io.is_reader:
+        cu.gpm_split_dir = _truncated(io, 64)
+    else:
+        _truncated(io, 64, cu.gpm_split_dir)
+    n2 = ctx.max_gpm_cand - 2
+    if io.is_reader:
+        idx0 = 0
+        if io.raw_bin(CtxOffset.MERGE_IDX):
+            m = n2
+            for k in range(n2):
+                if not io.raw_bypass():
+                    m = k
+                    break
+            idx0 = m + 1
+        idx1 = 0
+        if n2 > 0:
+            if io.raw_bin(CtxOffset.MERGE_IDX):
+                m = n2 - 1
+                for k in range(n2 - 1):
+                    if not io.raw_bypass():
+                        m = k
+                        break
+                idx1 = m + 1
+        idx1 += 1 if idx1 >= idx0 else 0
+        cu.gpm_idx0, cu.gpm_idx1 = idx0, idx1
+        return
+    idx0 = cu.gpm_idx0
+    idx1 = cu.gpm_idx1 - (1 if cu.gpm_idx1 > cu.gpm_idx0 else 0)
+    io.put_bin(1 if idx0 > 0 else 0, CtxOffset.MERGE_IDX)
+    if idx0 > 0:
+        m = idx0 - 1
+        for _ in range(m):
+            io.put_bypass(1)
+        if m < n2:
+            io.put_bypass(0)
+    if n2 > 0:
+        io.put_bin(1 if idx1 > 0 else 0, CtxOffset.MERGE_IDX)
+        if idx1 > 0:
+            m = idx1 - 1
+            for _ in range(m):
+                io.put_bypass(1)
+            if m < n2 - 1:
+                io.put_bypass(0)
+
+
 def merge_data_p(ctx, io, cu, x0, y0, log2_w, log2_h, skip: bool):
     """inter_skip_data_p/b / inter_merge_data_p/b parity; returns the merge
-    type: "mmvd", "ciip" or "default". sb-merge (affine/sbtmvp) and GPM
-    stay unsupported (their SPS flags are off)."""
+    type: "mmvd", "ciip", "gpm" or "default". sb-merge (affine/sbtmvp)
+    stays unsupported (those SPS flags are off)."""
     if (ctx.sbtmvp_enabled or ctx.affine_enabled) and log2_w >= 3 and log2_h >= 3:
         raise NotImplementedError("sb_merge syntax (affine/sbtmvp) not yet supported")
-    if ctx.gpm_enabled and skip and ctx.slice_type == 0:
-        raise NotImplementedError("gpm syntax not yet supported")
+    gpm_ok = _gpm_possible(ctx, log2_w, log2_h)
     mmvd = 0
     ciip = 0
+    gpm = 0
     if not skip:
         ciip_ok = (ctx.ciip_enabled and log2_w < 7 and log2_h < 7
                    and (log2_w + log2_h) >= 6)
         reg = 1
-        if ciip_ok:
-            wv = None if io.is_reader else (0 if cu.ciip_flag else 1)
+        if ciip_ok or gpm_ok:
+            wv = None if io.is_reader else (0 if (cu.ciip_flag or cu.gpm_flag) else 1)
             reg = _sym_bin(io, CtxOffset.REGULAR_MERGE_FLAG + 1, wv)
         if reg:
             if ctx.mmvd_enabled:
                 wv = None if io.is_reader else (1 if cu.mmvd_flag else 0)
                 mmvd = _sym_bin(io, CtxOffset.MMVD_FLAG, wv)
         else:
-            ciip = 1
+            ciip = 1 if ciip_ok else 0
+            if gpm_ok and ciip_ok:
+                wv = None if io.is_reader else (1 if cu.ciip_flag else 0)
+                ciip = _sym_bin(io, CtxOffset.CIIP_FLAG, wv)
+            gpm = 1 if not ciip else 0
     else:
-        if ctx.mmvd_enabled:
-            wv = None if io.is_reader else (1 if cu.mmvd_flag else 0)
-            mmvd = _sym_bin(io, CtxOffset.MMVD_FLAG, wv)
+        reg = 1
+        if gpm_ok:
+            wv = None if io.is_reader else (0 if cu.gpm_flag else 1)
+            reg = _sym_bin(io, CtxOffset.REGULAR_MERGE_FLAG, wv)
+        if reg:
+            if ctx.mmvd_enabled:
+                wv = None if io.is_reader else (1 if cu.mmvd_flag else 0)
+                mmvd = _sym_bin(io, CtxOffset.MMVD_FLAG, wv)
+        else:
+            gpm = 1
     if io.is_reader:
         cu.mmvd_flag = mmvd
         cu.ciip_flag = ciip
+        cu.gpm_flag = gpm
+    if gpm:
+        code_gpm_merge_idx(ctx, io, cu)
+        return "gpm"
     if mmvd:
         code_mmvd_merge_idx(ctx, io, cu, ctx.max_num_merge_cand)
         return "mmvd"
@@ -365,6 +435,19 @@ def prediction_unit_inter_b(ctx, io, cu, x0, y0, log2_w, log2_h,
         from openvvc_tpu.drv.inter_mvp import drv_mmvd_merge_mvp_b
 
         mtype = merge_data_p(ctx, io, cu, x0, y0, log2_w, log2_h, skip)
+        if mtype == "gpm":
+            from openvvc_tpu.drv.gpm import drv_gpm_merge_mvp_b
+
+            d0, m0, d1, m1, units = drv_gpm_merge_mvp_b(
+                ictx, x0 - ctx.tile_x0, y0 - ctx.tile_y0, log2_w, log2_h,
+                cu.gpm_split_dir, cu.gpm_idx0, cu.gpm_idx1, ctx.max_gpm_cand)
+            cu.gpm_dirs = (d0, d1)
+            cu.gpm_mvs = (m0, m1)
+            cu.gpm_units = units
+            cu.mv0, cu.mv1 = m0, m1
+            cu.inter_dir = 0  # recon dispatches on gpm_flag
+            cu.pred_mode = MODE_INTER
+            return None
         if mtype == "mmvd":
             mi = drv_mmvd_merge_mvp_b(ictx, x0 - ctx.tile_x0, y0 - ctx.tile_y0,
                                       log2_w, log2_h, cu.merge_idx,

@@ -408,3 +408,54 @@ def test_smvd():
         {"tree_builder": _qt_tree(b_cu, 4), "slice_type": 0, "poc": 1,
          "ref_deltas": [1], "ref_deltas1": [-1]},
     ])
+
+
+def test_gpm():
+    """Geometric partitioning merge: split dirs, idx pairs, blend."""
+    rng = np.random.RandomState(59)
+    cfg = StreamConfig(width=128, height=128, deblocking=False, gpm=True)
+
+    def b_cu(x, y, log2):
+        cu = CU(x, y, log2, log2)
+        cu.pred_mode = 1
+        kind = rng.randint(0, 3)
+        if kind == 0:
+            cu.skip_flag = 1
+            cu.merge_flag = 1
+            if rng.rand() < 0.6:
+                cu.gpm_flag = 1
+                cu.gpm_split_dir = int(rng.randint(0, 64))
+                cu.gpm_idx0 = int(rng.randint(0, 5))
+                cu.gpm_idx1 = int(rng.choice([i for i in range(5) if i != cu.gpm_idx0]))
+            else:
+                cu.merge_idx = int(rng.randint(0, 5))
+        elif kind == 1:
+            cu.merge_flag = 1
+            if rng.rand() < 0.6:
+                cu.gpm_flag = 1
+                cu.gpm_split_dir = int(rng.randint(0, 64))
+                cu.gpm_idx0 = int(rng.randint(0, 5))
+                cu.gpm_idx1 = int(rng.choice([i for i in range(5) if i != cu.gpm_idx0]))
+            else:
+                cu.merge_idx = int(rng.randint(0, 5))
+            _add_luma_tu(rng, cu, x, y, log2, force=True)
+            _add_chroma_tus(rng, cu, x, y, log2)
+        else:
+            cu.merge_flag = 0
+            cu.inter_dir = int(rng.choice([1, 2, 3]))
+            cu.ref_idx = 0
+            cu.ref_idx1 = 0
+            cu.mvd = (int(rng.randint(-25, 26)), int(rng.randint(-25, 26)))
+            cu.mvd1 = (int(rng.randint(-25, 26)), int(rng.randint(-25, 26)))
+            cu.mvp_idx = int(rng.randint(0, 2))
+            cu.mvp_idx1 = int(rng.randint(0, 2))
+        return cu
+
+    _check(cfg, [
+        {"tree_builder": _qt_tree(lambda x, y, l: _intra_cu(rng, x, y, l), 5)},
+        {"tree_builder": _qt_tree(lambda x, y, l: _intra_cu(rng, x, y, l), 5)},
+        {"tree_builder": _qt_tree(b_cu, 4), "slice_type": 0,
+         "ref_deltas": [2, 1], "ref_deltas1": [1, 2]},
+        {"tree_builder": _qt_tree(b_cu, 4), "slice_type": 0,
+         "ref_deltas": [1, 3], "ref_deltas1": [2, 1]},
+    ])
