@@ -288,37 +288,35 @@ def _reconstruct_gpm(rc: ReconCtx, cu, params, trc, refs, find_tu):
     pcr1 = uni14(m1, d1, "cr", cx0, cy0, cw, ch, False)
     pred_cb = ref_mc.gpm_blend(pcb0, pcb1, w0c, bd)
     pred_cr = ref_mc.gpm_blend(pcr0, pcr1, w0c, bd)
+    frame.cb[cy0 : cy0 + ch, cx0 : cx0 + cw] = _clip(pred_cb, bd)
+    frame.cr[cy0 : cy0 + ch, cx0 : cx0 + cw] = _clip(pred_cr, bd)
+    _add_chroma_residuals(rc, cu, params, trc, bd)
+
+
+def _add_chroma_residuals(rc: ReconCtx, cu, params, trc, bd):
+    """Add inter chroma TU residuals at their own rects (jcbcr aware)."""
+    frame = rc.frame
     csign = -1 if params.ph.ph_joint_cbcr_sign_flag else 1
-    max_tb_c = part.log2_max_tb_s - 1
-    for ux, uy, l2w, l2h in _tu_units(cx0, cy0, cu.log2_w - 1, cu.log2_h - 1,
-                                      max_tb_c):
-        jtu = find_tu(3, ux, uy)
-        res_cb = res_cr = None
-        if jtu is not None:
-            res = reconstruct_tu_residual(jtu, trc, bd, intra=False)
-            if jtu.joint_cbcr == 3:
-                res_cb, res_cr = res, csign * res
-            elif jtu.joint_cbcr == 2:
-                res_cb, res_cr = res, (csign * res) >> 1
+    for tu in cu.tus:
+        if tu.comp == 0 or not tu.cbf:
+            continue
+        res = reconstruct_tu_residual(tu, trc, bd, intra=False)
+        if tu.comp == 3:
+            if tu.joint_cbcr == 3:
+                pairs = ((frame.cb, res), (frame.cr, csign * res))
+            elif tu.joint_cbcr == 2:
+                pairs = ((frame.cb, res), (frame.cr, (csign * res) >> 1))
             else:
-                res_cr, res_cb = res, (csign * res) >> 1
+                pairs = ((frame.cr, res), (frame.cb, (csign * res) >> 1))
         else:
-            tb = find_tu(1, ux, uy)
-            tr = find_tu(2, ux, uy)
-            if tb is not None:
-                res_cb = reconstruct_tu_residual(tb, trc, bd, intra=False)
-            if tr is not None:
-                res_cr = reconstruct_tu_residual(tr, trc, bd, intra=False)
-        for plane, pred, res in ((frame.cb, pred_cb, res_cb),
-                                 (frame.cr, pred_cr, res_cr)):
-            blk = pred[uy - cy0 : uy - cy0 + (1 << l2h),
-                       ux - cx0 : ux - cx0 + (1 << l2w)]
-            if res is not None:
-                if trc.scale_c and l2w + l2h > 2 and trc.lmcs is not None:
-                    res = scale_residual(res, trc.lmcs.chroma_scale, bd)
-                blk = blk + res
-            plane[uy : uy + (1 << l2h), ux : ux + (1 << l2w)] = _clip(blk, bd)
-    rc.mark_chroma(cx0, cy0, cu.log2_w - 1, cu.log2_h - 1)
+            pairs = ((frame.cb if tu.comp == 1 else frame.cr, res),)
+        th, tw = 1 << tu.log2_h, 1 << tu.log2_w
+        for plane, r in pairs:
+            if trc.scale_c and tu.log2_w + tu.log2_h > 2 and trc.lmcs is not None:
+                r = scale_residual(r, trc.lmcs.chroma_scale, bd)
+            region = plane[tu.y0 : tu.y0 + th, tu.x0 : tu.x0 + tw].astype(np.int64)
+            plane[tu.y0 : tu.y0 + th, tu.x0 : tu.x0 + tw] = _clip(region + r, bd)
+    rc.mark_chroma(cu.x0 >> 1, cu.y0 >> 1, cu.log2_w - 1, cu.log2_h - 1)
 
 
 def _clip_mv(pos_x, pos_y, pic_w, pic_h, pb_w, pb_h, mvx, mvy):
@@ -387,15 +385,13 @@ def _reconstruct_inter(rc: ReconCtx, cu: CU, params, trc, refs, find_tu):
                                 0, rc.luma_avail, bd, luma=True)
         pred_y = ref_mc.ciip_blend(np.asarray(intra_y), pred_y, cu.ciip_wt, bd)
 
-    part = params.part_info["inter_luma"]
-    for ux, uy, l2w, l2h in _tu_units(cu.x0, cu.y0, cu.log2_w, cu.log2_h,
-                                      part.log2_max_tb_s):
-        blk = pred_y[uy - cu.y0 : uy - cu.y0 + (1 << l2h),
-                     ux - cu.x0 : ux - cu.x0 + (1 << l2w)]
-        tu = find_tu(0, ux, uy)
-        if tu is not None:
-            blk = blk + reconstruct_tu_residual(tu, trc, bd, intra=False)
-        frame.y[uy : uy + (1 << l2h), ux : ux + (1 << l2w)] = _clip(blk, bd)
+    frame.y[cu.y0 : cu.y0 + h, cu.x0 : cu.x0 + w] = _clip(pred_y, bd)
+    for tu in cu.tus:
+        if tu.comp == 0 and tu.cbf:
+            res = reconstruct_tu_residual(tu, trc, bd, intra=False)
+            th, tw = 1 << tu.log2_h, 1 << tu.log2_w
+            region = frame.y[tu.y0 : tu.y0 + th, tu.x0 : tu.x0 + tw].astype(np.int64)
+            frame.y[tu.y0 : tu.y0 + th, tu.x0 : tu.x0 + tw] = _clip(region + res, bd)
     rc.mark_luma(cu.x0, cu.y0, cu.log2_w, cu.log2_h)
 
     if not params.sps.sps_chroma_format_idc:
@@ -426,37 +422,9 @@ def _reconstruct_inter(rc: ReconCtx, cu: CU, params, trc, refs, find_tu):
         pred_cb = ref_mc.ciip_blend(np.asarray(icb), pred_cb, cu.ciip_wt, bd)
         pred_cr = ref_mc.ciip_blend(np.asarray(icr), pred_cr, cu.ciip_wt, bd)
 
-    csign = -1 if params.ph.ph_joint_cbcr_sign_flag else 1
-    max_tb_c = part.log2_max_tb_s - 1
-    for ux, uy, l2w, l2h in _tu_units(cx0, cy0, cu.log2_w - 1, cu.log2_h - 1,
-                                      max_tb_c):
-        jtu = find_tu(3, ux, uy)
-        res_cb = res_cr = None
-        if jtu is not None:
-            res = reconstruct_tu_residual(jtu, trc, bd, intra=False)
-            if jtu.joint_cbcr == 3:
-                res_cb, res_cr = res, csign * res
-            elif jtu.joint_cbcr == 2:
-                res_cb, res_cr = res, (csign * res) >> 1
-            else:
-                res_cr, res_cb = res, (csign * res) >> 1
-        else:
-            tb = find_tu(1, ux, uy)
-            tr = find_tu(2, ux, uy)
-            if tb is not None:
-                res_cb = reconstruct_tu_residual(tb, trc, bd, intra=False)
-            if tr is not None:
-                res_cr = reconstruct_tu_residual(tr, trc, bd, intra=False)
-        for plane, pred, res in ((frame.cb, pred_cb, res_cb),
-                                 (frame.cr, pred_cr, res_cr)):
-            blk = pred[uy - cy0 : uy - cy0 + (1 << l2h),
-                       ux - cx0 : ux - cx0 + (1 << l2w)]
-            if res is not None:
-                if trc.scale_c and l2w + l2h > 2 and trc.lmcs is not None:
-                    res = scale_residual(res, trc.lmcs.chroma_scale, bd)
-                blk = blk + res
-            plane[uy : uy + (1 << l2h), ux : ux + (1 << l2w)] = _clip(blk, bd)
-    rc.mark_chroma(cx0, cy0, cu.log2_w - 1, cu.log2_h - 1)
+    frame.cb[cy0 : cy0 + ch, cx0 : cx0 + cw] = _clip(pred_cb, bd)
+    frame.cr[cy0 : cy0 + ch, cx0 : cx0 + cw] = _clip(pred_cr, bd)
+    _add_chroma_residuals(rc, cu, params, trc, bd)
 
 
 def _reconstruct_isp_luma(rc: ReconCtx, cu: CU, trc, find_tu):

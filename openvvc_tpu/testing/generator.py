@@ -67,6 +67,7 @@ class StreamConfig:
     bcw: bool = False
     smvd: bool = False
     gpm: bool = False
+    sbt: bool = False
     delta_qp: bool = False
     delta_qp_subdiv: int = 0
     max_tb_64: bool = True
@@ -108,6 +109,7 @@ def build_sps(cfg: StreamConfig) -> SPS:
     sps.sps_bcw_enabled_flag = 1 if cfg.bcw else 0
     sps.sps_smvd_enabled_flag = 1 if cfg.smvd else 0
     sps.sps_gpm_enabled_flag = 1 if cfg.gpm else 0
+    sps.sps_sbt_enabled_flag = 1 if cfg.sbt else 0
     if cfg.gpm:
         sps.sps_max_num_merge_cand_minus_max_num_gpm_cand = 0
     if cfg.ctu_log2 > 5:

@@ -119,6 +119,10 @@ class CU:
     gpm_dirs: tuple = None
     gpm_mvs: tuple = None
     gpm_units: list = None
+    sbt_flag: int = 0
+    sbt_quad: int = 0
+    sbt_hor: int = 0
+    sbt_pos: int = 0
     amvr_prec: int = 4  # MV_PRECISION_QUARTER
     mv0: object = None  # drv result (drv.inter_mvp.MV)
     prec_amvr_eff: int = 4  # slice-running prec after this CU (hpel MC select)

@@ -46,6 +46,7 @@ from openvvc_tpu.vcl.inter_pu import (
 )
 from openvvc_tpu.cabac.ctx import CtxOffset
 from openvvc_tpu.vcl.ctu import MODE_INTER
+from openvvc_tpu.vcl.inter_pu import _sym_bin
 
 
 def _collocated_luma_mode(ctx, cx0, cy0, clog2_w, clog2_h) -> int:
@@ -242,7 +243,7 @@ def coding_unit_inter_st(ctx, io, node, x0, y0, log2_w, log2_h):
     cu_type = CU_INTER
     _reset_intra_map(ctx, x0, y0, log2_w, log2_h)
 
-    # root cbf + transforms (vcl_transform_unit.c :1896; SBT off)
+    # root cbf + transforms (vcl_transform_unit.c :1896)
     if io.is_reader:
         root = 1 if cu.merge_flag else io.raw_bin(CtxOffset.QT_ROOT_CBF)
         cu.root_cbf = root
@@ -254,13 +255,85 @@ def coding_unit_inter_st(ctx, io, node, x0, y0, log2_w, log2_h):
             io.put_bin(root, CtxOffset.QT_ROOT_CBF)
         cu.root_cbf = root
     if root:
-        transform_tree_intra(ctx, io, cu, x0, y0, log2_w, log2_h, root_cbf=1)
+        part = ctx.part_luma
+        split_tu = log2_w > part.log2_max_tb_s or log2_h > part.log2_max_tb_s
+        sbt = 0
+        if ctx.sbt_enabled and not split_tu and not cu.ciip_flag:
+            sbt_mask = ((log2_h >= 3) | ((log2_w >= 3) << 1)
+                        | ((log2_h >= 4) << 2) | ((log2_w >= 4) << 3))
+            if sbt_mask:
+                off = 1 if log2_w + log2_h <= 8 else 0
+                wv = None if io.is_reader else cu.sbt_flag
+                sbt = _sym_bin(io, CtxOffset.SBT_FLAG + off, wv)
+                if io.is_reader:
+                    cu.sbt_flag = sbt
+        if sbt:
+            _sbt_unit(ctx, io, cu, x0, y0, log2_w, log2_h, sbt_mask)
+        else:
+            transform_tree_intra(ctx, io, cu, x0, y0, log2_w, log2_h, root_cbf=1)
 
     if ctx.chroma_enabled:
         ctx.store_cu_chroma(x0 >> 1, y0 >> 1, log2_w, log2_h)
     ctx.store_cu_luma(cu)
     _cu_tail_maps(ctx, cu, x0, y0, log2_w, log2_h, cu_type)
     return cu
+
+
+def _sbt_unit(ctx, io, cu, x0, y0, log2_w, log2_h, sbt_mask):
+    """SBT syntax + the single residual TU (vcl_transform_unit.c sbt_mode
+    :1790, sbt_half/quad_* :1095-1300). The TU is parsed with the CU
+    origin coords (reference behavior) and then placed at the partition."""
+    from openvvc_tpu.vcl.transform_unit import transform_unit
+
+    # quad flag
+    quad = 0
+    if (sbt_mask & 0xC) and (sbt_mask & 0x3):
+        wv = None if io.is_reader else cu.sbt_quad
+        quad = _sym_bin(io, CtxOffset.SBT_QUAD_FLAG, wv)
+    if io.is_reader:
+        cu.sbt_quad = quad
+    # hor flag
+    if (quad and (sbt_mask & 0x4) and (sbt_mask & 0x8)) or (
+            not quad and (sbt_mask & 0x1) and (sbt_mask & 0x2)):
+        off = 0 if log2_w == log2_h else (1 if log2_w < log2_h else 2)
+        wv = None if io.is_reader else cu.sbt_hor
+        hor = _sym_bin(io, CtxOffset.SBT_HOR_FLAG + off, wv)
+    else:
+        hor = 1 if ((quad and (sbt_mask & 0x4)) or (not quad and (sbt_mask & 0x1))) else 0
+    if io.is_reader:
+        cu.sbt_hor = hor
+    wv = None if io.is_reader else cu.sbt_pos
+    pos = _sym_bin(io, CtxOffset.SBT_POS_FLAG, wv)
+    if io.is_reader:
+        cu.sbt_pos = pos
+
+    sh = 2 if quad else 1
+    if hor:  # horizontal split: reduced height
+        l2w, l2h = log2_w, log2_h - sh
+        dx, dy = 0, (0 if not pos else ((1 << log2_h) - (1 << l2h)))
+        mts_ok = log2_w <= 5 and l2h <= 5
+        mts_idx = (0x2 if not pos else 0x0)
+    else:  # vertical split: reduced width
+        l2w, l2h = log2_w - sh, log2_h
+        dx, dy = (0 if not pos else ((1 << log2_w) - (1 << l2w))), 0
+        mts_ok = l2w <= 5 and log2_h <= 5
+        mts_idx = (0x1 if not pos else 0x0)
+
+    use_mts = ctx.mts_enabled and mts_ok
+    ctx._sbt_active = True
+    ctx._sbt_mts = use_mts
+    n_before = len(cu.tus)
+    transform_unit(ctx, io, cu, x0, y0, l2w, l2h, 0, root_cbf=1)
+    ctx._sbt_active = False
+    for tu in cu.tus[n_before:]:
+        if tu.comp == 0:
+            tu.x0 += dx
+            tu.y0 += dy
+            tu.mts_idx = (mts_idx + 1) if use_mts else 0
+        else:
+            tu.x0 += dx >> 1
+            tu.y0 += dy >> 1
+        tu.sbt = 1
 
 
 def _reset_intra_map(ctx, x0, y0, log2_w, log2_h):

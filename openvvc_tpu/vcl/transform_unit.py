@@ -117,6 +117,8 @@ def _eg_bypass_write(io, value):
 
 
 def _transform_skip_flag(ctx, io, tu: TU | None, comp: int, log2_w: int, log2_h: int, bdpcm: int) -> int:
+    if getattr(ctx, "_sbt_active", False):  # no TS inside SBT (vcl :632)
+        return 0
     if not (ctx.transform_skip_enabled and log2_w <= ctx.log2_ts_max and log2_h <= ctx.log2_ts_max):
         return 0
     if bdpcm:
@@ -126,16 +128,21 @@ def _transform_skip_flag(ctx, io, tu: TU | None, comp: int, log2_w: int, log2_h:
 
 
 def _code_tb(ctx, io, tu: TU, luma: bool):
+    # SBT with an active implicit MTS pair uses the reduced (zero-out)
+    # residual area and last-pos binarization (vcl_transform_unit.c :642)
+    red = bool(luma and getattr(ctx, "_sbt_active", False)
+               and getattr(ctx, "_sbt_mts", False))
     if io.is_reader:
         levels, decoded, last, sig_map = residual_coding(
-            io, None, tu.log2_w, tu.log2_h, luma, ctx.dep_quant, ctx.sign_hiding
+            io, None, tu.log2_w, tu.log2_h, luma, ctx.dep_quant, ctx.sign_hiding,
+            mts_reduced=red,
         )
         tu.levels = levels
         tu.coeffs = decoded
     else:
         levels, decoded, last, sig_map = residual_coding(
             io, tu.levels, tu.log2_w, tu.log2_h, luma, ctx.dep_quant, ctx.sign_hiding,
-            last_pos=tu.last_pos,
+            last_pos=tu.last_pos, mts_reduced=red,
         )
         tu.coeffs = decoded
     tu.last_pos = last

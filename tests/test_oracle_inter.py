@@ -459,3 +459,50 @@ def test_gpm():
         {"tree_builder": _qt_tree(b_cu, 4), "slice_type": 0,
          "ref_deltas": [1, 3], "ref_deltas1": [2, 1]},
     ])
+
+
+def test_sbt():
+    """Sub-block transform: half/quad, hor/ver, both positions."""
+    rng = np.random.RandomState(61)
+    cfg = StreamConfig(width=128, height=128, deblocking=False, sbt=True, mts=True)
+
+    def p_cu(x, y, log2):
+        cu = CU(x, y, log2, log2)
+        cu.pred_mode = 1
+        cu.merge_flag = 0
+        cu.ref_idx = 0
+        cu.mvd = (int(rng.randint(-15, 16)), int(rng.randint(-15, 16)))
+        cu.mvp_idx = int(rng.randint(0, 2))
+        if rng.rand() < 0.75:
+            cu.sbt_flag = 1
+            cu.sbt_quad = int(rng.rand() < 0.4) if log2 >= 4 else 0
+            cu.sbt_hor = int(rng.rand() < 0.5)
+            cu.sbt_pos = int(rng.rand() < 0.5)
+            sh = 2 if cu.sbt_quad else 1
+            l2w = log2 - (0 if cu.sbt_hor else sh)
+            l2h = log2 - (sh if cu.sbt_hor else 0)
+            # SBT TU at CU-origin parse coords, reduced dims, luma + chroma
+            lv = _sparse(rng, l2w, l2h, p=0.2)
+            # MTS/SBT zero-out: no coeffs beyond 16 in a 32-dim
+            if l2w == 5:
+                lv[:, 16:] = 0
+            if l2h == 5:
+                lv[16:, :] = 0
+            if not lv.any():
+                lv[0, 0] = 5
+            cu.tus.append(TU(x, y, l2w, l2h, 0, cbf=1, levels=lv,
+                             last_pos=_find_last_pos_diag(lv, l2w, l2h)))
+            if rng.rand() < 0.5 and l2w > 2 and l2h > 2:
+                cv = _sparse(rng, l2w - 1, l2h - 1, p=0.2, mag=6)
+                if cv.any():
+                    cu.tus.append(TU(x >> 1, y >> 1, l2w - 1, l2h - 1, 1, cbf=1,
+                                     levels=cv, last_pos=_find_last_pos_diag(cv, l2w - 1, l2h - 1)))
+        else:
+            _add_luma_tu(rng, cu, x, y, log2)
+        return cu
+
+    _check(cfg, [
+        {"tree_builder": _qt_tree(lambda x, y, l: _intra_cu(rng, x, y, l), 5)},
+        {"tree_builder": _qt_tree(p_cu, 4), "slice_type": 1, "ref_deltas": [1]},
+        {"tree_builder": _qt_tree(p_cu, 5), "slice_type": 1, "ref_deltas": [1]},
+    ])
