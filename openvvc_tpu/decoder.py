@@ -293,6 +293,125 @@ def _reconstruct_gpm(rc: ReconCtx, cu, params, trc, refs, find_tu):
     _add_chroma_residuals(rc, cu, params, trc, bd)
 
 
+def _add_luma_residuals(rc: ReconCtx, cu, trc, bd):
+    frame = rc.frame
+    for tu in cu.tus:
+        if tu.comp == 0 and tu.cbf:
+            res = reconstruct_tu_residual(tu, trc, bd, intra=False)
+            th, tw = 1 << tu.log2_h, 1 << tu.log2_w
+            region = frame.y[tu.y0 : tu.y0 + th, tu.x0 : tu.x0 + tw].astype(np.int64)
+            frame.y[tu.y0 : tu.y0 + th, tu.x0 : tu.x0 + tw] = _clip(region + res, bd)
+
+
+def _reconstruct_dmvr(rc: ReconCtx, cu, params, trc, refs, hpel, apply_bdof):
+    """DMVR sub-PU refinement + final MC (rcn_dmvr_mv_refine parity)."""
+    from openvvc_tpu.drv.inter_mvp import MV
+    from openvvc_tpu.rcn.ref_bdof import (bdof_from_positions, dmvr_padded_patch,
+                                          dmvr_refine)
+
+    bd = rc.bitdepth
+    frame = rc.frame
+    refs0, refs1 = refs[0], refs[1]
+    pic_w, pic_h = params.pps.pic_w, params.pps.pic_h
+    r0 = refs0[cu.mv0.ref_idx]
+    r1 = refs1[cu.mv1.ref_idx]
+    w, h = 1 << cu.log2_w, 1 << cu.log2_h
+    sb_w, sb_h = min(16, w), min(16, h)
+
+    def clip_fn(px, py, bw, bh, mx, my):
+        return _clip_mv(px, py, pic_w, pic_h, bw, bh, mx, my)
+
+    for sy in range(0, h, sb_h):
+        for sx in range(0, w, sb_w):
+            pos_x, pos_y = cu.x0 + sx, cu.y0 + sy
+            mv0, mv1 = cu.mv0, cu.mv1
+            (n0x, n0y), (n1x, n1y), min_cost = dmvr_refine(
+                r0.y, r1.y, pos_x, pos_y, mv0, mv1, sb_w, sb_h, bd, clip_fn)
+            nmv0 = MV(n0x, n0y, mv0.ref_idx, mv0.bcw_idx_plus1, mv0.prec_amvr)
+            nmv1 = MV(n1x, n1y, mv1.ref_idx, mv1.bcw_idx_plus1, mv1.prec_amvr)
+
+            # TMVP field override on the 8x8 grid (reference hack)
+            gx = (pos_x + 7) >> 3
+            gy = (pos_y + 7) >> 3
+            tm0 = MV(n0x, n0y, mv0.ref_idx)
+            tm1 = MV(n1x, n1y, mv1.ref_idx)
+            ov = rc.dmvr_overrides
+            ov.append((gx, gy, tm0, tm1))
+            if sb_w > 8:
+                ov.append((gx + 1, gy, tm0, tm1))
+            if sb_h > 8:
+                ov.append((gx, gy + 1, tm0, tm1))
+                if sb_w > 8:
+                    ov.append((gx + 1, gy + 1, tm0, tm1))
+
+            # final MC from the original-position padded patches
+            mvx0, mvy0 = clip_fn(pos_x, pos_y, sb_w, sb_h, mv0.x, mv0.y)
+            mvx1, mvy1 = clip_fn(pos_x, pos_y, sb_w, sb_h, mv1.x, mv1.y)
+            p0patch, (o0x, o0y) = dmvr_padded_patch(
+                r0.y, pos_x + (mvx0 >> 4), pos_y + (mvy0 >> 4), sb_w, sb_h)
+            p1patch, (o1x, o1y) = dmvr_padded_patch(
+                r1.y, pos_x + (mvx1 >> 4), pos_y + (mvy1 >> 4), sb_w, sb_h)
+            d0x = (n0x >> 4) - (mvx0 >> 4)
+            d0y = (n0y >> 4) - (mvy0 >> 4)
+            d1x = (n1x >> 4) - (mvx1 >> 4)
+            d1y = (n1y >> 4) - (mvy1 >> 4)
+            px0, py0 = 5 + d0x, 5 + d0y
+            px1, py1 = 5 + d1x, 5 + d1y
+            f0x, f0y = n0x & 15, n0y & 15
+            f1x, f1y = n1x & 15, n1y & 15
+            if hpel:
+                f0x += 8 if f0x == 8 else 0
+                f0y += 8 if f0y == 8 else 0
+                f1x += 8 if f1x == 8 else 0
+                f1y += 8 if f1y == 8 else 0
+            disable_bdof = (min_cost < 2 * sb_w * sb_h) if apply_bdof else True
+            if disable_bdof:
+                q0 = ref_mc.interp_14bit(p0patch, px0, py0, f0x, f0y, sb_w, sb_h,
+                                         bd, luma=True, hpel=False)
+                q1 = ref_mc.interp_14bit(p1patch, px1, py1, f1x, f1y, sb_w, sb_h,
+                                         bd, luma=True, hpel=False)
+                blk = ref_mc.mc_bi(q0, q1, bd)
+            else:
+                blk = bdof_from_positions(p0patch, px0, py0, f0x, f0y,
+                                          p1patch, px1, py1, f1x, f1y,
+                                          sb_w, sb_h, bd, False)
+            frame.y[pos_y : pos_y + sb_h, pos_x : pos_x + sb_w] = _clip(blk, bd)
+
+            # chroma: original-position patches, refined frac + int delta
+            cxp, cyp = pos_x >> 1, pos_y >> 1
+            cw, ch = sb_w >> 1, sb_h >> 1
+            for (plane_name, dst) in (("cb", frame.cb), ("cr", frame.cr)):
+                pl0 = getattr(r0, plane_name)
+                pl1 = getattr(r1, plane_name)
+                # chroma int position from the ORIGINAL clipped mv (>>5)
+                cx0i = cxp + (mvx0 >> 5)
+                cy0i = cyp + (mvy0 >> 5)
+                cx1i = cxp + (mvx1 >> 5)
+                cy1i = cyp + (mvy1 >> 5)
+                # padded chroma patch: EPEL margins (1 before, 2 after) + 2
+                pat0 = _chroma_patch(pl0, cx0i, cy0i, cw, ch)
+                pat1 = _chroma_patch(pl1, cx1i, cy1i, cw, ch)
+                dc0x = (n0x >> 5) - (mvx0 >> 5)
+                dc0y = (n0y >> 5) - (mvy0 >> 5)
+                dc1x = (n1x >> 5) - (mvx1 >> 5)
+                dc1y = (n1y >> 5) - (mvy1 >> 5)
+                q0 = ref_mc.interp_14bit(pat0, 3 + dc0x, 3 + dc0y,
+                                         n0x & 31, n0y & 31, cw, ch, bd, luma=False)
+                q1 = ref_mc.interp_14bit(pat1, 3 + dc1x, 3 + dc1y,
+                                         n1x & 31, n1y & 31, cw, ch, bd, luma=False)
+                dst[cyp : cyp + ch, cxp : cxp + cw] = _clip(
+                    np.asarray(ref_mc.mc_bi(q0, q1, bd)), bd)
+    rc.mark_chroma(cu.x0 >> 1, cu.y0 >> 1, cu.log2_w - 1, cu.log2_h - 1)
+
+
+def _chroma_patch(plane, ref_x, ref_y, w, h):
+    """EPEL margins + 2-sample REPLICATED pad (padd_dmvr_c parity)."""
+    from openvvc_tpu.rcn.ref_bdof import _int_patch
+
+    core = _int_patch(plane, ref_x - 1, ref_y - 1, w + 3, h + 3)
+    return np.pad(core, 2, mode="edge").astype(np.int32)
+
+
 def _add_chroma_residuals(rc: ReconCtx, cu, params, trc, bd):
     """Add inter chroma TU residuals at their own rects (jcbcr aware)."""
     frame = rc.frame
@@ -363,16 +482,49 @@ def _reconstruct_inter(rc: ReconCtx, cu: CU, params, trc, refs, find_tu):
             return ref_mc.mc_bi_weighted(p0, p1, bd, 3, 8 - w1, w1)
         return ref_mc.mc_bi(p0, p1, bd)
 
+    tools = getattr(rc, "tools", {})
+    dist_sym = False
+    if inter_dir == 3 and not cu.ciip_flag:
+        dist_sym = refs[2][cu.mv0.ref_idx] == -refs[3][cu.mv1.ref_idx]
+    size_ok = cu.log2_w >= 3 and cu.log2_h >= 3 and cu.log2_w + cu.log2_h >= 7
+    # BDOF applies to both merge and AMVP bi CUs (read_bidir_mvp :2447);
+    # DMVR only to regular merge (prediction_unit_inter_b :2585)
+    bdof_en = (tools.get("bdof") and inter_dir == 3
+               and not cu.ciip_flag and size_ok and not bcw_weighted
+               and not cu.smvd_flag and dist_sym)
+    dmvr_en = (tools.get("dmvr") and inter_dir == 3 and cu.merge_flag
+               and not cu.ciip_flag and size_ok and not bcw_weighted
+               and not cu.mmvd_flag and dist_sym)
+
+    if dmvr_en:
+        _reconstruct_dmvr(rc, cu, params, trc, refs, hpel, bdof_en)
+        _add_luma_residuals(rc, cu, trc, bd)
+        _add_chroma_residuals(rc, cu, params, trc, bd)
+        rc.mark_luma(cu.x0, cu.y0, cu.log2_w, cu.log2_h)
+        return
+
     if inter_dir == 3:
         r0, x0v, y0v = mv_for(0)
         r1, x1v, y1v = mv_for(1)
-        p0 = ref_mc.interp_14bit(r0.y, cu.x0 + (x0v >> 4), cu.y0 + (y0v >> 4),
-                                 x0v & 0xF, y0v & 0xF, w, h, bd, luma=True,
-                                 hpel=hpel)
-        p1 = ref_mc.interp_14bit(r1.y, cu.x0 + (x1v >> 4), cu.y0 + (y1v >> 4),
-                                 x1v & 0xF, y1v & 0xF, w, h, bd, luma=True,
-                                 hpel=hpel)
-        pred_y = bi_comb(p0, p1)
+        if bdof_en:
+            from openvvc_tpu.rcn.ref_bdof import bdof_block
+
+            pred_y = np.zeros((h, w), np.int32)
+            clip_fn = lambda px, py, bw, bh, mx, my: _clip_mv(px, py, pic_w, pic_h, bw, bh, mx, my)
+            for sy in range(0, h, 16):
+                for sx in range(0, w, 16):
+                    bw, bh = min(16, w - sx), min(16, h - sy)
+                    pred_y[sy : sy + bh, sx : sx + bw] = bdof_block(
+                        r0.y, r1.y, cu.x0 + sx, cu.y0 + sy, cu.mv0, cu.mv1,
+                        bw, bh, bd, hpel, clip_fn)
+        else:
+            p0 = ref_mc.interp_14bit(r0.y, cu.x0 + (x0v >> 4), cu.y0 + (y0v >> 4),
+                                     x0v & 0xF, y0v & 0xF, w, h, bd, luma=True,
+                                     hpel=hpel)
+            p1 = ref_mc.interp_14bit(r1.y, cu.x0 + (x1v >> 4), cu.y0 + (y1v >> 4),
+                                     x1v & 0xF, y1v & 0xF, w, h, bd, luma=True,
+                                     hpel=hpel)
+            pred_y = bi_comb(p0, p1)
     else:
         lst = 0 if inter_dir & 0x1 else 1
         ref, mvx, mvy = mv_for(lst)
@@ -386,12 +538,7 @@ def _reconstruct_inter(rc: ReconCtx, cu: CU, params, trc, refs, find_tu):
         pred_y = ref_mc.ciip_blend(np.asarray(intra_y), pred_y, cu.ciip_wt, bd)
 
     frame.y[cu.y0 : cu.y0 + h, cu.x0 : cu.x0 + w] = _clip(pred_y, bd)
-    for tu in cu.tus:
-        if tu.comp == 0 and tu.cbf:
-            res = reconstruct_tu_residual(tu, trc, bd, intra=False)
-            th, tw = 1 << tu.log2_h, 1 << tu.log2_w
-            region = frame.y[tu.y0 : tu.y0 + th, tu.x0 : tu.x0 + tw].astype(np.int64)
-            frame.y[tu.y0 : tu.y0 + th, tu.x0 : tu.x0 + tw] = _clip(region + res, bd)
+    _add_luma_residuals(rc, cu, trc, bd)
     rc.mark_luma(cu.x0, cu.y0, cu.log2_w, cu.log2_h)
 
     if not params.sps.sps_chroma_format_idc:
@@ -612,6 +759,10 @@ class Decoder:
                     params._tmvp_col = col_f.tmvp
 
         tools = {
+            "bdof": bool(getattr(sps, "sps_bdof_enabled_flag", 0))
+            and not getattr(params.ph, "ph_bdof_disabled_flag", 0),
+            "dmvr": bool(getattr(sps, "sps_dmvr_enabled_flag", 0))
+            and not getattr(params.ph, "ph_dmvr_disabled_flag", 0),
             "dep_quant": bool(params.sh.sh_dep_quant_used_flag),
             "mts_implicit": bool(sps.sps_mts_enabled_flag) and not sps.sps_explicit_mts_intra_enabled_flag,
             "mts_enabled": bool(sps.sps_mts_enabled_flag),
@@ -640,8 +791,11 @@ class Decoder:
             precompute_residuals_batched(parsed, tools, bd)
 
         tmvp_export = None
+        dmvr_overrides = []
         for entry, ectx in parsed:
             rc = ReconCtx(frame, params, entry)
+            rc.tools = tools
+            rc.dmvr_overrides = dmvr_overrides
             for ctu in ectx.ctus:
                 for cu in ctu.cus:
                     reconstruct_cu(rc, cu, params, tools, dbf,
@@ -673,6 +827,12 @@ class Decoder:
                                 sps.ctb_log2, alf_params, filters, cc_data, bd,
                                 pps.pic_w, pps.pic_h)
         if tmvp_export is not None:
+            # DMVR-refined MVs override the TMVP field at select 8x8 cells
+            # (prediction_unit_inter_b :2610 "temporary hack")
+            for (gx, gy, m0, m1) in dmvr_overrides:
+                if (gx, gy) in tmvp_export[2] or True:
+                    tmvp_export[2][(gx, gy)] = m0
+                    tmvp_export[3][(gx, gy)] = m1
             tmvp_export = tmvp_export[:4] + ([-d for d in _sd(params, 0)],
                                              [-d for d in _sd(params, 1)])
         frame.tmvp = tmvp_export

@@ -68,6 +68,8 @@ class StreamConfig:
     smvd: bool = False
     gpm: bool = False
     sbt: bool = False
+    bdof: bool = False
+    dmvr: bool = False
     delta_qp: bool = False
     delta_qp_subdiv: int = 0
     max_tb_64: bool = True
@@ -110,6 +112,8 @@ def build_sps(cfg: StreamConfig) -> SPS:
     sps.sps_smvd_enabled_flag = 1 if cfg.smvd else 0
     sps.sps_gpm_enabled_flag = 1 if cfg.gpm else 0
     sps.sps_sbt_enabled_flag = 1 if cfg.sbt else 0
+    sps.sps_bdof_enabled_flag = 1 if cfg.bdof else 0
+    sps.sps_dmvr_enabled_flag = 1 if cfg.dmvr else 0
     if cfg.gpm:
         sps.sps_max_num_merge_cand_minus_max_num_gpm_cand = 0
     if cfg.ctu_log2 > 5:

@@ -506,3 +506,46 @@ def test_sbt():
         {"tree_builder": _qt_tree(p_cu, 4), "slice_type": 1, "ref_deltas": [1]},
         {"tree_builder": _qt_tree(p_cu, 5), "slice_type": 1, "ref_deltas": [1]},
     ])
+
+
+def test_bdof_dmvr():
+    """BDOF optical flow and DMVR refinement on merge bi CUs."""
+    rng = np.random.RandomState(67)
+    cfg = StreamConfig(width=128, height=128, deblocking=False,
+                       bdof=True, dmvr=True)
+
+    def b_cu(x, y, log2):
+        cu = CU(x, y, log2, log2)
+        cu.pred_mode = 1
+        kind = rng.randint(0, 3)
+        if kind == 0:
+            cu.skip_flag = 1
+            cu.merge_flag = 1
+            cu.merge_idx = int(rng.randint(0, 5))
+        elif kind == 1:
+            cu.merge_flag = 1
+            cu.merge_idx = int(rng.randint(0, 5))
+            _add_luma_tu(rng, cu, x, y, log2, force=True)
+            _add_chroma_tus(rng, cu, x, y, log2)
+        else:
+            cu.merge_flag = 0
+            cu.inter_dir = 3
+            cu.ref_idx = 0
+            cu.ref_idx1 = 0
+            cu.mvd = (int(rng.randint(-20, 21)), int(rng.randint(-20, 21)))
+            cu.mvd1 = (int(rng.randint(-20, 21)), int(rng.randint(-20, 21)))
+            cu.mvp_idx = int(rng.randint(0, 2))
+            cu.mvp_idx1 = int(rng.randint(0, 2))
+        return cu
+
+    # B frame at POC 1 between POC 0 and POC 2: dist(+1, -1) is symmetric,
+    # so BDOF/DMVR trigger on merge bi candidates
+    _check(cfg, [
+        {"tree_builder": _qt_tree(lambda x, y, l: _intra_cu(rng, x, y, l), 5), "poc": 0},
+        {"tree_builder": _qt_tree(lambda x, y, l: _intra_cu(rng, x, y, l), 5), "poc": 2},
+        {"tree_builder": _qt_tree(b_cu, 4), "slice_type": 0, "poc": 1,
+         "ref_deltas": [1], "ref_deltas1": [-1]},
+        {"tree_builder": _qt_tree(lambda x, y, l: _intra_cu(rng, x, y, l), 5), "poc": 4},
+        {"tree_builder": _qt_tree(b_cu, 5), "slice_type": 0, "poc": 3,
+         "ref_deltas": [1], "ref_deltas1": [-1]},
+    ])
