@@ -265,6 +265,8 @@ def _reconstruct_gpm(rc: ReconCtx, cu, params, trc, refs, find_tu):
     p0 = uni14(m0, d0, "y", cu.x0, cu.y0, w, h, True)
     p1 = uni14(m1, d1, "y", cu.x0, cu.y0, w, h, True)
     pred_y = ref_mc.gpm_blend(p0, p1, w0, bd)
+    if trc.lmcs is not None:
+        pred_y = trc.lmcs.fwd_lut[np.asarray(pred_y)].astype(np.int32)
 
     part = params.part_info["inter_luma"]
     for ux, uy, l2w, l2h in _tu_units(cu.x0, cu.y0, cu.log2_w, cu.log2_h,
@@ -375,6 +377,9 @@ def _reconstruct_dmvr(rc: ReconCtx, cu, params, trc, refs, hpel, apply_bdof):
                 blk = bdof_from_positions(p0patch, px0, py0, f0x, f0y,
                                           p1patch, px1, py1, f1x, f1y,
                                           sb_w, sb_h, bd, False)
+            blk = np.asarray(blk)
+            if trc.lmcs is not None:
+                blk = trc.lmcs.fwd_lut[_clip(blk, bd)].astype(np.int32)
             frame.y[pos_y : pos_y + sb_h, pos_x : pos_x + sb_w] = _clip(blk, bd)
 
             # chroma: original-position patches, refined frac + int delta
@@ -531,6 +536,9 @@ def _reconstruct_inter(rc: ReconCtx, cu: CU, params, trc, refs, find_tu):
         pred_y = ref_mc.mc_uni(ref.y, cu.x0 + (mvx >> 4), cu.y0 + (mvy >> 4),
                                mvx & 0xF, mvy & 0xF, w, h, bd, luma=True,
                                hpel=hpel)
+
+    if trc.lmcs is not None:
+        pred_y = trc.lmcs.fwd_lut[np.asarray(pred_y)].astype(np.int32)
 
     if cu.ciip_flag:
         intra_y = predict_intra(frame.y, cu.x0, cu.y0, cu.log2_w, cu.log2_h,

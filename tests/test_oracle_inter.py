@@ -549,3 +549,40 @@ def test_bdof_dmvr():
         {"tree_builder": _qt_tree(b_cu, 5), "slice_type": 0, "poc": 3,
          "ref_deltas": [1], "ref_deltas1": [-1]},
     ])
+
+
+def test_inter_lmcs_sao():
+    """LMCS reshaping on inter prediction + SAO/deblocking on P/B frames."""
+    rng = np.random.RandomState(71)
+    cfg = StreamConfig(width=128, height=128, deblocking=True, sao=True,
+                       lmcs=True, lmcs_chroma_scaling=True)
+
+    def p_cu(x, y, log2):
+        if rng.rand() < 0.3:
+            return _intra_cu(rng, x, y, log2)
+        cu = CU(x, y, log2, log2)
+        cu.pred_mode = 1
+        kind = rng.randint(0, 3)
+        if kind == 0:
+            cu.skip_flag = 1
+            cu.merge_flag = 1
+            cu.merge_idx = int(rng.randint(0, 5))
+        elif kind == 1:
+            cu.merge_flag = 1
+            cu.merge_idx = int(rng.randint(0, 5))
+            _add_luma_tu(rng, cu, x, y, log2, force=True)
+            _add_chroma_tus(rng, cu, x, y, log2)
+        else:
+            cu.merge_flag = 0
+            cu.ref_idx = 0
+            cu.mvd = (int(rng.randint(-15, 16)), int(rng.randint(-15, 16)))
+            cu.mvp_idx = int(rng.randint(0, 2))
+            if rng.rand() < 0.5:
+                _add_luma_tu(rng, cu, x, y, log2)
+        return cu
+
+    _check(cfg, [
+        {"tree_builder": _qt_tree(lambda x, y, l: _intra_cu(rng, x, y, l), 5)},
+        {"tree_builder": _qt_tree(p_cu, 4), "slice_type": 1, "ref_deltas": [1]},
+        {"tree_builder": _qt_tree(p_cu, 4), "slice_type": 1, "ref_deltas": [1]},
+    ])
