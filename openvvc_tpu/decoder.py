@@ -724,10 +724,11 @@ class Decoder:
     sequential prediction loop — the host/device split of the TPU design.
     """
 
-    def __init__(self, use_tpu_residuals: bool = False):
+    def __init__(self, use_tpu_residuals: bool = False, use_tpu: bool = False):
         self.nvcl = NvclContext()
-        self.use_tpu_residuals = use_tpu_residuals
+        self.use_tpu_residuals = use_tpu_residuals or use_tpu
         self.dpb = DPB()
+        self.last_pps = None
 
     def decode(self, stream: bytes) -> list[Frame]:
         frames = []
@@ -738,9 +739,16 @@ class Decoder:
                 self.nvcl.decode_nalu(nal)
         return frames
 
+    @staticmethod
+    def output_order(frames: list[Frame]) -> list[Frame]:
+        """Frames in display order (the reference's DPB output order:
+        increasing POC within a CVS, dpb.c:691-824)."""
+        return sorted(frames, key=lambda f: f.poc)
+
     def _decode_picture(self, nal) -> Frame:
         params = self.nvcl.parse_slice(nal)
         sps, pps = params.sps, params.pps
+        self.last_pps = pps
         bd = sps.bitdepth
         chroma = sps.sps_chroma_format_idc != 0
         y = np.zeros((pps.pic_h, pps.pic_w), np.int32)
@@ -838,9 +846,8 @@ class Decoder:
             # DMVR-refined MVs override the TMVP field at select 8x8 cells
             # (prediction_unit_inter_b :2610 "temporary hack")
             for (gx, gy, m0, m1) in dmvr_overrides:
-                if (gx, gy) in tmvp_export[2] or True:
-                    tmvp_export[2][(gx, gy)] = m0
-                    tmvp_export[3][(gx, gy)] = m1
+                tmvp_export[2][(gx, gy)] = m0
+                tmvp_export[3][(gx, gy)] = m1
             tmvp_export = tmvp_export[:4] + ([-d for d in _sd(params, 0)],
                                              [-d for d in _sd(params, 1)])
         frame.tmvp = tmvp_export

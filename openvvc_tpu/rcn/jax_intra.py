@@ -7,7 +7,9 @@ the kernels below then run the O(N*S^2) prediction math as batched integer
 gathers/arithmetic on device. `predict_intra_group` mirrors
 ref_intra.predict_intra's dispatch for a batch sharing (size, class).
 
-All math is int32/int64-exact: these kernels are tested element-equal
+All math is exact in int32 (the widest intermediate is a 6-bit weight times
+a 16-bit sample summed over <=64 taps < 2^28, and the reference's own C
+kernels use int32 throughout): these kernels are tested element-equal
 against the scalar reference for every mode.
 """
 
@@ -40,12 +42,12 @@ def _bd_clip(v, bitdepth):
 def planar_batch(top, left, top_right, bot_left, log2_w, log2_h):
     """top [N,w], left [N,h], top_right/bot_left [N] -> [N,h,w] (int32)."""
     w, h = 1 << log2_w, 1 << log2_h
-    x = jnp.arange(w, dtype=jnp.int64)
-    y = jnp.arange(h, dtype=jnp.int64)[:, None]
-    t = top.astype(jnp.int64)[:, None, :]
-    l = left.astype(jnp.int64)[:, :, None]
-    tr = top_right.astype(jnp.int64)[:, None, None]
-    bl = bot_left.astype(jnp.int64)[:, None, None]
+    x = jnp.arange(w, dtype=jnp.int32)
+    y = jnp.arange(h, dtype=jnp.int32)[:, None]
+    t = top.astype(jnp.int32)[:, None, :]
+    l = left.astype(jnp.int32)[:, :, None]
+    tr = top_right.astype(jnp.int32)[:, None, None]
+    bl = bot_left.astype(jnp.int32)[:, None, None]
     hor = (l << log2_w) + (x + 1)[None, None, :] * (tr - l)
     ver = (t << log2_h) + (y + 1)[None, :, :] * (bl - t)
     return (((hor << log2_h) + (ver << log2_w) + (1 << (log2_w + log2_h)))
@@ -55,11 +57,11 @@ def planar_batch(top, left, top_right, bot_left, log2_w, log2_h):
 def dc_batch(top, left, log2_w, log2_h):
     w, h = 1 << log2_w, 1 << log2_h
     shift = max(log2_w, log2_h) + (1 if log2_w == log2_h else 0)
-    dc = jnp.zeros(top.shape[0], jnp.int64)
+    dc = jnp.zeros(top.shape[0], jnp.int32)
     if log2_w >= log2_h:
-        dc = dc + top.astype(jnp.int64).sum(axis=1)
+        dc = dc + top.astype(jnp.int32).sum(axis=1)
     if log2_w <= log2_h:
-        dc = dc + left.astype(jnp.int64).sum(axis=1)
+        dc = dc + left.astype(jnp.int32).sum(axis=1)
     dc = (dc + ((1 << shift) >> 1)) >> shift
     return jnp.broadcast_to(dc[:, None, None], (top.shape[0], h, w)).astype(jnp.int32)
 
@@ -72,11 +74,11 @@ def pdpc_flat_batch(pred, top, left, log2_w, log2_h, bitdepth):
     y = jnp.arange(h)
     shx = jnp.minimum(31, (x << 1) >> scale)
     shy = jnp.minimum(31, (y << 1) >> scale)
-    w_x = jnp.where(shx < 6, 32 >> jnp.minimum(shx, 5), 0).astype(jnp.int64)[None, None, :]
-    w_y = jnp.where(shy < 6, 32 >> jnp.minimum(shy, 5), 0).astype(jnp.int64)[None, :, None]
-    t = top.astype(jnp.int64)[:, None, :]
-    l = left.astype(jnp.int64)[:, :, None]
-    val = (w_x * l + w_y * t + (64 - w_x - w_y) * pred.astype(jnp.int64) + 32) >> 6
+    w_x = jnp.where(shx < 6, 32 >> jnp.minimum(shx, 5), 0).astype(jnp.int32)[None, None, :]
+    w_y = jnp.where(shy < 6, 32 >> jnp.minimum(shy, 5), 0).astype(jnp.int32)[None, :, None]
+    t = top.astype(jnp.int32)[:, None, :]
+    l = left.astype(jnp.int32)[:, :, None]
+    val = (w_x * l + w_y * t + (64 - w_x - w_y) * pred.astype(jnp.int32) + 32) >> 6
     return _bd_clip(val, bitdepth).astype(jnp.int32)
 
 
@@ -95,18 +97,18 @@ def angular_core_batch(ref, off, angle, n_lines, line_len, filt, bitdepth):
 
     def gat(shift):
         return jnp.take_along_axis(
-            ref.astype(jnp.int64), (base + shift).reshape(ref.shape[0], -1).astype(jnp.int32), axis=1
+            ref.astype(jnp.int32), (base + shift).reshape(ref.shape[0], -1).astype(jnp.int32), axis=1
         ).reshape(base.shape)
 
     if filt == "copy":
         return gat(1).astype(jnp.int32)
     if filt == "cubic":
-        taps = _CUBIC[d_frac].astype(jnp.int64)                    # [N, L, 4]
+        taps = _CUBIC[d_frac].astype(jnp.int32)                    # [N, L, 4]
         acc = sum(taps[:, :, i : i + 1] * gat(i) for i in range(4))
         val = (acc + 32) >> 6
         return _bd_clip(val, bitdepth).astype(jnp.int32)
     # gauss: taps derived from frac
-    f = d_frac.astype(jnp.int64)[:, :, None]
+    f = d_frac.astype(jnp.int32)[:, :, None]
     t0, t1, t2, t3 = 16 - (f >> 1), 32 - (f >> 1), 16 + (f >> 1), f >> 1
     acc = t0 * gat(0) + t1 * gat(1) + t2 * gat(2) + t3 * gat(3)
     return ((acc + 32) >> 6).astype(jnp.int32)
@@ -119,19 +121,19 @@ def pdpc_angular_batch(pred, side, off, inv_angle, scale, lim, bitdepth):
     for the group (all TBs in a group share the mode-derived params), lim =
     min(3<<scale, line_len)."""
     n, n_lines, line_len = pred.shape
-    x = jnp.arange(line_len, dtype=jnp.int64)
+    x = jnp.arange(line_len, dtype=jnp.int32)
     inv_sum = 256 + inv_angle * (x + 1)
     idx = (inv_sum >> 9).astype(jnp.int32)                          # [len]
     jj = jnp.arange(n_lines, dtype=jnp.int32)[:, None]
     gidx = off + jj + idx[None, :] + 1                              # [L, len]
     p = jnp.take_along_axis(
-        side.astype(jnp.int64),
+        side.astype(jnp.int32),
         jnp.broadcast_to(gidx[None], (n, n_lines, line_len)).reshape(n, -1).astype(jnp.int32),
         axis=1,
     ).reshape(n, n_lines, line_len)
     sh = jnp.minimum(31, (x << 1) >> scale)
     w_l = jnp.where(sh < 6, 32 >> jnp.minimum(sh, 5), 0)[None, None, :]
-    pr = pred.astype(jnp.int64)
+    pr = pred.astype(jnp.int32)
     out = _bd_clip(pr + ((w_l * (p - pr) + 32) >> 6), bitdepth)
     mask = (x < lim)[None, None, :]
     return jnp.where(mask, out, pr).astype(jnp.int32)

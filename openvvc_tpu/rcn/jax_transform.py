@@ -43,13 +43,15 @@ def dequant_batch(levels, qp, log2_w, log2_h, dep_quant, bitdepth):
     shift = base_shift - q // 6
     scale = IQ_SCALE[log2_s & 1, q % 6]
 
-    lv = levels.astype(jnp.int64)
-    scale = scale.astype(jnp.int64)[:, None, None]
+    # int32 is parity by construction: the reference's dequant_sb computes
+    # (int32_t)(coeff * scale + add) >> shift (rcn_dequant.c:80-87)
+    lv = levels.astype(jnp.int32)
+    scale = scale.astype(jnp.int32)[:, None, None]
     shift = shift.astype(jnp.int32)[:, None, None]
 
     pos_shift = jnp.maximum(shift, 0)
     neg_shift = jnp.maximum(-shift, 0)
-    add = jnp.where(shift > 0, (jnp.int64(1) << pos_shift) >> 1, 0)
+    add = jnp.where(shift > 0, (jnp.int32(1) << pos_shift) >> 1, 0)
     val = jnp.where(
         shift >= 0,
         (lv * scale + add) >> pos_shift,

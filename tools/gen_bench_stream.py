@@ -1,0 +1,147 @@
+"""Generate benchmark bitstreams (1080p inter GOP) for the fps baseline.
+
+The JVET CTC corpus is unreachable in this environment (zero egress), so the
+fps denominator is measured on self-generated conformant streams: an IDR
+followed by P frames with a realistic CU mix (skip / merge / AMVP with
+fractional MVs, sparse residuals) and DBF enabled. The same stream feeds
+both the reference binary (tools/build_reference_perf.sh) and our decoder,
+so the ratio is apples-to-apples.
+
+Usage: python tools/gen_bench_stream.py [--width 1920 --height 1080
+        --frames 9 --tiles 1 --out /tmp/bench_1080p.266]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+from openvvc_tpu.testing.generator import (  # noqa: E402
+    StreamConfig,
+    build_stream_frames,
+    rect_tree_builder,
+)
+from openvvc_tpu.vcl.coding_tree import NO_SPLIT, QT_SPLIT, TreeNode  # noqa: E402
+from openvvc_tpu.vcl.ctu import CU  # noqa: E402
+
+
+def _sparse(rng, log2_w, log2_h, p=0.08, mag=8):
+    lv = np.zeros((1 << log2_h, 1 << log2_w), np.int32)
+    mask = rng.rand(*lv.shape) < p
+    lv[mask] = rng.randint(-mag, mag + 1, int(mask.sum()))
+    return lv
+
+
+def _find_last(levels, log2_w, log2_h):
+    from openvvc_tpu.testing.generator import _find_last_pos_diag
+
+    return _find_last_pos_diag(levels, log2_w, log2_h)
+
+
+def _intra_cu(rng, x, y, log2):
+    from openvvc_tpu.vcl.ctu import TU
+
+    cu = CU(x, y, log2, log2, intra_mode_l=int(rng.randint(0, 67)),
+            intra_mode_c=int(rng.randint(0, 2)))
+    lv = _sparse(rng, log2, log2, p=0.10, mag=10)
+    if lv.any():
+        cu.tus.append(TU(x, y, log2, log2, 0, cbf=1, levels=lv,
+                         last_pos=_find_last(lv, log2, log2)))
+    for comp in (1, 2):
+        lv = _sparse(rng, log2 - 1, log2 - 1, p=0.06, mag=6)
+        if lv.any():
+            cu.tus.append(TU(x >> 1, y >> 1, log2 - 1, log2 - 1, comp, cbf=1,
+                             levels=lv, last_pos=_find_last(lv, log2 - 1, log2 - 1)))
+    return cu
+
+
+def _inter_cu(rng, x, y, log2):
+    from openvvc_tpu.vcl.ctu import TU
+
+    cu = CU(x, y, log2, log2)
+    cu.pred_mode = 1
+    kind = rng.rand()
+    if kind < 0.45:
+        cu.skip_flag = 1
+        cu.merge_flag = 1
+        cu.merge_idx = int(rng.randint(0, 5))
+        return cu
+    if kind < 0.7:
+        cu.merge_flag = 1
+        cu.merge_idx = int(rng.randint(0, 5))
+    else:
+        cu.merge_flag = 0
+        cu.ref_idx = 0
+        cu.mvd = (int(rng.randint(-24, 25)), int(rng.randint(-24, 25)))
+        cu.mvp_idx = int(rng.randint(0, 2))
+    lv = _sparse(rng, log2, log2, p=0.05, mag=8)
+    if lv.any():
+        cu.tus.append(TU(x, y, log2, log2, 0, cbf=1, levels=lv,
+                         last_pos=_find_last(lv, log2, log2)))
+    return cu
+
+
+def _qt_tree(cu_factory, leaf_log2):
+    def qt(x, y, l2):
+        if l2 > leaf_log2:
+            h = 1 << (l2 - 1)
+            return TreeNode(QT_SPLIT, children=[
+                qt(x, y, l2 - 1), qt(x + h, y, l2 - 1),
+                qt(x, y + h, l2 - 1), qt(x + h, y + h, l2 - 1)])
+        return TreeNode(NO_SPLIT, cu=cu_factory(x, y, l2))
+
+    def tb(params, entry):
+        clg = params.sps.ctb_log2
+        return {(entry.ctu_x + c, entry.ctu_y + r):
+                qt((entry.ctu_x + c) << clg, (entry.ctu_y + r) << clg, clg)
+                for r in range(entry.nb_ctu_h) for c in range(entry.nb_ctu_w)}
+    return tb
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--width", type=int, default=1920)
+    ap.add_argument("--height", type=int, default=1080)
+    ap.add_argument("--frames", type=int, default=9)
+    ap.add_argument("--tiles", type=int, default=1,
+                    help="number of tile columns (entry parallelism units)")
+    ap.add_argument("--leaf-intra", type=int, default=5)
+    ap.add_argument("--leaf-inter", type=int, default=4)
+    ap.add_argument("--seed", type=int, default=7)
+    ap.add_argument("--out", default="/tmp/bench_1080p.266")
+    args = ap.parse_args()
+
+    rng = np.random.RandomState(args.seed)
+    # round picture to whole CTUs so uniform trees tile it exactly
+    w = (args.width // 64) * 64
+    h = (args.height // 64) * 64
+    tile_cols = None
+    if args.tiles > 1:
+        nctu_w = w // 64
+        per = nctu_w // args.tiles
+        tile_cols = [per] * (args.tiles - 1) + [nctu_w - per * (args.tiles - 1)]
+    cfg = StreamConfig(width=w, height=h, deblocking=True, sao=True,
+                       tile_cols=tile_cols)
+
+    frames = [{"tree_builder": _qt_tree(lambda x, y, l: _intra_cu(rng, x, y, l),
+                                        args.leaf_intra)}]
+    for i in range(1, args.frames):
+        frames.append({
+            "tree_builder": _qt_tree(lambda x, y, l: _inter_cu(rng, x, y, l),
+                                     args.leaf_inter),
+            "slice_type": 1,
+            "ref_deltas": [1],
+        })
+    stream = build_stream_frames(cfg, frames)
+    with open(args.out, "wb") as f:
+        f.write(stream)
+    print(f"wrote {args.out}: {len(stream)} bytes, {args.frames} frames "
+          f"{w}x{h}, tiles={args.tiles}")
+
+
+if __name__ == "__main__":
+    main()
