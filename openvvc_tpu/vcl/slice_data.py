@@ -412,10 +412,19 @@ def code_entry(params, entry, io, trees=None):
 
 
 def parse_entry(params, entry):
-    dec = CabacDecoder(entry.data, params.slice_type, params.slice_qp)
+    dec = _make_decoder(entry.data, params.slice_type, params.slice_qp)
     io = CabacReaderIO(dec)
     ctx, trees = code_entry(params, entry, io)
     return ctx, trees, dec
+
+
+def _make_decoder(data, slice_type, slice_qp):
+    """Native C CABAC engine when available (same interface), else Python."""
+    from openvvc_tpu.native import NativeCabacDecoder, load_cabac_lib
+
+    if load_cabac_lib() is not None:
+        return NativeCabacDecoder(data, slice_type, slice_qp)
+    return CabacDecoder(data, slice_type, slice_qp)
 
 
 def write_entry(params, entry, trees) -> bytes:

@@ -133,10 +133,18 @@ def _code_tb(ctx, io, tu: TU, luma: bool):
     red = bool(luma and getattr(ctx, "_sbt_active", False)
                and getattr(ctx, "_sbt_mts", False))
     if io.is_reader:
-        levels, decoded, last, sig_map = residual_coding(
-            io, None, tu.log2_w, tu.log2_h, luma, ctx.dep_quant, ctx.sign_hiding,
-            mts_reduced=red,
-        )
+        dec = getattr(io, "dec", None)
+        if hasattr(dec, "decode_tb"):
+            # native C residual_coding (openvvc_tpu/native/residual.c),
+            # bit-exact vs the Python reader (tests/test_native_residual.py)
+            levels, decoded, last, sig_map = dec.decode_tb(
+                tu.log2_w, tu.log2_h, luma, ctx.dep_quant, ctx.sign_hiding,
+                mts_reduced=red)
+        else:
+            levels, decoded, last, sig_map = residual_coding(
+                io, None, tu.log2_w, tu.log2_h, luma, ctx.dep_quant, ctx.sign_hiding,
+                mts_reduced=red,
+            )
         tu.levels = levels
         tu.coeffs = decoded
     else:
