@@ -452,6 +452,32 @@ def _clip_mv(pos_x, pos_y, pic_w, pic_h, pb_w, pb_h, mvx, mvy):
     return max(x_min, min(x_max, mvx)), max(y_min, min(y_max, mvy))
 
 
+def _bcw_weighted(cu, inter_dir) -> tuple[int, bool]:
+    bcw_p1 = cu.mv0.bcw_idx_plus1 if cu.mv0 is not None else 0
+    return bcw_p1, inter_dir == 3 and bcw_p1 not in (0, 3)
+
+
+def inter_tool_flags(cu, tools, refs):
+    """(bdof_en, dmvr_en) for one inter CU — the single source of truth
+    shared by the scalar path and the batched device pipeline.
+
+    BDOF applies to both merge and AMVP bi CUs (read_bidir_mvp :2447);
+    DMVR only to regular merge (prediction_unit_inter_b :2585)."""
+    inter_dir = cu.inter_dir if cu.mv1 is not None else 1
+    _, bcw_weighted = _bcw_weighted(cu, inter_dir)
+    dist_sym = False
+    if inter_dir == 3 and not cu.ciip_flag:
+        dist_sym = refs[2][cu.mv0.ref_idx] == -refs[3][cu.mv1.ref_idx]
+    size_ok = cu.log2_w >= 3 and cu.log2_h >= 3 and cu.log2_w + cu.log2_h >= 7
+    bdof_en = (tools.get("bdof") and inter_dir == 3
+               and not cu.ciip_flag and size_ok and not bcw_weighted
+               and not cu.smvd_flag and dist_sym)
+    dmvr_en = (tools.get("dmvr") and inter_dir == 3 and cu.merge_flag
+               and not cu.ciip_flag and size_ok and not bcw_weighted
+               and not cu.mmvd_flag and dist_sym)
+    return bdof_en, dmvr_en
+
+
 def _reconstruct_inter(rc: ReconCtx, cu: CU, params, trc, refs, find_tu):
     """Inter reconstruction: uni (P or B dir 1/2) or bi MC + residual add.
 
@@ -477,8 +503,7 @@ def _reconstruct_inter(rc: ReconCtx, cu: CU, params, trc, refs, find_tu):
         _reconstruct_gpm(rc, cu, params, trc, refs, find_tu)
         return
 
-    bcw_p1 = cu.mv0.bcw_idx_plus1 if cu.mv0 is not None else 0
-    bcw_weighted = inter_dir == 3 and bcw_p1 not in (0, 3)
+    bcw_p1, bcw_weighted = _bcw_weighted(cu, inter_dir)
     _BCW_W = (-2, 3, 4, 5, 10)
 
     def bi_comb(p0, p1):
@@ -488,18 +513,7 @@ def _reconstruct_inter(rc: ReconCtx, cu: CU, params, trc, refs, find_tu):
         return ref_mc.mc_bi(p0, p1, bd)
 
     tools = getattr(rc, "tools", {})
-    dist_sym = False
-    if inter_dir == 3 and not cu.ciip_flag:
-        dist_sym = refs[2][cu.mv0.ref_idx] == -refs[3][cu.mv1.ref_idx]
-    size_ok = cu.log2_w >= 3 and cu.log2_h >= 3 and cu.log2_w + cu.log2_h >= 7
-    # BDOF applies to both merge and AMVP bi CUs (read_bidir_mvp :2447);
-    # DMVR only to regular merge (prediction_unit_inter_b :2585)
-    bdof_en = (tools.get("bdof") and inter_dir == 3
-               and not cu.ciip_flag and size_ok and not bcw_weighted
-               and not cu.smvd_flag and dist_sym)
-    dmvr_en = (tools.get("dmvr") and inter_dir == 3 and cu.merge_flag
-               and not cu.ciip_flag and size_ok and not bcw_weighted
-               and not cu.mmvd_flag and dist_sym)
+    bdof_en, dmvr_en = inter_tool_flags(cu, tools, refs)
 
     if dmvr_en:
         _reconstruct_dmvr(rc, cu, params, trc, refs, hpel, bdof_en)
@@ -508,7 +522,10 @@ def _reconstruct_inter(rc: ReconCtx, cu: CU, params, trc, refs, find_tu):
         rc.mark_luma(cu.x0, cu.y0, cu.log2_w, cu.log2_h)
         return
 
-    if inter_dir == 3:
+    pre = getattr(cu, "mc_pre", None)
+    if pre is not None and "y" in pre:
+        pred_y = pre["y"]
+    elif inter_dir == 3:
         r0, x0v, y0v = mv_for(0)
         r1, x1v, y1v = mv_for(1)
         if bdof_en:
@@ -553,7 +570,9 @@ def _reconstruct_inter(rc: ReconCtx, cu: CU, params, trc, refs, find_tu):
         return
     cx0, cy0 = cu.x0 >> 1, cu.y0 >> 1
     cw, ch = w >> 1, h >> 1
-    if inter_dir == 3:
+    if pre is not None and "cb" in pre:
+        pred_cb, pred_cr = pre["cb"], pre["cr"]
+    elif inter_dir == 3:
         cbs, crs = [], []
         for lst in (0, 1):
             ref, mvx, mvy = mv_for(lst)
@@ -805,6 +824,11 @@ class Decoder:
 
         if self.use_tpu_residuals:
             precompute_residuals_batched(parsed, tools, bd)
+            if refs0 is not None:
+                from openvvc_tpu.rcn.pipeline import precompute_inter_mc
+
+                precompute_inter_mc(parsed, params, tools,
+                                    (refs0, refs1, dist0, dist1), bd)
 
         tmvp_export = None
         dmvr_overrides = []

@@ -57,6 +57,23 @@ def _sep_fir(patch, fh, fv, taps, w, h, sh1):
     return sum(fv[:, i, None, None] * tmp[:, i : i + h, :] for i in range(taps)) >> 6
 
 
+def interp_14bit_jit(plane, xs, ys, fxs, fys, w, h, bitdepth, luma=True,
+                     hpel=False):
+    """Jitted interp_14bit_batch (one compile per (w, h, luma, hpel) class)."""
+    import jax
+
+    global _INTERP_JIT
+    if _INTERP_JIT is None:
+        _INTERP_JIT = jax.jit(
+            interp_14bit_batch,
+            static_argnames=("w", "h", "bitdepth", "luma", "hpel"))
+    return _INTERP_JIT(plane, xs, ys, fxs, fys, w=w, h=h, bitdepth=bitdepth,
+                       luma=luma, hpel=hpel)
+
+
+_INTERP_JIT = None
+
+
 def interp_14bit_batch(plane, xs, ys, fxs, fys, w, h, bitdepth, luma=True,
                        hpel=False):
     """14-bit MC intermediates for N blocks: [N, h, w] int32.

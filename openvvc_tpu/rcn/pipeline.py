@@ -1,0 +1,137 @@
+"""Batched device reconstruction pipeline stages.
+
+Host parse emits the CU/TU IR; these passes sweep the IR and run the heavy
+sample math as a handful of batched XLA launches per frame, attaching
+results to the IR nodes. The sequential reconstruction loop then consumes
+the precomputed tensors instead of recomputing them per CU — keeping
+bit-exactness trivially (same math, batched) while the FIR/MXU work runs on
+device. Equivalent of the reference's per-CU SIMD dispatch
+(/root/reference/libovvc/rcn_inter.c:430-720 + x86/rcn_mc_sse.c), re-shaped
+as frame-level batches for the TPU.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from openvvc_tpu.drv.inter_mvp import MV_PRECISION_HALF
+
+
+def _clip_mv(pos_x, pos_y, pic_w, pic_h, pb_w, pb_h, mvx, mvy):
+    x_max = (pic_w + 2 - pos_x) << 4
+    y_max = (pic_h + 2 - pos_y) << 4
+    x_min = -((pb_w + 3 + pos_x) << 4)
+    y_min = -((pb_h + 3 + pos_y) << 4)
+    return max(x_min, min(x_max, mvx)), max(y_min, min(y_max, mvy))
+
+
+def _dev_plane(frame, name):
+    """Device copy of a reference plane, cached on the Frame object."""
+    import jax.numpy as jnp
+
+    cache = getattr(frame, "_dev_planes", None)
+    if cache is None:
+        cache = frame._dev_planes = {}
+    if name not in cache:
+        cache[name] = jnp.asarray(getattr(frame, name), jnp.int32)
+    return cache[name]
+
+
+def precompute_inter_mc(parsed, params, tools, refs, bitdepth):
+    """Batch the plain uni/bi MC of every eligible inter CU on device.
+
+    Eligible: non-GPM, non-DMVR CUs (BDOF CUs get chroma only — their luma
+    takes the optical-flow path). Results are attached as cu.mc_pre
+    {"y"|"cb"|"cr": np.ndarray} in the bd domain (pre-LMCS, pre-CIIP blend),
+    exactly what the scalar path computes before those steps.
+    """
+    from openvvc_tpu.decoder import inter_tool_flags
+    from openvvc_tpu.rcn import jax_mc
+
+    refs0, refs1 = refs[0], refs[1]
+    pic_w, pic_h = params.pps.pic_w, params.pps.pic_h
+    chroma = params.sps.sps_chroma_format_idc != 0
+    _BCW_W = (-2, 3, 4, 5, 10)
+
+    # jobs[key] -> list of (cu, plane_name, lst) with per-job gather args
+    # key = (plane_id, w, h, luma, hpel) for the interp stage
+    interp_jobs: dict = {}
+
+    def add_job(plane_frame, plane_name, cu, lst, mv, cx, cy, bw, bh, luma, hpel):
+        mvx, mvy = _clip_mv(cu.x0, cu.y0, pic_w, pic_h,
+                            1 << cu.log2_w, 1 << cu.log2_h, mv.x, mv.y)
+        sh = 4 if luma else 5
+        msk = 0xF if luma else 0x1F
+        key = (id(plane_frame), plane_name, bw, bh, luma, hpel)
+        lst_jobs = interp_jobs.setdefault(key, ([], plane_frame))
+        lst_jobs[0].append((cu, lst, cx + (mvx >> sh), cy + (mvy >> sh),
+                            mvx & msk, mvy & msk))
+
+    eligible = []
+    for _, ectx in parsed:
+        for ctu in ectx.ctus:
+            for cu in ctu.cus:
+                if cu.pred_mode != 1 or cu.gpm_flag:
+                    continue
+                bdof_en, dmvr_en = inter_tool_flags(cu, tools, refs)
+                if dmvr_en:
+                    continue
+                inter_dir = cu.inter_dir if cu.mv1 is not None else 1
+                hpel = cu.prec_amvr_eff == MV_PRECISION_HALF
+                w, h = 1 << cu.log2_w, 1 << cu.log2_h
+                lists = ((0, 1) if inter_dir == 3 else
+                         ((0,) if inter_dir & 1 else (1,)))
+                do_luma = not bdof_en
+                eligible.append((cu, inter_dir, lists, do_luma))
+                for lst in lists:
+                    mv = cu.mv0 if lst == 0 else cu.mv1
+                    ref = (refs0 if lst == 0 else refs1)[mv.ref_idx]
+                    if do_luma:
+                        add_job(ref, "y", cu, lst, mv, cu.x0, cu.y0, w, h,
+                                True, hpel)
+                    if chroma:
+                        add_job(ref, "cb", cu, lst, mv, cu.x0 >> 1, cu.y0 >> 1,
+                                w >> 1, h >> 1, False, False)
+                        add_job(ref, "cr", cu, lst, mv, cu.x0 >> 1, cu.y0 >> 1,
+                                w >> 1, h >> 1, False, False)
+
+    if not eligible:
+        return
+
+    # stage 1: batched 14-bit interp per (plane, size) class
+    acc: dict = {}  # (id(cu), plane_name) -> {lst: np.ndarray 14-bit}
+    for (pid, pname, bw, bh, luma, hpel), (jobs, frame_ref) in interp_jobs.items():
+        plane = _dev_plane(frame_ref, pname)
+        xs = np.asarray([j[2] for j in jobs], np.int32)
+        ys = np.asarray([j[3] for j in jobs], np.int32)
+        fxs = np.asarray([j[4] for j in jobs], np.int32)
+        fys = np.asarray([j[5] for j in jobs], np.int32)
+        out = np.asarray(jax_mc.interp_14bit_jit(
+            plane, xs, ys, fxs, fys, bw, bh, bitdepth, luma=luma, hpel=hpel))
+        for i, (cu, lst, *_rest) in enumerate(jobs):
+            acc.setdefault((id(cu), pname), {})[lst] = out[i]
+
+    # stage 2: combine on host (cheap adds/shifts; the FIR was the flops)
+    shift_u = 14 - bitdepth
+    off_u = 1 << (shift_u - 1)
+    shift_b = 15 - bitdepth
+    off_b = 1 << (shift_b - 1)
+    bd_max = (1 << bitdepth) - 1
+    for cu, inter_dir, lists, do_luma in eligible:
+        pre = {}
+        planes = (("y",) if do_luma else ()) + (("cb", "cr") if chroma else ())
+        for pname in planes:
+            parts = acc[(id(cu), pname)]
+            if inter_dir == 3:
+                bcw_p1 = cu.mv0.bcw_idx_plus1 if cu.mv0 is not None else 0
+                if bcw_p1 not in (0, 3):
+                    w1 = _BCW_W[bcw_p1 - 1]
+                    shift = 14 - bitdepth + 3
+                    v = (parts[0] * (8 - w1) + parts[1] * w1
+                         + (1 << (shift - 1))) >> shift
+                else:
+                    v = (parts[0] + parts[1] + off_b) >> shift_b
+            else:
+                v = (parts[lists[0]] + off_u) >> shift_u
+            pre[pname] = np.clip(v, 0, bd_max).astype(np.int32)
+        cu.mc_pre = pre
