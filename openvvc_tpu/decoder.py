@@ -851,7 +851,10 @@ class Decoder:
             frame.y = lmcs.bwd_lut[np.clip(frame.y, 0, (1 << bd) - 1)].astype(np.int32)
         if dbf is not None:
             dbf.finalize_inter_bs()
-            deblock_frame(frame, dbf, params, sps.ctb_log2)
+            from openvvc_tpu.rcn.jax_dbf import deblock_frame_batched
+
+            frame.y, frame.cb, frame.cr = deblock_frame_batched(
+                np, frame.y, frame.cb, frame.cr, dbf, params, sps.ctb_log2, bd)
         for entry, sao_params in sao_entries:
             apply_sao_entry(frame, (entry.ctu_x, entry.ctu_y, entry.nb_ctu_w, entry.nb_ctu_h),
                             sps.ctb_log2, sao_params, bd, pps.pic_w, pps.pic_h)
