@@ -822,13 +822,14 @@ class Decoder:
                 raise ValueError("CABAC overread in entry")
             parsed.append((entry, ectx))
 
-        if self.use_tpu_residuals:
-            precompute_residuals_batched(parsed, tools, bd)
-            if refs0 is not None:
-                from openvvc_tpu.rcn.pipeline import precompute_inter_mc
+        precompute_residuals_batched(parsed, tools, bd,
+                                     device=self.use_tpu_residuals)
+        if refs0 is not None:
+            from openvvc_tpu.rcn.pipeline import precompute_inter_mc
 
-                precompute_inter_mc(parsed, params, tools,
-                                    (refs0, refs1, dist0, dist1), bd)
+            precompute_inter_mc(parsed, params, tools,
+                                (refs0, refs1, dist0, dist1), bd,
+                                device=self.use_tpu_residuals)
 
         tmvp_export = None
         dmvr_overrides = []
@@ -891,16 +892,20 @@ class Decoder:
         return bool(pps.pps_deblocking_filter_disabled_flag)
 
 
-def precompute_residuals_batched(parsed, tools, bitdepth):
+def precompute_residuals_batched(parsed, tools, bitdepth, device=True):
     """Group eligible TUs by (comp-class, size, transform pair) and run their
-    dequant + inverse transform as batched device launches; results are
-    attached as tu.residual_precomputed and consumed by reconstruct_cu.
+    dequant + inverse transform as batched launches (XLA when device=True,
+    vectorized numpy otherwise); results are attached as
+    tu.residual_precomputed and consumed by reconstruct_cu.
 
     Eligible: non-transform-skip, non-LFNST, non-ISP TUs (the rest fall back
     to the scalar reference path)."""
     import numpy as np
 
-    from openvvc_tpu.rcn.jax_transform import reconstruct_residual_batch
+    from openvvc_tpu.rcn.jax_transform import (
+        reconstruct_residual_batch,
+        reconstruct_residual_batch_np,
+    )
     from openvvc_tpu.rcn.ref_transform import transform_pair
 
     trc = _TrCtx(tools["dep_quant"], tools["mts_implicit"], tools.get("mts_enabled", False))
@@ -908,20 +913,25 @@ def precompute_residuals_batched(parsed, tools, bitdepth):
     for _, ectx in parsed:
         for ctu in ectx.ctus:
             for cu in ctu.cus:
-                if cu.isp_mode:
+                if cu.isp_mode or cu.sbt_flag:
                     continue
+                intra = cu.pred_mode == 0
                 for tu in cu.tus:
                     if not tu.cbf or tu.transform_skip or tu.lfnst_idx:
                         continue
-                    tr_h, tr_v = transform_pair(tu, trc, True, bool(cu.mip_flag))
+                    tr_h, tr_v = transform_pair(tu, trc, intra, bool(cu.mip_flag))
                     key = (tu.log2_w, tu.log2_h, tr_h, tr_v)
                     groups.setdefault(key, []).append(tu)
 
     for (l2w, l2h, tr_h, tr_v), tus in groups.items():
         levels = np.stack([tu.coeffs for tu in tus]).astype(np.int32)
         qps = np.asarray([tu.qp for tu in tus], np.int32)
-        res = np.asarray(reconstruct_residual_batch(
-            levels, qps, tr_h, tr_v, l2w, l2h, tools["dep_quant"], bitdepth))
+        if device:
+            res = np.asarray(reconstruct_residual_batch(
+                levels, qps, tr_h, tr_v, l2w, l2h, tools["dep_quant"], bitdepth))
+        else:
+            res = reconstruct_residual_batch_np(
+                levels, qps, tr_h, tr_v, l2w, l2h, tools["dep_quant"], bitdepth)
         for i, tu in enumerate(tus):
             tu.residual_precomputed = res[i]
 

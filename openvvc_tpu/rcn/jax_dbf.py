@@ -232,7 +232,7 @@ def _luma_core(xp, win, beta, tc, mlp, mlq, bd_max):
     tp = xp.asarray(_TPL)[(mlp_f[:, 0] - 3) >> 1]
     wq = xp.asarray(_WPL)[(mlq_f[:, 0] - 3) >> 1]
     tq = xp.asarray(_TPL)[(mlq_f[:, 0] - 3) >> 1]
-    new_long = w32
+    new_long = _fresh(xp, w32)
     mask_long = xp.zeros(win.shape, bool)
     for k in range(7):
         c_p = (tc * tp[:, k : k + 1]) >> 1  # [S, 1]
@@ -311,11 +311,16 @@ def _getcol(a, c):
 
 
 def _setcol(xp, a, c, v):
+    """Column write; numpy mutates in place (callers pass fresh arrays)."""
     if xp is np:
-        a = a.copy()
         a[:, :, c] = v
         return a
     return a.at[:, :, c].set(v)
+
+
+def _fresh(xp, a):
+    """A safely-mutable value copy (numpy); jnp arrays are functional."""
+    return a.copy() if xp is np else a
 
 
 def _apply_pass(xp, plane, params, bd_max, horizontal):
@@ -485,7 +490,7 @@ def _chroma_core(xp, win, beta, tc, bs2, large, ctb_b, bd_max):
     w_q0 = xp.clip(q0_ - delta, 0, bd_max)
 
     weak = (~strong) & act
-    new = w32
+    new = _fresh(xp, w32)
     wmask = xp.zeros(win.shape, bool)
     strong_nb = strong & ~ctb
     strong_b = strong & ctb

@@ -31,10 +31,57 @@ def _with_identity(table: np.ndarray, centre: int) -> np.ndarray:
 
 
 # luma rows: 0=identity, 1..15=qpel fracs, 16=half-pel AMVR 6-tap
-_FILT_L = jnp.asarray(_with_identity(MC_FILTERS_L, 3))
-_FILT_4 = jnp.asarray(_with_identity(MC_FILTERS_4, 3))
-_FILT_C = jnp.asarray(_with_identity(MC_FILTERS_C, 1))
-_FILT_BLN = jnp.asarray(_with_identity(BILINEAR_FILTERS * 4, 0))  # 16*4=64 at tap 0
+_NP_FILT_L = _with_identity(MC_FILTERS_L, 3)
+_NP_FILT_4 = _with_identity(MC_FILTERS_4, 3)
+_NP_FILT_C = _with_identity(MC_FILTERS_C, 1)
+_NP_FILT_BLN = _with_identity(BILINEAR_FILTERS * 4, 0)  # 16*4=64 at tap 0
+
+# device copies are created lazily: a module-level jnp.asarray would spin up
+# the TPU client at import time even for numpy-only callers
+_DEV = {}
+
+
+def _dev_table(name):
+    if name not in _DEV:
+        _DEV[name] = jnp.asarray(globals()["_NP" + name])
+    return _DEV[name]
+
+
+class _LazyTable:
+    def __init__(self, name):
+        self._name = name
+
+    def __getitem__(self, idx):
+        return _dev_table(self._name)[idx]
+
+
+_FILT_L = _LazyTable("_FILT_L")
+_FILT_4 = _LazyTable("_FILT_4")
+_FILT_C = _LazyTable("_FILT_C")
+_FILT_BLN = _LazyTable("_FILT_BLN")
+
+
+def interp_14bit_np(plane, xs, ys, fxs, fys, w, h, bitdepth, luma=True,
+                    hpel=False):
+    """Numpy twin of interp_14bit_batch (same math, vectorized host path)."""
+    if luma:
+        table = _NP_FILT_4 if (w == 4 and h == 4) else _NP_FILT_L
+        taps, before = 8, 3
+        if hpel:
+            fxs = np.where(fxs == 8, 16, fxs)
+            fys = np.where(fys == 8, 16, fys)
+    else:
+        table, taps, before = _NP_FILT_C, 4, 1
+    fh = table[fxs]
+    fv = table[fys]
+    H, W = plane.shape
+    yy = np.clip(ys[:, None] - before + np.arange(h + taps - 1)[None, :], 0, H - 1)
+    xx = np.clip(xs[:, None] - before + np.arange(w + taps - 1)[None, :], 0, W - 1)
+    p = plane[yy[:, :, None], xx[:, None, :]].astype(np.int32)
+    sh1 = bitdepth - 8
+    tmp = sum(fh[:, i, None, None] * p[:, :, i : i + w] for i in range(taps)) >> sh1
+    tmp = tmp.astype(np.int16).astype(np.int32)
+    return sum(fv[:, i, None, None] * tmp[:, i : i + h, :] for i in range(taps)) >> 6
 
 
 def _bd_clip(v, bitdepth):

@@ -26,9 +26,21 @@ import numpy as np
 from openvvc_tpu.rcn.data_transform import MATRICES
 from openvvc_tpu.rcn.ref_transform import _IQ_SCALE
 
-_J_MATRICES = {k: jnp.asarray(v, jnp.int32) for k, v in MATRICES.items()}
+# device constants are created lazily so a numpy-only import of this module
+# doesn't spin up the TPU client
+_DEV_CONST = {}
 
-IQ_SCALE = jnp.asarray(np.array(_IQ_SCALE, np.int32))  # [2][6]
+
+def _j_matrix(key):
+    if key not in _DEV_CONST:
+        _DEV_CONST[key] = jnp.asarray(MATRICES[key], jnp.int32)
+    return _DEV_CONST[key]
+
+
+def _iq_scale():
+    if "iq" not in _DEV_CONST:
+        _DEV_CONST["iq"] = jnp.asarray(np.array(_IQ_SCALE, np.int32))  # [2][6]
+    return _DEV_CONST["iq"]
 
 
 @partial(jax.jit, static_argnames=("log2_w", "log2_h", "dep_quant", "bitdepth"))
@@ -41,7 +53,7 @@ def dequant_batch(levels, qp, log2_w, log2_h, dep_quant, bitdepth):
     q = qp + 1 if dep_quant else qp
     base_shift = (6 + (1 if dep_quant else 0)) - (15 - bitdepth) + (log2_s >> 1) + (log2_s & 1)
     shift = base_shift - q // 6
-    scale = IQ_SCALE[log2_s & 1, q % 6]
+    scale = _iq_scale()[log2_s & 1, q % 6]
 
     # int32 is parity by construction: the reference's dequant_sb computes
     # (int32_t)(coeff * scale + add) >> shift (rcn_dequant.c:80-87)
@@ -69,8 +81,8 @@ def inverse_transform_batch(coeffs, tr_h, tr_v, log2_w, log2_h, bitdepth):
     stage 2 (horizontal): out[n,y,x] = clip16((sum_k tmp[n,k,y] * Mh[k,x] + a2) >> s2)
     """
     h, w = 1 << log2_h, 1 << log2_w
-    m_v = _J_MATRICES[(tr_v, h)]
-    m_h = _J_MATRICES[(tr_h, w)]
+    m_v = _j_matrix((tr_v, h))
+    m_h = _j_matrix((tr_h, w))
     shift2 = 20 - bitdepth
     c = coeffs.astype(jnp.int32)
     tmp = jnp.einsum("nkx,ky->nxy", c, m_v, preferred_element_type=jnp.int32)
@@ -85,3 +97,34 @@ def reconstruct_residual_batch(levels, qp, tr_h, tr_v, log2_w, log2_h, dep_quant
     """dequant + inverse transform for a batch of same-class TBs."""
     dq = dequant_batch(levels, qp, log2_w, log2_h, dep_quant, bitdepth)
     return inverse_transform_batch(dq, tr_h, tr_v, log2_w, log2_h, bitdepth)
+
+
+_NP_MATRICES = {k: np.asarray(v, np.int32) for k, v in MATRICES.items()}
+_NP_IQ = np.array(_IQ_SCALE, np.int32)
+
+
+def reconstruct_residual_batch_np(levels, qp, tr_h, tr_v, log2_w, log2_h,
+                                  dep_quant, bitdepth):
+    """Numpy twin of reconstruct_residual_batch (vectorized host path)."""
+    log2_s = log2_w + log2_h
+    q = qp + 1 if dep_quant else qp
+    base_shift = (6 + (1 if dep_quant else 0)) - (15 - bitdepth) + (log2_s >> 1) + (log2_s & 1)
+    shift = (base_shift - q // 6).astype(np.int32)[:, None, None]
+    scale = _NP_IQ[log2_s & 1, q % 6].astype(np.int32)[:, None, None]
+    lv = levels.astype(np.int32)
+    pos_shift = np.maximum(shift, 0)
+    neg_shift = np.maximum(-shift, 0)
+    add = np.where(shift > 0, (1 << pos_shift) >> 1, 0)
+    val = np.where(shift >= 0,
+                   (lv * scale + add) >> pos_shift,
+                   lv * (scale << neg_shift))
+    dq = np.clip(val, -((1 << 15) - 1), (1 << 15) - 1).astype(np.int32)
+
+    h, w = 1 << log2_h, 1 << log2_w
+    m_v = _NP_MATRICES[(tr_v, h)]
+    m_h = _NP_MATRICES[(tr_h, w)]
+    shift2 = 20 - bitdepth
+    tmp = np.einsum("nkx,ky->nxy", dq, m_v)
+    tmp = np.clip((tmp + 64) >> 7, -(1 << 15), (1 << 15) - 1)
+    out = np.einsum("nky,kx->nyx", tmp, m_h)
+    return np.clip((out + (1 << (shift2 - 1))) >> shift2, -(1 << 15), (1 << 15) - 1)

@@ -37,9 +37,11 @@ def _dev_plane(frame, name):
     return cache[name]
 
 
-def precompute_inter_mc(parsed, params, tools, refs, bitdepth):
-    """Batch the plain uni/bi MC of every eligible inter CU on device.
+def precompute_inter_mc(parsed, params, tools, refs, bitdepth, device=True):
+    """Batch the plain uni/bi MC of every eligible inter CU.
 
+    device=True runs the FIR stage as XLA launches; device=False runs the
+    identical math as vectorized numpy (the fast host path).
     Eligible: non-GPM, non-DMVR CUs (BDOF CUs get chroma only — their luma
     takes the optical-flow path). Results are attached as cu.mc_pre
     {"y"|"cb"|"cr": np.ndarray} in the bd domain (pre-LMCS, pre-CIIP blend),
@@ -98,40 +100,65 @@ def precompute_inter_mc(parsed, params, tools, refs, bitdepth):
     if not eligible:
         return
 
-    # stage 1: batched 14-bit interp per (plane, size) class
-    acc: dict = {}  # (id(cu), plane_name) -> {lst: np.ndarray 14-bit}
+    # stage 1: batched 14-bit interp per (plane, size) class; interp outputs
+    # of one (pname, w, h) class are concatenated so stage 2 can combine the
+    # whole class with a single vectorized expression
+    cls_out: dict = {}   # (pname, bw, bh) -> list of arrays
+    cls_row: dict = {}   # (id(cu), pname, lst) -> (class_key, global_row)
     for (pid, pname, bw, bh, luma, hpel), (jobs, frame_ref) in interp_jobs.items():
-        plane = _dev_plane(frame_ref, pname)
         xs = np.asarray([j[2] for j in jobs], np.int32)
         ys = np.asarray([j[3] for j in jobs], np.int32)
         fxs = np.asarray([j[4] for j in jobs], np.int32)
         fys = np.asarray([j[5] for j in jobs], np.int32)
-        out = np.asarray(jax_mc.interp_14bit_jit(
-            plane, xs, ys, fxs, fys, bw, bh, bitdepth, luma=luma, hpel=hpel))
+        if device:
+            plane = _dev_plane(frame_ref, pname)
+            out = np.asarray(jax_mc.interp_14bit_jit(
+                plane, xs, ys, fxs, fys, bw, bh, bitdepth, luma=luma, hpel=hpel))
+        else:
+            out = jax_mc.interp_14bit_np(
+                getattr(frame_ref, pname), xs, ys, fxs, fys, bw, bh, bitdepth,
+                luma=luma, hpel=hpel)
+        ckey = (pname, bw, bh)
+        arrs = cls_out.setdefault(ckey, [])
+        base = sum(a.shape[0] for a in arrs)
+        arrs.append(out)
         for i, (cu, lst, *_rest) in enumerate(jobs):
-            acc.setdefault((id(cu), pname), {})[lst] = out[i]
+            cls_row[(id(cu), pname, lst)] = (ckey, base + i)
 
-    # stage 2: combine on host (cheap adds/shifts; the FIR was the flops)
-    shift_u = 14 - bitdepth
-    off_u = 1 << (shift_u - 1)
-    shift_b = 15 - bitdepth
-    off_b = 1 << (shift_b - 1)
+    # stage 2: vectorized combine per class (uni/bi/BCW as one weighted form:
+    # uni = w0=8,w1=0; plain bi = 4/4; BCW = (8-w)/w — all exact under
+    # shift = 14-bd+3, matching ref_mc.mc_uni/mc_bi/mc_bi_weighted)
+    shift = 14 - bitdepth + 3
+    off = 1 << (shift - 1)
     bd_max = (1 << bitdepth) - 1
+    combine: dict = {}  # ckey -> (rows0, rows1, w0s, w1s, dests)
     for cu, inter_dir, lists, do_luma in eligible:
-        pre = {}
         planes = (("y",) if do_luma else ()) + (("cb", "cr") if chroma else ())
+        bcw_p1 = cu.mv0.bcw_idx_plus1 if cu.mv0 is not None else 0
+        if inter_dir == 3:
+            w1 = _BCW_W[bcw_p1 - 1] if bcw_p1 not in (0, 3) else 4
+            w0 = 8 - w1
+        else:
+            w0, w1 = 8, 0
         for pname in planes:
-            parts = acc[(id(cu), pname)]
-            if inter_dir == 3:
-                bcw_p1 = cu.mv0.bcw_idx_plus1 if cu.mv0 is not None else 0
-                if bcw_p1 not in (0, 3):
-                    w1 = _BCW_W[bcw_p1 - 1]
-                    shift = 14 - bitdepth + 3
-                    v = (parts[0] * (8 - w1) + parts[1] * w1
-                         + (1 << (shift - 1))) >> shift
-                else:
-                    v = (parts[0] + parts[1] + off_b) >> shift_b
-            else:
-                v = (parts[lists[0]] + off_u) >> shift_u
-            pre[pname] = np.clip(v, 0, bd_max).astype(np.int32)
-        cu.mc_pre = pre
+            ckey, r0 = cls_row[(id(cu), pname, lists[0])]
+            r1 = cls_row[(id(cu), pname, lists[1])][1] if inter_dir == 3 else r0
+            ent = combine.setdefault(ckey, ([], [], [], [], []))
+            ent[0].append(r0)
+            ent[1].append(r1)
+            ent[2].append(w0)
+            ent[3].append(w1)
+            ent[4].append((cu, pname))
+
+    for ckey, (rows0, rows1, w0s, w1s, dests) in combine.items():
+        allout = np.concatenate(cls_out[ckey]) if len(cls_out[ckey]) > 1 \
+            else cls_out[ckey][0]
+        p0 = allout[np.asarray(rows0)]
+        p1 = allout[np.asarray(rows1)]
+        w0a = np.asarray(w0s, np.int32)[:, None, None]
+        w1a = np.asarray(w1s, np.int32)[:, None, None]
+        v = np.clip((p0 * w0a + p1 * w1a + off) >> shift, 0, bd_max).astype(np.int32)
+        for i, (cu, pname) in enumerate(dests):
+            if not hasattr(cu, "mc_pre") or cu.mc_pre is None:
+                cu.mc_pre = {}
+            cu.mc_pre[pname] = v[i]
