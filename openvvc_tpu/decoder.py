@@ -160,6 +160,10 @@ def reconstruct_cu(rc: ReconCtx, cu: CU, params: ActiveParams, tools,
                     d1 = refs[3][m1.ref_idx] if idir & 2 else 0
                     dbf.add_cu_motion(cu.x0 + 4 * ox, cu.y0 + 4 * oy, 4, 4,
                                       idir, m0, m1, d0, d1)
+            elif cu.sb_info is not None:
+                dbf.add_sb_edges(cu.x0, cu.y0, 1 << cu.log2_w,
+                                 1 << cu.log2_h, True)
+                _dbf_sb_motion(dbf, cu, refs)
             else:
                 inter_dir = cu.inter_dir if cu.mv1 is not None else 1
                 d0 = refs[2][cu.mv0.ref_idx] if inter_dir & 1 else 0
@@ -204,7 +208,10 @@ def reconstruct_cu(rc: ReconCtx, cu: CU, params: ActiveParams, tools,
         return None
 
     if cu.pred_mode == 1:  # MODE_INTER
-        _reconstruct_inter(rc, cu, params, trc, refs, find_tu)
+        if cu.sb_info is not None:
+            _reconstruct_sb(rc, cu, params, trc, refs, find_tu)
+        else:
+            _reconstruct_inter(rc, cu, params, trc, refs, find_tu)
         return
 
     if cu.isp_mode and tree in (TREE_SINGLE, TREE_DUAL_LUMA):
@@ -238,6 +245,29 @@ def reconstruct_cu(rc: ReconCtx, cu: CU, params: ActiveParams, tools,
         _reconstruct_chroma(rc, cu, params, trc, cu.x0 >> 1, cu.y0 >> 1, cu.log2_w - 1, cu.log2_h - 1)
     elif tree == TREE_DUAL_CHROMA:
         _reconstruct_chroma(rc, cu, params, trc, cu.x0, cu.y0, cu.log2_w, cu.log2_h)
+
+
+def _dbf_sb_motion(dbf: DbfMaps, cu, refs):
+    """Per-4x4-unit motion info for affine/SbTMVP CUs (the inter BS rule
+    compares sub-block MVs across sub-block edges)."""
+    if cu.sb_info[0] == "sbtmvp":
+        for (ox, oy, idir, m0, m1, l2w, l2h) in cu.sb_info[1]:
+            d0 = refs[2][m0.ref_idx] if idir & 1 else 0
+            d1 = refs[3][m1.ref_idx] if (idir & 2 and m1 is not None) else 0
+            dbf.add_cu_motion(cu.x0 + ox, cu.y0 + oy, 1 << l2w, 1 << l2h,
+                              idir, m0, m1, d0, d1)
+        return
+    _, sub0, sub1, inter_dir, *_rest = cu.sb_info
+    nw = (1 << cu.log2_w) >> 2
+    nh = (1 << cu.log2_h) >> 2
+    for i in range(nh):
+        for j in range(nw):
+            m0 = sub0[i][j] if sub0 is not None else None
+            m1 = sub1[i][j] if sub1 is not None else None
+            d0 = refs[2][m0.ref_idx] if inter_dir & 1 else 0
+            d1 = refs[3][m1.ref_idx] if inter_dir & 2 else 0
+            dbf.add_cu_motion(cu.x0 + 4 * j, cu.y0 + 4 * i, 4, 4,
+                              inter_dir, m0, m1, d0, d1)
 
 
 def _reconstruct_gpm(rc: ReconCtx, cu, params, trc, refs, find_tu):
@@ -476,6 +506,190 @@ def inter_tool_flags(cu, tools, refs):
                and not cu.ciip_flag and size_ok and not bcw_weighted
                and not cu.mmvd_flag and dist_sym)
     return bdof_en, dmvr_en
+
+
+def _mcp_block(rc: ReconCtx, params, trc, refs, pos_x, pos_y, log2_w, log2_h,
+               inter_dir, mv0, mv1, luma=True, chroma=True):
+    """Plain MC for one block (rcn_mcp_b / rcn_mcp_b_c parity incl. the
+    identical-motion reduction to list-1 uni, rcn_inter.c :256-267)."""
+    bd = rc.bitdepth
+    frame = rc.frame
+    refs0, refs1 = refs[0], refs[1]
+    pic_w, pic_h = params.pps.pic_w, params.pps.pic_h
+    w, h = 1 << log2_w, 1 << log2_h
+
+    if inter_dir == 3:
+        ident = (refs0[mv0.ref_idx] is refs1[mv1.ref_idx]
+                 and mv0.x == mv1.x and mv0.y == mv1.y)
+        if ident:
+            inter_dir = 2
+
+    def clipped(mv):
+        return _clip_mv(pos_x, pos_y, pic_w, pic_h, w, h, mv.x, mv.y)
+
+    bcw_p1 = mv0.bcw_idx_plus1 if (inter_dir & 1) and mv0 is not None else 0
+    weighted = inter_dir == 3 and bcw_p1 not in (0, 3)
+    _BCW_W = (-2, 3, 4, 5, 10)
+
+    if luma:
+        if inter_dir == 3:
+            x0v, y0v = clipped(mv0)
+            x1v, y1v = clipped(mv1)
+            p0 = ref_mc.interp_14bit(refs0[mv0.ref_idx].y, pos_x + (x0v >> 4),
+                                     pos_y + (y0v >> 4), x0v & 15, y0v & 15,
+                                     w, h, bd, luma=True)
+            p1 = ref_mc.interp_14bit(refs1[mv1.ref_idx].y, pos_x + (x1v >> 4),
+                                     pos_y + (y1v >> 4), x1v & 15, y1v & 15,
+                                     w, h, bd, luma=True)
+            if weighted:
+                w1 = _BCW_W[bcw_p1 - 1]
+                pred = ref_mc.mc_bi_weighted(p0, p1, bd, 3, 8 - w1, w1)
+            else:
+                pred = ref_mc.mc_bi(p0, p1, bd)
+        else:
+            mv = mv0 if inter_dir & 1 else mv1
+            ref = (refs0 if inter_dir & 1 else refs1)[mv.ref_idx]
+            mvx, mvy = clipped(mv)
+            pred = ref_mc.mc_uni(ref.y, pos_x + (mvx >> 4), pos_y + (mvy >> 4),
+                                 mvx & 15, mvy & 15, w, h, bd, luma=True)
+        pred = np.asarray(pred)
+        if trc.lmcs is not None:
+            pred = trc.lmcs.fwd_lut[pred].astype(np.int32)
+        frame.y[pos_y : pos_y + h, pos_x : pos_x + w] = _clip(pred, bd)
+
+    if chroma and params.sps.sps_chroma_format_idc:
+        cx, cy = pos_x >> 1, pos_y >> 1
+        cw, ch = w >> 1, h >> 1
+        for pname, dst in (("cb", frame.cb), ("cr", frame.cr)):
+            if inter_dir == 3:
+                ps = []
+                for lst, mv in ((0, mv0), (1, mv1)):
+                    ref = (refs0 if lst == 0 else refs1)[mv.ref_idx]
+                    mvx, mvy = clipped(mv)
+                    ps.append(ref_mc.interp_14bit(
+                        getattr(ref, pname), cx + (mvx >> 5), cy + (mvy >> 5),
+                        mvx & 31, mvy & 31, cw, ch, bd, luma=False))
+                if weighted:
+                    w1 = _BCW_W[bcw_p1 - 1]
+                    pred = ref_mc.mc_bi_weighted(ps[0], ps[1], bd, 3, 8 - w1, w1)
+                else:
+                    pred = ref_mc.mc_bi(ps[0], ps[1], bd)
+            else:
+                mv = mv0 if inter_dir & 1 else mv1
+                ref = (refs0 if inter_dir & 1 else refs1)[mv.ref_idx]
+                mvx, mvy = clipped(mv)
+                pred = ref_mc.mc_uni(getattr(ref, pname), cx + (mvx >> 5),
+                                     cy + (mvy >> 5), mvx & 31, mvy & 31,
+                                     cw, ch, bd, luma=False)
+            dst[cy : cy + ch, cx : cx + cw] = _clip(np.asarray(pred), bd)
+
+
+def _reconstruct_sb(rc: ReconCtx, cu: CU, params, trc, refs, find_tu):
+    """Affine / SbTMVP sub-block reconstruction.
+
+    Parity: drv_affine_mvp.c rcn_affine_mcp_b_l (:3265, per-4x4 luma MC),
+    rcn_affine_prof_mcp_b_l (:3314, PROF), rcn_affine_mcp_b_c (:3368,
+    per-8x8 chroma with averaged MVs), derive_sub_block_mvs MC (:2165).
+    """
+    from openvvc_tpu.drv.affine import compute_prof_dmv_scale
+    from openvvc_tpu.rcn.ref_prof import prof_mrg, prof_mrg_w, prof_sb
+
+    bd = rc.bitdepth
+    frame = rc.frame
+    refs0, refs1 = refs[0], refs[1]
+    pic_w, pic_h = params.pps.pic_w, params.pps.pic_h
+    kind = cu.sb_info[0]
+
+    if kind == "sbtmvp":
+        for (ox, oy, idir, m0, m1, l2w, l2h) in cu.sb_info[1]:
+            _mcp_block(rc, params, trc, refs, cu.x0 + ox, cu.y0 + oy,
+                       l2w, l2h, idir, m0, m1)
+    else:
+        _, sub0, sub1, inter_dir, prof_dir, dmv0, dmv1 = cu.sb_info
+        nw = (1 << cu.log2_w) >> 2
+        nh = (1 << cu.log2_h) >> 2
+        pdh0 = pdv0 = pdh1 = pdv1 = None
+        if prof_dir & 1:
+            pdh0, pdv0 = compute_prof_dmv_scale(dmv0)
+        if prof_dir & 2:
+            pdh1, pdv1 = compute_prof_dmv_scale(dmv1)
+        _BCW_W = (-2, 3, 4, 5, 10)
+
+        for i in range(nh):
+            for j in range(nw):
+                px, py = cu.x0 + 4 * j, cu.y0 + 4 * i
+                mv0 = sub0[i][j] if sub0 is not None else None
+                mv1 = sub1[i][j] if sub1 is not None else None
+                if not prof_dir:
+                    _mcp_block(rc, params, trc, refs, px, py, 2, 2,
+                               inter_dir, mv0, mv1, chroma=False)
+                    continue
+                # PROF luma (rcn_prof_mcp_b_l / rcn_prof_motion_compensation)
+                def interp14(lst, mv):
+                    ref = (refs0 if lst == 0 else refs1)[mv.ref_idx]
+                    mvx, mvy = _clip_mv(px, py, pic_w, pic_h, 4, 4, mv.x, mv.y)
+                    return ref_mc.interp_14bit(
+                        ref.y, px + (mvx >> 4), py + (mvy >> 4),
+                        mvx & 15, mvy & 15, 4, 4, bd, luma=True)
+
+                def profd(lst, mv, dh, dv, bidir):
+                    ref = (refs0 if lst == 0 else refs1)[mv.ref_idx]
+                    mvx, mvy = _clip_mv(px, py, pic_w, pic_h, 4, 4, mv.x, mv.y)
+                    return prof_sb(ref.y, px + (mvx >> 4), py + (mvy >> 4),
+                                   mvx & 15, mvy & 15, bd, dh, dv, bidir)
+
+                def uni(lst, mv):
+                    ref = (refs0 if lst == 0 else refs1)[mv.ref_idx]
+                    mvx, mvy = _clip_mv(px, py, pic_w, pic_h, 4, 4, mv.x, mv.y)
+                    return ref_mc.mc_uni(ref.y, px + (mvx >> 4), py + (mvy >> 4),
+                                         mvx & 15, mvy & 15, 4, 4, bd, luma=True)
+
+                if inter_dir == 3:
+                    v0 = profd(0, mv0, pdh0, pdv0, True) if prof_dir & 1 \
+                        else np.asarray(interp14(0, mv0))
+                    v1 = profd(1, mv1, pdh1, pdv1, True) if prof_dir & 2 \
+                        else np.asarray(interp14(1, mv1))
+                    bcw_p1 = mv0.bcw_idx_plus1
+                    if bcw_p1 not in (0, 3):
+                        w1 = _BCW_W[bcw_p1 - 1]
+                        blk = prof_mrg_w(v0, v1, 8 - w1, w1, bd)
+                    else:
+                        blk = prof_mrg(v0, v1, bd)
+                elif inter_dir & 2:
+                    blk = profd(1, mv1, pdh1, pdv1, False) if prof_dir & 2 \
+                        else np.asarray(uni(1, mv1))
+                else:
+                    blk = profd(0, mv0, pdh0, pdv0, False) if prof_dir & 1 \
+                        else np.asarray(uni(0, mv0))
+                blk = np.asarray(blk)
+                if trc.lmcs is not None:
+                    blk = trc.lmcs.fwd_lut[_clip(blk, bd)].astype(np.int32)
+                frame.y[py : py + 4, px : px + 4] = _clip(blk, bd)
+
+        # chroma: 2x2 sub-block MV average (rcn_affine_mcp_b_c :3368)
+        if params.sps.sps_chroma_format_idc:
+            from dataclasses import replace as _rep
+
+            def avg_mv(sub, i, j):
+                a, b = sub[i][j], sub[i + 1][j + 1]
+                x = a.x + b.x
+                y = a.y + b.y
+                x += 1 if x < 0 else 0
+                y += 1 if y < 0 else 0
+                return _rep(a, x=x >> 1, y=y >> 1)
+
+            for i in range(0, nh, 2):
+                for j in range(0, nw, 2):
+                    m0 = avg_mv(sub0, i, j) if sub0 is not None else None
+                    m1 = avg_mv(sub1, i, j) if sub1 is not None else None
+                    _mcp_block(rc, params, trc, refs, cu.x0 + 4 * j,
+                               cu.y0 + 4 * i, 3, 3, inter_dir, m0, m1,
+                               luma=False)
+
+    _add_luma_residuals(rc, cu, trc, bd)
+    rc.mark_luma(cu.x0, cu.y0, cu.log2_w, cu.log2_h)
+    if params.sps.sps_chroma_format_idc:
+        _add_chroma_residuals(rc, cu, params, trc, bd)
 
 
 def _reconstruct_inter(rc: ReconCtx, cu: CU, params, trc, refs, find_tu):

@@ -404,24 +404,14 @@ class AffineCtx:
         if corner((A1, A0), 2):
             avail_cp |= 4
         if ictx.tmvp_enabled:
-            t = ictx.derive_tmvp_merge_b(ux, uy, nw, nh) if ictx.nb_active_ref1 \
-                else None
-            if t is None:
-                tp = ictx.derive_tmvp_merge_p_c0(ux, uy, nw, nh)
-                if tp is not None:
-                    mi0[3] = tp
-                    avail_cp |= 8
-            else:
-                # restrict to C0 (cand_msk &= 0x3 in the reference)
-                tc = ictx.derive_tmvp_c0_pair(ux, uy, nw, nh)
-                if tc is not None:
-                    m0, m1 = tc
-                    if m0 is not None:
-                        mi0[3] = replace(m0, ref_idx=0)
-                        avail_cp |= 8
-                    if m1 is not None:
-                        mi1[3] = replace(m1, ref_idx=0)
-                        avail_cp |= 8
+            # C0-only TMVP corner (cand_msk &= 0x3, drv_affine_mvp.c :2776)
+            dir_t, t0, t1 = ictx.derive_affine_corner_tmvp(ux, uy, nw, nh)
+            if dir_t & 1:
+                mi0[3] = t0
+                avail_cp |= 8
+            if dir_t & 2:
+                mi1[3] = t1
+                avail_cp |= 8
 
         def cp_model3(model):
             combos = {0: (0, 1, 2), 1: (0, 1, 3), 2: (0, 2, 3), 3: (1, 2, 3)}
@@ -654,3 +644,309 @@ def store_and_subblocks(actx: AffineCtx, mi: AffineMergeInfo, ux, uy,
         for i in range(nw):
             actx.aff_info[(ux + i, uy + j)] = info
     return sub0, sub1, prof_mask, dmv0, dmv1
+
+
+# ---------------------------------------------------------------------------
+# SbTMVP (subblock-based temporal MV prediction)
+# Parity: drv_affine_mvp.c derive_sbtmvp_cand_pos (:1506),
+# derive_sbtmvp_mv_offset (:1523), sbtmvp_from_ldc/_same_rpl (:1564/:1718),
+# check_sbtmvp_cand (:1773), derive_sub_pu_merge_cand (:1790),
+# derive_sub_block_mvs[_p] (:2054/:1899), set_zero_mvs_p/b (:1851/:2015),
+# clip_sb_pos_to_col_ctu (:1492).
+# ---------------------------------------------------------------------------
+
+LOG2_SBTMVP_S = 3
+
+
+def _mv_internal_to_integer(mv: MV) -> MV:
+    x = (mv.x + 7 + (1 if mv.x < 0 else 0)) >> 4
+    y = (mv.y + 7 + (1 if mv.y < 0 else 0)) >> 4
+    return MV(x, y)
+
+
+class SbTmvpCtx:
+    """Per-tile SbTMVP state: picture-level collocated field via InterCtx.
+
+    pos coordinates below are CTU-local luma samples, as in the reference;
+    the collocated probes go through the flat picture-level maps.
+    """
+
+    def __init__(self, ictx, log2_ctb: int, nb_ctb_pic_w: int,
+                 col_ref_idx0: int, col_ref_idx1: int):
+        self.ictx = ictx
+        self.log2_ctb = log2_ctb
+        self.ctu_s = 1 << log2_ctb
+        self.nb_ctb_pic_w = nb_ctb_pic_w
+        self.col_ref_idx0 = col_ref_idx0
+        self.col_ref_idx1 = col_ref_idx1
+
+    def _clip_pos(self, x, y, ctb_x):
+        """clip_sb_pos_to_col_ctu: CTU-local clamp + 8-align."""
+        is_bnd = ctb_x == self.nb_ctb_pic_w - 1
+        x = max(0, min(x, self.ctu_s + 3 - (4 if is_bnd else 0)))
+        y = max(0, min(y, self.ctu_s - 1))
+        return x & ~7, y & ~7
+
+    def _col_probe(self, px_u, py_u):
+        """(cand_msk) from the collocated dir maps at picture 4x4 units."""
+        ictx = self.ictx
+        if ictx.col is None:
+            return 0
+        d0, d1 = ictx.col[0], ictx.col[1]
+        if py_u < 0 or px_u < 0 or py_u >= len(d0) or px_u >= len(d0[0]):
+            return 0
+        return (1 if d0[py_u][px_u] else 0) | (2 if d1[py_u][px_u] else 0)
+
+    def _col_mv_scaled(self, lst_cur, col_lst, px_u, py_u):
+        """tmvp_rescale parity: mantissa round + distance scale, ref_idx 0."""
+        from openvvc_tpu.drv.inter_mvp import (derive_tmvp_scale,
+                                               tmvp_round_mv, tmvp_scale_mv)
+
+        ictx = self.ictx
+        mv = (ictx.col[2] if col_lst == 0 else ictx.col[3])[(px_u >> 1, py_u >> 1)]
+        dist_col = (ictx.col[4] if col_lst == 0 else ictx.col[5])[mv.ref_idx]
+        # P slices have no list 1; the reference reads a zeroed array slot
+        dlist = ictx.dist_ref0 if lst_cur == 0 else ictx.dist_ref1
+        dist_ref = dlist[0] if dlist else 0
+        scale = derive_tmvp_scale(dist_ref, dist_col)
+        out = MV(tmvp_round_mv(mv.x), tmvp_round_mv(mv.y))
+        out = tmvp_scale_mv(scale, out)
+        return replace(out, ref_idx=0, bcw_idx_plus1=0, prec_amvr=0)
+
+    def _mvs_at(self, tile_x, tile_y, ctb_x, ctb_y):
+        """(inter_dir, mv0, mv1) of the collocated field at a clipped
+        CTU-local position derived from tile-local luma coords."""
+        ictx = self.ictx
+        # CTU-local position
+        tile_px = tile_x + (ictx.tile_uoff[0] << 2)
+        tile_py = tile_y + (ictx.tile_uoff[1] << 2)
+        lx = tile_px - (ctb_x << self.log2_ctb)
+        ly = tile_py - (ctb_y << self.log2_ctb)
+        cx, cy = self._clip_pos(lx, ly, ctb_x)
+        px_u = ((ctb_x << self.log2_ctb) + cx) >> 2
+        py_u = ((ctb_y << self.log2_ctb) + cy) >> 2
+        cand_msk = self._col_probe(px_u, py_u)
+        if not cand_msk:
+            return 0, None, None
+        ictx_ldc = ictx.ldc
+        if ictx_ldc:
+            # sbtmvp_from_ldc with col_ref_l0 == 0 always (see drv note)
+            c0, c01 = cand_msk & 1, cand_msk & 2
+            if c0 and c01:
+                mv0 = self._col_mv_scaled(0, 0, px_u, py_u)
+                mv1 = self._col_mv_scaled(1, 1, px_u, py_u)
+            elif c0:
+                mv0 = self._col_mv_scaled(0, 0, px_u, py_u)
+                mv1 = self._col_mv_scaled(1, 0, px_u, py_u)
+            else:
+                mv0 = self._col_mv_scaled(0, 1, px_u, py_u)
+                mv1 = self._col_mv_scaled(1, 1, px_u, py_u)
+            return 3, mv0, mv1
+        inter_dir = 0
+        mv0 = mv1 = None
+        if cand_msk & 1:
+            mv0 = self._col_mv_scaled(0, 0, px_u, py_u)
+            inter_dir |= 1
+        if cand_msk & 2:
+            mv1 = self._col_mv_scaled(1, 1, px_u, py_u)
+            inter_dir |= 2
+        return inter_dir, mv0, mv1
+
+    def mv_offset(self, ux, uy, nw, nh):
+        """derive_sbtmvp_mv_offset: A1 MV if its ref is the collocated pic."""
+        ictx = self.ictx
+        px, py = ux - 1, uy + nh - 1
+        if ictx._avail(0, px, py):
+            mv = ictx._mv_at(0, px, py)
+            if mv.ref_idx == self.col_ref_idx0:
+                return _mv_internal_to_integer(mv)
+        if ictx._avail(1, px, py):
+            mv = ictx._mv_at(1, px, py)
+            if mv.ref_idx == self.col_ref_idx1:
+                return _mv_internal_to_integer(mv)
+        return MV(0, 0)
+
+    def derive_main_cand(self, x0, y0, log2_w, log2_h, ctb_x, ctb_y):
+        """derive_sub_pu_merge_cand: (found, main_info, mv_offset)."""
+        off = self.mv_offset(x0 >> 2, y0 >> 2, (1 << log2_w) >> 2,
+                             (1 << log2_h) >> 2)
+        cx = x0 + ((1 << log2_w) >> 1) + off.x
+        cy = y0 + ((1 << log2_h) >> 1) + off.y
+        inter_dir, mv0, mv1 = self._mvs_at(cx, cy, ctb_x, ctb_y)
+        return bool(inter_dir), (inter_dir, mv0, mv1), off
+
+    def derive_units(self, x0, y0, log2_w, log2_h, ctb_x, ctb_y, main,
+                     is_p: bool):
+        """derive_sub_block_mvs[_p]: per-8x8 units + map fills.
+
+        Returns list of (off_x, off_y, inter_dir, mv0, mv1) in tile coords.
+        """
+        ictx = self.ictx
+        main_dir, main_mv0, main_mv1 = main
+        nb_sb_w = max(1, (1 << log2_w) >> LOG2_SBTMVP_S)
+        nb_sb_h = max(1, (1 << log2_h) >> LOG2_SBTMVP_S)
+        sb_w = (1 << log2_w) if nb_sb_w == 1 else (1 << LOG2_SBTMVP_S)
+        sb_h = (1 << log2_h) if nb_sb_h == 1 else (1 << LOG2_SBTMVP_S)
+        is_small = log2_w + log2_h <= 5
+        mv_off = self.derive_units_offset
+        units = []
+        for i in range(nb_sb_h):
+            for j in range(nb_sb_w):
+                cx = x0 + (sb_w >> 1) + mv_off.x + j * sb_w
+                cy = y0 + (sb_h >> 1) + mv_off.y + i * sb_h
+                inter_dir, mv0, mv1 = self._mvs_at(cx, cy, ctb_x, ctb_y)
+                if is_p:
+                    if not (inter_dir & 1):
+                        mv0 = main_mv0
+                    inter_dir = 1
+                    mv1 = None
+                else:
+                    if not inter_dir:
+                        mv0, mv1 = main_mv0, main_mv1
+                        inter_dir = main_dir
+                    if is_small and inter_dir == 3:
+                        inter_dir = 1
+                self._fill_unit(x0 >> 2, y0 >> 2, j, i, inter_dir, mv0, mv1)
+                units.append((8 * j, 8 * i, inter_dir, mv0, mv1))
+        return units
+
+    def _fill_unit(self, ux, uy, j, i, inter_dir, mv0, mv1):
+        ictx = self.ictx
+        gx = (ux * 4 + 8 * j + 4) >> 3
+        gy = (uy * 4 + 8 * i + 4) >> 3
+        if inter_dir & 1:
+            m = replace(mv0, ref_idx=0, bcw_idx_plus1=0)
+            for dj in range(2):
+                for di in range(2):
+                    ictx.dir0[uy + 2 * i + dj][ux + 2 * j + di] = 1
+                    ictx.mvs0[(ux + 2 * j + di, uy + 2 * i + dj)] = m
+            ictx.tmvp_mv0[(gx, gy)] = replace(m, prec_amvr=0)
+        if inter_dir & 2:
+            m = replace(mv1, ref_idx=0, bcw_idx_plus1=0)
+            for dj in range(2):
+                for di in range(2):
+                    ictx.dir1[uy + 2 * i + dj][ux + 2 * j + di] = 1
+                    ictx.mvs1[(ux + 2 * j + di, uy + 2 * i + dj)] = m
+            ictx.tmvp_mv1[(gx, gy)] = replace(m, prec_amvr=0)
+
+    def zero_units(self, x0, y0, log2_w, log2_h, is_p: bool):
+        """set_zero_mvs_p/b: whole-CU zero MVs, maps filled, one MC unit."""
+        ictx = self.ictx
+        ux, uy = x0 >> 2, y0 >> 2
+        nw, nh = (1 << log2_w) >> 2, (1 << log2_h) >> 2
+        z = MV(0, 0, 0)
+        inter_dir = 1 if is_p else 3
+        for lst in ((0,) if is_p else (0, 1)):
+            d = ictx.dir0 if lst == 0 else ictx.dir1
+            mvs = ictx.mvs0 if lst == 0 else ictx.mvs1
+            tm = ictx.tmvp_mv0 if lst == 0 else ictx.tmvp_mv1
+            for jj in range(nh):
+                for ii in range(nw):
+                    d[uy + jj][ux + ii] = 1
+                    mvs[(ux + ii, uy + jj)] = z
+            for i in range(max(1, nh >> 1)):
+                for j in range(max(1, nw >> 1)):
+                    tm[((x0 + 8 * j + 4) >> 3, (y0 + 8 * i + 4) >> 3)] = z
+        return [(0, 0, inter_dir, z, z if not is_p else None, log2_w, log2_h)]
+
+
+def drv_sb_merge(ictx, actx: AffineCtx, sbctx: SbTmvpCtx | None,
+                 x0, y0, log2_w, log2_h, merge_idx, ctb_x, ctb_y,
+                 is_p: bool, affine_enabled: bool):
+    """SB_MERGE dispatch (drv_affine_merge_mvp_p/b parity).
+
+    Returns a recon payload: ("sbtmvp", units) with 8x8 (or whole-CU zero)
+    units, or ("affine", sub0, sub1, inter_dir, prof_mask, dmv0, dmv1).
+    """
+    ux, uy = x0 >> 2, y0 >> 2
+    if sbctx is not None:
+        found, main, off = sbctx.derive_main_cand(x0, y0, log2_w, log2_h,
+                                                  ctb_x, ctb_y)
+        if found and merge_idx == 0:
+            sbctx.derive_units_offset = off
+            units = sbctx.derive_units(x0, y0, log2_w, log2_h, ctb_x, ctb_y,
+                                       main, is_p)
+            return ("sbtmvp", [(ox, oy, d, m0, m1, 3, 3)
+                               for (ox, oy, d, m0, m1) in units])
+        if not affine_enabled:
+            units = sbctx.zero_units(x0, y0, log2_w, log2_h, is_p)
+            return ("sbtmvp", units)
+        merge_idx -= 1 if found else 0
+
+    mi = actx.affine_merge(ux, uy, (1 << log2_w) >> 2, (1 << log2_h) >> 2,
+                           log2_w, log2_h, merge_idx)
+    for lst in (0, 1):
+        c = mi.cinfo[lst]
+        c.lt = replace(c.lt, prec_amvr=0)
+        c.rt = replace(c.rt, prec_amvr=0)
+        c.lb = replace(c.lb, prec_amvr=0)
+    if is_p:
+        mi.inter_dir = 1
+    sub0, sub1, prof_mask, dmv0, dmv1 = store_and_subblocks(
+        actx, mi, ux, uy, log2_w, log2_h)
+    if actx.prof_enabled:
+        pd = prof_mask
+        if pd & 1 and not check_affine_prof(mi, 0):
+            pd &= ~1
+        if pd & 2 and not check_affine_prof(mi, 1):
+            pd &= ~2
+        pd &= mi.inter_dir
+    else:
+        pd = 0
+    return ("affine", sub0, sub1, mi.inter_dir, pd, dmv0, dmv1)
+
+
+def drv_affine_amvp_apply(ictx, actx: AffineCtx, x0, y0, log2_w, log2_h,
+                          mvd0, mvd1, mvp_idx0, mvp_idx1, bcw_idx,
+                          inter_dir, ref_idx0, ref_idx1, affine_type,
+                          prec_amvr):
+    """drv_affine_mvp_p/b parity: AMVP CP prediction + MVD apply + maps.
+
+    mvd0/mvd1: CPInfo of quarter-pel MVDs (lb ignored for 4-param).
+    Returns the same recon payload shape as drv_sb_merge's affine case.
+    """
+    ux, uy = x0 >> 2, y0 >> 2
+    nw, nh = (1 << log2_w) >> 2, (1 << log2_h) >> 2
+    mi = AffineMergeInfo()
+    mi.affine_type = affine_type
+    mi.inter_dir = inter_dir
+
+    def apply(lst, mvd, mvp_idx, ref_idx, ref_opp):
+        cp = actx.affine_amvp(ux, uy, nw, nh, log2_w, log2_h, ref_idx,
+                              ref_opp, mvp_idx, lst + 1, affine_type,
+                              prec_amvr)
+        d_lt = change_precision(mvd.lt, prec_amvr, MV_PRECISION_INTERNAL)
+        d_rt = change_precision(mvd.rt, prec_amvr, MV_PRECISION_INTERNAL)
+        lt = mv_clip_periodic(MV(cp.lt.x + d_lt.x, cp.lt.y + d_lt.y))
+        rt = mv_clip_periodic(MV(cp.rt.x + d_lt.x + d_rt.x,
+                                 cp.rt.y + d_lt.y + d_rt.y))
+        fix = lambda m: replace(m, ref_idx=ref_idx, bcw_idx_plus1=bcw_idx + 1,
+                                prec_amvr=prec_amvr)
+        out = CPInfo(fix(lt), fix(rt), MV())
+        if affine_type:
+            d_lb = change_precision(mvd.lb, prec_amvr, MV_PRECISION_INTERNAL)
+            lb = mv_clip_periodic(MV(cp.lb.x + d_lt.x + d_lb.x,
+                                     cp.lb.y + d_lt.y + d_lb.y))
+            out.lb = fix(lb)
+        return out
+
+    if inter_dir & 1:
+        mi.cinfo[0] = apply(0, mvd0, mvp_idx0, ref_idx0,
+                            ictx.rpl0_opp[ref_idx0])
+    if inter_dir & 2:
+        mi.cinfo[1] = apply(1, mvd1, mvp_idx1, ref_idx1,
+                            ictx.rpl1_opp[ref_idx1])
+
+    ictx.prec_amvr = 0
+    sub0, sub1, prof_mask, dmv0, dmv1 = store_and_subblocks(
+        actx, mi, ux, uy, log2_w, log2_h)
+    if actx.prof_enabled:
+        pd = prof_mask
+        if pd & 1 and not check_affine_prof(mi, 0):
+            pd &= ~1
+        if pd & 2 and not check_affine_prof(mi, 1):
+            pd &= ~2
+        pd &= inter_dir
+    else:
+        pd = 0
+    return ("affine", sub0, sub1, inter_dir, pd, dmv0, dmv1)

@@ -752,3 +752,35 @@ def drv_mmvd_merge_mvp_b(ictx: InterCtx, x0, y0, log2_w, log2_h, merge_idx,
         inter_dir = 1
     update_mv_ctx_b(ictx, mv0, mv1, ux, uy, nw, nh, inter_dir)
     return MergeInfo(inter_dir, mv0, mv1)
+
+
+def _affine_corner_tmvp(ictx, ux, uy, nw, nh):
+    """C0 TMVP corner for the constructed affine merge candidate
+    (merge_tmvp_from_ldc / merge_tmvp_from_l0, drv_affine_mvp.c :666/:812;
+    col_ref_l0 is always 0 in the reference). Returns (dir, mv0, mv1)."""
+    c0x, c0y = (ux + nw) & ~1, (uy + nh) & ~1
+    a0 = ictx._col_avail(0, c0x, c0y, uy, ux)
+    a1 = ictx._col_avail(1, c0x, c0y, uy, ux)
+    if not (a0 or a1):
+        return 0, None, None
+
+    def dref(lst):
+        d = ictx.dist_ref0 if lst == 0 else ictx.dist_ref1
+        return d[0] if d else 0
+
+    def scaled(col_lst, lst_cur):
+        mv = ictx._col_mv(col_lst, c0x, c0y)
+        dist_col = (ictx.col[4] if col_lst == 0 else ictx.col[5])[mv.ref_idx]
+        scale = derive_tmvp_scale(dref(lst_cur), dist_col)
+        out = MV(tmvp_round_mv(mv.x), tmvp_round_mv(mv.y))
+        out = tmvp_scale_mv(scale, out)
+        return replace(out, ref_idx=0, bcw_idx_plus1=0, prec_amvr=0)
+
+    if ictx.ldc and a0 and a1:
+        return 3, scaled(0, 0), scaled(1, 1)
+    src = 0 if a0 else 1
+    return 3, scaled(src, 0), scaled(src, 1)
+
+
+InterCtx.derive_affine_corner_tmvp = lambda self, ux, uy, nw, nh: \
+    _affine_corner_tmvp(self, ux, uy, nw, nh)

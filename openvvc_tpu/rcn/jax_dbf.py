@@ -89,18 +89,27 @@ def luma_segment_params(maps: DbfMaps, beta_off, tc_off, bitdepth,
     for direction in ("ver", "hor"):
         if direction == "ver":
             edge = maps.edge_ver[:uh, : uw + 1]
+            sbe = maps.sb_edge_ver[:uh, : uw + 1]
             bs2 = maps.bs2_ver[:uh, : uw + 1]
             bs1 = maps.bs1_ver[:uh, : uw + 1]
             qp_pair = np.zeros((uh, uw + 1), np.int32)
             qp_pair[:, 1:uw] = (maps.qp_l[:, : uw - 1] + maps.qp_l[:, 1:uw] + 1) >> 1
+            comb = edge | sbe
             small = np.zeros_like(edge)
-            small[:, 1:uw] = edge[:, 0 : uw - 1] | edge[:, 2 : uw + 1]
+            small[:, 1:uw] = comb[:, 0 : uw - 1] | comb[:, 2 : uw + 1]
+            e2 = np.zeros_like(edge)
+            e2[:, 2:] |= edge[:, : uw - 1]
+            e2[:, : uw - 1] |= edge[:, 2:]
             clear_p = ~_window_any(edge, -7, 0, axis=1)
             clear_q = ~_window_any(edge, 1, 8, axis=1)
+            aff_p = np.zeros_like(edge)
+            aff_p[:, 1 : uw + 1] = maps.aff_unit[:uh, :uw]
+            aff_q = np.zeros_like(edge)
+            aff_q[:, :uw] = maps.aff_unit[:uh, :uw]
             pos = np.arange(uw + 1)[None, :]
             on4_p = (pos % 4) == 0
             on4_q = on4_p
-            active = edge & (bs2 | bs1)
+            active = comb & (bs2 | bs1)
             active[:, 0] = False
             active[:, uw:] = False
             if no_x:
@@ -108,20 +117,29 @@ def luma_segment_params(maps: DbfMaps, beta_off, tc_off, bitdepth,
                     active[:, x // 4] = False
         else:
             edge = maps.edge_hor[: uh + 1, :uw]
+            sbe = maps.sb_edge_hor[: uh + 1, :uw]
             bs2 = maps.bs2_hor[: uh + 1, :uw]
             bs1 = maps.bs1_hor[: uh + 1, :uw]
             qp_pair = np.zeros((uh + 1, uw), np.int32)
             qp_pair[1:uh, :] = (maps.qp_l[: uh - 1, :] + maps.qp_l[1:uh, :] + 1) >> 1
+            comb = edge | sbe
             small = np.zeros_like(edge)
-            small[1:uh, :] = edge[0 : uh - 1, :] | edge[2 : uh + 1, :]
+            small[1:uh, :] = comb[0 : uh - 1, :] | comb[2 : uh + 1, :]
+            e2 = np.zeros_like(edge)
+            e2[2:, :] |= edge[: uh - 1, :]
+            e2[: uh - 1, :] |= edge[2:, :]
             clear_p = ~_window_any(edge, -7, 0, axis=0)
             clear_q = ~_window_any(edge, 1, 8, axis=0)
+            aff_p = np.zeros_like(edge)
+            aff_p[1 : uh + 1, :] = maps.aff_unit[:uh, :uw]
+            aff_q = np.zeros_like(edge)
+            aff_q[:uh, :] = maps.aff_unit[:uh, :uw]
             pos = np.arange(uh + 1)[:, None]
             # p side (above) carries the CTU line-buffer restriction (yu >= 7);
             # the q side does not (ref_dbf horizontal mlq derivation)
             on4_p = ((pos % 4) == 0) & (pos >= 7)
             on4_q = (pos % 4) == 0
-            active = edge & (bs2 | bs1)
+            active = comb & (bs2 | bs1)
             active[0, :] = False
             active[uh:, :] = False
             if no_y:
@@ -131,8 +149,22 @@ def luma_segment_params(maps: DbfMaps, beta_off, tc_off, bitdepth,
         bs = np.where(bs2, 2, 1)
         beta, tc = _limits_vec(qp_pair, bs, beta_off, tc_off, bitdepth)
         active = active & ((beta > 0) | (tc > 0))
-        mlp = np.where(small, 1, np.where(on4_p & clear_p, 7, 3)).astype(np.int32)
-        mlq = np.where(small, 1, np.where(on4_q & clear_q, 7, 3)).astype(np.int32)
+        # filter lengths (rcn_df.c set_edge_context/derive_filter_length):
+        # small -> 1; pure sub-block edge next to a real edge 2 units away
+        # -> 2; else 3, upgraded to 7 (or 5 on an affine side) only at real
+        # edges on the 16-sample grid with a clear window
+        pure_sb = sbe & ~edge
+        aff1 = pure_sb & e2
+        long_p = on4_p & clear_p & ~pure_sb
+        long_q = on4_q & clear_q & ~pure_sb
+        mlp = np.where(small, 1,
+                       np.where(aff1, 2,
+                                np.where(long_p, np.where(aff_p, 5, 7), 3))
+                       ).astype(np.int32)
+        mlq = np.where(small, 1,
+                       np.where(aff1, 2,
+                                np.where(long_q, np.where(aff_q, 5, 7), 3))
+                       ).astype(np.int32)
 
         yy, xx = np.nonzero(active)
         out.append({

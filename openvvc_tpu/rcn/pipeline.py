@@ -73,7 +73,8 @@ def precompute_inter_mc(parsed, params, tools, refs, bitdepth, device=True):
     for _, ectx in parsed:
         for ctu in ectx.ctus:
             for cu in ctu.cus:
-                if cu.pred_mode != 1 or cu.gpm_flag:
+                if cu.pred_mode != 1 or cu.gpm_flag \
+                        or getattr(cu, "sb_info", None) is not None:
                     continue
                 bdof_en, dmvr_en = inter_tool_flags(cu, tools, refs)
                 if dmvr_en:

@@ -72,6 +72,11 @@ class DbfMaps:
         self.mv_dir = np.zeros((uh, uw), np.uint8)  # 0 intra/none, 1/2/3
         self.mv_vals = np.zeros((uh, uw, 2, 2), np.int32)  # [list][x,y]
         self.mv_dist = np.zeros((uh, uw, 2), np.int32)  # POC dist per list
+        # affine / sbtmvp sub-block state (drv_affine_mvp.c dbf_set_sb_edges
+        # :3051 + dbf_utils.h dbf_fill_aff_map :76)
+        self.sb_edge_ver = z()
+        self.sb_edge_hor = z()
+        self.aff_unit = np.zeros((uh, uw), bool)
         if chroma:
             self.cedge_ver = z()
             self.cedge_hor = z()
@@ -145,6 +150,17 @@ class DbfMaps:
             self.mv_vals[yu : yu + hu, xu : xu + wu, 1] = (mv1.x, mv1.y)
             self.mv_dist[yu : yu + hu, xu : xu + wu, 1] = dist1
 
+    def add_sb_edges(self, x0, y0, w, h, affine: bool):
+        """8x8 sub-block edges inside an affine/SbTMVP CU + the affine map
+        (both affine and SbTMVP CUs mark the aff map in the reference —
+        update_mv_ctx_b/:3107 and update_mv_ctx_b2/:3082)."""
+        xu, yu, wu, hu = self._rect(x0, y0, w, h)
+        for i in range(2, wu, 2):
+            self.sb_edge_ver[yu : yu + hu, xu + i] = True
+        for i in range(2, hu, 2):
+            self.sb_edge_hor[yu + i, xu : xu + wu] = True
+        self.aff_unit[yu : yu + hu, xu : xu + wu] = True
+
     def _mv_edge_bs(self, pu, qu) -> bool:
         """check_dbf_enabled / check_dbf_enabled_p parity (rcn_df.c :1527)."""
         dp = int(self.mv_dir[pu])
@@ -183,14 +199,17 @@ class DbfMaps:
         return True
 
     def finalize_inter_bs(self):
-        """MV-based bs1 on CU edges not already bs1/bs2 (preproc parity)."""
+        """MV-based bs1 on CU (and sub-block) edges not already bs1/bs2
+        (dbf_ctu_preproc_v/h parity :1822-1875)."""
         uh, uw = self.qp_l.shape
-        cv = self.cu_edge_ver & ~(self.bs2_ver | self.bs1_ver)
+        ev = self.cu_edge_ver | self.sb_edge_ver
+        cv = ev & ~(self.bs2_ver | self.bs1_ver)
         for yu, xu in zip(*np.nonzero(cv[:uh, 1:uw])):
             xu = xu + 1
             if self._mv_edge_bs((yu, xu - 1), (yu, xu)):
                 self.bs1_ver[yu, xu] = True
-        ch = self.cu_edge_hor & ~(self.bs2_hor | self.bs1_hor)
+        eh = self.cu_edge_hor | self.sb_edge_hor
+        ch = eh & ~(self.bs2_hor | self.bs1_hor)
         for yu, xu in zip(*np.nonzero(ch[1:uh, :uw])):
             yu = yu + 1
             if self._mv_edge_bs((yu - 1, xu), (yu, xu)):
@@ -403,12 +422,19 @@ def deblock_plane_luma(plane, maps: DbfMaps, beta_off, tc_off, bitdepth, pic_w, 
         return not arr[yu, lo:hi].any()
 
     # ---- vertical edges (all of them first) ---------------------------
+    # Sub-block (affine/SbTMVP) edges join the edge set; filter lengths
+    # follow rcn_df.c set_edge_context/derive_filter_length :1890-1938:
+    # maxL 2 at pure sub-block edges next to a real edge 2 units away,
+    # 7 -> 5 when the side belongs to an affine/SbTMVP CU, large filters
+    # suppressed at pure sub-block edge columns.
+    ev = maps.edge_ver
+    sv = maps.sb_edge_ver
     for xu in range(1, uw):
         x = xu * 4
         if x in no_x:
             continue
         for yu in range(uh):
-            if not maps.edge_ver[yu, xu]:
+            if not (ev[yu, xu] or sv[yu, xu]):
                 continue
             bs2 = maps.bs2_ver[yu, xu]
             if not (bs2 or maps.bs1_ver[yu, xu]):
@@ -417,26 +443,33 @@ def deblock_plane_luma(plane, maps: DbfMaps, beta_off, tc_off, bitdepth, pic_w, 
             beta, tc = _limits(qp, 2 if bs2 else 1, beta_off, tc_off, bitdepth)
             if not (beta or tc):
                 continue
-            small = maps.edge_ver[yu, xu - 1] or maps.edge_ver[yu, xu + 1]
+            small = ev[yu, xu - 1] or ev[yu, xu + 1] or sv[yu, xu - 1] or sv[yu, xu + 1]
+            pure_sb = sv[yu, xu] and not ev[yu, xu]
+            aff1 = pure_sb and (ev[yu, max(0, xu - 2)] and xu >= 2 or
+                                (xu + 2 <= uw and ev[yu, xu + 2]))
             if small:
                 mlp = mlq = 1
+            elif aff1:
+                mlp = mlq = 2
             else:
                 mlp = mlq = 3
-                if xu % 4 == 0 and edge_cols_clear(maps.edge_ver[yu : yu + 1].T if False else maps.edge_ver, yu, xu - 7, xu):
-                    mlp = 7
-                if xu % 4 == 0 and not maps.edge_ver[yu, xu + 1 : xu + 8].any():
-                    mlq = 7
+                if xu % 4 == 0 and not pure_sb and edge_cols_clear(ev, yu, xu - 7, xu):
+                    mlp = 5 if maps.aff_unit[yu, xu - 1] else 7
+                if xu % 4 == 0 and not pure_sb and not ev[yu, xu + 1 : xu + 8].any():
+                    mlq = 5 if maps.aff_unit[yu, xu] else 7
             y = yu * 4
             lines = [_Line(plane, x, y + i, 1, 0) for i in range(4)]
             _filter_luma_segment(lines, beta, tc, mlp, mlq, bd_max)
 
     # ---- horizontal edges ---------------------------------------------
+    eh = maps.edge_hor
+    sh_ = maps.sb_edge_hor
     for yu in range(1, uh):
         y = yu * 4
         if y in no_y:
             continue
         for xu in range(uw):
-            if not maps.edge_hor[yu, xu]:
+            if not (eh[yu, xu] or sh_[yu, xu]):
                 continue
             bs2 = maps.bs2_hor[yu, xu]
             if not (bs2 or maps.bs1_hor[yu, xu]):
@@ -445,15 +478,20 @@ def deblock_plane_luma(plane, maps: DbfMaps, beta_off, tc_off, bitdepth, pic_w, 
             beta, tc = _limits(qp, 2 if bs2 else 1, beta_off, tc_off, bitdepth)
             if not (beta or tc):
                 continue
-            small = maps.edge_hor[yu - 1, xu] or maps.edge_hor[yu + 1, xu]
+            small = eh[yu - 1, xu] or eh[yu + 1, xu] or sh_[yu - 1, xu] or sh_[yu + 1, xu]
+            pure_sb = sh_[yu, xu] and not eh[yu, xu]
+            aff1 = pure_sb and ((yu >= 2 and eh[yu - 2, xu]) or
+                                (yu + 2 <= uh and eh[yu + 2, xu]))
             if small:
                 mlp = mlq = 1
+            elif aff1:
+                mlp = mlq = 2
             else:
                 mlp = mlq = 3
-                if yu % 4 == 0 and yu >= 7 and not maps.edge_hor[yu - 7 : yu, xu].any():
-                    mlp = 7
-                if yu % 4 == 0 and not maps.edge_hor[yu + 1 : yu + 8, xu].any():
-                    mlq = 7
+                if yu % 4 == 0 and yu >= 7 and not pure_sb and not eh[yu - 7 : yu, xu].any():
+                    mlp = 5 if maps.aff_unit[yu - 1, xu] else 7
+                if yu % 4 == 0 and not pure_sb and not eh[yu + 1 : yu + 8, xu].any():
+                    mlq = 5 if maps.aff_unit[yu, xu] else 7
             x = xu * 4
             lines = [_Line(plane, x + i, y, 0, 1) for i in range(4)]
             _filter_luma_segment(lines, beta, tc, mlp, mlq, bd_max)

@@ -68,6 +68,11 @@ class StreamConfig:
     smvd: bool = False
     gpm: bool = False
     sbt: bool = False
+    affine: bool = False
+    affine_6param: bool = False
+    affine_amvr: bool = False
+    prof: bool = False
+    sbtmvp: bool = False
     bdof: bool = False
     dmvr: bool = False
     delta_qp: bool = False
@@ -105,7 +110,16 @@ def build_sps(cfg: StreamConfig) -> SPS:
         sps.sps_log2_diff_max_bt_min_qt_inter_slice = max(0, cfg.max_bt_log2 - cfg.min_qt_log2)
         sps.sps_log2_diff_max_tt_min_qt_inter_slice = max(0, min(cfg.max_tt_log2, 6) - cfg.min_qt_log2)
     sps.sps_amvr_enabled_flag = 1 if cfg.amvr else 0
-    sps.sps_temporal_mvp_enabled_flag = 1 if cfg.tmvp else 0
+    sps.sps_temporal_mvp_enabled_flag = 1 if (cfg.tmvp or cfg.sbtmvp) else 0
+    if cfg.sbtmvp:
+        sps.sps_sbtmvp_enabled_flag = 1
+    sps.sps_affine_enabled_flag = 1 if cfg.affine else 0
+    if cfg.affine:
+        sps.sps_five_minus_max_num_subblock_merge_cand = 0
+        sps.sps_6param_affine_enabled_flag = 1 if cfg.affine_6param else 0
+        if cfg.amvr:
+            sps.sps_affine_amvr_enabled_flag = 1 if cfg.affine_amvr else 0
+        sps.sps_affine_prof_enabled_flag = 1 if cfg.prof else 0
     sps.sps_mmvd_enabled_flag = 1 if cfg.mmvd else 0
     sps.sps_ciip_enabled_flag = 1 if cfg.ciip else 0
     sps.sps_bcw_enabled_flag = 1 if cfg.bcw else 0

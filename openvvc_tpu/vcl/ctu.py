@@ -123,6 +123,13 @@ class CU:
     sbt_quad: int = 0
     sbt_hor: int = 0
     sbt_pos: int = 0
+    # affine / subblock merge
+    sb_merge_flag: int = 0
+    affine_flag: int = 0
+    affine_type: int = 0
+    affine_mvd0: tuple = None  # ((lt.x,lt.y),(rt.x,rt.y)[,(lb.x,lb.y)])
+    affine_mvd1: tuple = None
+    sb_info: object = None     # recon payload (sub-block MVs / sbtmvp units)
     amvr_prec: int = 4  # MV_PRECISION_QUARTER
     mv0: object = None  # drv result (drv.inter_mvp.MV)
     prec_amvr_eff: int = 4  # slice-running prec after this CU (hpel MC select)
@@ -280,6 +287,41 @@ class CTUParseCtx:
                 self.inter_ctx.log2_ctb_units = self.log2_ctb - 2
                 self.inter_ctx.col = col
                 self.inter_ctx.tile_uoff = (self.tile_x0 >> 2, self.tile_y0 >> 2)
+
+        # affine / SbTMVP derivation contexts (slicedec.c init_affine_status
+        # :1362 + dpb.c init_tmvp_info col ref indices :1016-1027)
+        self.affine_ctx = None
+        self.sbtmvp_ctx = None
+        self.affine_6param = bool(getattr(sps, "sps_6param_affine_enabled_flag", 0))
+        self.affine_amvr_enabled = bool(getattr(sps, "sps_affine_amvr_enabled_flag", 0))
+        self.affine_nb_merge_cand = 5 - int(
+            getattr(sps, "sps_five_minus_max_num_subblock_merge_cand", 0) or 0)
+        if self.inter_ctx is not None and (self.affine_enabled or self.sbtmvp_enabled):
+            from openvvc_tpu.drv.affine import AffineCtx, SbTmvpCtx
+
+            prof_en = bool(getattr(sps, "sps_affine_prof_enabled_flag", 0)) \
+                and not getattr(ph, "ph_prof_disabled_flag", 0)
+            self.affine_ctx = AffineCtx(self.inter_ctx, self.log2_ctb,
+                                        self.affine_6param, prof_en,
+                                        self.affine_nb_merge_cand,
+                                        self.affine_amvr_enabled)
+            if self.sbtmvp_enabled:
+                from_l0 = bool(getattr(sh, "sh_collocated_from_l0_flag", 1)) \
+                    or self.slice_type == 1
+                cidx = int(getattr(sh, "sh_collocated_ref_idx", 0) or 0)
+                if from_l0:
+                    cr0 = cidx
+                    dcol = d0[cidx] if cidx < len(d0) else None
+                    cr1 = max((i for i, d in enumerate(d1) if d == dcol),
+                              default=-1)
+                else:
+                    cr1 = cidx
+                    dcol = d1[cidx] if cidx < len(d1) else None
+                    cr0 = max((i for i, d in enumerate(d0) if d == dcol),
+                              default=-1)
+                nb_ctb_pic_w = (pps.pic_w + self.ctb_size - 1) >> self.log2_ctb
+                self.sbtmvp_ctx = SbTmvpCtx(self.inter_ctx, self.log2_ctb,
+                                            nb_ctb_pic_w, cr0, cr1)
 
         # 2-D neighbor maps at 4x4 luma granularity over the tile
         uw = (self.tile_w + 3) >> 2

@@ -290,12 +290,106 @@ def code_gpm_merge_idx(ctx, io, cu):
                 io.put_bypass(0)
 
 
+def _nbr_affine(ctx, x0, y0):
+    """(lft_affine, abv_affine) from the cu-type maps (part_map analog)."""
+    from openvvc_tpu.vcl.slice_data import _nbr_cu_type
+
+    abv = _nbr_cu_type(ctx, x0, y0 - 1)
+    lft = _nbr_cu_type(ctx, x0 - 1, y0)
+    aff = (CU_AFFINE, CU_INTER_SKIP_AFFINE)
+    return int(lft in aff), int(abv in aff)
+
+
+def code_sb_merge_flag(ctx, io, cu, x0, y0) -> int:
+    """ovcabac_read_ae_sb_merge_flag parity (:99)."""
+    lft_a, abv_a = _nbr_affine(ctx, x0, y0)
+    wv = None if io.is_reader else (1 if cu.sb_merge_flag else 0)
+    v = _sym_bin(io, CtxOffset.SUBBLOCK_MERGE_FLAG + lft_a + abv_a, wv)
+    if io.is_reader:
+        cu.sb_merge_flag = v
+    return v
+
+
+def code_affine_merge_idx(ctx, io, cu, nb_cand_min1) -> int:
+    """ovcabac_read_ae_affine_merge_idx parity (:129)."""
+    if io.is_reader:
+        v = 0
+        if nb_cand_min1 > 0 and io.raw_bin(CtxOffset.AFF_MERGE_IDX):
+            v = 1
+            while v < nb_cand_min1 and io.raw_bypass():
+                v += 1
+        cu.merge_idx = v
+        return v
+    v = cu.merge_idx
+    if nb_cand_min1 > 0:
+        io.put_bin(1 if v > 0 else 0, CtxOffset.AFF_MERGE_IDX)
+        for _ in range(1, v):
+            io.put_bypass(1)
+        if 0 < v < nb_cand_min1:
+            io.put_bypass(0)
+    return v
+
+
+def code_affine_flag(ctx, io, cu, x0, y0) -> int:
+    """ovcabac_read_ae_cu_affine_flag parity (:110)."""
+    lft_a, abv_a = _nbr_affine(ctx, x0, y0)
+    wv = None if io.is_reader else (1 if cu.affine_flag else 0)
+    v = _sym_bin(io, CtxOffset.AFFINE_FLAG + lft_a + abv_a, wv)
+    if io.is_reader:
+        cu.affine_flag = v
+    return v
+
+
+def code_affine_type(ctx, io, cu) -> int:
+    """ovcabac_read_ae_cu_affine_type parity (:120)."""
+    wv = None if io.is_reader else cu.affine_type
+    v = _sym_bin(io, CtxOffset.AFFINE_TYPE, wv)
+    if io.is_reader:
+        cu.affine_type = v
+    return v
+
+
+def code_affine_amvr_precision(ctx, io, cu) -> int:
+    """ovcabac_read_ae_affine_amvr_precision parity (:320): index via
+    IMV_FLAG+2 and +3 contexts -> {quarter, sixteenth, int}."""
+    from openvvc_tpu.drv.inter_mvp import MV_PRECISION_SIXTEENTH
+
+    order = (MV_PRECISION_QUARTER, MV_PRECISION_SIXTEENTH, MV_PRECISION_INT)
+    if io.is_reader:
+        idx = io.raw_bin(CtxOffset.IMV_FLAG + 2)
+        if idx:
+            idx += io.raw_bin(CtxOffset.IMV_FLAG + 3)
+        cu.amvr_prec = order[idx]
+        return order[idx]
+    idx = order.index(cu.amvr_prec)
+    io.put_bin(1 if idx else 0, CtxOffset.IMV_FLAG + 2)
+    if idx:
+        io.put_bin(idx - 1, CtxOffset.IMV_FLAG + 3)
+    return cu.amvr_prec
+
+
+def code_affine_mvds(ctx, io, wmvds, affine_type) -> tuple:
+    """2 (4-param) or 3 (6-param) CP MVDs (inter_affine_mvp_data_p :1690).
+
+    Writer passes (x, y) tuples; both paths return MV objects."""
+    n = 3 if affine_type else 2
+    if io.is_reader:
+        return tuple(code_mvd(ctx, io) for _ in range(n))
+    for k in range(n):
+        code_mvd(ctx, io, (wmvds[k].x, wmvds[k].y))
+    return wmvds[:n]
+
+
 def merge_data_p(ctx, io, cu, x0, y0, log2_w, log2_h, skip: bool):
     """inter_skip_data_p/b / inter_merge_data_p/b parity; returns the merge
-    type: "mmvd", "ciip", "gpm" or "default". sb-merge (affine/sbtmvp)
-    stays unsupported (those SPS flags are off)."""
+    type: "mmvd", "ciip", "gpm", "sb_merge" or "default"."""
     if (ctx.sbtmvp_enabled or ctx.affine_enabled) and log2_w >= 3 and log2_h >= 3:
-        raise NotImplementedError("sb_merge syntax (affine/sbtmvp) not yet supported")
+        if code_sb_merge_flag(ctx, io, cu, x0, y0):
+            if ctx.affine_enabled:
+                code_affine_merge_idx(ctx, io, cu, ctx.affine_nb_merge_cand - 1)
+            elif io.is_reader:
+                cu.merge_idx = 0
+            return "sb_merge"
     gpm_ok = _gpm_possible(ctx, log2_w, log2_h)
     mmvd = 0
     ciip = 0
@@ -342,6 +436,120 @@ def merge_data_p(ctx, io, cu, x0, y0, log2_w, log2_h, skip: bool):
     return "ciip" if ciip else "default"
 
 
+def _drv_sb_merge_wrap(ctx, cu, x0, y0, log2_w, log2_h, is_p: bool):
+    """SB_MERGE derivation: attaches the recon payload to cu.sb_info."""
+    from openvvc_tpu.drv.affine import drv_sb_merge
+
+    cu.sb_info = drv_sb_merge(
+        ctx.inter_ctx, ctx.affine_ctx, ctx.sbtmvp_ctx,
+        x0 - ctx.tile_x0, y0 - ctx.tile_y0, log2_w, log2_h, cu.merge_idx,
+        x0 >> ctx.log2_ctb, y0 >> ctx.log2_ctb, is_p, ctx.affine_enabled)
+    cu.affine_flag = 1 if cu.sb_info[0] == "affine" else 0
+    cu.pred_mode = MODE_INTER
+    ctx.inter_ctx.prec_amvr = 0
+
+
+def _affine_mvp_read_apply(ctx, io, cu, x0, y0, log2_w, log2_h, inter_dir):
+    """Affine AMVP syntax + derivation (inter_affine_mvp_data_p/b parity +
+    drv_affine_mvp_p/b). inter_dir selects the list(s)."""
+    from openvvc_tpu.drv.affine import CPInfo, drv_affine_amvp_apply
+
+    ictx = ctx.inter_ctx
+    if ctx.affine_6param:
+        code_affine_type(ctx, io, cu)
+    elif io.is_reader:
+        cu.affine_type = 0
+    atype = cu.affine_type
+
+    def read_list_p(lst):
+        nb = ictx.nb_active_ref0 if lst == 0 else ictx.nb_active_ref1
+        if lst == 0:
+            ridx = code_ref_idx(ctx, io, cu, nb) if nb > 1 \
+                else (nb - 1 if io.is_reader else cu.ref_idx)
+            if io.is_reader:
+                cu.ref_idx = ridx
+        else:
+            ridx = _code_ref_idx1(ctx, io, cu, nb)
+            if io.is_reader:
+                cu.ref_idx1 = ridx
+        wm = (cu.affine_mvd0 if lst == 0 else cu.affine_mvd1) \
+            if not io.is_reader else None
+        wmvds = None if wm is None else [MV(*m) for m in wm]
+        mvds = code_affine_mvds(ctx, io, wmvds, atype)
+        if io.is_reader:
+            if lst == 0:
+                cu.affine_mvd0 = tuple((m.x, m.y) for m in mvds)
+            else:
+                cu.affine_mvd1 = tuple((m.x, m.y) for m in mvds)
+        if io.is_reader:
+            mvp = io.raw_bin(CtxOffset.MVP_IDX)
+            if lst == 0:
+                cu.mvp_idx = mvp
+            else:
+                cu.mvp_idx1 = mvp
+        else:
+            io.put_bin(cu.mvp_idx if lst == 0 else cu.mvp_idx1,
+                       CtxOffset.MVP_IDX)
+        return ridx, mvds
+
+    if inter_dir == 3:
+        ridx0, mvds0 = read_list_p(0)
+        # list 1: ref idx, MVDs (unless mvd1_zero), mvp idx
+        nb1 = ictx.nb_active_ref1
+        ridx1 = _code_ref_idx1(ctx, io, cu, nb1)
+        if io.is_reader:
+            cu.ref_idx1 = ridx1
+        if not ctx.mvd1_zero:
+            wm = cu.affine_mvd1 if not io.is_reader else None
+            wmvds = None if wm is None else [MV(*m) for m in wm]
+            mvds1 = code_affine_mvds(ctx, io, wmvds, atype)
+        else:
+            mvds1 = tuple(MV(0, 0) for _ in range(3 if atype else 2))
+        if io.is_reader:
+            cu.affine_mvd1 = tuple((m.x, m.y) for m in mvds1)
+            cu.mvp_idx1 = io.raw_bin(CtxOffset.MVP_IDX)
+        else:
+            io.put_bin(cu.mvp_idx1, CtxOffset.MVP_IDX)
+    else:
+        lst = 0 if inter_dir & 1 else 1
+        ridx, mvds = read_list_p(lst)
+        if lst == 0:
+            ridx0, mvds0 = ridx, mvds
+            ridx1, mvds1 = 0, mvds
+        else:
+            ridx1, mvds1 = ridx, mvds
+            ridx0, mvds0 = 0, mvds
+
+    prec = MV_PRECISION_QUARTER
+    if ctx.affine_amvr_enabled:
+        nz = False
+        if inter_dir & 1:
+            nz = nz or any(m.x or m.y for m in mvds0)
+        if inter_dir & 2:
+            nz = nz or any(m.x or m.y for m in mvds1)
+        if nz:
+            prec = code_affine_amvr_precision(ctx, io, cu)
+    if io.is_reader:
+        cu.amvr_prec = prec
+    ictx.prec_amvr = prec
+
+    bcw = 2
+    if inter_dir == 3:
+        bcw = _maybe_bcw(ctx, io, cu, log2_w, log2_h)
+
+    def cpinfo(mvds):
+        c = CPInfo(mvds[0], mvds[1] if len(mvds) > 1 else MV(0, 0),
+                   mvds[2] if len(mvds) > 2 else MV(0, 0))
+        return c
+
+    cu.sb_info = drv_affine_amvp_apply(
+        ictx, ctx.affine_ctx, x0 - ctx.tile_x0, y0 - ctx.tile_y0,
+        log2_w, log2_h, cpinfo(mvds0), cpinfo(mvds1),
+        cu.mvp_idx, cu.mvp_idx1, bcw, inter_dir,
+        ridx0, ridx1, atype, prec)
+    cu.pred_mode = MODE_INTER
+
+
 def prediction_unit_inter_p(ctx, io, cu, x0, y0, log2_w, log2_h,
                             skip: bool, merge: bool):
     """prediction_unit_inter_p parity (:1946): merge or MVP, runs the MV
@@ -350,6 +558,9 @@ def prediction_unit_inter_p(ctx, io, cu, x0, y0, log2_w, log2_h,
     ictx.prec_amvr = MV_PRECISION_QUARTER
     if merge:
         mtype = merge_data_p(ctx, io, cu, x0, y0, log2_w, log2_h, skip)
+        if mtype == "sb_merge":
+            _drv_sb_merge_wrap(ctx, cu, x0, y0, log2_w, log2_h, True)
+            return None
         if mtype == "mmvd":
             mv0 = drv_mmvd_merge_mvp_p(ictx, x0 - ctx.tile_x0, y0 - ctx.tile_y0,
                                        log2_w, log2_h, cu.merge_idx,
@@ -363,6 +574,10 @@ def prediction_unit_inter_p(ctx, io, cu, x0, y0, log2_w, log2_h,
         if mtype == "ciip":
             _derive_ciip_wt(ctx, cu, x0, y0, log2_w, log2_h)
     else:
+        if ctx.affine_enabled and log2_w > 3 and log2_h > 3:
+            if code_affine_flag(ctx, io, cu, x0, y0):
+                _affine_mvp_read_apply(ctx, io, cu, x0, y0, log2_w, log2_h, 1)
+                return None
         nb_active = ictx.nb_active_ref0
         cu.ref_idx = code_ref_idx(ctx, io, cu, nb_active) if nb_active > 1 \
             else (nb_active - 1 if io.is_reader else cu.ref_idx)
@@ -435,6 +650,9 @@ def prediction_unit_inter_b(ctx, io, cu, x0, y0, log2_w, log2_h,
         from openvvc_tpu.drv.inter_mvp import drv_mmvd_merge_mvp_b
 
         mtype = merge_data_p(ctx, io, cu, x0, y0, log2_w, log2_h, skip)
+        if mtype == "sb_merge":
+            _drv_sb_merge_wrap(ctx, cu, x0, y0, log2_w, log2_h, False)
+            return None
         if mtype == "gpm":
             from openvvc_tpu.drv.gpm import drv_gpm_merge_mvp_b
 
@@ -461,6 +679,11 @@ def prediction_unit_inter_b(ctx, io, cu, x0, y0, log2_w, log2_h,
         ictx.prec_amvr = mi.mv0.prec_amvr if mi.inter_dir & 0x1 else mi.mv1.prec_amvr
     else:
         inter_dir = code_inter_dir(ctx, io, cu, log2_w, log2_h)
+        if ctx.affine_enabled and log2_w > 3 and log2_h > 3:
+            if code_affine_flag(ctx, io, cu, x0, y0):
+                _affine_mvp_read_apply(ctx, io, cu, x0, y0, log2_w, log2_h,
+                                       inter_dir)
+                return None
         smvd = 0
         if inter_dir == 3 and ctx.smvd_enabled:
             wv = None if io.is_reader else (1 if cu.smvd_flag else 0)

@@ -36,8 +36,10 @@ from openvvc_tpu.vcl.alf import code_alf_ctu, code_cc_alf_ctu
 from openvvc_tpu.vcl.sao import code_sao_ctu
 from openvvc_tpu.vcl.transform_unit import isp_subtree, lfnst_mts_idx, transform_tree_intra
 from openvvc_tpu.vcl.inter_pu import (
+    CU_AFFINE,
     CU_INTER,
     CU_INTER_SKIP,
+    CU_INTER_SKIP_AFFINE,
     CU_NA,
     prediction_unit_inter_b,
     prediction_unit_inter_p,
@@ -197,7 +199,8 @@ def coding_unit_inter_st(ctx, io, node, x0, y0, log2_w, log2_h):
     if skip:
         cu.merge_flag = 1
         pred_unit(ctx, io, cu, x0, y0, log2_w, log2_h, 1, 1)
-        cu_type = CU_INTER_SKIP
+        cu_type = CU_INTER_SKIP_AFFINE \
+            if (cu.sb_merge_flag or cu.affine_flag) else CU_INTER_SKIP
         cu.prec_amvr_eff = ctx.inter_ctx.prec_amvr
         _reset_intra_map(ctx, x0, y0, log2_w, log2_h)
         _cu_tail_maps(ctx, cu, x0, y0, log2_w, log2_h, cu_type)
@@ -240,7 +243,7 @@ def coding_unit_inter_st(ctx, io, node, x0, y0, log2_w, log2_h):
         io.put_bin(cu.merge_flag, CtxOffset.MERGE_FLAG)
     pred_unit(ctx, io, cu, x0, y0, log2_w, log2_h, 0, cu.merge_flag)
     cu.prec_amvr_eff = ctx.inter_ctx.prec_amvr
-    cu_type = CU_INTER
+    cu_type = CU_AFFINE if (cu.sb_merge_flag or cu.affine_flag) else CU_INTER
     _reset_intra_map(ctx, x0, y0, log2_w, log2_h)
 
     # root cbf + transforms (vcl_transform_unit.c :1896)
