@@ -925,7 +925,8 @@ def _sd(params, lst):
     from openvvc_tpu.vcl.ctu import _signed_rpl_deltas
     hr0, hr1 = params.sh.resolved_rpls(params.pps, params.ph)
     nra = getattr(params.sh, "_num_ref_idx_active", [1, 0])
-    return _signed_rpl_deltas(hr0.rpl if lst == 0 else hr1.rpl, nra[lst])
+    cur_poc = getattr(params, "_cur_poc", params.ph.ph_pic_order_cnt_lsb)
+    return _signed_rpl_deltas(hr0.rpl if lst == 0 else hr1.rpl, nra[lst], cur_poc)
 
 
 def _merge_tmvp_export(acc, ectx, pps):
@@ -974,9 +975,9 @@ class Decoder:
 
     @staticmethod
     def output_order(frames: list[Frame]) -> list[Frame]:
-        """Frames in display order (the reference's DPB output order:
-        increasing POC within a CVS, dpb.c:691-824)."""
-        return sorted(frames, key=lambda f: f.poc)
+        """Frames in display order (the reference's DPB output order,
+        dpb.c:691-824): CVSs in decode order, ascending POC within each."""
+        return sorted(frames, key=lambda f: (getattr(f, "cvs_id", 0), f.poc))
 
     def _decode_picture(self, nal) -> Frame:
         params = self.nvcl.parse_slice(nal)
@@ -988,6 +989,7 @@ class Decoder:
         cb = np.zeros((pps.pic_h // 2, pps.pic_w // 2), np.int32) if chroma else None
         cr = np.zeros((pps.pic_h // 2, pps.pic_w // 2), np.int32) if chroma else None
         poc = self.dpb.picture_poc(params, int(nal.type))
+        params._cur_poc = poc
         frame = Frame(poc, y, cb, cr, bd)
 
         refs0 = refs1 = None

@@ -1,9 +1,13 @@
-"""Decoded picture buffer: POC derivation and reference list resolution.
+"""Decoded picture buffer: POC derivation, RPL resolution, output order.
 
 Parity: /root/reference/libovvc/dpb.c — derive_poc (:182), RPL resolution
-(:1040-1110: RefPicPocList[i] = pocBase - DeltaPocValSt[i], pocBase chains),
-dist_ref (:966). Long-term/inter-layer refs are not yet supported (the
-generator emits short-term-only RPLs).
+incl. long-term entries (compute_ref_poc :440-486: LT entries use
+rpls_poc_lsb_lt directly and re-base the chain, matching the reference's
+partial LT support), reference marking (vvc_mark_refs :490), per-CVS
+output order (ovdpb_output_pic / ovdpb_drain_frame :691-824: within a
+CVS pictures are output in ascending POC; CVSs output in decode order;
+the no_output_of_prior_pics branch is compiled out in the reference so
+prior pictures are always output).
 """
 
 from __future__ import annotations
@@ -26,17 +30,21 @@ def derive_poc(poc_lsb: int, log2_max_poc_lsb: int, prev_poc: int) -> int:
 
 
 class DPB:
-    """Minimal DPB: frames by POC, short-term RPL resolution."""
+    """DPB: frames by POC per CVS, RPL resolution, output bumping state."""
 
     def __init__(self):
         self.pics: dict[int, object] = {}
         self.prev_poc = 0
+        self.cvs_id = 0
 
     def picture_poc(self, params, nal_type: int) -> int:
         sps, ph = params.sps, params.ph
         log2_max = sps.sps_log2_max_pic_order_cnt_lsb_minus4 + 4
         if nal_type in _IDR_TYPES:
+            # new CVS: prior pictures leave the reference set; they were
+            # already recorded for output (always output, see header note)
             self.pics.clear()
+            self.cvs_id += 1
             poc = ph.ph_pic_order_cnt_lsb
             if getattr(ph, "ph_poc_msb_cycle_present_flag", 0):
                 poc += ph.ph_poc_msb_cycle_val << log2_max
@@ -47,23 +55,36 @@ class DPB:
         return poc
 
     def store(self, poc: int, frame) -> None:
+        frame.cvs_id = self.cvs_id
         self.pics[poc] = frame
+
+    def mark_refs(self, active_pocs) -> None:
+        """Release pictures referenced by nothing going forward
+        (vvc_mark_refs + ovdpb_unmark_ref_pic_lists analog). Optional —
+        correctness only needs the lookups, this bounds memory."""
+        keep = set(active_pocs)
+        for poc in list(self.pics):
+            if poc not in keep:
+                del self.pics[poc]
 
     def resolve_rpl(self, hrpl, sps, cur_poc: int, nb_active: int):
         """Active reference frames + POC distances for list resolution.
 
-        Reference parity (dpb.c compute_ref_poc :440-481): each short-term
+        Reference parity (dpb.c compute_ref_poc :440-486): each short-term
         entry chains from the previous resolved POC (poc = ref_poc at loop
-        end), sign 0 meaning a FUTURE step: prev +/- (abs + 1).
+        end), sign 0 meaning a FUTURE step; long-term entries resolve to
+        rpls_poc_lsb_lt directly (the reference's partial LT support) and
+        also re-base the chain.
         """
         rpl = hrpl.rpl
         refs, dist = [], []
         base = cur_poc
         for i in range(min(nb_active, rpl.num_ref_entries)):
-            if not rpl.st_ref_pic_flag[i]:
-                raise NotImplementedError("long-term refs not supported")
-            a = rpl.abs_delta_poc_st[i] + 1
-            ref_poc = base - a if rpl.strp_entry_sign_flag[i] else base + a
+            if rpl.st_ref_pic_flag[i]:
+                a = rpl.abs_delta_poc_st[i] + 1
+                ref_poc = base - a if rpl.strp_entry_sign_flag[i] else base + a
+            else:
+                ref_poc = rpl.rpls_poc_lsb_lt[i]
             base = ref_poc
             if ref_poc not in self.pics:
                 raise ValueError(f"reference POC {ref_poc} not in DPB")

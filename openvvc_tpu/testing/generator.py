@@ -73,6 +73,13 @@ class StreamConfig:
     affine_amvr: bool = False
     prof: bool = False
     sbtmvp: bool = False
+    # SPS-signaled RPLs: ([rpl0 entry-lists], [rpl1 entry-lists]); entries as
+    # in _mk_rpl. Needed for long-term refs: the reference resolves LT POCs
+    # only from RPL-struct fields (compute_ref_poc :469 reads
+    # rpls_poc_lsb_lt, which is parsed only when ltrp_in_header_flag == 0,
+    # i.e. for SPS lists — header LT info is left unused there).
+    sps_rpls: tuple = None
+    long_term: bool = False
     bdof: bool = False
     dmvr: bool = False
     delta_qp: bool = False
@@ -113,6 +120,15 @@ def build_sps(cfg: StreamConfig) -> SPS:
     sps.sps_temporal_mvp_enabled_flag = 1 if (cfg.tmvp or cfg.sbtmvp) else 0
     if cfg.sbtmvp:
         sps.sps_sbtmvp_enabled_flag = 1
+    if cfg.long_term:
+        sps.sps_long_term_ref_pics_flag = 1
+    if cfg.sps_rpls is not None:
+        l0, l1 = cfg.sps_rpls
+        sps.sps_num_ref_pic_lists0 = len(l0)
+        sps.rpl_s0 = [_mk_rpl(e) for e in l0]
+        sps.sps_rpl1_same_as_rpl0_flag = 0
+        sps.sps_num_ref_pic_lists1 = len(l1)
+        sps.rpl_s1 = [_mk_rpl(e) for e in l1]
     sps.sps_affine_enabled_flag = 1 if cfg.affine else 0
     if cfg.affine:
         sps.sps_five_minus_max_num_subblock_merge_cand = 0
@@ -223,6 +239,7 @@ def build_ph(cfg: StreamConfig, poc: int = 0, inter: bool = False) -> PH:
 
 
 def _mk_rpl(ref_deltas):
+    """Entries: int POC delta (positive = past) or ("lt", poc) long-term."""
     from openvvc_tpu.hls.rpl import RPL
 
     rpl = RPL()
@@ -230,10 +247,22 @@ def _mk_rpl(ref_deltas):
     rpl.abs_delta_poc_st = ListField()
     rpl.strp_entry_sign_flag = ListField()
     rpl.st_ref_pic_flag = ListField()
+    rpl.rpls_poc_lsb_lt = ListField()
+    rpl.ltrp_in_header_flag = 0
     prev = 0
     for i, d in enumerate(ref_deltas):
+        if isinstance(d, tuple) and d[0] == "lt":
+            # long-term entry: direct POC (reference compute_ref_poc :469
+            # uses rpls_poc_lsb_lt and re-bases the chain)
+            rpl.st_ref_pic_flag[i] = 0
+            rpl.rpls_poc_lsb_lt[i] = d[1]
+            prev = None  # chain re-bases at cur - (cur - lt_poc) implicitly
+            continue
         # chained (dpb.c :459-481): step from the previous resolved POC;
         # sign 1 = toward the past
+        if prev is None:
+            raise ValueError("ST entry after LT entry not supported by the generator")
+        rpl.st_ref_pic_flag[i] = 1
         step = d - prev
         prev = d
         rpl.abs_delta_poc_st[i] = abs(step) - 1
@@ -242,20 +271,32 @@ def _mk_rpl(ref_deltas):
 
 
 def build_sh(cfg: StreamConfig, sps, pps, slice_type: int = 2,
-             ref_deltas=None, ref_deltas1=None) -> SH:
-    """ref_deltas: POC deltas per list (positive = past reference)."""
+             ref_deltas=None, ref_deltas1=None, sps_rpl_idx=None) -> SH:
+    """ref_deltas: POC deltas per list (positive = past reference);
+    sps_rpl_idx: (i0, i1) selects SPS-signaled RPLs instead."""
     sh = SH()
     sh.sh_picture_header_in_slice_header_flag = 0
     sh.sh_qp_delta = cfg.qp - 26
     sh.sh_slice_type = slice_type
     sh.sh_num_ref_idx_active_override_flag = 1
+    if sps_rpl_idx is not None:
+        i0, i1 = sps_rpl_idx
+        ref_deltas = [0] * cfg.sps_rpls[0][i0].__len__()
+        ref_deltas1 = [0] * cfg.sps_rpls[1][i1].__len__() if cfg.sps_rpls[1] else None
     if slice_type != 2 and ref_deltas:
         from openvvc_tpu.hls.syntax import ListField as _LF2
         sh.sh_num_ref_idx_active_minus1 = _LF2(
             {0: len(ref_deltas) - 1, 1: len(ref_deltas1 or []) - 1 if ref_deltas1 else 0})
-    # non-IDR NALs carry ref_pic_lists() even for I slices (empty lists)
-    sh.hrpl0.rpl = _mk_rpl(ref_deltas or [])
-    sh.hrpl1.rpl = _mk_rpl(ref_deltas1 or [])
+    if sps_rpl_idx is not None:
+        i0, i1 = sps_rpl_idx
+        sh.hrpl0.rpl_sps_flag = 1
+        sh.hrpl0.rpl_idx = i0
+        sh.hrpl1.rpl_sps_flag = 1
+        sh.hrpl1.rpl_idx = i1
+    else:
+        # non-IDR NALs carry ref_pic_lists() even for I slices (empty lists)
+        sh.hrpl0.rpl = _mk_rpl(ref_deltas or [])
+        sh.hrpl1.rpl = _mk_rpl(ref_deltas1 or [])
     if slice_type != 2 and cfg.tmvp:
         sh.sh_collocated_from_l0_flag = 1
         sh.sh_collocated_ref_idx = 0
@@ -546,10 +587,15 @@ def build_stream_frames(cfg: StreamConfig, frames) -> bytes:
     for i, spec in enumerate(frames):
         poc = spec.get("poc", i)
         slice_type = spec.get("slice_type", 2)
-        nal_type = NalType.IDR_N_LP if i == 0 else NalType.TRAIL
+        if spec.get("idr"):
+            nal_type = NalType.IDR_N_LP
+        elif spec.get("cra"):
+            nal_type = NalType.CRA
+        else:
+            nal_type = NalType.IDR_N_LP if i == 0 else NalType.TRAIL
         ph = build_ph(cfg, poc=poc, inter=slice_type != 2)
         sh = build_sh(cfg, sps, pps, slice_type, spec.get("ref_deltas"),
-                      spec.get("ref_deltas1"))
+                      spec.get("ref_deltas1"), spec.get("sps_rpl_idx"))
         nals += build_slice_nals(ctx, cfg, sps_r, pps_r, ph, sh, nal_type,
                                  spec["tree_builder"])
     return mux_annexb(nals)

@@ -149,14 +149,18 @@ class CtuIR:
     alf: object = None
 
 
-def _signed_rpl_deltas(rpl, nb_active):
-    """Signed ref-POC offsets (ref_poc - cur_poc) per active ST entry
-    (dpb.c compute_ref_poc :459-481: chained, sign 0 = future step)."""
+def _signed_rpl_deltas(rpl, nb_active, cur_poc=0):
+    """Signed ref-POC offsets (ref_poc - cur_poc) per active entry
+    (dpb.c compute_ref_poc :459-486: chained, sign 0 = future step;
+    long-term entries resolve to rpls_poc_lsb_lt and re-base the chain)."""
     out = []
     base = 0
     for i in range(min(nb_active, getattr(rpl, "num_ref_entries", 0))):
-        a = rpl.abs_delta_poc_st[i] + 1
-        base = base - a if rpl.strp_entry_sign_flag[i] else base + a
+        if not rpl.st_ref_pic_flag[i]:
+            base = rpl.rpls_poc_lsb_lt[i] - cur_poc
+        else:
+            a = rpl.abs_delta_poc_st[i] + 1
+            base = base - a if rpl.strp_entry_sign_flag[i] else base + a
         out.append(base)
     return out
 
@@ -258,8 +262,9 @@ class CTUParseCtx:
             # list (slicedec.c :1261-1293); POC equality == signed-delta
             # equality, derivable straight from the RPL entries
             hr0, hr1 = sh.resolved_rpls(pps, ph)
-            d0 = _signed_rpl_deltas(hr0.rpl, nra[0])
-            d1 = _signed_rpl_deltas(hr1.rpl, nra[1])
+            cur_poc = getattr(params, "_cur_poc", ph.ph_pic_order_cnt_lsb)
+            d0 = _signed_rpl_deltas(hr0.rpl, nra[0], cur_poc)
+            d1 = _signed_rpl_deltas(hr1.rpl, nra[1], cur_poc)
             for i, d in enumerate(d0):
                 self.inter_ctx.rpl0_opp[i] = d1.index(d) if d in d1 else 0xFF
             for i, d in enumerate(d1):
