@@ -1068,6 +1068,9 @@ class Decoder:
             frame.y = lmcs.bwd_lut[np.clip(frame.y, 0, (1 << bd) - 1)].astype(np.int32)
         if dbf is not None:
             dbf.finalize_inter_bs()
+            hook = getattr(self, "_pre_dbf_hook", None)
+            if hook is not None:
+                hook(frame, dbf, params)
             from openvvc_tpu.rcn.jax_dbf import deblock_frame_batched
 
             frame.y, frame.cb, frame.cr = deblock_frame_batched(

@@ -91,6 +91,7 @@ class StreamConfig:
     max_tt_log2: int = 6
     min_cb_log2: int = 2
     # tiles
+    filter_across_tiles: bool = False
     tile_cols: list = None  # explicit CTU widths or None for single tile
     tile_rows: list = None
 
@@ -201,7 +202,8 @@ def build_pps(cfg: StreamConfig, sps: SPS) -> PPS:
         pps.pps_tile_column_width_minus1 = ListField({i: w - 1 for i, w in enumerate(cols)})
         pps.pps_tile_row_height_minus1 = ListField({i: h - 1 for i, h in enumerate(rows)})
         if len(cols) * len(rows) > 1:
-            pps.pps_loop_filter_across_tiles_enabled_flag = 0
+            pps.pps_loop_filter_across_tiles_enabled_flag = \
+                1 if cfg.filter_across_tiles else 0
             pps.pps_rect_slice_flag = 1
         pps.pps_single_slice_per_subpic_flag = 1
     else:
