@@ -153,6 +153,14 @@ def reconstruct_cu(rc: ReconCtx, cu: CU, params: ActiveParams, tools,
     if dbf is not None and tree in (TREE_SINGLE, TREE_DUAL_LUMA):
         dbf.add_cu_luma(cu.x0, cu.y0, 1 << cu.log2_w, 1 << cu.log2_h, cu.qp,
                         cu.pred_mode == 0 or bool(cu.ciip_flag))
+        if cu.pred_mode == 2 and cu.ibc_dbf is not None:
+            # IBC neighbour-MV bs1 edges (drv_ibc.c set_ibc_df_map :271)
+            xu, yu = cu.x0 >> 2, cu.y0 >> 2
+            top_edges, lft_edges = cu.ibc_dbf
+            for i in top_edges:
+                dbf.bs1_hor[yu, xu + i] = True
+            for i in lft_edges:
+                dbf.bs1_ver[yu + i, xu] = True
         if cu.pred_mode == 1 and refs is not None:
             if cu.gpm_flag:
                 for (ox, oy, idir, m0, m1) in cu.gpm_units:
@@ -213,6 +221,9 @@ def reconstruct_cu(rc: ReconCtx, cu: CU, params: ActiveParams, tools,
         else:
             _reconstruct_inter(rc, cu, params, trc, refs, find_tu)
         return
+    if cu.pred_mode == 2:  # MODE_IBC
+        _reconstruct_ibc(rc, cu, params, trc)
+        return
 
     if cu.isp_mode and tree in (TREE_SINGLE, TREE_DUAL_LUMA):
         _reconstruct_isp_luma(rc, cu, trc, find_tu)
@@ -245,6 +256,28 @@ def reconstruct_cu(rc: ReconCtx, cu: CU, params: ActiveParams, tools,
         _reconstruct_chroma(rc, cu, params, trc, cu.x0 >> 1, cu.y0 >> 1, cu.log2_w - 1, cu.log2_h - 1)
     elif tree == TREE_DUAL_CHROMA:
         _reconstruct_chroma(rc, cu, params, trc, cu.x0, cu.y0, cu.log2_w, cu.log2_h)
+
+
+def _reconstruct_ibc(rc: ReconCtx, cu: CU, params, trc):
+    """IBC block copy (rcn_ibc.c parity) + inter-style residual add."""
+    from openvvc_tpu.drv.ibc import ibc_copy
+
+    bd = rc.bitdepth
+    frame = rc.frame
+    log2_ctb = rc.log2_ctb
+    ctb_x, ctb_y = cu.x0 >> log2_ctb, cu.y0 >> log2_ctb
+    w, h = 1 << cu.log2_w, 1 << cu.log2_h
+    mvx, mvy = cu.ibc_mv
+    ibc_copy(frame.y, cu.x0, cu.y0, w, h, mvx, mvy, ctb_x, ctb_y,
+             log2_ctb, chroma=False)
+    _add_luma_residuals(rc, cu, trc, bd)
+    rc.mark_luma(cu.x0, cu.y0, cu.log2_w, cu.log2_h)
+    if params.sps.sps_chroma_format_idc:
+        ibc_copy(frame.cb, cu.x0, cu.y0, w, h, mvx, mvy, ctb_x, ctb_y,
+                 log2_ctb, chroma=True)
+        ibc_copy(frame.cr, cu.x0, cu.y0, w, h, mvx, mvy, ctb_x, ctb_y,
+                 log2_ctb, chroma=True)
+        _add_chroma_residuals(rc, cu, params, trc, bd)
 
 
 def _dbf_sb_motion(dbf: DbfMaps, cu, refs):

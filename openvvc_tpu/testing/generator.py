@@ -73,6 +73,7 @@ class StreamConfig:
     affine_amvr: bool = False
     prof: bool = False
     sbtmvp: bool = False
+    ibc: bool = False
     # SPS-signaled RPLs: ([rpl0 entry-lists], [rpl1 entry-lists]); entries as
     # in _mk_rpl. Needed for long-term refs: the reference resolves LT POCs
     # only from RPL-struct fields (compute_ref_poc :469 reads
@@ -121,6 +122,9 @@ def build_sps(cfg: StreamConfig) -> SPS:
     sps.sps_temporal_mvp_enabled_flag = 1 if (cfg.tmvp or cfg.sbtmvp) else 0
     if cfg.sbtmvp:
         sps.sps_sbtmvp_enabled_flag = 1
+    if cfg.ibc:
+        sps.sps_ibc_enabled_flag = 1
+        sps.sps_six_minus_max_num_ibc_merge_cand = 0
     if cfg.long_term:
         sps.sps_long_term_ref_pics_flag = 1
     if cfg.sps_rpls is not None:

@@ -130,6 +130,9 @@ class CU:
     affine_mvd0: tuple = None  # ((lt.x,lt.y),(rt.x,rt.y)[,(lb.x,lb.y)])
     affine_mvd1: tuple = None
     sb_info: object = None     # recon payload (sub-block MVs / sbtmvp units)
+    ibc_flag: int = 0
+    ibc_mv: tuple = None       # integer-pel (x, y) for the block copy
+    ibc_dbf: tuple = None      # (top_edge_units, left_edge_units) bs1 masks
     amvr_prec: int = 4  # MV_PRECISION_QUARTER
     mv0: object = None  # drv result (drv.inter_mvp.MV)
     prec_amvr_eff: int = 4  # slice-running prec after this CU (hpel MC select)
@@ -292,6 +295,18 @@ class CTUParseCtx:
                 self.inter_ctx.log2_ctb_units = self.log2_ctb - 2
                 self.inter_ctx.col = col
                 self.inter_ctx.tile_uoff = (self.tile_x0 >> 2, self.tile_y0 >> 2)
+
+        # IBC derivation context (drv_ibc.c; slicedec.c :1401)
+        self.ibc_ctx = None
+        self.nb_ibc_cand = 0
+        if self.ibc_enabled:
+            from openvvc_tpu.drv.ibc import IbcCtx
+
+            self.nb_ibc_cand = 6 - int(
+                getattr(sps, "sps_six_minus_max_num_ibc_merge_cand", 0) or 0)
+            uw_i = (self.tile_w + 3) >> 2
+            uh_i = (self.tile_h + 3) >> 2
+            self.ibc_ctx = IbcCtx(uw_i, uh_i, self.nb_ibc_cand)
 
         # affine / SbTMVP derivation contexts (slicedec.c init_affine_status
         # :1362 + dpb.c init_tmvp_info col ref indices :1016-1027)

@@ -831,3 +831,83 @@ def code_inter_dir(ctx, io, cu, log2_w, log2_h) -> int:
         assert v != 3, "no bi-pred on small blocks"
     io.put_bin(v - 1, CtxOffset.INTER_DIR + 5)
     return v
+
+
+# ---------------------------------------------------------------------------
+# IBC (intra block copy) syntax + drv wrap
+# Parity: vcl_coding_unit.c ovcabac_read_ae_cu_ibc_flag (:68),
+# ovcabac_read_ae_ibc_amvr_precision (:284), inter_mvp_data_ibc (:876),
+# IBC branches of coding_unit_inter_st (:1030-1105) and
+# coding_unit_intra (:1256-1300).
+# ---------------------------------------------------------------------------
+
+
+def code_ibc_flag(ctx, io, cu, x0, y0) -> int:
+    from openvvc_tpu.vcl.slice_data import _nbr_cu_type
+
+    abv = _nbr_cu_type(ctx, x0, y0 - 1)
+    lft = _nbr_cu_type(ctx, x0 - 1, y0)
+    off = (int(abv == CU_IBC) + int(lft == CU_IBC)
+           + int(abv == CU_IBC_SKIP) + int(lft == CU_IBC_SKIP))
+    wv = None if io.is_reader else (1 if cu.ibc_flag else 0)
+    v = _sym_bin(io, CtxOffset.IBC_FLAG + off, wv)
+    if io.is_reader:
+        cu.ibc_flag = v
+    return v
+
+
+def code_ibc_amvr_precision(ctx, io, cu) -> int:
+    """IBC AMVR: one IMV_FLAG+1 bin -> {integer, 4-pel}."""
+    if io.is_reader:
+        v = io.raw_bin(CtxOffset.IMV_FLAG + 1)
+        cu.amvr_prec = MV_PRECISION_4PEL if v else MV_PRECISION_INT
+        return cu.amvr_prec
+    io.put_bin(1 if cu.amvr_prec == MV_PRECISION_4PEL else 0,
+               CtxOffset.IMV_FLAG + 1)
+    return cu.amvr_prec
+
+
+def ibc_pu(ctx, io, cu, x0, y0, log2_w, log2_h, skip: bool):
+    """IBC prediction data: merge or MVD + derivation; fills cu.ibc_mv."""
+    from openvvc_tpu.drv.ibc import drv_ibc_merge_mv, drv_ibc_mvp
+    from openvvc_tpu.vcl.ctu import MODE_IBC
+
+    nb_cand = ctx.nb_ibc_cand
+    if skip:
+        merge = 1
+        cu.merge_flag = 1
+    else:
+        if io.is_reader:
+            merge = io.raw_bin(CtxOffset.MERGE_FLAG)
+            cu.merge_flag = merge
+        else:
+            merge = cu.merge_flag
+            io.put_bin(merge, CtxOffset.MERGE_FLAG)
+
+    lx, ly = x0 - ctx.tile_x0, y0 - ctx.tile_y0
+    if merge:
+        code_merge_idx(ctx, io, cu, nb_cand)
+        mv, edges = drv_ibc_merge_mv(ctx.ibc_ctx, lx, ly, log2_w, log2_h,
+                                     cu.merge_idx, nb_cand)
+    else:
+        mvd = code_mvd(ctx, io, None if io.is_reader else cu.mvd)
+        if io.is_reader:
+            cu.mvd = (mvd.x, mvd.y)
+        if nb_cand - 1:
+            if io.is_reader:
+                cu.mvp_idx = io.raw_bin(CtxOffset.MVP_IDX)
+            else:
+                io.put_bin(cu.mvp_idx, CtxOffset.MVP_IDX)
+        elif io.is_reader:
+            cu.mvp_idx = 0
+        prec = MV_PRECISION_INT
+        if ctx.amvr_enabled and (mvd.x or mvd.y):
+            prec = code_ibc_amvr_precision(ctx, io, cu)
+        if io.is_reader:
+            cu.amvr_prec = prec
+        mv, edges = drv_ibc_mvp(ctx.ibc_ctx, lx, ly, log2_w, log2_h,
+                                mvd, cu.mvp_idx, prec)
+    cu.ibc_flag = 1
+    cu.ibc_mv = (mv.x, mv.y)
+    cu.ibc_dbf = edges
+    cu.pred_mode = MODE_IBC

@@ -90,6 +90,28 @@ def coding_unit_dispatch(ctx, io, node, x0, y0, log2_w, log2_h):
             ctx.is_cu_qp_delta_coded = False
     cu.qp = ctx.qp
 
+    # IBC in I slices (coding_unit_intra :1256-1300): skip flag + ibc flag
+    # gate the block-copy path before any intra syntax
+    if (ctx.slice_type == SLICE_I and ctx.ibc_enabled and tree == TREE_SINGLE
+            and ctx.share != 1 and log2_w < 7 and log2_h < 7):
+        from openvvc_tpu.vcl.inter_pu import (CU_IBC, CU_IBC_SKIP,
+                                              code_ibc_flag, ibc_pu,
+                                              read_skip_flag)
+
+        abv = _nbr_cu_type(ctx, x0, y0 - 1)
+        lft = _nbr_cu_type(ctx, x0 - 1, y0)
+        skip = read_skip_flag(ctx, io, cu, abv, lft)
+        ibc = skip or code_ibc_flag(ctx, io, cu, x0, y0)
+        if ibc:
+            ibc_pu(ctx, io, cu, x0, y0, log2_w, log2_h, bool(skip))
+            _reset_intra_map(ctx, x0, y0, log2_w, log2_h)
+            if not skip:
+                _inter_tu_tail(ctx, io, cu, x0, y0, log2_w, log2_h,
+                               allow_sbt=False)
+            _cu_tail_maps(ctx, cu, x0, y0, log2_w, log2_h,
+                          CU_IBC_SKIP if skip else CU_IBC)
+            return cu
+
     if tree in (TREE_SINGLE, TREE_DUAL_LUMA):
         coding_unit_intra_luma(ctx, io, cu)
         mode_for_store = cu.intra_mode_l
@@ -198,6 +220,18 @@ def coding_unit_inter_st(ctx, io, node, x0, y0, log2_w, log2_h):
 
     if skip:
         cu.merge_flag = 1
+        # IBC skip (coding_unit_inter_st :1033-1070)
+        if ctx.ibc_enabled and ctx.share != 1 and log2_w < 7 and log2_h < 7:
+            from openvvc_tpu.vcl.inter_pu import (CU_IBC_SKIP, code_ibc_flag,
+                                                  ibc_pu)
+
+            ibc = (log2_w == 2 and log2_h == 2) \
+                or code_ibc_flag(ctx, io, cu, x0, y0)
+            if ibc:
+                ibc_pu(ctx, io, cu, x0, y0, log2_w, log2_h, True)
+                _reset_intra_map(ctx, x0, y0, log2_w, log2_h)
+                _cu_tail_maps(ctx, cu, x0, y0, log2_w, log2_h, CU_IBC_SKIP)
+                return cu
         pred_unit(ctx, io, cu, x0, y0, log2_w, log2_h, 1, 1)
         cu_type = CU_INTER_SKIP_AFFINE \
             if (cu.sb_merge_flag or cu.affine_flag) else CU_INTER_SKIP
@@ -236,7 +270,18 @@ def coding_unit_inter_st(ctx, io, node, x0, y0, log2_w, log2_h):
         _cu_tail_maps(ctx, cu, x0, y0, log2_w, log2_h, cu_type)
         return cu
 
-    # inter, non-skip
+    # inter, non-skip; IBC checked before merge flag
+    # (coding_unit_inter_st :1155-1208)
+    if ctx.ibc_enabled and ctx.share != 1 and log2_w < 7 and log2_h < 7:
+        from openvvc_tpu.vcl.inter_pu import CU_IBC, code_ibc_flag, ibc_pu
+
+        if code_ibc_flag(ctx, io, cu, x0, y0):
+            ibc_pu(ctx, io, cu, x0, y0, log2_w, log2_h, False)
+            _reset_intra_map(ctx, x0, y0, log2_w, log2_h)
+            _inter_tu_tail(ctx, io, cu, x0, y0, log2_w, log2_h,
+                           allow_sbt=False)
+            _cu_tail_maps(ctx, cu, x0, y0, log2_w, log2_h, CU_IBC)
+            return cu
     if io.is_reader:
         cu.merge_flag = io.raw_bin(CtxOffset.MERGE_FLAG)
     else:
@@ -246,7 +291,18 @@ def coding_unit_inter_st(ctx, io, node, x0, y0, log2_w, log2_h):
     cu_type = CU_AFFINE if (cu.sb_merge_flag or cu.affine_flag) else CU_INTER
     _reset_intra_map(ctx, x0, y0, log2_w, log2_h)
 
-    # root cbf + transforms (vcl_transform_unit.c :1896)
+    _inter_tu_tail(ctx, io, cu, x0, y0, log2_w, log2_h)
+
+    if ctx.chroma_enabled:
+        ctx.store_cu_chroma(x0 >> 1, y0 >> 1, log2_w, log2_h)
+    ctx.store_cu_luma(cu)
+    _cu_tail_maps(ctx, cu, x0, y0, log2_w, log2_h, cu_type)
+    return cu
+
+
+def _inter_tu_tail(ctx, io, cu, x0, y0, log2_w, log2_h, allow_sbt=True):
+    """Root cbf + inter transform tree (vcl_transform_unit.c :1896).
+    IBC CUs take this path too, with SBT disallowed (:1901)."""
     if io.is_reader:
         root = 1 if cu.merge_flag else io.raw_bin(CtxOffset.QT_ROOT_CBF)
         cu.root_cbf = root
@@ -261,7 +317,7 @@ def coding_unit_inter_st(ctx, io, node, x0, y0, log2_w, log2_h):
         part = ctx.part_luma
         split_tu = log2_w > part.log2_max_tb_s or log2_h > part.log2_max_tb_s
         sbt = 0
-        if ctx.sbt_enabled and not split_tu and not cu.ciip_flag:
+        if allow_sbt and ctx.sbt_enabled and not split_tu and not cu.ciip_flag:
             sbt_mask = ((log2_h >= 3) | ((log2_w >= 3) << 1)
                         | ((log2_h >= 4) << 2) | ((log2_w >= 4) << 3))
             if sbt_mask:
@@ -274,12 +330,6 @@ def coding_unit_inter_st(ctx, io, node, x0, y0, log2_w, log2_h):
             _sbt_unit(ctx, io, cu, x0, y0, log2_w, log2_h, sbt_mask)
         else:
             transform_tree_intra(ctx, io, cu, x0, y0, log2_w, log2_h, root_cbf=1)
-
-    if ctx.chroma_enabled:
-        ctx.store_cu_chroma(x0 >> 1, y0 >> 1, log2_w, log2_h)
-    ctx.store_cu_luma(cu)
-    _cu_tail_maps(ctx, cu, x0, y0, log2_w, log2_h, cu_type)
-    return cu
 
 
 def _sbt_unit(ctx, io, cu, x0, y0, log2_w, log2_h, sbt_mask):
@@ -376,6 +426,9 @@ def code_entry(params, entry, io, trees=None):
             # HMVP LUT resets at each CTU row start (drv_lines.c
             # load_first_ctu_inter :hmvp_lut.nb_mv = 0)
             ctx.inter_ctx.hmvp.reset()
+        if ctx.ibc_ctx is not None:
+            # IBC HMVP resets per CTU row too (drv_lines.c :985)
+            ctx.ibc_ctx.hmvp = []
         for ctb_col in range(entry.nb_ctu_w):
             ctb_x = entry.ctu_x + ctb_col
             ctb_y = entry.ctu_y + ctb_row
