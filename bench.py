@@ -78,12 +78,61 @@ def main():
 
     fps = len(frames) / dt
     ref_fps = measure_ref_fps()
+    extra = {}
+    try:
+        extra = bench_pallas_mc()
+    except Exception as e:  # pragma: no cover - device-dependent
+        extra = {"pallas_mc_error": str(e)[:120]}
     print(json.dumps({
         "metric": "end-to-end 1080p decode (bit-exact, host parse + batched recon/filters)",
         "value": round(fps, 3),
         "unit": "fps",
         "vs_baseline": round(fps / ref_fps, 4),
+        **extra,
     }))
+
+
+def bench_pallas_mc():
+    """Before/after for the Pallas MC kernel vs the XLA gather formulation
+    (one 1080p frame of 16x16 luma MC blocks, Msamples/s on this chip)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from openvvc_tpu.rcn import jax_mc
+    from openvvc_tpu.rcn.data_mc import MC_FILTERS_L
+    from openvvc_tpu.rcn.pallas.mc import McPallas
+
+    rng = np.random.RandomState(3)
+    H, W = 1088, 1920
+    plane = rng.randint(0, 256, (H, W)).astype(np.int32)
+    n = 8040
+    xs = rng.randint(0, W - 24, n).astype(np.int32)
+    ys = rng.randint(0, H - 24, n).astype(np.int32)
+    fx = rng.randint(1, 16, n).astype(np.int32)
+    fy = rng.randint(1, 16, n).astype(np.int32)
+
+    mcp = McPallas(plane)
+    fh, fv = MC_FILTERS_L[fx - 1], MC_FILTERS_L[fy - 1]
+    mcp.interp_14bit(xs, ys, fh, fv, 16, 16, 8).block_until_ready()
+    t0 = time.monotonic()
+    for _ in range(20):
+        out = mcp.interp_14bit(xs, ys, fh, fv, 16, 16, 8)
+    out.block_until_ready()
+    t_pal = (time.monotonic() - t0) / 20
+
+    pd = jnp.asarray(plane)
+    args = (pd, jnp.asarray(xs), jnp.asarray(ys), jnp.asarray(fx),
+            jnp.asarray(fy), 16, 16, 8)
+    jax_mc.interp_14bit_jit(*args).block_until_ready()
+    t0 = time.monotonic()
+    for _ in range(20):
+        out = jax_mc.interp_14bit_jit(*args)
+    out.block_until_ready()
+    t_jnp = (time.monotonic() - t0) / 20
+    return {
+        "pallas_mc_msamples_s": round(n * 256 / t_pal / 1e6, 1),
+        "xla_gather_mc_msamples_s": round(n * 256 / t_jnp / 1e6, 1),
+    }
 
 
 if __name__ == "__main__":

@@ -36,15 +36,9 @@ _NP_FILT_4 = _with_identity(MC_FILTERS_4, 3)
 _NP_FILT_C = _with_identity(MC_FILTERS_C, 1)
 _NP_FILT_BLN = _with_identity(BILINEAR_FILTERS * 4, 0)  # 16*4=64 at tap 0
 
-# device copies are created lazily: a module-level jnp.asarray would spin up
-# the TPU client at import time even for numpy-only callers
-_DEV = {}
-
-
-def _dev_table(name):
-    if name not in _DEV:
-        _DEV[name] = jnp.asarray(globals()["_NP" + name])
-    return _DEV[name]
+# device copies are materialized per use: a module-level jnp.asarray would
+# spin up the TPU client at import for numpy-only callers, and caching the
+# result would leak tracers when first touched inside a jit trace
 
 
 class _LazyTable:
@@ -52,7 +46,7 @@ class _LazyTable:
         self._name = name
 
     def __getitem__(self, idx):
-        return _dev_table(self._name)[idx]
+        return jnp.asarray(globals()["_NP" + self._name])[idx]
 
 
 _FILT_L = _LazyTable("_FILT_L")

@@ -26,21 +26,20 @@ import numpy as np
 from openvvc_tpu.rcn.data_transform import MATRICES
 from openvvc_tpu.rcn.ref_transform import _IQ_SCALE
 
-# device constants are created lazily so a numpy-only import of this module
-# doesn't spin up the TPU client
-_DEV_CONST = {}
+# device constants are materialized per call (inside jit they become trace
+# constants; caching them would leak tracers, and a module-level jnp.asarray
+# would spin up the TPU client for numpy-only importers)
 
 
 def _j_matrix(key):
-    if key not in _DEV_CONST:
-        _DEV_CONST[key] = jnp.asarray(MATRICES[key], jnp.int32)
-    return _DEV_CONST[key]
+    return jnp.asarray(MATRICES[key], jnp.int32)
+
+
+_NP_IQ_TBL = np.array(_IQ_SCALE, np.int32)
 
 
 def _iq_scale():
-    if "iq" not in _DEV_CONST:
-        _DEV_CONST["iq"] = jnp.asarray(np.array(_IQ_SCALE, np.int32))  # [2][6]
-    return _DEV_CONST["iq"]
+    return jnp.asarray(_NP_IQ_TBL)  # [2][6]
 
 
 @partial(jax.jit, static_argnames=("log2_w", "log2_h", "dep_quant", "bitdepth"))
