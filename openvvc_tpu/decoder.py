@@ -991,11 +991,19 @@ class Decoder:
     sequential prediction loop — the host/device split of the TPU design.
     """
 
-    def __init__(self, use_tpu_residuals: bool = False, use_tpu: bool = False):
+    def __init__(self, use_tpu_residuals: bool = False, use_tpu: bool = False,
+                 nb_entry_threads: int = 1):
         self.nvcl = NvclContext()
         self.use_tpu_residuals = use_tpu_residuals or use_tpu
         self.dpb = DPB()
         self.last_pps = None
+        # entry-level parallel runtime (the reference's -e threads). The
+        # parse/recon stages are thread-safe per entry (validated by
+        # tests/test_entry_threads.py), but with the Python orchestration
+        # still owning the inner loops the GIL makes >1 threads net-slower
+        # today — the default stays 1 until the native parse path owns the
+        # entry loop end to end.
+        self.nb_entry_threads = max(1, nb_entry_threads)
 
     def decode(self, stream: bytes) -> list[Frame]:
         frames = []
@@ -1064,12 +1072,26 @@ class Decoder:
 
         sao_entries = []
         alf_entries = []
-        parsed = []
-        for entry in params.entries:
+
+        # entry-level parallelism (the reference's -e entry threads,
+        # ovthreads.c entry jobs): tiles parse and reconstruct
+        # independently — parse state is per-entry, reconstruction writes
+        # disjoint tile rects of the shared frame planes and idempotent
+        # cells of the shared DBF maps; whole-frame filters join after.
+        def _parse_one(entry):
             ectx, trees, dec = parse_entry(params, entry)
             if dec.overread():
                 raise ValueError("CABAC overread in entry")
-            parsed.append((entry, ectx))
+            return entry, ectx
+
+        nb_workers = min(len(params.entries), self.nb_entry_threads)
+        if nb_workers > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(nb_workers) as pool:
+                parsed = list(pool.map(_parse_one, params.entries))
+        else:
+            parsed = [_parse_one(e) for e in params.entries]
 
         precompute_residuals_batched(parsed, tools, bd,
                                      device=self.use_tpu_residuals)
@@ -1080,16 +1102,30 @@ class Decoder:
                                 (refs0, refs1, dist0, dist1), bd,
                                 device=self.use_tpu_residuals)
 
-        tmvp_export = None
         dmvr_overrides = []
-        for entry, ectx in parsed:
+
+        def _recon_one(item):
+            entry, ectx = item
             rc = ReconCtx(frame, params, entry)
             rc.tools = tools
             rc.dmvr_overrides = dmvr_overrides
             for ctu in ectx.ctus:
                 for cu in ctu.cus:
                     reconstruct_cu(rc, cu, params, tools, dbf,
-                                   (refs0, refs1, dist0, dist1) if refs0 is not None else None)
+                                   (refs0, refs1, dist0, dist1)
+                                   if refs0 is not None else None)
+
+        if nb_workers > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(nb_workers) as pool:
+                list(pool.map(_recon_one, parsed))
+        else:
+            for item in parsed:
+                _recon_one(item)
+
+        tmvp_export = None
+        for entry, ectx in parsed:
             if ectx.sao_params:
                 sao_entries.append((entry, ectx.sao_params))
             if ectx.alf_params:

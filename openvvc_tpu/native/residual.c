@@ -341,7 +341,7 @@ int64_t rc_decode_tb(CabacDec *d, int32_t *levels, int32_t *decoded,
     int last_x = px > 3 ? last_suffix(d, px) : px;
     int last_y = py > 3 ? last_suffix(d, py) : py;
 
-    static struct TB tb; /* single-threaded host parse */
+    struct TB tb; /* stack-allocated: entry threads parse concurrently */
     memset(tb.abs1, 0, sizeof(tb.abs1));
     memset(tb.abs2, 0, sizeof(tb.abs2));
     memset(tb.sig, 0, sizeof(tb.sig));
