@@ -9,6 +9,7 @@ rcn stack for the currently supported toolset (all-intra).
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -278,6 +279,114 @@ def _reconstruct_ibc(rc: ReconCtx, cu: CU, params, trc):
         ibc_copy(frame.cr, cu.x0, cu.y0, w, h, mvx, mvy, ctb_x, ctb_y,
                  log2_ctb, chroma=True)
         _add_chroma_residuals(rc, cu, params, trc, bd)
+
+
+def _wave_eligible(cu, params) -> bool:
+    """Regular intra luma CU batchable by predict_intra_group."""
+    if cu.pred_mode != 0 or cu.tree_type != TREE_SINGLE:
+        return False
+    if cu.mip_flag or cu.mrl_idx or cu.isp_mode or cu.bdpcm_l:
+        return False
+    part = params.part_info["intra_luma"]
+    return cu.log2_w <= part.log2_max_tb_s and cu.log2_h <= part.log2_max_tb_s
+
+
+def _recon_entry_waves(rc: ReconCtx, ectx, params, tools, dbf, refs):
+    """Wavefront-batched intra reconstruction for one entry (device path).
+
+    CUs are grouped into dependency waves over the 4x4 unit grid using a
+    conservative reference span (everything an intra prediction may probe);
+    CUs within a wave are independent by construction, so all regular luma
+    predictions of a wave run as batched device launches
+    (jax_intra.predict_intra_group) while the rest fall back to the scalar
+    path at their wave position. This is SURVEY §7.1's anti-diagonal CTU
+    batching generalized to exact CU-level dependencies.
+    """
+    from openvvc_tpu.rcn.jax_intra import predict_intra_group
+
+    bd = rc.bitdepth
+    frame = rc.frame
+    trc = _TrCtx(tools["dep_quant"], tools["mts_implicit"],
+                 tools.get("mts_enabled", False), tools.get("scale_c", False),
+                 tools.get("lmcs"))
+    cus = [cu for ctu in ectx.ctus for cu in ctu.cus]
+    uh, uw = rc.avail_l.shape
+    wave_map = np.zeros((uh, uw), np.int32)
+    tx, ty = rc.tile_x0, rc.tile_y0
+    waves: dict[int, list] = {}
+    for cu in cus:
+        ux, uy = (cu.x0 - tx) >> 2, (cu.y0 - ty) >> 2
+        w_u = max(1, (1 << cu.log2_w) >> 2)
+        h_u = max(1, (1 << cu.log2_h) >> 2)
+        x_lo, y_lo = max(0, ux - 1), max(0, uy - 1)
+        x_hi = min(uw, ux + 2 * w_u + 2)
+        y_hi = min(uh, uy + 2 * h_u + 2)
+        wv = 0
+        if uy > 0:
+            wv = max(wv, int(wave_map[y_lo:uy, x_lo:x_hi].max(initial=0)))
+        if ux > 0:
+            wv = max(wv, int(wave_map[y_lo:y_hi, x_lo:ux].max(initial=0)))
+        wv += 1
+        wave_map[uy : uy + h_u, ux : ux + w_u] = wv
+        waves.setdefault(wv, []).append(cu)
+
+    # below this group size the fixed device launch+fetch latency beats the
+    # batched win; those CUs run scalar at their wave position
+    min_batch = int(os.environ.get("OPENVVC_WAVE_MIN_BATCH", "8"))
+    for wv in sorted(waves):
+        groups: dict = {}
+        scalar = []
+        for cu in waves[wv]:
+            if _wave_eligible(cu, params):
+                groups.setdefault((cu.log2_w, cu.log2_h, cu.intra_mode_l),
+                                  []).append(cu)
+            else:
+                scalar.append(cu)
+        for key in [k for k, g in groups.items() if len(g) < min_batch]:
+            scalar.extend(groups.pop(key))
+        for (l2w, l2h, mode), grp in groups.items():
+            preds = predict_intra_group(frame.y, [(c.x0, c.y0) for c in grp],
+                                        l2w, l2h, mode, rc.luma_avail, bd,
+                                        luma=True)
+            for i, cu in enumerate(grp):
+                if dbf is not None:
+                    dbf.add_cu_luma(cu.x0, cu.y0, 1 << l2w, 1 << l2h,
+                                    cu.qp, True)
+                pred = preds[i]
+                tu = next((t for t in cu.tus
+                           if t.comp == 0 and t.x0 == cu.x0 and t.y0 == cu.y0), None)
+                if tu is not None:
+                    lmode = None
+                    if tu.lfnst_idx:
+                        lmode = lfnst_intra_mode(min(5, l2w), min(5, l2h),
+                                                 cu.intra_mode_l)
+                    pred = pred + reconstruct_tu_residual(tu, trc, bd,
+                                                          lfnst_mode=lmode)
+                    if dbf is not None and tu.cbf:
+                        dbf.add_tb_luma(tu.x0, tu.y0, 1 << l2w, 1 << l2h)
+                frame.y[cu.y0 : cu.y0 + (1 << l2h),
+                        cu.x0 : cu.x0 + (1 << l2w)] = _clip(pred, bd)
+                rc.mark_luma(cu.x0, cu.y0, l2w, l2h)
+                if rc.params.sps.sps_chroma_format_idc:
+                    if dbf is not None:
+                        qctx = _QpCtx(params)
+                        qp_bd = params.qp_bd_offset
+                        qp_cb = _derive_chroma_qp(qctx, 1, cu.qp) - qp_bd
+                        qp_cr = _derive_chroma_qp(qctx, 2, cu.qp) - qp_bd
+                        dbf.add_cu_chroma(cu.x0 >> 1, cu.y0 >> 1,
+                                          1 << (l2w - 1), 1 << (l2h - 1),
+                                          qp_cb, qp_cr, True)
+                        for t in cu.tus:
+                            if t.comp in (1, 2, 3) and t.cbf:
+                                comps = (1, 2) if t.comp == 3 else (t.comp,)
+                                for comp in comps:
+                                    dbf.add_tb_chroma(comp, t.x0, t.y0,
+                                                      1 << t.log2_w,
+                                                      1 << t.log2_h)
+                    _reconstruct_chroma(rc, cu, params, trc, cu.x0 >> 1,
+                                        cu.y0 >> 1, l2w - 1, l2h - 1)
+        for cu in scalar:
+            reconstruct_cu(rc, cu, params, tools, dbf, refs)
 
 
 def _dbf_sb_motion(dbf: DbfMaps, cu, refs):
@@ -995,6 +1104,21 @@ class Decoder:
                  nb_entry_threads: int = 1):
         self.nvcl = NvclContext()
         self.use_tpu_residuals = use_tpu_residuals or use_tpu
+        if self.use_tpu_residuals:
+            # per-shape XLA compiles dominate a cold run on this target
+            # (0.5-20 s each through the device tunnel); persist them so
+            # repeat invocations hit the cache instead of recompiling
+            import jax
+
+            try:
+                jax.config.update(
+                    "jax_compilation_cache_dir",
+                    os.environ.get("OPENVVC_JAX_CACHE",
+                                   "/tmp/openvvc_jax_cache"))
+                jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+                jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+            except Exception:
+                pass  # older jax without persistent-cache knobs
         self.dpb = DPB()
         self.last_pps = None
         # entry-level parallel runtime (the reference's -e threads). The
@@ -1009,10 +1133,25 @@ class Decoder:
         frames = []
         for nal in demux_annexb(stream):
             if is_vcl(nal.type):
-                frames.append(self._decode_picture(nal))
+                frames.append(self._post_process(self._decode_picture(nal)))
             else:
                 self.nvcl.decode_nalu(nal)
         return frames
+
+    def _post_process(self, frame: Frame) -> Frame:
+        """Output-side post-processing (reference post_proc.c:75-137): film
+        grain is synthesized onto a writable output copy; the DPB keeps the
+        un-grained picture for inter prediction."""
+        fg = getattr(self.nvcl, "sei_film_grain", None)
+        if fg is None:
+            return frame
+        from openvvc_tpu.rcn.ref_fg import apply_film_grain
+
+        y, cb, cr = apply_film_grain((frame.y, frame.cb, frame.cr), fg,
+                                     frame.poc)
+        out = Frame(frame.poc, y, cb, cr, frame.bitdepth)
+        out.cvs_id = getattr(frame, "cvs_id", 0)
+        return out
 
     @staticmethod
     def output_order(frames: list[Frame]) -> list[Frame]:
@@ -1109,11 +1248,18 @@ class Decoder:
             rc = ReconCtx(frame, params, entry)
             rc.tools = tools
             rc.dmvr_overrides = dmvr_overrides
+            erefs = (refs0, refs1, dist0, dist1) if refs0 is not None else None
+            # Wavefront-batched intra: safe when every CU's cross-CU reads
+            # are bounded by the intra reference span (no IBC far-reads, no
+            # dual-tree chroma coordinates, no LMCS running scale state).
+            if self.use_tpu_residuals and lmcs is None and all(
+                    cu.tree_type == TREE_SINGLE and cu.pred_mode != 2
+                    for ctu in ectx.ctus for cu in ctu.cus):
+                _recon_entry_waves(rc, ectx, params, tools, dbf, erefs)
+                return
             for ctu in ectx.ctus:
                 for cu in ctu.cus:
-                    reconstruct_cu(rc, cu, params, tools, dbf,
-                                   (refs0, refs1, dist0, dist1)
-                                   if refs0 is not None else None)
+                    reconstruct_cu(rc, cu, params, tools, dbf, erefs)
 
         if nb_workers > 1:
             from concurrent.futures import ThreadPoolExecutor
@@ -1142,8 +1288,23 @@ class Decoder:
                 hook(frame, dbf, params)
             from openvvc_tpu.rcn.jax_dbf import deblock_frame_batched
 
-            frame.y, frame.cb, frame.cr = deblock_frame_batched(
-                np, frame.y, frame.cb, frame.cr, dbf, params, sps.ctb_log2, bd)
+            if self.use_tpu_residuals:
+                import jax.numpy as jnp
+
+                dy, dcb, dcr = deblock_frame_batched(
+                    jnp, jnp.asarray(frame.y),
+                    jnp.asarray(frame.cb) if frame.cb is not None else None,
+                    jnp.asarray(frame.cr) if frame.cr is not None else None,
+                    dbf, params, sps.ctb_log2, bd)
+                # np.array (not asarray): device->host views are read-only
+                # and SAO/ALF mutate the planes in place
+                frame.y = np.array(dy)
+                if dcb is not None:
+                    frame.cb, frame.cr = np.array(dcb), np.array(dcr)
+            else:
+                frame.y, frame.cb, frame.cr = deblock_frame_batched(
+                    np, frame.y, frame.cb, frame.cr, dbf, params,
+                    sps.ctb_log2, bd)
         for entry, sao_params in sao_entries:
             apply_sao_entry(frame, (entry.ctu_x, entry.ctu_y, entry.nb_ctu_w, entry.nb_ctu_h),
                             sps.ctb_log2, sao_params, bd, pps.pic_w, pps.pic_h)

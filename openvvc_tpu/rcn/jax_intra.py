@@ -162,9 +162,13 @@ def predict_intra_group(plane, tbs, log2_w, log2_h, mode, avail_fn, bitdepth, lu
     unit = 4 if luma else 2
     refs = [fill_side_refs(plane, x0, y0, log2_w, log2_h, avail_fn, bitdepth, unit)
             for (x0, y0) in tbs]
+    n = len(tbs)
+    # pad the batch dim to a pow2 floor so XLA compiles a bounded set of
+    # shapes per (size, filter) class instead of one per group size
+    n_pad = max(8, 1 << max(0, n - 1).bit_length())
+    refs = refs + [refs[-1]] * (n_pad - n)
     ref_a = [r[0] for r in refs]
     ref_l = [r[1] for r in refs]
-    n = len(tbs)
 
     if mode == 0:  # planar
         if luma and (log2_w + log2_h) > 5:
@@ -176,7 +180,7 @@ def predict_intra_group(plane, tbs, log2_w, log2_h, mode, avail_fn, bitdepth, lu
         tr = np.asarray([int(a[w + 1]) for a in ref_a], np.int32)
         bl = np.asarray([int(l[h + 1]) for l in ref_l], np.int32)
         pred = planar_batch(top, left, tr, bl, log2_w, log2_h)
-        return np.asarray(pdpc_flat_batch(pred, top, left, log2_w, log2_h, bitdepth))
+        return np.asarray(pdpc_flat_batch(pred, top, left, log2_w, log2_h, bitdepth))[:n]
 
     if mode == 1:  # DC
         top = np.stack([a.view(1, 1 + w) for a in ref_a])
@@ -184,7 +188,7 @@ def predict_intra_group(plane, tbs, log2_w, log2_h, mode, avail_fn, bitdepth, lu
         pred = dc_batch(top, left, log2_w, log2_h)
         if luma or (log2_w > 1 and log2_h > 1):
             pred = pdpc_flat_batch(pred, top, left, log2_w, log2_h, bitdepth)
-        return np.asarray(pred)
+        return np.asarray(pred)[:n]
 
     pred_mode = derive_wide_angular_mode(log2_w, log2_h, mode)
     vertical = pred_mode >= OVINTRA_DIA
@@ -204,7 +208,7 @@ def predict_intra_group(plane, tbs, log2_w, log2_h, mode, avail_fn, bitdepth, lu
         return p if vertical else np.transpose(p, (0, 2, 1))
 
     lo = n_proj_lo = (1 << (log2_h if vertical else log2_w)) + 4
-    angles = np.full(n, 0, np.int32)
+    angles = np.full(n_pad, 0, np.int32)
 
     if mode_idx == 0:  # pure: copy at angle 0 == row repeat
         main = pack_refs(ref_main, lo, 2 * line_len + 8)
@@ -218,7 +222,7 @@ def predict_intra_group(plane, tbs, log2_w, log2_h, mode, avail_fn, bitdepth, lu
                 for i in range(n)
             ]).astype(np.int32)
             return out
-        return orient(pred)
+        return orient(pred)[:n]
 
     if mode_idx == 16:  # exact diagonal
         rm, rs = ref_main, ref_side
@@ -235,7 +239,7 @@ def predict_intra_group(plane, tbs, log2_w, log2_h, mode, avail_fn, bitdepth, lu
             lim = min(3 << scale, line_len)
             pred = np.asarray(pdpc_angular_batch(jnp.asarray(pred), jnp.asarray(side),
                                                  lo, 512, scale, lim, bitdepth))
-        return orient(pred)
+        return orient(pred)[:n]
 
     abs_angle = ANGLE_TABLE[abs(mode_idx)]
     inv_angle = INVERSE_ANGLE_TABLE[abs(mode_idx)]
@@ -253,7 +257,7 @@ def predict_intra_group(plane, tbs, log2_w, log2_h, mode, avail_fn, bitdepth, lu
             angles[:] = -abs_angle
             pred = np.asarray(angular_core_batch(main, lo, jnp.asarray(angles),
                                                  n_lines, line_len, "copy", bitdepth))
-            return orient(pred)
+            return orient(pred)[:n]
         main = pack_refs(fm, lo, 2 * line_len + 8)
         angles[:] = abs_angle
         pred = np.asarray(angular_core_batch(main, lo, jnp.asarray(angles),
@@ -264,7 +268,7 @@ def predict_intra_group(plane, tbs, log2_w, log2_h, mode, avail_fn, bitdepth, lu
             lim = min(3 << pdpc_scale, line_len)
             pred = np.asarray(pdpc_angular_batch(jnp.asarray(pred), jnp.asarray(side),
                                                  lo, inv_angle, pdpc_scale, lim, bitdepth))
-        return orient(pred)
+        return orient(pred)[:n]
 
     filt = "gauss" if use_gauss else ("cubic" if req_frac else "copy")
     if not luma and req_frac:
@@ -284,7 +288,7 @@ def predict_intra_group(plane, tbs, log2_w, log2_h, mode, avail_fn, bitdepth, lu
         angles[:] = -abs_angle
         pred = np.asarray(angular_core_batch(main, lo, jnp.asarray(angles),
                                              n_lines, line_len, filt, bitdepth))
-        return orient(pred)
+        return orient(pred)[:n]
 
     main = pack_refs(ref_main, lo, 2 * line_len + 8)
     angles[:] = abs_angle
@@ -295,4 +299,4 @@ def predict_intra_group(plane, tbs, log2_w, log2_h, mode, avail_fn, bitdepth, lu
         lim = min(3 << pdpc_scale, line_len)
         pred = np.asarray(pdpc_angular_batch(jnp.asarray(pred), jnp.asarray(side),
                                              lo, inv_angle, pdpc_scale, lim, bitdepth))
-    return orient(pred)
+    return orient(pred)[:n]

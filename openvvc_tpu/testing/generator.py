@@ -74,6 +74,9 @@ class StreamConfig:
     prof: bool = False
     sbtmvp: bool = False
     ibc: bool = False
+    # film grain SEI: {"log2_scale": int, "comps": {c: {"intervals":
+    # [(lower, upper, [std_dev, cutoff_h, cutoff_v]), ...]}}}
+    film_grain: dict = None
     # SPS-signaled RPLs: ([rpl0 entry-lists], [rpl1 entry-lists]); entries as
     # in _mk_rpl. Needed for long-term refs: the reference resolves LT POCs
     # only from RPL-struct fields (compute_ref_poc :469 reads
@@ -563,6 +566,50 @@ def build_slice_nals(ctx, cfg, sps_r, pps_r, ph, sh, nal_type, tree_builder):
     return [ph_nal, NalUnit(nal_type, sh_bytes + b"".join(payloads))]
 
 
+def _build_fg_sei_nal(fgcfg: dict) -> NalUnit:
+    """PREFIX_SEI NALU carrying a film-grain-characteristics message
+    (syntax: nvcl_nal_sei.c:154, framing: nvcl_sei_payload :131)."""
+    from openvvc_tpu.hls.sei import (SEI_FILM_GRAIN, FilmGrainSEI,
+                                     film_grain_syntax, write_sei_message)
+    from openvvc_tpu.hls.syntax import SyntaxWriter
+    from openvvc_tpu.utils.bitstream import BitWriter
+
+    fg = FilmGrainSEI()
+    fg.fg_characteristics_cancel_flag = 0
+    fg.fg_model_id = 0
+    fg.fg_separate_colour_description_present_flag = 0
+    fg.fg_blending_mode_id = 0
+    fg.fg_log2_scale_factor = fgcfg.get("log2_scale", 5)
+    comps = fgcfg["comps"]
+    fg.fg_comp_model_present_flag = [1 if c in comps else 0 for c in range(3)]
+    fg.fg_num_intensity_intervals_minus1 = [0, 0, 0]
+    fg.fg_num_model_values_minus1 = [0, 0, 0]
+    fg.fg_characteristics_persistence_flag = 1
+    for c, ccfg in comps.items():
+        ivals = ccfg["intervals"]
+        fg.fg_num_intensity_intervals_minus1[c] = len(ivals) - 1
+        fg.fg_num_model_values_minus1[c] = len(ivals[0][2]) - 1
+        lowers = fg._list_nested("fg_intensity_interval_lower_bound", c)
+        uppers = fg._list_nested("fg_intensity_interval_upper_bound", c)
+        values = fg._list_nested("fg_comp_model_value", c)
+        for i, (lo, up, vals) in enumerate(ivals):
+            lowers[i] = lo
+            uppers[i] = up
+            vi = values.nested(i)
+            for j, v in enumerate(vals):
+                vi[j] = v
+    pw = SyntaxWriter(BitWriter())
+    film_grain_syntax(pw, fg)
+    if not pw.bw.byte_aligned():
+        pw.bw.u(1, 1)
+        pw.bw.align_zero()
+    outer = BitWriter()
+    write_sei_message(outer, SEI_FILM_GRAIN, pw.bw.get_bytes())
+    outer.u(1, 1)
+    outer.align_zero()
+    return NalUnit(NalType.PREFIX_SEI, outer.get_bytes())
+
+
 def build_stream_frames(cfg: StreamConfig, frames) -> bytes:
     """Multi-frame Annex-B stream.
 
@@ -581,6 +628,8 @@ def build_stream_frames(cfg: StreamConfig, frames) -> bytes:
         aps_nals.append(_build_lmcs_aps_nal(cfg))
     if cfg.alf:
         aps_nals.append(_build_alf_aps_nal(cfg))
+    if cfg.film_grain is not None:
+        aps_nals.append(_build_fg_sei_nal(cfg.film_grain))
 
     ctx = NvclContext()
     ctx.decode_nalu(sps_nal)
@@ -628,6 +677,8 @@ def build_stream(cfg: StreamConfig, tree_builder, nal_type=NalType.IDR_N_LP) -> 
         aps_nals.append(_build_lmcs_aps_nal(cfg))
     if cfg.alf:
         aps_nals.append(_build_alf_aps_nal(cfg))
+    if cfg.film_grain is not None:
+        aps_nals.append(_build_fg_sei_nal(cfg.film_grain))
     ph_nal = _write_ps_nal(picture_header_syntax, ph, NalType.PH, sps, pps)
 
     # activation pass to derive tiles/entries (with a placeholder payload)

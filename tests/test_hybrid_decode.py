@@ -75,3 +75,28 @@ def test_hybrid_matches_scalar(tools):
     plain = _yuv(Decoder(), stream)
     hybrid = _yuv(Decoder(use_tpu_residuals=True), stream)
     assert plain == hybrid
+
+
+def test_wavefront_mixed_sizes_matches_scalar():
+    """Mixed-size quadtree intra + inter frames through the wavefront-batched
+    device path (use_tpu_residuals) must equal the sequential scalar decode.
+    Exercises the wave-map geometry (_recon_entry_waves) on irregular CU
+    layouts, the batched-vs-scalar split within a wave, and the jnp DBF."""
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_oracle_dpb import _inter_cu, _intra_cu, _qt
+
+    rng = np.random.RandomState(17)
+    cfg = StreamConfig(width=128, height=128, deblocking=True, sao=True)
+    from openvvc_tpu.testing.generator import build_stream_frames
+    stream = build_stream_frames(cfg, [
+        {"tree_builder": _qt(lambda x, y, l: _intra_cu(rng, x, y, l), 5)},
+        {"tree_builder": _qt(lambda x, y, l: _inter_cu(rng, x, y, l), 4),
+         "slice_type": 1, "ref_deltas": [1]},
+    ])
+    plain = _yuv(Decoder(), stream)
+    os.environ["OPENVVC_WAVE_MIN_BATCH"] = "2"   # force batching of tiny groups
+    try:
+        hybrid = _yuv(Decoder(use_tpu_residuals=True), stream)
+    finally:
+        del os.environ["OPENVVC_WAVE_MIN_BATCH"]
+    assert plain == hybrid
