@@ -20,9 +20,13 @@ _LIB = os.path.join(_DIR, "libcabac.so")
 _SRC_RES = os.path.join(_DIR, "residual.c")
 
 
+_SRC_PARSE = os.path.join(_DIR, "parse.c")
+
+
 def _build():
     subprocess.run(
-        ["gcc", "-O3", "-shared", "-fPIC", "-o", _LIB, _SRC, _SRC_RES],
+        ["gcc", "-O3", "-shared", "-fPIC", "-o", _LIB, _SRC, _SRC_RES,
+         _SRC_PARSE],
         check=True,
         capture_output=True,
     )
@@ -33,7 +37,8 @@ def load_cabac_lib():
     try:
         if (not os.path.exists(_LIB)
                 or os.path.getmtime(_LIB) < os.path.getmtime(_SRC)
-                or os.path.getmtime(_LIB) < os.path.getmtime(_SRC_RES)):
+                or os.path.getmtime(_LIB) < os.path.getmtime(_SRC_RES)
+                or os.path.getmtime(_LIB) < os.path.getmtime(_SRC_PARSE)):
             _build()
         lib = ctypes.CDLL(_LIB)
     except Exception:
@@ -131,3 +136,332 @@ class NativeCabacDecoder:
             log2_w, log2_h, int(luma), int(dep_quant), int(sdh),
             int(mts_reduced), ctypes.byref(sig))
         return levels, decoded, (packed & 0xFF, (packed >> 8) & 0xFF), sig.value
+
+
+# ---------------------------------------------------------------------------
+# Native full-entry parse (parse.c): feature-gated drop-in for
+# vcl.slice_data.parse_entry. Emits flat SoA record buffers that are
+# converted into the same CTU IR the Python parser produces; any stream
+# construct outside the supported subset returns None and the caller falls
+# back to the Python parser.
+# ---------------------------------------------------------------------------
+
+import numpy as np
+
+
+class _EntryParamsC(ctypes.Structure):
+    _fields_ = [(n, ctypes.c_int32) for n in (
+        "pic_w", "pic_h", "log2_ctb",
+        "tile_x0", "tile_y0", "tile_w", "tile_h",
+        "ctu_x", "ctu_y", "nb_ctu_w", "nb_ctu_h",
+        "slice_type", "slice_qp", "qp_bd_offset", "bitdepth",
+        "l_min_qt", "l_max_bt", "l_max_tt", "l_mtt_depth", "l_min_cb", "l_max_tb",
+        "c_min_qt", "c_max_bt", "c_max_tt", "c_mtt_depth", "c_min_cb", "c_max_tb",
+        "chroma_enabled", "cclm", "mip", "mrl", "amvr",
+        "dep_quant", "sign_hiding", "sao_luma", "sao_chroma",
+        "joint_cbcr", "lfnst", "mts", "mts_implicit",
+        "expl_mts_intra", "expl_mts_inter",
+        "cu_qp_delta_enabled", "cu_qp_delta_subdiv",
+        "max_num_merge_cand", "nb_active_ref0",
+        "cqp_tab_len", "cb_qp_off", "cr_qp_off", "jcbcr_qp_off",
+    )]
+
+
+_CU_NFIELDS = 32
+_TU_NFIELDS = 17
+_SAO_NFIELDS = 24
+
+_parse_proto_done = False
+
+
+def _setup_parse_proto(lib):
+    global _parse_proto_done
+    if _parse_proto_done:
+        return
+    i64 = ctypes.c_int64
+    vp = ctypes.c_void_p
+    lib.ov_parse_entry.restype = i64
+    lib.ov_parse_entry.argtypes = [
+        ctypes.c_char_p, i64, ctypes.POINTER(_EntryParamsC),
+        ctypes.POINTER(ctypes.c_uint16), ctypes.POINTER(ctypes.c_uint16),
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
+        vp,                              # cqp_tab
+        vp, i64, vp, i64, vp, i64,       # cu/tu/coef bufs
+        vp, vp, vp, vp,                  # sao, ctu_meta, tmvp_dir0, tmvp_mv0
+        ctypes.POINTER(i64),             # out_counts
+    ]
+    _parse_proto_done = True
+
+
+def native_parse_supported(params) -> bool:
+    """True when the active parameter set stays inside parse.c's toolset."""
+    sps, pps, ph, sh = params.sps, params.pps, params.ph, params.sh
+    if params.slice_type not in (1, 2):
+        return False  # B slices not yet in C
+    g = lambda o, n: int(getattr(o, n, 0) or 0)
+    if params.slice_type == 2 and g(sps, "sps_qtbtt_dual_tree_intra_flag"):
+        return False
+    if g(sps, "sps_chroma_format_idc") > 1:
+        return False
+    bad_sps = (
+        "sps_isp_enabled_flag", "sps_bdpcm_enabled_flag",
+        "sps_transform_skip_enabled_flag", "sps_sbt_enabled_flag",
+        "sps_ibc_enabled_flag", "sps_palette_enabled_flag",
+        "sps_affine_enabled_flag", "sps_sbtmvp_enabled_flag",
+        "sps_mmvd_enabled_flag", "sps_ciip_enabled_flag",
+        "sps_gpm_enabled_flag", "sps_bcw_enabled_flag",
+        "sps_smvd_enabled_flag",
+    )
+    if any(g(sps, n) for n in bad_sps):
+        return False
+    if g(ph, "ph_temporal_mvp_enabled_flag"):
+        return False  # TMVP derivation not yet in C
+    if any(g(sh, n) for n in ("sh_alf_enabled_flag", "sh_alf_cb_enabled_flag",
+                              "sh_alf_cc_cb_enabled_flag",
+                              "sh_alf_cc_cr_enabled_flag",
+                              "sh_alf_cr_enabled_flag")):
+        return False
+    return True
+
+
+class _NativeInterCtx:
+    """Just enough InterCtx surface for decoder._merge_tmvp_export."""
+
+    def __init__(self, uw, uh, dir0, tmvp_mv0):
+        self.uw, self.uh = uw, uh
+        self.dir0 = dir0
+        self.dir1 = np.zeros_like(dir0)
+        self.tmvp_mv0 = tmvp_mv0
+        self.tmvp_mv1 = {}
+
+
+class NativeEntryCtx:
+    """Parse result adapter matching the CTUParseCtx surface recon uses."""
+
+    def __init__(self, entry, ctus, sao_params, inter_ctx, tile_x0, tile_y0):
+        self.entry = entry
+        self.ctus = ctus
+        self.sao_params = sao_params
+        self.alf_params = {}
+        self.inter_ctx = inter_ctx
+        self.tile_x0 = tile_x0
+        self.tile_y0 = tile_y0
+
+
+class _NoOverread:
+    @staticmethod
+    def overread():
+        return False
+
+
+def parse_entry_native(params, entry):
+    """Native full-entry parse; returns (ectx, None, dec-like) or None."""
+    lib = load_cabac_lib()
+    if lib is None or not native_parse_supported(params):
+        return None
+    _setup_parse_proto(lib)
+
+    from openvvc_tpu.cabac.ctx import init_context_states
+    from openvvc_tpu.hls.ph import SLICE_I
+
+    sps, pps, ph, sh = params.sps, params.pps, params.ph, params.sh
+    g = lambda o, n: int(getattr(o, n, 0) or 0)
+    ep = _EntryParamsC()
+    log2_ctb = sps.ctb_log2
+    ep.pic_w, ep.pic_h, ep.log2_ctb = pps.pic_w, pps.pic_h, log2_ctb
+    ep.ctu_x, ep.ctu_y = entry.ctu_x, entry.ctu_y
+    ep.nb_ctu_w, ep.nb_ctu_h = entry.nb_ctu_w, entry.nb_ctu_h
+    ep.tile_x0 = entry.ctu_x << log2_ctb
+    ep.tile_y0 = entry.ctu_y << log2_ctb
+    ep.tile_w = min(entry.nb_ctu_w << log2_ctb, pps.pic_w - ep.tile_x0)
+    ep.tile_h = min(entry.nb_ctu_h << log2_ctb, pps.pic_h - ep.tile_y0)
+    ep.slice_type = params.slice_type
+    ep.slice_qp = params.slice_qp
+    ep.qp_bd_offset = params.qp_bd_offset
+    ep.bitdepth = sps.bitdepth
+    key = "intra" if params.slice_type == SLICE_I else "inter"
+    pl = params.part_info[f"{key}_luma"]
+    pc = params.part_info[f"{key}_chroma"]
+    ep.l_min_qt, ep.l_max_bt, ep.l_max_tt = pl.log2_min_qt_s, pl.log2_max_bt_s, pl.log2_max_tt_s
+    ep.l_mtt_depth, ep.l_min_cb, ep.l_max_tb = pl.max_mtt_depth, pl.log2_min_cb_s, pl.log2_max_tb_s
+    ep.c_min_qt, ep.c_max_bt, ep.c_max_tt = pc.log2_min_qt_s, pc.log2_max_bt_s, pc.log2_max_tt_s
+    ep.c_mtt_depth, ep.c_min_cb, ep.c_max_tb = pc.max_mtt_depth, pc.log2_min_cb_s, pc.log2_max_tb_s
+    ep.chroma_enabled = int(sps.sps_chroma_format_idc != 0)
+    ep.cclm = g(sps, "sps_cclm_enabled_flag")
+    ep.mip = g(sps, "sps_mip_enabled_flag")
+    ep.mrl = g(sps, "sps_mrl_enabled_flag")
+    ep.amvr = g(sps, "sps_amvr_enabled_flag")
+    ep.dep_quant = g(sh, "sh_dep_quant_used_flag")
+    ep.sign_hiding = g(sh, "sh_sign_data_hiding_used_flag")
+    ep.sao_luma = g(sh, "sh_sao_luma_used_flag")
+    ep.sao_chroma = g(sh, "sh_sao_chroma_used_flag")
+    ep.joint_cbcr = g(sps, "sps_joint_cbcr_enabled_flag")
+    ep.lfnst = g(sps, "sps_lfnst_enabled_flag")
+    ep.mts = g(sps, "sps_mts_enabled_flag")
+    ep.mts_implicit = int(ep.mts and not g(sps, "sps_explicit_mts_intra_enabled_flag"))
+    ep.expl_mts_intra = g(sps, "sps_explicit_mts_intra_enabled_flag")
+    ep.expl_mts_inter = g(sps, "sps_explicit_mts_inter_enabled_flag")
+    ep.cu_qp_delta_enabled = g(pps, "pps_cu_qp_delta_enabled_flag")
+    ep.cu_qp_delta_subdiv = (g(ph, "ph_cu_qp_delta_subdiv_intra_slice")
+                             if params.slice_type == SLICE_I else
+                             g(ph, "ph_cu_qp_delta_subdiv_inter_slice"))
+    ep.max_num_merge_cand = 6 - g(sps, "sps_six_minus_max_num_merge_cand")
+    nra = getattr(sh, "_num_ref_idx_active", [1, 0])
+    ep.nb_active_ref0 = nra[0]
+    qp_bd = params.qp_bd_offset
+    ep.cqp_tab_len = 64 + qp_bd
+    ep.cb_qp_off = g(pps, "pps_cb_qp_offset") + g(sh, "sh_cb_qp_offset")
+    ep.cr_qp_off = g(pps, "pps_cr_qp_offset") + g(sh, "sh_cr_qp_offset")
+    ep.jcbcr_qp_off = (g(pps, "pps_joint_cbcr_qp_offset_value")
+                       + g(sh, "sh_joint_cbcr_qp_offset"))
+
+    cqp = np.zeros((3, ep.cqp_tab_len), np.int8)
+    for i, tab in enumerate(params.chroma_qp_tables):
+        t = np.asarray(tab, np.int32)[:ep.cqp_tab_len]
+        cqp[i, :len(t)] = t.astype(np.int8)
+
+    s0, s1, r0, r1 = init_context_states(params.slice_type, params.slice_qp)
+    n = len(s0)
+    a_s0 = (ctypes.c_uint16 * n)(*s0)
+    a_s1 = (ctypes.c_uint16 * n)(*s1)
+    a_r0 = (ctypes.c_uint8 * n)(*r0)
+    a_r1 = (ctypes.c_uint8 * n)(*r1)
+
+    uw, uh = (ep.tile_w + 3) >> 2, (ep.tile_h + 3) >> 2
+    uw8, uh8 = (uw + 1) >> 1, (uh + 1) >> 1
+    max_cu = uw * uh + 256
+    max_tu = 3 * max_cu
+    max_coef = ep.tile_w * ep.tile_h * 3 // 2 + 8192
+    nb_ctu = entry.nb_ctu_w * entry.nb_ctu_h
+    cu_buf = np.empty(max_cu * _CU_NFIELDS, np.int32)
+    tu_buf = np.empty(max_tu * _TU_NFIELDS, np.int32)
+    coef_buf = np.empty(max_coef, np.int32)
+    sao_buf = np.zeros(nb_ctu * _SAO_NFIELDS, np.int32)
+    ctu_meta = np.zeros(nb_ctu * 3, np.int32)
+    tmvp_dir0 = np.zeros(uh * uw, np.uint8)
+    tmvp_mv0 = np.zeros(uh8 * uw8 * 3, np.int32)
+    counts = (ctypes.c_int64 * 4)()
+
+    vp = ctypes.c_void_p
+    rc = lib.ov_parse_entry(
+        entry.data, len(entry.data), ctypes.byref(ep),
+        a_s0, a_s1, a_r0, a_r1,
+        vp(cqp.ctypes.data),
+        vp(cu_buf.ctypes.data), max_cu,
+        vp(tu_buf.ctypes.data), max_tu,
+        vp(coef_buf.ctypes.data), max_coef,
+        vp(sao_buf.ctypes.data), vp(ctu_meta.ctypes.data),
+        vp(tmvp_dir0.ctypes.data), vp(tmvp_mv0.ctypes.data),
+        counts)
+    if rc != 0:
+        # ERR_UNSUPPORTED (-1): expected mid-parse bail (SCIPU, 4x4 inter).
+        # Other codes (overflow / stream): fall back to the Python parser
+        # too — it re-parses from scratch and raises precise errors.
+        return None
+
+    return _convert_native_entry(params, entry, ep, cu_buf, tu_buf, coef_buf,
+                                 sao_buf, ctu_meta, tmvp_dir0, tmvp_mv0,
+                                 counts, uw, uh, uw8, uh8)
+
+
+def _convert_native_entry(params, entry, ep, cu_buf, tu_buf, coef_buf,
+                          sao_buf, ctu_meta, tmvp_dir0, tmvp_mv0, counts,
+                          uw, uh, uw8, uh8):
+    from openvvc_tpu.vcl.ctu import CU, TU, CtuIR
+    from openvvc_tpu.vcl.sao import SaoParams
+    from openvvc_tpu.drv.inter_mvp import MV
+
+    ncu, ntu, ncoef, nctu = (int(counts[i]) for i in range(4))
+    cu_t = cu_buf[:ncu * _CU_NFIELDS].reshape(ncu, _CU_NFIELDS).tolist()
+    tu_t = tu_buf[:ntu * _TU_NFIELDS].reshape(ntu, _TU_NFIELDS).tolist()
+    meta = ctu_meta[:nctu * 3].reshape(nctu, 3).tolist()
+
+    # default-field templates: skipping the dataclass __init__ (50 defaulted
+    # fields per CU) cuts conversion time ~3x at 60k CUs/frame
+    tu_tmpl = TU(0, 0, 2, 2, 0).__dict__
+    cu_tmpl = CU(0, 0, 2, 2).__dict__.copy()
+    del cu_tmpl["tus"]
+    tu_new, cu_new, mv_new = TU.__new__, CU.__new__, MV.__new__
+
+    # TU objects (coeffs are views into coef_buf, no copies)
+    tus = []
+    tus_append = tus.append
+    for r in tu_t:
+        (comp, x0, y0, l2w, l2h, cbf, jcbcr, lfnst, mts, ts, qp, bdpcm,
+         lastx, lasty, siglo, sighi, coef) = r
+        t = tu_new(TU)
+        t.__dict__ = tu_tmpl | {
+            "comp": comp, "x0": x0, "y0": y0, "log2_w": l2w, "log2_h": l2h,
+            "cbf": 1, "joint_cbcr": jcbcr, "lfnst_idx": lfnst, "mts_idx": mts,
+            "qp": qp, "last_pos": (lastx, lasty),
+            "sig_sb_map": ((sighi & 0xFFFFFFFF) << 32) | (siglo & 0xFFFFFFFF),
+            "coeffs": coef_buf[coef:coef + (1 << (l2w + l2h))]
+                .reshape(1 << l2h, 1 << l2w),
+        }
+        tus_append(t)
+
+    ctus = [CtuIR(m[0], m[1]) for m in meta]
+    cu_lists = [c.cus for c in ctus]
+    F = _CuF
+    for r in cu_t:
+        cu = cu_new(CU)
+        d = cu_tmpl | {
+            "x0": r[F.X0], "y0": r[F.Y0],
+            "log2_w": r[F.LOG2W], "log2_h": r[F.LOG2H],
+            "pred_mode": r[F.PRED], "intra_mode_l": r[F.INTRA_L],
+            "intra_mode_c": r[F.INTRA_C], "mrl_idx": r[F.MRL],
+            "lfnst_idx": r[F.LFNST], "skip_flag": r[F.SKIP],
+            "merge_flag": r[F.MERGE_FLAG], "merge_idx": r[F.MERGE_IDX],
+            "inter_dir": r[F.INTER_DIR], "qp": r[F.QP],
+            "root_cbf": r[F.ROOT_CBF], "prec_amvr_eff": r[F.PREC_EFF],
+            "tus": tus[r[F.TU0]:r[F.TU0] + r[F.NTU]],
+        }
+        if r[F.MIP_FLAG]:
+            d["mip_flag"] = 1
+            d["mip_transpose"] = r[F.MIP_T]
+            d["mip_mode"] = r[F.MIP_MODE]
+        if r[F.MV0REF] >= 0:
+            mv = mv_new(MV)
+            mv.__dict__ = {"x": r[F.MV0X], "y": r[F.MV0Y],
+                           "ref_idx": r[F.MV0REF],
+                           "bcw_idx_plus1": r[F.MV0BCW],
+                           "prec_amvr": r[F.MV0PREC]}
+            d["mv0"] = mv
+        if r[F.COL_MODE] >= 0:
+            d["col_luma_mode"] = r[F.COL_MODE]
+        cu.__dict__ = d
+        cu_lists[r[F.CTU]].append(cu)
+
+    sao_params = {}
+    if ep.sao_luma or ep.sao_chroma:
+        sao_t = sao_buf[:nctu * _SAO_NFIELDS].reshape(nctu, _SAO_NFIELDS)
+        for i, m in enumerate(meta):
+            rec = sao_t[i]
+            sp = SaoParams()
+            sp.type_idx = rec[0:3].tolist()
+            sp.offset_val = rec[3:18].reshape(3, 5).tolist()
+            sp.band_position = rec[18:21].tolist()
+            sp.eo_class = rec[21:24].tolist()
+            sao_params[(m[0], m[1])] = sp
+
+    inter_ctx = None
+    if params.slice_type == 1:
+        mv = tmvp_mv0.reshape(uh8, uw8, 3)
+        tmvp0 = {}
+        dir8 = tmvp_dir0.reshape(uh, uw)[::2, ::2]
+        ys, xs = np.nonzero(dir8[:uh8, :uw8])
+        for y, x in zip(ys.tolist(), xs.tolist()):
+            c = mv[y, x]
+            tmvp0[(x, y)] = MV(int(c[0]), int(c[1]), int(c[2]))
+        inter_ctx = _NativeInterCtx(uw, uh, tmvp_dir0.reshape(uh, uw), tmvp0)
+
+    ectx = NativeEntryCtx(entry, ctus, sao_params, inter_ctx,
+                          ep.tile_x0, ep.tile_y0)
+    return ectx, None, _NoOverread()
+
+
+class _CuF:
+    (X0, Y0, LOG2W, LOG2H, TREE, PRED, INTRA_L, INTRA_C, MIP_FLAG, MIP_T,
+     MIP_MODE, MRL, LFNST, SKIP, MERGE_FLAG, MERGE_IDX, INTER_DIR, MV0X,
+     MV0Y, MV0REF, MV0BCW, MV0PREC, MV1X, MV1Y, MV1REF, QP, ROOT_CBF,
+     PREC_EFF, TU0, NTU, CTU, COL_MODE) = range(32)

@@ -1,0 +1,1736 @@
+/* Native full-entry CABAC parser for the host runtime.
+ *
+ * Translates the repo's own oracle-validated Python parse layer
+ * (openvvc_tpu/vcl/{coding_tree,coding_unit,inter_pu,transform_unit,
+ * slice_data,sao}.py and openvvc_tpu/drv/inter_mvp.py) into C, emitting a
+ * flat SoA record stream (CU table / TU table / coefficient buffer / SAO
+ * table / MV field exports) that the Python side converts into the CTU IR
+ * or feeds directly to batched reconstruction.
+ *
+ * Coverage is feature-gated: the Python wrapper calls this only when the
+ * active parameter set stays inside the supported toolset; in addition any
+ * unexpected mid-parse construct (SCIPU separate trees, 4x4 inter) bails
+ * out via longjmp and the caller re-parses the entry in Python. Behavior
+ * parity target (same as the Python layer):
+ * /root/reference/libovvc/vcl_coding_tree.c, vcl_coding_unit.c,
+ * vcl_transform_unit.c, vcl_sao.c, drv_mvp.c, slicedec.c.
+ */
+
+#include <setjmp.h>
+#include <stdint.h>
+#include <stdlib.h>
+#include <string.h>
+
+/* ---- CABAC engine (cabac.c) ---------------------------------------- */
+typedef struct CabacDec CabacDec;
+CabacDec *cabac_new(const uint8_t *data, int64_t nbytes,
+                    const uint16_t *s0, const uint16_t *s1,
+                    const uint8_t *r0, const uint8_t *r1);
+void cabac_free(CabacDec *d);
+int cabac_decode_bin(CabacDec *d, int ctx_idx);
+int cabac_decode_bypass(CabacDec *d);
+uint32_t cabac_decode_bypass_bits(CabacDec *d, int n);
+int cabac_decode_terminate(CabacDec *d);
+int cabac_overread(const CabacDec *d);
+int64_t cabac_bitpos(const CabacDec *d);
+
+/* residual.c */
+int64_t rc_decode_tb(CabacDec *d, int32_t *levels, int32_t *decoded,
+                     int log2_w, int log2_h, int luma, int dep_quant, int sdh,
+                     int mts_reduced, uint64_t *sig_sb_map_out);
+
+/* ---- context offsets (cabac/ctx.py CtxOffset) ----------------------- */
+enum {
+    SPLIT_FLAG = 0,
+    SPLIT_QT_FLAG = 9,
+    SPLIT_HV_FLAG = 15,
+    SPLIT12_FLAG = 20,
+    MODE_CONS_FLAG = 24,
+    SKIP_FLAG = 26,
+    MERGE_FLAG = 29,
+    REGULAR_MERGE_FLAG = 30,
+    MERGE_IDX = 32,
+    MMVD_FLAG = 33,
+    MMVD_MERGE_IDX = 34,
+    MMVD_STEP_MVP_IDX = 35,
+    PRED_MODE = 36,
+    MULTI_REF_LINE_IDX = 38,
+    INTRA_LUMA_MPM_FLAG = 40,
+    INTRA_LUMA_PLANAR_FLAG = 41,
+    CCLM_MODE_FLAG = 43,
+    CCLM_MODE_IDX = 44,
+    INTRA_CHROMA_PRED_MODE = 45,
+    MIP_FLAG = 46,
+    DELTA_QP = 50,
+    INTER_DIR = 52,
+    REF_PIC = 58,
+    SUBBLOCK_MERGE_FLAG = 60,
+    AFFINE_FLAG = 63,
+    AFFINE_TYPE = 66,
+    AFF_MERGE_IDX = 67,
+    BCW_IDX = 68,
+    MVD = 69,
+    BDPCM_MODE = 71,
+    QT_ROOT_CBF = 75,
+    QT_CBF = 77,
+    QT_CBF_CB = 81,
+    QT_CBF_CR = 83,
+    MVP_IDX = 292,
+    SMVD_FLAG = 293,
+    SAO_MERGE_FLAG = 294,
+    SAO_TYPE_IDX = 295,
+    LFNST_IDX = 296,
+    TRANSFORM_SKIP_FLAG = 314,
+    MTS_IDX = 316,
+    SBT_FLAG = 322,
+    IMV_FLAG = 341,
+    CIIP_FLAG = 364,
+    IBC_FLAG = 365,
+    JOINT_CB_CR_FLAG = 368,
+};
+
+/* ---- IR constants (vcl/ctu.py) -------------------------------------- */
+#define UNAVAIL 0xFF
+#define MODE_INTRA 0
+#define MODE_INTER 1
+#define TREE_SINGLE 0
+#define INTRA_PLANAR 0
+#define INTRA_DC 1
+#define OV_VER 50
+#define OV_HOR 18
+#define OV_VDIA 66
+#define INTRA_LT_CCLM 81
+#define INTRA_L_CCLM 82
+#define INTRA_T_CCLM 83
+
+/* cu_utils.h CU-type map values (vcl/inter_pu.py) */
+#define CU_NA 0xFF
+#define CU_INTER 1
+#define CU_INTRA 2
+#define CU_INTER_SKIP 3
+#define CU_MIP 4
+#define CU_AFFINE 5
+#define CU_INTER_SKIP_AFF 6
+#define CU_IBC 7
+#define CU_IBC_SKIP 8
+
+#define PREC_4PEL 0
+#define PREC_INT 2
+#define PREC_HALF 3
+#define PREC_QUARTER 4
+#define PREC_INTERNAL 6
+
+/* split kinds */
+#define NO_SPLIT 0
+#define QT_SPLIT 1
+
+/* bail-out codes */
+#define ERR_UNSUPPORTED (-1)
+#define ERR_OVERFLOW (-2)
+#define ERR_STREAM (-3)
+
+/* ---- output record layout (must match native/__init__.py) ----------- */
+enum {
+    CU_F_X0, CU_F_Y0, CU_F_LOG2W, CU_F_LOG2H, CU_F_TREE, CU_F_PRED,
+    CU_F_INTRA_L, CU_F_INTRA_C, CU_F_MIP_FLAG, CU_F_MIP_T, CU_F_MIP_MODE,
+    CU_F_MRL, CU_F_LFNST, CU_F_SKIP, CU_F_MERGE_FLAG, CU_F_MERGE_IDX,
+    CU_F_INTER_DIR, CU_F_MV0X, CU_F_MV0Y, CU_F_MV0REF, CU_F_MV0BCW,
+    CU_F_MV0PREC, CU_F_MV1X, CU_F_MV1Y, CU_F_MV1REF, CU_F_QP,
+    CU_F_ROOT_CBF, CU_F_PREC_EFF, CU_F_TU0, CU_F_NTU, CU_F_CTU,
+    CU_F_COL_MODE, CU_NFIELDS
+};
+enum {
+    TU_F_COMP, TU_F_X0, TU_F_Y0, TU_F_LOG2W, TU_F_LOG2H, TU_F_CBF,
+    TU_F_JCBCR, TU_F_LFNST, TU_F_MTS, TU_F_TS, TU_F_QP, TU_F_BDPCM,
+    TU_F_LASTX, TU_F_LASTY, TU_F_SIGLO, TU_F_SIGHI, TU_F_COEF,
+    TU_NFIELDS
+};
+#define SAO_NFIELDS 24 /* type[3], val[3][5], band_pos[3], eo_class[3] */
+
+/* ---- parameters handed over from Python (ctypes.Structure) ---------- */
+typedef struct {
+    int32_t pic_w, pic_h, log2_ctb;
+    int32_t tile_x0, tile_y0, tile_w, tile_h;
+    int32_t ctu_x, ctu_y, nb_ctu_w, nb_ctu_h;
+    int32_t slice_type, slice_qp, qp_bd_offset, bitdepth;
+    /* partition info: luma then chroma */
+    int32_t l_min_qt, l_max_bt, l_max_tt, l_mtt_depth, l_min_cb, l_max_tb;
+    int32_t c_min_qt, c_max_bt, c_max_tt, c_mtt_depth, c_min_cb, c_max_tb;
+    /* tools */
+    int32_t chroma_enabled, cclm, mip, mrl, amvr;
+    int32_t dep_quant, sign_hiding, sao_luma, sao_chroma;
+    int32_t joint_cbcr, lfnst, mts, mts_implicit, expl_mts_intra, expl_mts_inter;
+    int32_t cu_qp_delta_enabled, cu_qp_delta_subdiv;
+    int32_t max_num_merge_cand, nb_active_ref0;
+    int32_t cqp_tab_len; /* 64 + qp_bd_offset */
+    int32_t cb_qp_off, cr_qp_off, jcbcr_qp_off;
+} EntryParams;
+
+typedef struct { int32_t x, y; int8_t ref, bcw, prec; } MVc;
+
+typedef struct {
+    CabacDec *cab;
+    const EntryParams *ep;
+    jmp_buf env;
+
+    /* neighbor maps at 4x4 luma units over the tile */
+    int uw, uh;
+    uint8_t *m_log2w, *m_log2h, *m_qtd, *m_imode, *m_pmode, *m_ctype;
+    /* chroma-tree maps exist for parity but single-tree only mirrors them */
+    int cw, ch;
+    uint8_t *cm_log2w, *cm_log2h, *cm_qtd;
+
+    /* delta-QP state */
+    int qp, cu_qp_delta, is_qp_delta_coded;
+    int32_t qp_map_x[64], qp_map_y[64];
+
+    /* inter derivation state */
+    uint8_t *dir0; /* [uh][uw] */
+    MVc *mv0;      /* [uh][uw] */
+    MVc hmvp_mv[5];
+    int hmvp_n;
+    int prec_amvr;
+    /* TMVP export (8x8 grid) */
+    int uw8, uh8;
+    uint8_t *tdir0;
+    int32_t *tmv0; /* [uh8][uw8][3] x,y,ref */
+
+    /* tree-walk state */
+    int tree_type, share;
+    int slice_is_intra;
+
+    /* per-CU scratch */
+    int cur_ctu;
+
+    /* outputs */
+    int32_t *cu_buf; int64_t cu_cap, ncu;
+    int32_t *tu_buf; int64_t tu_cap, ntu;
+    int32_t *coef;   int64_t coef_cap, ncoef;
+    int32_t *sao_buf;
+    int32_t *ctu_ncu;
+    int32_t lvl_scratch[64 * 64];
+} Pc;
+
+static void bail(Pc *p, int code) { longjmp(p->env, -code); }
+
+static int32_t *cu_rec(Pc *p, int64_t i) { return p->cu_buf + i * CU_NFIELDS; }
+static int32_t *tu_rec(Pc *p, int64_t i) { return p->tu_buf + i * TU_NFIELDS; }
+
+static int64_t new_cu(Pc *p, int x0, int y0, int l2w, int l2h)
+{
+    if (p->ncu >= p->cu_cap) bail(p, ERR_OVERFLOW);
+    int32_t *c = cu_rec(p, p->ncu);
+    memset(c, 0, sizeof(int32_t) * CU_NFIELDS);
+    c[CU_F_X0] = x0; c[CU_F_Y0] = y0;
+    c[CU_F_LOG2W] = l2w; c[CU_F_LOG2H] = l2h;
+    c[CU_F_TREE] = TREE_SINGLE;
+    c[CU_F_INTER_DIR] = 1;
+    c[CU_F_MV0REF] = -1; /* marks "no mv" for the converter */
+    c[CU_F_MV1REF] = -1;
+    c[CU_F_ROOT_CBF] = 1;
+    c[CU_F_PREC_EFF] = PREC_QUARTER;
+    c[CU_F_TU0] = (int32_t)p->ntu;
+    c[CU_F_CTU] = p->cur_ctu;
+    c[CU_F_COL_MODE] = -1;
+    return p->ncu++;
+}
+
+static int64_t new_tu(Pc *p, int comp, int x0, int y0, int l2w, int l2h)
+{
+    if (p->ntu >= p->tu_cap) bail(p, ERR_OVERFLOW);
+    int32_t *t = tu_rec(p, p->ntu);
+    memset(t, 0, sizeof(int32_t) * TU_NFIELDS);
+    t[TU_F_COMP] = comp;
+    t[TU_F_X0] = x0; t[TU_F_Y0] = y0;
+    t[TU_F_LOG2W] = l2w; t[TU_F_LOG2H] = l2h;
+    t[TU_F_CBF] = 1;
+    t[TU_F_COEF] = -1;
+    return p->ntu++;
+}
+
+/* ---- neighbor-map helpers ------------------------------------------- */
+static int in_tile(const Pc *p, int x, int y)
+{
+    const EntryParams *e = p->ep;
+    return x >= e->tile_x0 && x < e->tile_x0 + e->tile_w &&
+           y >= e->tile_y0 && y < e->tile_y0 + e->tile_h;
+}
+
+static int lu_x(const Pc *p, int x) { return (x - p->ep->tile_x0) >> 2; }
+static int lu_y(const Pc *p, int y) { return (y - p->ep->tile_y0) >> 2; }
+
+#define MAPAT(m, p, ux, uy) ((m)[(uy) * (p)->uw + (ux)])
+
+static int nbr_u8(const Pc *p, const uint8_t *m, int x, int y, int dflt)
+{
+    if (!in_tile(p, x, y)) return dflt;
+    return MAPAT(m, p, lu_x(p, x), lu_y(p, y));
+}
+
+static void map_fill(Pc *p, uint8_t *m, int x0, int y0, int l2w, int l2h, int v)
+{
+    int ux = lu_x(p, x0), uy = lu_y(p, y0);
+    int wu = (1 << l2w) >> 2; if (wu < 1) wu = 1;
+    int hu = (1 << l2h) >> 2; if (hu < 1) hu = 1;
+    if (ux + wu > p->uw) wu = p->uw - ux; /* numpy-slice clipping parity */
+    if (uy + hu > p->uh) hu = p->uh - uy;
+    for (int j = 0; j < hu; j++)
+        memset(m + (uy + j) * p->uw + ux, v, wu);
+}
+
+/* store_cu_luma parity */
+static void store_cu_luma(Pc *p, const int32_t *c)
+{
+    int x0 = c[CU_F_X0], y0 = c[CU_F_Y0];
+    int l2w = c[CU_F_LOG2W], l2h = c[CU_F_LOG2H];
+    map_fill(p, p->m_log2w, x0, y0, l2w, l2h, l2w);
+    map_fill(p, p->m_log2h, x0, y0, l2w, l2h, l2h);
+    int imode = UNAVAIL;
+    if (c[CU_F_PRED] == MODE_INTRA)
+        imode = c[CU_F_MIP_FLAG] ? INTRA_PLANAR : c[CU_F_INTRA_L];
+    map_fill(p, p->m_imode, x0, y0, l2w, l2h, imode);
+    map_fill(p, p->m_pmode, x0, y0, l2w, l2h, c[CU_F_PRED]);
+}
+
+/* reset_intra_map parity (slice_data.py) */
+static void reset_intra_map(Pc *p, int x0, int y0, int l2w, int l2h)
+{
+    map_fill(p, p->m_imode, x0, y0, l2w, l2h, UNAVAIL);
+    map_fill(p, p->m_log2w, x0, y0, l2w, l2h, l2w);
+    map_fill(p, p->m_log2h, x0, y0, l2w, l2h, l2h);
+    map_fill(p, p->m_pmode, x0, y0, l2w, l2h, MODE_INTER);
+}
+
+/* chroma-map mirrors (single tree) */
+static void store_cu_chroma(Pc *p, int cx0, int cy0, int l2w, int l2h)
+{
+    if (!p->ep->chroma_enabled) return;
+    int ux = (cx0 - (p->ep->tile_x0 >> 1)) >> 2;
+    int uy = (cy0 - (p->ep->tile_y0 >> 1)) >> 2;
+    int wu = (1 << l2w) >> 2; if (wu < 1) wu = 1;
+    int hu = (1 << l2h) >> 2; if (hu < 1) hu = 1;
+    if (ux + wu > p->cw) wu = p->cw - ux; /* numpy-slice clipping parity */
+    if (uy + hu > p->ch) hu = p->ch - uy;
+    for (int j = 0; j < hu; j++) {
+        memset(p->cm_log2w + (uy + j) * p->cw + ux, l2w, wu);
+        memset(p->cm_log2h + (uy + j) * p->cw + ux, l2h, wu);
+    }
+}
+
+static void store_qt_depth_chroma(Pc *p, int cx0, int cy0, int l2s, int d)
+{
+    if (!p->ep->chroma_enabled) return;
+    int ux = (cx0 - (p->ep->tile_x0 >> 1)) >> 2;
+    int uy = (cy0 - (p->ep->tile_y0 >> 1)) >> 2;
+    int n = (1 << l2s) >> 2; if (n < 1) n = 1;
+    int nw = n, nh = n;
+    if (ux + nw > p->cw) nw = p->cw - ux; /* numpy-slice clipping parity */
+    if (uy + nh > p->ch) nh = p->ch - uy;
+    for (int j = 0; j < nh; j++)
+        memset(p->cm_qtd + (uy + j) * p->cw + ux, d, nw);
+}
+
+static void store_qt_depth_luma(Pc *p, int x0, int y0, int l2s, int d)
+{
+    int ux = lu_x(p, x0), uy = lu_y(p, y0);
+    int n = (1 << l2s) >> 2; if (n < 1) n = 1;
+    int nw = n, nh = n;
+    if (ux + nw > p->uw) nw = p->uw - ux; /* numpy-slice clipping parity */
+    if (uy + nh > p->uh) nh = p->uh - uy;
+    for (int j = 0; j < nh; j++)
+        memset(p->m_qtd + (uy + j) * p->uw + ux, d, nw);
+    /* shared-tree chroma follows luma qt depth */
+    if (!p->share && p->tree_type == TREE_SINGLE && p->ep->chroma_enabled)
+        store_qt_depth_chroma(p, x0 >> 1, y0 >> 1, l2s - 1, d);
+}
+
+/* ---- bypass binarizations ------------------------------------------- */
+static int truncated_binary(Pc *p, int cmax)
+{
+    int n = cmax + 1, k = 0;
+    while ((2 << k) <= n) k++;           /* k = floor(log2(n)) */
+    int u = (1 << (k + 1)) - n;
+    int v = (int)cabac_decode_bypass_bits(p->cab, k);
+    if (v >= u) {
+        v = (v << 1) | cabac_decode_bypass(p->cab);
+        v -= u;
+    }
+    return v;
+}
+
+static int eg_bypass(Pc *p) /* delta-qp EG0 tail (transform_unit.py) */
+{
+    int symbol = 0, count = 0;
+    while (cabac_decode_bypass(p->cab) && count <= 32) {
+        symbol += 1 << count;
+        count += 1;
+    }
+    int add = 0;
+    for (int i = 0; i < count; i++)
+        add = (add << 1) | cabac_decode_bypass(p->cab);
+    return symbol + add;
+}
+
+static int exp_golomb_mv(Pc *p) /* vvc_exp_golomb_mv parity */
+{
+    int prefix = 0, bit = 1;
+    do {
+        prefix += 1;
+        bit = cabac_decode_bypass(p->cab);
+    } while (bit && prefix < 15);
+    prefix -= 1 - bit;
+    int offset = ((1 << prefix) - 1) << 1;
+    int length = 1 + (prefix == 15 ? 16 : prefix);
+    int add = 0;
+    for (int i = 0; i < length; i++)
+        add = (add << 1) | cabac_decode_bypass(p->cab);
+    return offset + add;
+}
+
+/* ---- MPM (coding_unit.py derive_mpm_list parity) -------------------- */
+static void derive_mpm_list(int lft, int abv, int lst[6])
+{
+    const int offset = 61, mod = 64;
+#define M(v) (((v) % mod) + 2)
+    lst[0] = INTRA_PLANAR; lst[1] = INTRA_DC; lst[2] = OV_VER;
+    lst[3] = OV_HOR; lst[4] = OV_VER - 4; lst[5] = OV_VER + 4;
+    if (lft == abv) {
+        if (lft > INTRA_DC) {
+            lst[0] = INTRA_PLANAR; lst[1] = lft;
+            lst[2] = M(lft + offset); lst[3] = M(lft - 1);
+            lst[4] = M(lft + offset - 1); lst[5] = M(lft);
+        }
+    } else if (lft > INTRA_DC && abv > INTRA_DC) {
+        int lo = lft < abv ? lft : abv;
+        int hi = lft < abv ? abv : lft;
+        int diff = hi - lo;
+        lst[0] = INTRA_PLANAR; lst[1] = lft; lst[2] = abv;
+        if (diff == 1) {
+            lst[3] = M(lo + offset); lst[4] = M(hi - 1); lst[5] = M(lo + offset - 1);
+        } else if (diff >= 62) {
+            lst[3] = M(lo - 1); lst[4] = M(hi + offset); lst[5] = M(lo);
+        } else if (diff == 2) {
+            lst[3] = M(lo - 1); lst[4] = M(lo + offset); lst[5] = M(hi - 1);
+        } else {
+            lst[3] = M(lo + offset); lst[4] = M(lo - 1); lst[5] = M(hi + offset);
+        }
+    } else if (lft + abv >= 2) {
+        int big = lft > abv ? lft : abv;
+        lst[0] = INTRA_PLANAR; lst[1] = big; lst[2] = M(big + offset);
+        lst[3] = M(big - 1); lst[4] = M(big + offset - 1); lst[5] = M(big);
+    }
+#undef M
+}
+
+static int mode_from_mpm_remainder(int lft, int abv, int rem)
+{
+    int lst[6];
+    derive_mpm_list(lft, abv, lst);
+    /* sort the 6 entries ascending */
+    for (int i = 1; i < 6; i++)
+        for (int j = i; j > 0 && lst[j] < lst[j - 1]; j--) {
+            int t = lst[j]; lst[j] = lst[j - 1]; lst[j - 1] = t;
+        }
+    int mode = rem;
+    for (int i = 0; i < 6; i++)
+        if (mode >= lst[i]) mode += 1;
+    return mode;
+}
+
+/* _mpm_candidates parity */
+static void mpm_candidates(Pc *p, int x0, int y0, int l2w, int l2h,
+                           int *lft_out, int *abv_out)
+{
+    int lx = x0 - 1, ly = y0 + (1 << l2h) - 1;
+    int ax = x0 + (1 << l2w) - 1, ay = y0 - 1;
+    int lft = nbr_u8(p, p->m_imode, lx, ly, UNAVAIL);
+    if (lft == UNAVAIL) lft = INTRA_PLANAR;
+    int abv;
+    if ((ay >> p->ep->log2_ctb) != (y0 >> p->ep->log2_ctb)) {
+        abv = INTRA_PLANAR;
+    } else {
+        abv = nbr_u8(p, p->m_imode, ax, ay, UNAVAIL);
+        if (abv == UNAVAIL) abv = INTRA_PLANAR;
+    }
+    *lft_out = lft; *abv_out = abv;
+}
+
+static int nb_mip_modes(int l2w, int l2h)
+{
+    if (l2w == 2 && l2h == 2) return 16;
+    if (l2w == 2 || l2h == 2 || (l2w == 3 && l2h == 3)) return 8;
+    return 6;
+}
+
+/* coding_unit_intra_luma parity (BDPCM/ISP pre-gated off by the wrapper) */
+static void cu_intra_luma(Pc *p, int32_t *c)
+{
+    const EntryParams *e = p->ep;
+    int x0 = c[CU_F_X0], y0 = c[CU_F_Y0];
+    int l2w = c[CU_F_LOG2W], l2h = c[CU_F_LOG2H];
+
+    if (e->mip) {
+        int ux = lu_x(p, x0), uy = lu_y(p, y0);
+        int abv_mip = in_tile(p, x0, y0 - 1) &&
+                      MAPAT(p->m_ctype, p, ux, uy - 1) == CU_MIP;
+        int lft_mip = in_tile(p, x0 - 1, y0) &&
+                      MAPAT(p->m_ctype, p, ux - 1, uy) == CU_MIP;
+        int cx;
+        int dlh = l2h - l2w; if (dlh < 0) dlh = -dlh;
+        cx = dlh > 1 ? 3 : abv_mip + lft_mip;
+        c[CU_F_MIP_FLAG] = cabac_decode_bin(p->cab, MIP_FLAG + cx);
+        if (c[CU_F_MIP_FLAG]) {
+            c[CU_F_MIP_T] = cabac_decode_bypass(p->cab);
+            c[CU_F_MIP_MODE] = truncated_binary(p, nb_mip_modes(l2w, l2h) - 1);
+            c[CU_F_INTRA_L] = INTRA_PLANAR;
+            return;
+        }
+    }
+
+    int mrl = 0;
+    if (e->mrl && (y0 % (1 << e->log2_ctb)) != 0) {
+        mrl = cabac_decode_bin(p->cab, MULTI_REF_LINE_IDX);
+        if (mrl)
+            mrl += cabac_decode_bin(p->cab, MULTI_REF_LINE_IDX + 1);
+    }
+    c[CU_F_MRL] = mrl;
+
+    /* ISP pre-gated off */
+
+    int lft, abv;
+    mpm_candidates(p, x0, y0, l2w, l2h, &lft, &abv);
+
+    int mpm_flag = mrl ? 1 : cabac_decode_bin(p->cab, INTRA_LUMA_MPM_FLAG);
+    if (mpm_flag) {
+        int mpm_idx;
+        if (mrl == 0)
+            mpm_idx = cabac_decode_bin(p->cab, INTRA_LUMA_PLANAR_FLAG + 1);
+        else
+            mpm_idx = 1;
+        while (mpm_idx && mpm_idx < 5) {
+            if (!cabac_decode_bypass(p->cab)) break;
+            mpm_idx += 1;
+        }
+        int lst[6];
+        derive_mpm_list(lft, abv, lst);
+        c[CU_F_INTRA_L] = lst[mpm_idx];
+    } else {
+        int rem = truncated_binary(p, 60);
+        c[CU_F_INTRA_L] = mode_from_mpm_remainder(lft, abv, rem);
+    }
+}
+
+/* coding_unit_intra_chroma parity (BDPCM pre-gated off; single tree) */
+static void cu_intra_chroma(Pc *p, int32_t *c, int col_mode)
+{
+    const EntryParams *e = p->ep;
+    if (e->cclm) { /* single tree: cclm_allowed() is always true */
+        if (cabac_decode_bin(p->cab, CCLM_MODE_FLAG)) {
+            int idx = cabac_decode_bin(p->cab, CCLM_MODE_IDX);
+            if (idx)
+                idx += cabac_decode_bypass(p->cab);
+            c[CU_F_INTRA_C] = (int[]){INTRA_LT_CCLM, INTRA_L_CCLM, INTRA_T_CCLM}[idx];
+            return;
+        }
+    }
+    static const int mode_list[4] = {INTRA_PLANAR, OV_VER, OV_HOR, INTRA_DC};
+    if (cabac_decode_bin(p->cab, INTRA_CHROMA_PRED_MODE)) {
+        int idx = cabac_decode_bypass(p->cab) << 1;
+        idx |= cabac_decode_bypass(p->cab);
+        int mode = mode_list[idx];
+        if (mode == col_mode) mode = OV_VDIA;
+        c[CU_F_INTRA_C] = mode;
+    } else {
+        c[CU_F_INTRA_C] = col_mode; /* direct mode */
+    }
+}
+
+/* ---- transform unit / tree ------------------------------------------ */
+static const int8_t *g_cqp_tab; /* [3][cqp_tab_len], set per entry */
+
+static int chroma_qp(Pc *p, int comp, int qp_y)
+{
+    const EntryParams *e = p->ep;
+    int qp_bd = e->qp_bd_offset;
+    int base = qp_y < 0 ? 0 : (qp_y > 63 ? 63 : qp_y);
+    int mapped = g_cqp_tab[(comp - 1) * e->cqp_tab_len + base + qp_bd];
+    int off = comp == 1 ? e->cb_qp_off : (comp == 2 ? e->cr_qp_off : e->jcbcr_qp_off);
+    int v = mapped + off;
+    if (v < -qp_bd) v = -qp_bd;
+    if (v > 63) v = 63;
+    return v + qp_bd;
+}
+
+/* scan index of (x,y) within the DC 4x4 subblock (up-right diagonal) */
+static const uint8_t DIAG44_IDX[4][4] = { /* [y][x] */
+    {0, 2, 5, 9}, {1, 4, 8, 12}, {3, 7, 11, 14}, {6, 10, 13, 15},
+};
+
+static int nb_coeffs_in_first_sb(int last_x, int last_y)
+{
+    if ((last_x >> 2) || (last_y >> 2)) return 0xFF;
+    return DIAG44_IDX[last_y & 3][last_x & 3];
+}
+
+static void maybe_delta_qp(Pc *p, int any_cbf)
+{
+    const EntryParams *e = p->ep;
+    if (!(e->cu_qp_delta_enabled && any_cbf) || p->is_qp_delta_coded)
+        return;
+    int v = cabac_decode_bin(p->cab, DELTA_QP);
+    if (v) {
+        while (v < 5 && cabac_decode_bin(p->cab, DELTA_QP + 1))
+            v += 1;
+        if (v >= 5)
+            v += eg_bypass(p);
+        if (cabac_decode_bypass(p->cab))
+            v = -v;
+    }
+    p->cu_qp_delta = v;
+    p->is_qp_delta_coded = 1;
+    int qp_bd = e->qp_bd_offset;
+    p->qp = ((p->qp + v + 64 + 2 * qp_bd) % (64 + qp_bd)) - qp_bd;
+}
+
+/* info collected by transform_unit for lfnst/mts gating */
+typedef struct {
+    int cbf_mask;
+    int luma_last_x, luma_last_y; uint64_t luma_sig; int has_luma;
+    int cb_last_x, cb_last_y; uint64_t cb_sig; int has_cb;
+    int cr_last_x, cr_last_y; uint64_t cr_sig; int has_cr;
+    int j_last_x, j_last_y; uint64_t j_sig; int has_j;
+    int valid;
+} TuInfo;
+
+/* decode one TB via the native residual decoder straight into coef_buf */
+static void code_tb(Pc *p, int64_t tui, int luma, int *last_x, int *last_y,
+                    uint64_t *sig)
+{
+    int32_t *t = tu_rec(p, tui);
+    int l2w = t[TU_F_LOG2W], l2h = t[TU_F_LOG2H];
+    int n = 1 << (l2w + l2h);
+    if (p->ncoef + n > p->coef_cap) bail(p, ERR_OVERFLOW);
+    int32_t *dst = p->coef + p->ncoef;
+    t[TU_F_COEF] = (int32_t)p->ncoef;
+    p->ncoef += n;
+    uint64_t sigmap = 0;
+    int64_t packed = rc_decode_tb(p->cab, p->lvl_scratch, dst, l2w, l2h,
+                                  luma, p->ep->dep_quant, p->ep->sign_hiding,
+                                  0, &sigmap);
+    *last_x = (int)(packed & 0xFF);
+    *last_y = (int)((packed >> 8) & 0xFF);
+    *sig = sigmap;
+    t[TU_F_LASTX] = *last_x;
+    t[TU_F_LASTY] = *last_y;
+    t[TU_F_SIGLO] = (int32_t)(sigmap & 0xFFFFFFFFu);
+    t[TU_F_SIGHI] = (int32_t)(sigmap >> 32);
+}
+
+/* transform_unit parity (single/shared tree; TS+BDPCM+SBT pre-gated off) */
+static void transform_unit_c(Pc *p, int64_t cui, int x0, int y0,
+                             int l2w, int l2h, int tr_depth, int root_cbf,
+                             TuInfo *info)
+{
+    const EntryParams *e = p->ep;
+    memset(info, 0, sizeof(*info));
+    info->valid = 1;
+
+    int has_chroma = e->chroma_enabled; /* tree is SINGLE here */
+    int cx = x0 >> 1, cy = y0 >> 1, cl2w = l2w - 1, cl2h = l2h - 1;
+
+    int cbf_cb = 0, cbf_cr = 0, joint = 0;
+    if (has_chroma) {
+        cbf_cb = cabac_decode_bin(p->cab, QT_CBF_CB);
+        cbf_cr = cabac_decode_bin(p->cab, QT_CBF_CR + cbf_cb);
+    }
+    int cbf_mask_c = (cbf_cb << 1) | cbf_cr;
+
+    int cbf_luma = 0;
+    if (root_cbf && !cbf_mask_c && !tr_depth)
+        cbf_luma = 1;
+    else
+        cbf_luma = cabac_decode_bin(p->cab, QT_CBF);
+
+    maybe_delta_qp(p, root_cbf | cbf_luma | cbf_mask_c);
+
+    if (e->joint_cbcr && cbf_mask_c)
+        joint = cabac_decode_bin(p->cab, JOINT_CB_CR_FLAG + cbf_mask_c - 1);
+
+    info->cbf_mask = cbf_mask_c | (joint << 3) | (cbf_luma << 4);
+    int qp_y = p->qp;
+
+    if (cbf_luma) {
+        int64_t tui = new_tu(p, 0, x0, y0, l2w, l2h);
+        tu_rec(p, tui)[TU_F_QP] = qp_y + e->qp_bd_offset;
+        code_tb(p, tui, 1, &info->luma_last_x, &info->luma_last_y,
+                &info->luma_sig);
+        info->has_luma = 1;
+    }
+
+    if (joint) {
+        int64_t tui = new_tu(p, 3, cx, cy, cl2w, cl2h);
+        int32_t *t = tu_rec(p, tui);
+        t[TU_F_JCBCR] = cbf_mask_c;
+        t[TU_F_QP] = chroma_qp(p, cbf_mask_c == 3 ? 3 : (cbf_cb ? 1 : 2), qp_y);
+        code_tb(p, tui, 0, &info->j_last_x, &info->j_last_y, &info->j_sig);
+        info->has_j = 1;
+    } else if (cbf_mask_c) {
+        if (cbf_cb) {
+            int64_t tui = new_tu(p, 1, cx, cy, cl2w, cl2h);
+            tu_rec(p, tui)[TU_F_QP] = chroma_qp(p, 1, qp_y);
+            code_tb(p, tui, 0, &info->cb_last_x, &info->cb_last_y,
+                    &info->cb_sig);
+            info->has_cb = 1;
+        }
+        if (cbf_cr) {
+            int64_t tui = new_tu(p, 2, cx, cy, cl2w, cl2h);
+            tu_rec(p, tui)[TU_F_QP] = chroma_qp(p, 2, qp_y);
+            code_tb(p, tui, 0, &info->cr_last_x, &info->cr_last_y,
+                    &info->cr_sig);
+            info->has_cr = 1;
+        }
+    }
+    (void)cui;
+}
+
+/* transform_tree_intra parity; returns info validity for lfnst/mts */
+static void transform_tree_c(Pc *p, int64_t cui, int x0, int y0,
+                             int l2w, int l2h, int tr_depth, int root_cbf,
+                             TuInfo *info)
+{
+    int max_tb = p->ep->l_max_tb; /* single/shared tree */
+    int split_v = l2w > max_tb, split_h = l2h > max_tb;
+    if (split_v || split_h) {
+        info->valid = 0;
+        int nl2w = l2w - (split_v ? 1 : 0);
+        int nl2h = l2h - (split_h ? 1 : 0);
+        TuInfo sub;
+        transform_tree_c(p, cui, x0, y0, nl2w, nl2h, tr_depth + 1, root_cbf, &sub);
+        if (split_v)
+            transform_tree_c(p, cui, x0 + (1 << nl2w), y0, nl2w, nl2h,
+                             tr_depth + 1, root_cbf, &sub);
+        if (split_h)
+            transform_tree_c(p, cui, x0, y0 + (1 << nl2h), nl2w, nl2h,
+                             tr_depth + 1, root_cbf, &sub);
+        if (split_v && split_h)
+            transform_tree_c(p, cui, x0 + (1 << nl2w), y0 + (1 << nl2h),
+                             nl2w, nl2h, tr_depth + 1, root_cbf, &sub);
+        return;
+    }
+    transform_unit_c(p, cui, x0, y0, l2w, l2h, tr_depth, root_cbf, info);
+}
+
+/* lfnst_mts_idx parity (intra CUs, single tree, no TS/ISP/BDPCM) */
+static void lfnst_mts_idx_c(Pc *p, int64_t cui, int l2w, int l2h,
+                            const TuInfo *info)
+{
+    const EntryParams *e = p->ep;
+    int32_t *c = cu_rec(p, cui);
+    if (!info->valid || !info->cbf_mask)
+        return;
+    int cbf_mask = info->cbf_mask;
+
+    int can_lfnst = 0;
+    if (e->lfnst && c[CU_F_PRED] == MODE_INTRA) {
+        int mip_ok = !c[CU_F_MIP_FLAG] || (l2w >= 4 && l2h >= 4);
+        if (mip_ok) { /* _lfnst_check_st */
+            int max_pos_l = (l2w == l2h && l2w <= 3) ? 7 : 15;
+            int max_pos_c = (l2w == l2h && l2w <= 4) ? 7 : 15;
+            int non_dc = 0, ok = 1;
+            if (cbf_mask & 0x10) {
+                int nb = nb_coeffs_in_first_sb(info->luma_last_x, info->luma_last_y);
+                ok &= info->luma_sig <= 1 && nb <= max_pos_l;
+                non_dc |= nb;
+            }
+            if ((cbf_mask & 0x8) && l2w > 2 && l2h > 2) {
+                int nb = nb_coeffs_in_first_sb(info->j_last_x, info->j_last_y);
+                ok &= info->j_sig <= 1 && nb <= max_pos_c;
+                non_dc |= nb;
+            } else {
+                if ((cbf_mask & 0x2) && l2w > 2 && l2h > 2) {
+                    int nb = nb_coeffs_in_first_sb(info->cb_last_x, info->cb_last_y);
+                    ok &= info->cb_sig <= 1 && nb <= max_pos_c;
+                    non_dc |= nb;
+                }
+                if ((cbf_mask & 0x1) && l2w > 2 && l2h > 2) {
+                    int nb = nb_coeffs_in_first_sb(info->cr_last_x, info->cr_last_y);
+                    ok &= info->cr_sig <= 1 && nb <= max_pos_c;
+                    non_dc |= nb;
+                }
+            }
+            can_lfnst = ok && non_dc;
+        }
+    }
+
+    if (can_lfnst) {
+        int idx = 0;
+        if (cabac_decode_bin(p->cab, LFNST_IDX)) /* single tree: +0 */
+            idx = 1 + cabac_decode_bin(p->cab, LFNST_IDX + 2);
+        c[CU_F_LFNST] = idx;
+        for (int64_t t = c[CU_F_TU0]; t < p->ntu; t++)
+            tu_rec(p, t)[TU_F_LFNST] = idx;
+    }
+
+    /* explicit MTS on the luma TB (no TS in this build) */
+    if ((cbf_mask & 0x10)) {
+        int explicit_on = c[CU_F_PRED] == MODE_INTRA ? e->expl_mts_intra
+                                                     : e->expl_mts_inter;
+        if (e->mts && explicit_on && !c[CU_F_LFNST]) {
+            int lx = info->luma_last_x, ly = info->luma_last_y;
+            uint64_t sig = info->luma_sig;
+            if (!(lx == 0 && ly == 0) && l2w < 6 && l2h < 6 &&
+                !(sig & ~0x000000000F0F0F0FULL)) {
+                int idx = 0;
+                if (cabac_decode_bin(p->cab, MTS_IDX)) {
+                    int sym = cabac_decode_bin(p->cab, MTS_IDX + 1);
+                    if (sym && cabac_decode_bin(p->cab, MTS_IDX + 2)) {
+                        sym += 1;
+                        if (cabac_decode_bin(p->cab, MTS_IDX + 3))
+                            sym += 1;
+                    }
+                    idx = 1 + sym;
+                }
+                /* store on the luma TU */
+                for (int64_t t = c[CU_F_TU0]; t < p->ntu; t++)
+                    if (tu_rec(p, t)[TU_F_COMP] == 0) {
+                        tu_rec(p, t)[TU_F_MTS] = idx;
+                        break;
+                    }
+            }
+        }
+    }
+}
+
+/* ---- inter MV derivation (drv/inter_mvp.py parity, P path) ---------- */
+static MVc mv_change_prec(MVc mv, int src, int dst)
+{
+    int shift = dst - src;
+    if (shift >= 0) {
+        mv.x <<= shift;
+        mv.y <<= shift;
+        return mv;
+    }
+    shift = -shift;
+    int off = 1 << (shift - 1);
+    mv.x = mv.x >= 0 ? (mv.x + off - 1) >> shift : (mv.x + off) >> shift;
+    mv.y = mv.y >= 0 ? (mv.y + off - 1) >> shift : (mv.y + off) >> shift;
+    return mv;
+}
+
+static MVc mv_round_prec(MVc mv, int src, int dst)
+{
+    return mv_change_prec(mv_change_prec(mv, src, dst), dst, src);
+}
+
+static int mv_cmp(MVc a, MVc b) { return a.x == b.x && a.y == b.y; }
+static int mv_cmp2(MVc a, MVc b)
+{
+    return a.x == b.x && a.y == b.y && a.ref == b.ref;
+}
+
+static void hmvp_update(Pc *p, MVc mv)
+{
+    /* P path: inter_dir 0x1, mv0 == mv1 == mv */
+    int dup_at = -1;
+    for (int i = 0; i < p->hmvp_n && i < 5; i++) {
+        if (mv_cmp(mv, p->hmvp_mv[i]) && mv.ref == p->hmvp_mv[i].ref) {
+            dup_at = i;
+            break;
+        }
+    }
+    if (dup_at >= 0) {
+        for (int i = dup_at; i < p->hmvp_n - 1; i++)
+            p->hmvp_mv[i] = p->hmvp_mv[i + 1];
+        p->hmvp_n -= 1;
+    } else if (p->hmvp_n == 5) {
+        for (int i = 0; i < 4; i++)
+            p->hmvp_mv[i] = p->hmvp_mv[i + 1];
+        p->hmvp_n = 4;
+    }
+    p->hmvp_mv[p->hmvp_n++] = mv;
+}
+
+static int iavail(const Pc *p, int ux, int uy)
+{
+    if (ux < 0 || uy < 0 || ux >= p->uw || uy >= p->uh) return 0;
+    return p->dir0[uy * p->uw + ux];
+}
+
+static MVc imv_at(const Pc *p, int ux, int uy)
+{
+    return p->mv0[uy * p->uw + ux];
+}
+
+static void ifill(Pc *p, MVc mv, int ux, int uy, int nw, int nh)
+{
+    if (ux + nw > p->uw) nw = p->uw - ux;
+    if (uy + nh > p->uh) nh = p->uh - uy;
+    for (int j = 0; j < nh; j++)
+        for (int i = 0; i < nw; i++) {
+            p->dir0[(uy + j) * p->uw + (ux + i)] = 1;
+            p->mv0[(uy + j) * p->uw + (ux + i)] = mv;
+        }
+}
+
+static void ifill_tmvp(Pc *p, MVc mv, int ux, int uy, int nw, int nh)
+{
+    mv.bcw = 0;
+    mv.prec = 0;
+    int sx = ux & 1, sy = uy & 1;
+    int x0 = (ux + sx) >> 1, y0 = (uy + sy) >> 1;
+    int nj = (nh + (1 - sy)) >> 1, ni = (nw + (1 - sx)) >> 1;
+    for (int j = 0; j < nj; j++)
+        for (int i = 0; i < ni; i++) {
+            int32_t *cell = p->tmv0 + ((y0 + j) * p->uw8 + (x0 + i)) * 3;
+            cell[0] = mv.x;
+            cell[1] = mv.y;
+            cell[2] = mv.ref;
+        }
+}
+
+static void update_mv_ctx(Pc *p, MVc mv, int ux, int uy, int nw, int nh)
+{
+    ifill(p, mv, ux, uy, nw, nh);
+    ifill_tmvp(p, mv, ux, uy, nw, nh);
+    hmvp_update(p, mv);
+}
+
+/* vvc_derive_merge_mvp (P path, TMVP pre-gated off) */
+static MVc derive_merge_mvp(Pc *p, int ux, int uy, int nw, int nh,
+                            int merge_idx, int max_nb_cand)
+{
+    MVc cand[8];
+    int ncand = 0;
+    MVc amvp[5];
+    int have[5] = {0, 0, 0, 0, 0};
+
+    int got_t = iavail(p, ux + nw - 1, uy - 1);
+    int got_l = iavail(p, ux - 1, uy + nh - 1);
+
+    if (got_t) { /* B1 */
+        MVc mv = imv_at(p, ux + nw - 1, uy - 1);
+        amvp[0] = mv; have[0] = 1;
+        cand[ncand++] = mv;
+        if (ncand - 1 == merge_idx) return mv;
+    }
+    if (got_l) { /* A1 */
+        MVc mv = imv_at(p, ux - 1, uy + nh - 1);
+        amvp[1] = mv; have[1] = 1;
+        if (!got_t || !mv_cmp2(mv, amvp[0])) {
+            cand[ncand++] = mv;
+            if (ncand - 1 == merge_idx) return mv;
+        }
+    }
+    if (iavail(p, ux + nw, uy - 1)) { /* B0 */
+        MVc mv = imv_at(p, ux + nw, uy - 1);
+        if (!got_t || !mv_cmp2(mv, amvp[0])) {
+            cand[ncand++] = mv;
+            if (ncand - 1 == merge_idx) return mv;
+        }
+    }
+    if (iavail(p, ux - 1, uy + nh)) { /* A0 */
+        MVc mv = imv_at(p, ux - 1, uy + nh);
+        if (!got_l || !mv_cmp2(mv, amvp[1])) {
+            cand[ncand++] = mv;
+            if (ncand - 1 == merge_idx) return mv;
+        }
+    }
+    if (ncand < 4 && iavail(p, ux - 1, uy - 1)) { /* B2 */
+        MVc mv = imv_at(p, ux - 1, uy - 1);
+        if ((!got_l || !mv_cmp2(mv, amvp[1])) &&
+            (!got_t || !mv_cmp2(mv, amvp[0]))) {
+            cand[ncand++] = mv;
+            if (ncand - 1 == merge_idx) return mv;
+        }
+    }
+
+    /* HMVP (hmvp_add_merge_cand parity): newest-first */
+    if (ncand != max_nb_cand - 1) {
+        for (int i = 1; i <= p->hmvp_n; i++) {
+            int idx = p->hmvp_n - i;
+            MVc mv = p->hmvp_mv[idx];
+            if (i > 2 || ((!got_t || !mv_cmp2(mv, amvp[0])) &&
+                          (!got_l || !mv_cmp2(mv, amvp[1])))) {
+                cand[ncand++] = mv;
+                if (ncand == merge_idx + 1)
+                    return cand[ncand - 1];
+                if (ncand == max_nb_cand - 1)
+                    break;
+            }
+        }
+    }
+
+    if (ncand > 1 && ncand < max_nb_cand) { /* pairwise average */
+        MVc a = cand[0], b = cand[1];
+        int ax = a.x + b.x, ay = a.y + b.y;
+        ax += 1 - (ax >= 0);
+        ay += 1 - (ay >= 0);
+        MVc avg = a;
+        avg.x = ax >> 1;
+        avg.y = ay >> 1;
+        if (a.prec != b.prec) avg.prec = 0;
+        if (ncand == merge_idx) return avg;
+        cand[ncand++] = avg;
+    }
+
+    int diff = merge_idx - ncand;
+    int ref_idx = diff <= p->ep->nb_active_ref0 - 1 ? diff : 0;
+    while (ncand < max_nb_cand) {
+        MVc z = {0, 0, (int8_t)ref_idx, 0, 0};
+        cand[ncand++] = z;
+    }
+    return cand[ncand - 1];
+}
+
+/* derive_mvp_candidates_1 parity (P: list 0 only, TMVP pre-gated off) */
+static MVc derive_mvp_cand(Pc *p, int ref_idx, int ux, int uy, int nw, int nh,
+                           int mvp_idx, int prec_amvr)
+{
+    MVc cand[4];
+    int ncand = 0;
+
+    /* A0 then A1 (left), B0/B1/B2 (above); list-1 probes never hit in P */
+#define PROBE(px, py) \
+    (iavail(p, px, py) && imv_at(p, px, py).ref == ref_idx \
+         ? (cand[ncand++] = imv_at(p, px, py), 1) : 0)
+    if (!PROBE(ux - 1, uy + nh))
+        PROBE(ux - 1, uy + nh - 1);
+    if (!PROBE(ux + nw, uy - 1))
+        if (!PROBE(ux + nw - 1, uy - 1))
+            PROBE(ux - 1, uy - 1);
+#undef PROBE
+
+    for (int i = 0; i < ncand; i++)
+        cand[i] = mv_round_prec(cand[i], PREC_INTERNAL, prec_amvr);
+    if (ncand == 2 && mv_cmp(cand[0], cand[1]))
+        ncand = 1;
+
+    if (ncand < 2) { /* hmvp_add_cand_1: oldest-first, same-dir same-ref */
+        for (int i = 0; i < p->hmvp_n && i < 4 && ncand < 2; i++)
+            if (p->hmvp_mv[i].ref == ref_idx)
+                cand[ncand++] = p->hmvp_mv[i];
+    }
+    while (ncand < 2) {
+        MVc z = {0, 0, (int8_t)ref_idx, 0, 0};
+        cand[ncand++] = z;
+    }
+    for (int i = 0; i < 2; i++)
+        cand[i] = mv_round_prec(cand[i], PREC_INTERNAL, prec_amvr);
+    return cand[mvp_idx];
+}
+
+/* ---- inter PU syntax (vcl/inter_pu.py parity, P subset) ------------- */
+static int code_merge_idx(Pc *p, int max_nb_cand)
+{
+    if (max_nb_cand <= 1) return 0;
+    int v = 0;
+    if (cabac_decode_bin(p->cab, MERGE_IDX)) {
+        v = 1;
+        while (v < max_nb_cand - 1 && cabac_decode_bypass(p->cab))
+            v += 1;
+    }
+    return v;
+}
+
+static void code_mvd(Pc *p, int *mx, int *my)
+{
+    int abs_x = cabac_decode_bin(p->cab, MVD);
+    int abs_y = cabac_decode_bin(p->cab, MVD);
+    if (abs_x) abs_x += cabac_decode_bin(p->cab, MVD + 1);
+    if (abs_y) abs_y += cabac_decode_bin(p->cab, MVD + 1);
+    if (abs_x) {
+        if (abs_x > 1) abs_x += exp_golomb_mv(p);
+        if (cabac_decode_bypass(p->cab)) abs_x = -abs_x;
+    }
+    if (abs_y) {
+        if (abs_y > 1) abs_y += exp_golomb_mv(p);
+        if (cabac_decode_bypass(p->cab)) abs_y = -abs_y;
+    }
+    *mx = abs_x;
+    *my = abs_y;
+}
+
+static int code_ref_idx(Pc *p, int nb_active)
+{
+    int v = 0;
+    if (cabac_decode_bin(p->cab, REF_PIC)) {
+        v = 1;
+        if (nb_active > 2 && cabac_decode_bin(p->cab, REF_PIC + 1)) {
+            v = 2;
+            while (nb_active > v + 1 && cabac_decode_bypass(p->cab))
+                v += 1;
+        }
+    }
+    return v;
+}
+
+static int code_amvr_precision(Pc *p)
+{
+    static const int order[4] = {PREC_QUARTER, PREC_INT, PREC_4PEL, PREC_HALF};
+    if (!cabac_decode_bin(p->cab, IMV_FLAG))
+        return order[0];
+    if (cabac_decode_bin(p->cab, IMV_FLAG + 4))
+        return order[1 + cabac_decode_bin(p->cab, IMV_FLAG + 1)];
+    return order[3];
+}
+
+/* prediction_unit_inter_p parity (affine/sb-merge/mmvd/ciip/gpm gated) */
+static void pred_unit_inter_p(Pc *p, int32_t *c, int x0, int y0,
+                              int l2w, int l2h, int skip, int merge)
+{
+    const EntryParams *e = p->ep;
+    int ux = (x0 - e->tile_x0) >> 2, uy = (y0 - e->tile_y0) >> 2;
+    int nw = (1 << l2w) >> 2, nh = (1 << l2h) >> 2;
+    p->prec_amvr = PREC_QUARTER;
+    MVc mv0;
+    if (merge) {
+        /* merge_data_p with all optional tools off -> plain merge idx */
+        int midx = code_merge_idx(p, e->max_num_merge_cand);
+        c[CU_F_MERGE_IDX] = midx;
+        mv0 = derive_merge_mvp(p, ux, uy, nw, nh, midx, e->max_num_merge_cand);
+        p->prec_amvr = mv0.prec;
+        update_mv_ctx(p, mv0, ux, uy, nw, nh);
+    } else {
+        int nb_active = e->nb_active_ref0;
+        int ref_idx = nb_active > 1 ? code_ref_idx(p, nb_active)
+                                    : nb_active - 1;
+        int mdx, mdy;
+        code_mvd(p, &mdx, &mdy);
+        int mvp_idx = cabac_decode_bin(p->cab, MVP_IDX);
+        int prec = PREC_QUARTER;
+        if (e->amvr && (mdx || mdy))
+            prec = code_amvr_precision(p);
+        p->prec_amvr = prec;
+        mv0 = derive_mvp_cand(p, ref_idx, ux, uy, nw, nh, mvp_idx, prec);
+        MVc mvd = {mdx, mdy, 0, 0, 0};
+        mvd = mv_change_prec(mvd, prec, PREC_INTERNAL);
+        mv0.x += mvd.x;
+        mv0.y += mvd.y;
+        mv0.ref = (int8_t)ref_idx;
+        mv0.bcw = 3; /* BCW_DEFAULT + 1 */
+        mv0.prec = (int8_t)prec;
+        update_mv_ctx(p, mv0, ux, uy, nw, nh);
+    }
+    c[CU_F_MV0X] = mv0.x;
+    c[CU_F_MV0Y] = mv0.y;
+    c[CU_F_MV0REF] = mv0.ref;
+    c[CU_F_MV0BCW] = mv0.bcw;
+    c[CU_F_MV0PREC] = mv0.prec;
+    c[CU_F_PRED] = MODE_INTER;
+    (void)skip;
+}
+
+/* ---- per-CU shared head/tail (slice_data.py) ------------------------- */
+static void dqp_group_start(Pc *p, int x0, int y0)
+{
+    const EntryParams *e = p->ep;
+    if (!e->cu_qp_delta_enabled) return;
+    int min_cb = e->l_min_cb;
+    int ctb_mask = (1 << e->log2_ctb) - 1;
+    int x0l = x0 & ctb_mask, y0l = y0 & ctb_mask;
+    int msk = (1 << (e->log2_ctb + 1 - e->cu_qp_delta_subdiv)) - 1;
+    if (!((x0l & msk) | (y0l & msk))) {
+        int abv = y0l ? p->qp_map_x[(x0l & ~msk) >> min_cb] : p->qp;
+        int lft = x0l ? p->qp_map_y[(y0l & ~msk) >> min_cb] : p->qp;
+        p->qp = (abv + lft + 1) >> 1;
+        p->is_qp_delta_coded = 0;
+    }
+}
+
+static void qp_maps_update(Pc *p, int x0, int y0, int l2w, int l2h)
+{
+    const EntryParams *e = p->ep;
+    if (!e->cu_qp_delta_enabled) return;
+    int min_cb = e->l_min_cb;
+    int ctb_mask = (1 << e->log2_ctb) - 1;
+    int x0l = x0 & ctb_mask, y0l = y0 & ctb_mask;
+    for (int i = 0; i < (1 << l2w) >> min_cb; i++)
+        p->qp_map_x[(x0l >> min_cb) + i] = p->qp;
+    for (int i = 0; i < (1 << l2h) >> min_cb; i++)
+        p->qp_map_y[(y0l >> min_cb) + i] = p->qp;
+}
+
+static void cu_tail_maps(Pc *p, int64_t cui, int cu_type)
+{
+    int32_t *c = cu_rec(p, cui);
+    map_fill(p, p->m_ctype, c[CU_F_X0], c[CU_F_Y0], c[CU_F_LOG2W],
+             c[CU_F_LOG2H], cu_type);
+    c[CU_F_QP] = p->qp;
+    qp_maps_update(p, c[CU_F_X0], c[CU_F_Y0], c[CU_F_LOG2W], c[CU_F_LOG2H]);
+    c[CU_F_NTU] = (int32_t)(p->ntu - c[CU_F_TU0]);
+    p->ctu_ncu[p->cur_ctu * 3 + 2] += 1;
+}
+
+/* intra CU body shared by I-slice dispatch and intra-in-P */
+static void cu_intra_body(Pc *p, int64_t cui)
+{
+    const EntryParams *e = p->ep;
+    int32_t *c = cu_rec(p, cui);
+    int x0 = c[CU_F_X0], y0 = c[CU_F_Y0];
+    int l2w = c[CU_F_LOG2W], l2h = c[CU_F_LOG2H];
+
+    cu_intra_luma(p, c);
+    store_cu_luma(p, c);
+    map_fill(p, p->m_ctype, x0, y0, l2w, l2h,
+             c[CU_F_MIP_FLAG] ? CU_MIP : CU_INTRA);
+
+    if (e->chroma_enabled) {
+        int col_mode = c[CU_F_MIP_FLAG] ? INTRA_PLANAR : c[CU_F_INTRA_L];
+        c[CU_F_COL_MODE] = col_mode;
+        cu_intra_chroma(p, c, col_mode);
+    }
+
+    TuInfo info;
+    transform_tree_c(p, cui, x0, y0, l2w, l2h, 0, 0, &info);
+    c = cu_rec(p, cui); /* record pointer is stable (flat buffer) */
+    lfnst_mts_idx_c(p, cui, l2w, l2h, &info);
+
+    if (e->chroma_enabled)
+        store_cu_chroma(p, x0 >> 1, y0 >> 1, l2w, l2h);
+}
+
+/* root cbf + inter transform tree (slice_data._inter_tu_tail, SBT off) */
+static void inter_tu_tail(Pc *p, int64_t cui, int x0, int y0, int l2w, int l2h)
+{
+    int32_t *c = cu_rec(p, cui);
+    int root = c[CU_F_MERGE_FLAG] ? 1 : cabac_decode_bin(p->cab, QT_ROOT_CBF);
+    c[CU_F_ROOT_CBF] = root;
+    if (root) {
+        TuInfo info;
+        transform_tree_c(p, cui, x0, y0, l2w, l2h, 0, 1, &info);
+    }
+}
+
+/* ---- CU dispatch (slice_data.py coding_unit_dispatch) ---------------- */
+static void coding_unit_dispatch(Pc *p, int x0, int y0, int l2w, int l2h)
+{
+    const EntryParams *e = p->ep;
+
+    if (e->slice_type != 2) { /* P slice (B pre-gated off) */
+        int64_t cui = new_cu(p, x0, y0, l2w, l2h);
+        int32_t *c = cu_rec(p, cui);
+        c[CU_F_PRED] = MODE_INTER;
+
+        dqp_group_start(p, x0, y0);
+        c[CU_F_QP] = p->qp;
+
+        int abv = nbr_u8(p, p->m_ctype, x0, y0 - 1, CU_NA);
+        int lft = nbr_u8(p, p->m_ctype, x0 - 1, y0, CU_NA);
+        int off = (abv == CU_INTER_SKIP || abv == CU_INTER_SKIP_AFF ||
+                   abv == CU_IBC_SKIP) +
+                  (lft == CU_INTER_SKIP || lft == CU_INTER_SKIP_AFF ||
+                   lft == CU_IBC_SKIP);
+        int skip = cabac_decode_bin(p->cab, SKIP_FLAG + off);
+        c[CU_F_SKIP] = skip;
+
+        if (skip) {
+            c[CU_F_MERGE_FLAG] = 1;
+            pred_unit_inter_p(p, c, x0, y0, l2w, l2h, 1, 1);
+            c[CU_F_PREC_EFF] = p->prec_amvr;
+            reset_intra_map(p, x0, y0, l2w, l2h);
+            cu_tail_maps(p, cui, CU_INTER_SKIP);
+            return;
+        }
+
+        if (l2w == 2 && l2h == 2)
+            bail(p, ERR_UNSUPPORTED); /* implies SCIPU share */
+
+        int pm_off = (abv == CU_INTRA || abv == CU_MIP ||
+                      lft == CU_INTRA || lft == CU_MIP);
+        int pred_intra = cabac_decode_bin(p->cab, PRED_MODE + pm_off);
+
+        if (pred_intra) {
+            c[CU_F_PRED] = MODE_INTRA;
+            cu_intra_body(p, cui);
+            c = cu_rec(p, cui);
+            cu_tail_maps(p, cui, c[CU_F_MIP_FLAG] ? CU_MIP : CU_INTRA);
+            return;
+        }
+
+        c[CU_F_MERGE_FLAG] = cabac_decode_bin(p->cab, MERGE_FLAG);
+        pred_unit_inter_p(p, c, x0, y0, l2w, l2h, 0, c[CU_F_MERGE_FLAG]);
+        c[CU_F_PREC_EFF] = p->prec_amvr;
+        reset_intra_map(p, x0, y0, l2w, l2h);
+        inter_tu_tail(p, cui, x0, y0, l2w, l2h);
+        if (e->chroma_enabled)
+            store_cu_chroma(p, x0 >> 1, y0 >> 1, l2w, l2h);
+        store_cu_luma(p, cu_rec(p, cui));
+        cu_tail_maps(p, cui, CU_INTER);
+        return;
+    }
+
+    /* I slice, single tree (dual tree / IBC pre-gated off) */
+    int64_t cui = new_cu(p, x0, y0, l2w, l2h);
+    dqp_group_start(p, x0, y0);
+    cu_rec(p, cui)[CU_F_QP] = p->qp;
+    cu_intra_body(p, cui);
+    int32_t *c = cu_rec(p, cui);
+    /* I-slice dispatch tail: qp maps + IR append (ctype set in body) */
+    c[CU_F_QP] = p->qp;
+    qp_maps_update(p, x0, y0, l2w, l2h);
+    c[CU_F_NTU] = (int32_t)(p->ntu - c[CU_F_TU0]);
+    p->ctu_ncu[p->cur_ctu * 3 + 2] += 1;
+}
+
+/* ---- coding tree (vcl/coding_tree.py parity, single tree) ------------ */
+static void coding_quadtree(Pc *p, int x0, int y0, int l2s, int qt_depth);
+static void multi_type_tree(Pc *p, int x0, int y0, int l2w, int l2h,
+                            int mtt_depth, int middle_tt, int imp_depth);
+
+static int read_split_cu_flag(Pc *p, int x0, int y0, int l2w, int l2h,
+                              int nb_split_cand)
+{
+    int abv = nbr_u8(p, p->m_log2w, x0, y0 - 1, UNAVAIL);
+    int lft = nbr_u8(p, p->m_log2h, x0 - 1, y0, UNAVAIL);
+    int off = (lft < l2h) + (abv < l2w) + (nb_split_cand >> 1) * 3;
+    return cabac_decode_bin(p->cab, SPLIT_FLAG + off);
+}
+
+static int read_split_qt_flag(Pc *p, int x0, int y0, int qt_depth)
+{
+    int d_abv = in_tile(p, x0, y0 - 1)
+                    ? MAPAT(p->m_qtd, p, lu_x(p, x0), lu_y(p, y0 - 1)) : 0;
+    int d_lft = in_tile(p, x0 - 1, y0)
+                    ? MAPAT(p->m_qtd, p, lu_x(p, x0 - 1), lu_y(p, y0)) : 0;
+    int off = (d_lft > qt_depth) + (d_abv > qt_depth) + (qt_depth < 2 ? 0 : 3);
+    return cabac_decode_bin(p->cab, SPLIT_QT_FLAG + off);
+}
+
+static int read_mtt_vertical_flag(Pc *p, int x0, int y0, int l2w, int l2h,
+                                  int nb_v, int nb_h)
+{
+    int abv = nbr_u8(p, p->m_log2w, x0, y0 - 1, UNAVAIL);
+    int lft = nbr_u8(p, p->m_log2h, x0 - 1, y0, UNAVAIL);
+    int cx;
+    if (nb_v == nb_h) {
+        int w_ratio = (1 << l2w) >> (abv & 0x7);
+        int h_ratio = (1 << l2h) >> (lft & 0x7);
+        if (w_ratio == h_ratio || abv == UNAVAIL || lft == UNAVAIL)
+            cx = 0;
+        else if (w_ratio < h_ratio)
+            cx = 1;
+        else
+            cx = 2;
+    } else {
+        cx = nb_v < nb_h ? 3 : 4;
+    }
+    return cabac_decode_bin(p->cab, SPLIT_HV_FLAG + cx);
+}
+
+static int read_mtt_binary_flag(Pc *p, int mtt_depth, int vertical)
+{
+    int cx = (vertical << 1) | (mtt_depth <= 1 ? 1 : 0);
+    return cabac_decode_bin(p->cab, SPLIT12_FLAG + cx);
+}
+
+/* _separate_trees: any SCIPU outcome is unsupported in the native path */
+static void check_scipu(Pc *p, int child_luma_area, int narrow_chroma)
+{
+    if (p->share || p->tree_type != TREE_SINGLE)
+        return;
+    int chroma_area = child_luma_area >> 2;
+    if (chroma_area >= 16 && !narrow_chroma)
+        return;
+    bail(p, ERR_UNSUPPORTED);
+}
+
+static void bt_split(Pc *p, int x0, int y0, int l2w, int l2h, int mtt_depth,
+                     int imp_depth, int vertical)
+{
+    check_scipu(p, 1 << (l2w + l2h - 1), vertical && l2w == 3);
+    int nl2w = vertical ? l2w - 1 : l2w;
+    int nl2h = vertical ? l2h : l2h - 1;
+    int x1 = vertical ? x0 + (1 << nl2w) : x0;
+    int y1 = vertical ? y0 : y0 + (1 << nl2h);
+    multi_type_tree(p, x0, y0, nl2w, nl2h, mtt_depth + 1, 0, imp_depth);
+    multi_type_tree(p, x1, y1, nl2w, nl2h, mtt_depth + 1, 0, imp_depth);
+}
+
+static void tt_split(Pc *p, int x0, int y0, int l2w, int l2h, int mtt_depth,
+                     int imp_depth, int vertical)
+{
+    check_scipu(p, 1 << (l2w + l2h - 2), vertical && l2w == 4);
+    int middle = vertical ? 1 : 2;
+    if (vertical) {
+        int l2w1 = l2w - 2, l2w2 = l2w - 1;
+        int x1 = x0 + (1 << l2w1), x2 = x1 + (1 << l2w2);
+        multi_type_tree(p, x0, y0, l2w1, l2h, mtt_depth + 1, 0, imp_depth);
+        multi_type_tree(p, x1, y0, l2w2, l2h, mtt_depth + 1, middle, imp_depth);
+        multi_type_tree(p, x2, y0, l2w1, l2h, mtt_depth + 1, 0, imp_depth);
+    } else {
+        int l2h1 = l2h - 2, l2h2 = l2h - 1;
+        int y1 = y0 + (1 << l2h1), y2 = y1 + (1 << l2h2);
+        multi_type_tree(p, x0, y0, l2w, l2h1, mtt_depth + 1, 0, imp_depth);
+        multi_type_tree(p, x0, y1, l2w, l2h2, mtt_depth + 1, middle, imp_depth);
+        multi_type_tree(p, x0, y2, l2w, l2h1, mtt_depth + 1, 0, imp_depth);
+    }
+}
+
+static void multi_type_tree(Pc *p, int x0, int y0, int l2w, int l2h,
+                            int mtt_depth, int middle_tt, int imp_depth)
+{
+    const EntryParams *e = p->ep;
+    int max_mtt = e->l_mtt_depth, max_tt = e->l_max_tt, max_bt = e->l_max_bt;
+    int min_cb = e->l_min_cb;
+
+    int can_split = (mtt_depth - imp_depth) < max_mtt;
+    int allow_tt_v = 0, allow_tt_h = 0, allow_bt_v = 0, allow_bt_h = 0;
+    if (can_split) {
+        int allow_tt = l2w <= max_tt && l2h <= max_tt && l2w <= 6 && l2h <= 6;
+        allow_tt_v = allow_tt && (l2w - 1) > min_cb;
+        allow_tt_h = allow_tt && (l2h - 1) > min_cb;
+        allow_bt_v = min_cb < l2w && l2w <= max_bt && middle_tt != 1;
+        allow_bt_h = min_cb < l2h && l2h <= max_bt && middle_tt != 2;
+        if (l2h + l2w <= 4) { allow_bt_v = 0; allow_bt_h = 0; }
+        if (l2h + l2w - 1 <= 4) { allow_tt_v = 0; allow_tt_h = 0; }
+        if (l2h > 6 && l2w <= 6) allow_bt_v = 0;
+        if (l2w > 6 && l2h <= 6) allow_bt_h = 0;
+        if (l2w > max_bt || l2h > max_bt) { allow_bt_v = 0; allow_bt_h = 0; }
+        can_split = allow_bt_v || allow_bt_h || allow_tt_v || allow_tt_h;
+    }
+
+    if (can_split) {
+        int split_cu;
+        if (mtt_depth == 0) {
+            split_cu = 1; /* consumed by the QT stage */
+        } else {
+            int nb = allow_bt_v + allow_bt_h + allow_tt_v + allow_tt_h - 1;
+            split_cu = read_split_cu_flag(p, x0, y0, l2w, l2h, nb);
+        }
+        if (split_cu) {
+            int can_v = allow_tt_v || allow_bt_v;
+            int can_h = allow_tt_h || allow_bt_h;
+            int vertical;
+            if (can_v && can_h)
+                vertical = read_mtt_vertical_flag(p, x0, y0, l2w, l2h,
+                                                  allow_bt_v + allow_tt_v,
+                                                  allow_bt_h + allow_tt_h);
+            else
+                vertical = can_v ? 1 : 0;
+            int is_bt;
+            if ((vertical && allow_tt_v && allow_bt_v) ||
+                (!vertical && allow_tt_h && allow_bt_h))
+                is_bt = read_mtt_binary_flag(p, mtt_depth, vertical);
+            else
+                is_bt = vertical ? allow_bt_v : allow_bt_h;
+            if (is_bt)
+                bt_split(p, x0, y0, l2w, l2h, mtt_depth, imp_depth, vertical);
+            else
+                tt_split(p, x0, y0, l2w, l2h, mtt_depth, imp_depth, vertical);
+            return;
+        }
+    }
+    coding_unit_dispatch(p, x0, y0, l2w, l2h);
+}
+
+static void binary_tree_implicit(Pc *p, int x0, int y0, int l2w, int l2h,
+                                 int mtt_depth, int vertical)
+{
+    const EntryParams *e = p->ep;
+    int implicit = vertical ? x0 + (1 << l2w) > e->pic_w
+                            : y0 + (1 << l2h) > e->pic_h;
+    if (!implicit) {
+        multi_type_tree(p, x0, y0, l2w, l2h, mtt_depth, 0, mtt_depth);
+        return;
+    }
+    int nl2w = vertical ? l2w - 1 : l2w;
+    int nl2h = vertical ? l2h : l2h - 1;
+    int x1 = vertical ? x0 + (1 << nl2w) : x0;
+    int y1 = vertical ? y0 : y0 + (1 << nl2h);
+    int first_fits = vertical ? x1 <= e->pic_w : y1 <= e->pic_h;
+    int second_exists = vertical ? x1 < e->pic_w : y1 < e->pic_h;
+    if (first_fits)
+        multi_type_tree(p, x0, y0, nl2w, nl2h, mtt_depth + 1, 0,
+                        mtt_depth + 1);
+    else
+        binary_tree_implicit(p, x0, y0, nl2w, nl2h, mtt_depth + 1, vertical);
+    if (second_exists)
+        binary_tree_implicit(p, x1, y1, nl2w, nl2h, mtt_depth + 1, vertical);
+}
+
+static void coding_quadtree_implicit(Pc *p, int x0, int y0, int l2s,
+                                     int qt_depth)
+{
+    const EntryParams *e = p->ep;
+    int x_end = x0 + (1 << l2s), y_end = y0 + (1 << l2s);
+    int allow_qt = l2s > e->l_min_qt;
+    int allow_bt = l2s <= e->l_max_bt && l2s <= 6 && e->l_mtt_depth > 0;
+    allow_qt = allow_qt || !allow_bt;
+    int force_qt = x_end > e->pic_w && y_end > e->pic_h;
+
+    int split_qt = allow_qt;
+    if (allow_bt && !force_qt && allow_qt)
+        split_qt = read_split_qt_flag(p, x0, y0, qt_depth);
+
+    if (split_qt) {
+        int half = 1 << (l2s - 1);
+        int x1 = x0 + half, y1 = y0 + half;
+        coding_quadtree(p, x0, y0, l2s - 1, qt_depth + 1);
+        if (x1 < e->pic_w)
+            coding_quadtree(p, x1, y0, l2s - 1, qt_depth + 1);
+        if (y1 < e->pic_h)
+            coding_quadtree(p, x0, y1, l2s - 1, qt_depth + 1);
+        if (x1 < e->pic_w && y1 < e->pic_h)
+            coding_quadtree(p, x1, y1, l2s - 1, qt_depth + 1);
+        return;
+    }
+
+    store_qt_depth_luma(p, x0, y0, l2s, qt_depth);
+    binary_tree_implicit(p, x0, y0, l2s, l2s, 0, x_end > e->pic_w);
+}
+
+static void coding_quadtree(Pc *p, int x0, int y0, int l2s, int qt_depth)
+{
+    const EntryParams *e = p->ep;
+    if (x0 + (1 << l2s) > e->pic_w || y0 + (1 << l2s) > e->pic_h) {
+        coding_quadtree_implicit(p, x0, y0, l2s, qt_depth);
+        return;
+    }
+
+    int allow_qt = l2s > e->l_min_qt && l2s > e->l_min_cb && l2s > 2;
+    int allow_bt = l2s <= e->l_max_bt && e->l_mtt_depth > 0 &&
+                   l2s > e->l_min_cb && l2s > 2;
+    int allow_tt = l2s <= e->l_max_tt && e->l_mtt_depth > 0 &&
+                   (l2s - 1) > e->l_min_cb && l2s > 2;
+
+    int split_cu = 0;
+    if (allow_qt || allow_bt || allow_tt) {
+        int nb = (allow_tt << 1) + (allow_bt << 1) + (allow_qt << 1) - 1;
+        split_cu = read_split_cu_flag(p, x0, y0, l2s, l2s, nb);
+    }
+
+    if (split_cu) {
+        int split_qt = allow_qt;
+        if (allow_qt && (allow_bt || allow_tt))
+            split_qt = read_split_qt_flag(p, x0, y0, qt_depth);
+        if (split_qt) {
+            check_scipu(p, 1 << (2 * l2s - 2), 0);
+            int half = 1 << (l2s - 1);
+            coding_quadtree(p, x0, y0, l2s - 1, qt_depth + 1);
+            coding_quadtree(p, x0 + half, y0, l2s - 1, qt_depth + 1);
+            coding_quadtree(p, x0, y0 + half, l2s - 1, qt_depth + 1);
+            coding_quadtree(p, x0 + half, y0 + half, l2s - 1, qt_depth + 1);
+            return;
+        }
+        store_qt_depth_luma(p, x0, y0, l2s, qt_depth);
+        multi_type_tree(p, x0, y0, l2s, l2s, 0, 0, 0);
+        return;
+    }
+
+    coding_unit_dispatch(p, x0, y0, l2s, l2s);
+    store_qt_depth_luma(p, x0, y0, l2s, qt_depth);
+}
+
+/* ---- SAO per-CTU syntax (vcl/sao.py parity) -------------------------- */
+#define SAO_NONE 0
+#define SAO_BAND 1
+#define SAO_EDGE 2
+
+/* record layout: [type0..2][val 3*5][band 3][eo 3] = 24 ints */
+static void sao_comp_params(Pc *p, int32_t *rec, int c, int n_bits,
+                            int parse_type, int shared_type)
+{
+    int32_t *type = rec;
+    int32_t *val = rec + 3;
+    int32_t *band = rec + 18;
+    int32_t *eo = rec + 21;
+
+    if (parse_type)
+        type[c] = cabac_decode_bypass(p->cab) ? SAO_EDGE : SAO_BAND;
+    else
+        type[c] = shared_type;
+
+    int offs[4];
+    for (int i = 0; i < 4; i++) {
+        int k = 0;
+        while (k < n_bits && cabac_decode_bypass(p->cab))
+            k += 1;
+        offs[i] = k;
+    }
+
+    if (type[c] == SAO_BAND) {
+        for (int k = 0; k < 4; k++) {
+            int s = offs[k] ? cabac_decode_bypass(p->cab) : 0;
+            val[c * 5 + k] = s ? -offs[k] : offs[k];
+        }
+        val[c * 5 + 4] = 0;
+        int bp = 0;
+        for (int i = 1; i <= 5; i++)
+            bp |= cabac_decode_bypass(p->cab) << (5 - i);
+        band[c] = bp;
+    } else { /* edge */
+        if (c != 2)
+            eo[c] = (cabac_decode_bypass(p->cab) << 1) |
+                    cabac_decode_bypass(p->cab);
+        else
+            eo[2] = eo[1];
+        val[c * 5 + 0] = offs[0];
+        val[c * 5 + 1] = offs[1];
+        val[c * 5 + 2] = 0;
+        val[c * 5 + 3] = -offs[2];
+        val[c * 5 + 4] = -offs[3];
+    }
+}
+
+static void code_sao_ctu(Pc *p, int ctb_col, int ctb_row)
+{
+    const EntryParams *e = p->ep;
+    if (!(e->sao_luma || e->sao_chroma))
+        return;
+    int32_t *rec = p->sao_buf + p->cur_ctu * SAO_NFIELDS;
+    int left_ok = ctb_col > 0;
+    int up_ok = ctb_row > 0;
+
+    int merge = 0;
+    if (left_ok)
+        merge = cabac_decode_bin(p->cab, SAO_MERGE_FLAG);
+    if (!merge && up_ok)
+        merge = cabac_decode_bin(p->cab, SAO_MERGE_FLAG) << 1;
+
+    if (merge == 1) {
+        memcpy(rec, p->sao_buf + (p->cur_ctu - 1) * SAO_NFIELDS,
+               SAO_NFIELDS * sizeof(int32_t));
+        return;
+    }
+    if (merge == 2) {
+        /* the CTU one row up: rows are dense within the entry grid */
+        memcpy(rec, p->sao_buf + (p->cur_ctu - e->nb_ctu_w) * SAO_NFIELDS,
+               SAO_NFIELDS * sizeof(int32_t));
+        return;
+    }
+
+    int bd_m8 = e->bitdepth - 8;
+    int n_bits = (0x1F >> ((bd_m8 <= 1) + (bd_m8 == 0))) | 0x7;
+
+    if (e->sao_luma) {
+        if (cabac_decode_bin(p->cab, SAO_TYPE_IDX))
+            sao_comp_params(p, rec, 0, n_bits, 1, 0);
+        else
+            rec[0] = SAO_NONE;
+    }
+    if (e->sao_chroma) {
+        if (cabac_decode_bin(p->cab, SAO_TYPE_IDX)) {
+            sao_comp_params(p, rec, 1, n_bits, 1, 0);
+            sao_comp_params(p, rec, 2, n_bits, 0, rec[1]);
+        } else {
+            rec[1] = SAO_NONE;
+            rec[2] = SAO_NONE;
+        }
+    }
+}
+
+/* ---- entry driver (slice_data.py code_entry parity) ------------------ */
+int64_t ov_parse_entry(const uint8_t *data, int64_t nbytes,
+                       const EntryParams *ep,
+                       const uint16_t *s0, const uint16_t *s1,
+                       const uint8_t *r0, const uint8_t *r1,
+                       const int8_t *cqp_tab,
+                       int32_t *cu_buf, int64_t cu_cap,
+                       int32_t *tu_buf, int64_t tu_cap,
+                       int32_t *coef_buf, int64_t coef_cap,
+                       int32_t *sao_buf, int32_t *ctu_meta,
+                       uint8_t *tmvp_dir0, int32_t *tmvp_mv0,
+                       int64_t *out_counts)
+{
+    Pc pc;
+    memset(&pc, 0, sizeof(pc));
+    Pc *p = &pc;
+    p->ep = ep;
+    g_cqp_tab = cqp_tab;
+
+    p->uw = (ep->tile_w + 3) >> 2;
+    p->uh = (ep->tile_h + 3) >> 2;
+    p->cw = ep->chroma_enabled ? ((ep->tile_w / 2 + 3) >> 2) : 1;
+    p->ch = ep->chroma_enabled ? ((ep->tile_h / 2 + 3) >> 2) : 1;
+    p->uw8 = (p->uw + 1) >> 1;
+    p->uh8 = (p->uh + 1) >> 1;
+
+    size_t un = (size_t)p->uw * p->uh;
+    size_t cn = (size_t)p->cw * p->ch;
+    p->m_log2w = malloc(un); p->m_log2h = malloc(un);
+    p->m_qtd = calloc(un, 1);
+    p->m_imode = malloc(un); p->m_pmode = malloc(un); p->m_ctype = malloc(un);
+    p->cm_log2w = malloc(cn); p->cm_log2h = malloc(cn); p->cm_qtd = calloc(cn, 1);
+    p->dir0 = tmvp_dir0; /* exported directly: caller pre-zeroes */
+    p->mv0 = malloc(un * sizeof(MVc));
+    p->tmv0 = tmvp_mv0;
+    int alloc_fail = !(p->m_log2w && p->m_log2h && p->m_qtd && p->m_imode &&
+                       p->m_pmode && p->m_ctype && p->cm_log2w &&
+                       p->cm_log2h && p->cm_qtd && p->mv0);
+
+    p->cu_buf = cu_buf; p->cu_cap = cu_cap;
+    p->tu_buf = tu_buf; p->tu_cap = tu_cap;
+    p->coef = coef_buf; p->coef_cap = coef_cap;
+    p->sao_buf = sao_buf;
+    p->ctu_ncu = ctu_meta;
+
+    int64_t ret = 0;
+    CabacDec *cab = NULL;
+    int jmp;
+    if (alloc_fail) {
+        ret = ERR_OVERFLOW;
+    } else if ((jmp = setjmp(p->env)) != 0) {
+        ret = -jmp;
+    } else {
+        memset(p->m_log2w, UNAVAIL, un);
+        memset(p->m_log2h, UNAVAIL, un);
+        memset(p->m_imode, UNAVAIL, un);
+        memset(p->m_pmode, UNAVAIL, un);
+        memset(p->m_ctype, UNAVAIL, un);
+        memset(p->cm_log2w, UNAVAIL, cn);
+        memset(p->cm_log2h, UNAVAIL, cn);
+        p->qp = ep->slice_qp;
+        for (int i = 0; i < 64; i++) {
+            p->qp_map_x[i] = ep->slice_qp;
+            p->qp_map_y[i] = ep->slice_qp;
+        }
+        p->tree_type = TREE_SINGLE;
+        p->share = 0;
+        p->slice_is_intra = ep->slice_type == 2;
+
+        cab = cabac_new(data, nbytes, s0, s1, r0, r1);
+        if (!cab) {
+            ret = ERR_OVERFLOW;
+        } else {
+            p->cab = cab;
+            int log2_ctb = ep->log2_ctb;
+            int nctu = 0;
+            for (int row = 0; row < ep->nb_ctu_h; row++) {
+                int row_backup_qp = -1000;
+                p->hmvp_n = 0; /* HMVP resets per CTU row */
+                for (int col = 0; col < ep->nb_ctu_w; col++) {
+                    int x0 = (ep->ctu_x + col) << log2_ctb;
+                    int y0 = (ep->ctu_y + row) << log2_ctb;
+                    if (x0 >= ep->pic_w || y0 >= ep->pic_h)
+                        continue;
+                    p->cur_ctu = nctu;
+                    p->ctu_ncu[nctu * 3 + 0] = ep->ctu_x + col;
+                    p->ctu_ncu[nctu * 3 + 1] = ep->ctu_y + row;
+                    p->ctu_ncu[nctu * 3 + 2] = 0;
+                    code_sao_ctu(p, col, row);
+                    coding_quadtree(p, x0, y0, log2_ctb, 0);
+                    nctu += 1;
+                    if (col == 0)
+                        row_backup_qp = p->qp_map_x[0];
+                }
+                if (row_backup_qp != -1000)
+                    p->qp = row_backup_qp;
+            }
+            if (cabac_decode_terminate(cab) != 1)
+                ret = ERR_STREAM;
+            else if (cabac_overread(cab))
+                ret = ERR_STREAM;
+            out_counts[0] = p->ncu;
+            out_counts[1] = p->ntu;
+            out_counts[2] = p->ncoef;
+            out_counts[3] = nctu;
+        }
+    }
+
+    if (cab) cabac_free(cab);
+    free(p->m_log2w); free(p->m_log2h); free(p->m_qtd);
+    free(p->m_imode); free(p->m_pmode); free(p->m_ctype);
+    free(p->cm_log2w); free(p->cm_log2h); free(p->cm_qtd);
+    free(p->mv0);
+    return ret;
+}

@@ -73,9 +73,15 @@ def interp_14bit_np(plane, xs, ys, fxs, fys, w, h, bitdepth, luma=True,
     xx = np.clip(xs[:, None] - before + np.arange(w + taps - 1)[None, :], 0, W - 1)
     p = plane[yy[:, :, None], xx[:, None, :]].astype(np.int32)
     sh1 = bitdepth - 8
-    tmp = sum(fh[:, i, None, None] * p[:, :, i : i + w] for i in range(taps)) >> sh1
+    tmp = fh[:, 0, None, None] * p[:, :, 0:w]
+    for i in range(1, taps):
+        tmp += fh[:, i, None, None] * p[:, :, i : i + w]
+    tmp >>= sh1
     tmp = tmp.astype(np.int16).astype(np.int32)
-    return sum(fv[:, i, None, None] * tmp[:, i : i + h, :] for i in range(taps)) >> 6
+    out = fv[:, 0, None, None] * tmp[:, 0:h, :]
+    for i in range(1, taps):
+        out += fv[:, i, None, None] * tmp[:, i : i + h, :]
+    return out >> 6
 
 
 def _bd_clip(v, bitdepth):

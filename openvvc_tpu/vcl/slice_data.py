@@ -468,6 +468,14 @@ def code_entry(params, entry, io, trees=None):
 
 
 def parse_entry(params, entry):
+    import os as _os
+
+    if _os.environ.get("OPENVVC_NATIVE_ENTRY", "1") != "0":
+        from openvvc_tpu.native import parse_entry_native
+
+        out = parse_entry_native(params, entry)
+        if out is not None:
+            return out
     dec = _make_decoder(entry.data, params.slice_type, params.slice_qp)
     io = CabacReaderIO(dec)
     ctx, trees = code_entry(params, entry, io)

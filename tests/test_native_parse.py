@@ -1,0 +1,210 @@
+"""Differential tests: native C entry parse (native/parse.c) vs the Python
+parser on generated conformant streams, plus end-to-end decode equality.
+
+The native parser must produce the exact same CTU IR (CU modes, MVs, TU
+coefficients, SAO params, TMVP export) as vcl.slice_data's Python reader;
+anything outside its feature gate must cleanly fall back (return None).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from openvvc_tpu.hls.nal import demux_annexb, is_vcl
+from openvvc_tpu.hls.params import NvclContext
+from openvvc_tpu.native import load_cabac_lib, parse_entry_native
+from openvvc_tpu.testing.generator import StreamConfig, build_stream_frames
+from openvvc_tpu.vcl.slice_data import code_entry, parse_entry
+from openvvc_tpu.vcl.cabac_io import CabacReaderIO
+from openvvc_tpu.cabac.engine import CabacDecoder
+
+pytestmark = pytest.mark.skipif(load_cabac_lib() is None,
+                                reason="native library unavailable")
+
+
+def _python_parse(params, entry):
+    dec = CabacDecoder(entry.data, params.slice_type, params.slice_qp)
+    ctx, _ = code_entry(params, entry, CabacReaderIO(dec))
+    return ctx
+
+
+def _iter_entries(stream):
+    nvcl = NvclContext()
+    for nal in demux_annexb(stream):
+        if not is_vcl(nal.type):
+            nvcl.decode_nalu(nal)
+            continue
+        params = nvcl.parse_slice(nal)
+        params._cur_poc = int(params.ph.ph_pic_order_cnt_lsb)
+        for entry in params.entries:
+            yield params, entry
+
+
+def _assert_same_ir(ectx_py, ectx_c):
+    assert len(ectx_c.ctus) == len(ectx_py.ctus)
+    for a, b in zip(ectx_py.ctus, ectx_c.ctus):
+        assert (a.ctb_x, a.ctb_y) == (b.ctb_x, b.ctb_y)
+        assert len(a.cus) == len(b.cus)
+        for ca, cb in zip(a.cus, b.cus):
+            for f in ("x0", "y0", "log2_w", "log2_h", "pred_mode",
+                      "intra_mode_l", "intra_mode_c", "mip_flag",
+                      "mip_transpose", "mip_mode", "mrl_idx", "lfnst_idx",
+                      "skip_flag", "merge_flag", "merge_idx", "inter_dir",
+                      "qp", "root_cbf", "prec_amvr_eff"):
+                assert getattr(ca, f) == getattr(cb, f), \
+                    (ca.x0, ca.y0, f, getattr(ca, f), getattr(cb, f))
+            if ca.mv0 is None:
+                assert cb.mv0 is None
+            else:
+                ma, mb = ca.mv0, cb.mv0
+                assert (ma.x, ma.y, ma.ref_idx, ma.bcw_idx_plus1,
+                        ma.prec_amvr) == (mb.x, mb.y, mb.ref_idx,
+                                          mb.bcw_idx_plus1, mb.prec_amvr)
+            assert len(ca.tus) == len(cb.tus)
+            for ta, tb in zip(ca.tus, cb.tus):
+                for f in ("comp", "x0", "y0", "log2_w", "log2_h",
+                          "joint_cbcr", "lfnst_idx", "mts_idx", "qp"):
+                    assert getattr(ta, f) == getattr(tb, f)
+                assert ta.last_pos == tuple(tb.last_pos)
+                assert ta.sig_sb_map == tb.sig_sb_map
+                assert np.array_equal(ta.coeffs, tb.coeffs)
+    for k, sa in ectx_py.sao_params.items():
+        sb = ectx_c.sao_params[k]
+        assert list(sa.type_idx) == list(sb.type_idx)
+        assert [list(v) for v in sa.offset_val] == \
+            [list(v) for v in sb.offset_val]
+        assert list(sa.band_position) == list(sb.band_position)
+        assert list(sa.eo_class) == list(sb.eo_class)
+    ia, ib = ectx_py.inter_ctx, ectx_c.inter_ctx
+    if ia is not None:
+        assert np.array_equal(np.array(ia.dir0, np.uint8),
+                              np.asarray(ib.dir0))
+        assert set(ia.tmvp_mv0) == set(ib.tmvp_mv0)
+        for k, v in ia.tmvp_mv0.items():
+            w = ib.tmvp_mv0[k]
+            assert (v.x, v.y, v.ref_idx) == (w.x, w.y, w.ref_idx)
+
+
+def _diff_stream(stream, expect_native=True):
+    n_native = 0
+    for params, entry in _iter_entries(stream):
+        out = parse_entry_native(params, entry)
+        if out is None:
+            continue
+        n_native += 1
+        _assert_same_ir(_python_parse(params, entry), out[0])
+    if expect_native:
+        assert n_native > 0, "native gate rejected every entry"
+    return n_native
+
+
+def _mixed_stream(**cfg_kw):
+    """Intra frame + 2 P frames with a skip/merge/AMVP CU mix."""
+    from openvvc_tpu.vcl.coding_tree import NO_SPLIT, QT_SPLIT, TreeNode
+    from openvvc_tpu.vcl.ctu import CU, TU
+
+    rng = np.random.RandomState(11)
+
+    def sparse(l2, p=0.25, mag=9):
+        lv = np.zeros((1 << l2, 1 << l2), np.int32)
+        m = rng.rand(*lv.shape) < p
+        lv[m] = rng.randint(-mag, mag + 1, int(m.sum()))
+        return lv
+
+    def last(lv, l2):
+        from openvvc_tpu.testing.generator import _find_last_pos_diag
+        return _find_last_pos_diag(lv, l2, l2)
+
+    def intra_cu(x, y, l2):
+        cu = CU(x, y, l2, l2, intra_mode_l=int(rng.randint(0, 67)),
+                intra_mode_c=int(rng.randint(0, 2)))
+        lv = sparse(l2)
+        if lv.any():
+            cu.tus.append(TU(x, y, l2, l2, 0, cbf=1, levels=lv,
+                             last_pos=last(lv, l2)))
+        clv = sparse(l2 - 1, p=0.15)
+        if clv.any():
+            cu.tus.append(TU(x >> 1, y >> 1, l2 - 1, l2 - 1, 1, cbf=1,
+                             levels=clv, last_pos=last(clv, l2 - 1)))
+        return cu
+
+    def inter_cu(x, y, l2):
+        cu = CU(x, y, l2, l2)
+        cu.pred_mode = 1
+        k = rng.rand()
+        if k < 0.4:
+            cu.skip_flag = 1
+            cu.merge_flag = 1
+            cu.merge_idx = int(rng.randint(0, 5))
+            return cu
+        if k < 0.7:
+            cu.merge_flag = 1
+            cu.merge_idx = int(rng.randint(0, 5))
+        else:
+            cu.merge_flag = 0
+            cu.ref_idx = 0
+            cu.mvd = (int(rng.randint(-30, 31)), int(rng.randint(-30, 31)))
+            cu.mvp_idx = int(rng.randint(0, 2))
+        lv = sparse(l2, p=0.1)
+        if lv.any():
+            cu.tus.append(TU(x, y, l2, l2, 0, cbf=1, levels=lv,
+                             last_pos=last(lv, l2)))
+        return cu
+
+    def qt_tree(factory, leaf):
+        def qt(x, y, l2):
+            if l2 > leaf:
+                h = 1 << (l2 - 1)
+                return TreeNode(QT_SPLIT, children=[
+                    qt(x, y, l2 - 1), qt(x + h, y, l2 - 1),
+                    qt(x, y + h, l2 - 1), qt(x + h, y + h, l2 - 1)])
+            return TreeNode(NO_SPLIT, cu=factory(x, y, l2))
+
+        def tb(params, entry):
+            clg = params.sps.ctb_log2
+            return {(entry.ctu_x + c, entry.ctu_y + r):
+                    qt((entry.ctu_x + c) << clg,
+                       (entry.ctu_y + r) << clg, clg)
+                    for r in range(entry.nb_ctu_h)
+                    for c in range(entry.nb_ctu_w)}
+        return tb
+
+    cfg = StreamConfig(width=192, height=128, **cfg_kw)
+    frames = [{"tree_builder": qt_tree(intra_cu, 4)}]
+    for _ in range(2):
+        frames.append({"tree_builder": qt_tree(inter_cu, 4),
+                       "slice_type": 1, "ref_deltas": [1]})
+    return build_stream_frames(cfg, frames)
+
+
+def test_native_parse_ir_match_basic():
+    _diff_stream(_mixed_stream(deblocking=True, sao=True))
+
+
+def test_native_parse_ir_match_tools():
+    _diff_stream(_mixed_stream(sao=True, lfnst=True, mip=True, mrl=True,
+                               cclm=True, amvr=True, dep_quant=True,
+                               sign_hiding=True))
+
+
+def test_native_parse_gate_rejects_unsupported():
+    # TMVP is outside the native toolset: the gate must reject and the
+    # Python fallback must keep end-to-end decode working
+    stream = _mixed_stream(tmvp=True)
+    for params, entry in _iter_entries(stream):
+        if params.slice_type != 2:
+            assert parse_entry_native(params, entry) is None
+
+
+def test_native_parse_end_to_end_decode():
+    from openvvc_tpu.decoder import Decoder
+
+    stream = _mixed_stream(sao=True, dep_quant=True)
+    os.environ["OPENVVC_NATIVE_ENTRY"] = "0"
+    try:
+        ref = [f.to_yuv_bytes() for f in Decoder().decode(stream)]
+    finally:
+        os.environ.pop("OPENVVC_NATIVE_ENTRY", None)
+    got = [f.to_yuv_bytes() for f in Decoder().decode(stream)]
+    assert got == ref

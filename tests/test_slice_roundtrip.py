@@ -11,7 +11,21 @@ from openvvc_tpu.vcl.slice_data import parse_entry
 
 
 def decode_stream(stream):
-    """Parse a generated stream back: returns (params, list of CtuIR)."""
+    """Parse a generated stream back: returns (params, list of CtuIR).
+
+    Forces the Python reader: these tests assert on transmitted `levels`,
+    which the native parse path intentionally does not materialize (recon
+    consumes only decoded coefficients)."""
+    import os
+
+    os.environ["OPENVVC_NATIVE_ENTRY"] = "0"
+    try:
+        return _decode_stream_inner(stream)
+    finally:
+        os.environ.pop("OPENVVC_NATIVE_ENTRY", None)
+
+
+def _decode_stream_inner(stream):
     ctx = NvclContext()
     ctus = []
     params = None
