@@ -32,8 +32,23 @@ def _build():
     )
 
 
+_LIB_HANDLE = None
+
+
 def load_cabac_lib():
-    """Returns the ctypes handle for the native CABAC library (or None)."""
+    """Returns the ctypes handle for the native CABAC library (or None).
+
+    Memoized: ctypes.CDLL() returns a NEW instance per call with its own
+    _FuncPtr cache, so prototypes (argtypes/restype) set on one instance
+    don't transfer to the next. Handing out fresh instances while guarding
+    prototype setup with a global flag means later instances call into C
+    with default 32-bit int conversions — int64 parameters then carry
+    garbage upper bits (sporadic, register-content-dependent). One shared
+    handle keeps the prototypes attached to the functions actually called.
+    """
+    global _LIB_HANDLE
+    if _LIB_HANDLE is not None:
+        return _LIB_HANDLE
     try:
         if (not os.path.exists(_LIB)
                 or os.path.getmtime(_LIB) < os.path.getmtime(_SRC)
@@ -74,6 +89,7 @@ def load_cabac_lib():
         ctypes.c_int,
         ctypes.POINTER(ctypes.c_uint64),
     ]
+    _LIB_HANDLE = lib
     return lib
 
 
@@ -357,6 +373,24 @@ def parse_entry_native(params, entry):
         # ERR_UNSUPPORTED (-1): expected mid-parse bail (SCIPU, 4x4 inter).
         # Other codes (overflow / stream): fall back to the Python parser
         # too — it re-parses from scratch and raises precise errors.
+        if rc != -1 and os.environ.get("OPENVVC_NATIVE_STRICT"):
+            dump = os.environ.get("OPENVVC_NATIVE_DUMP")
+            if dump:
+                import pickle
+                with open(dump, "wb") as f:
+                    pickle.dump({
+                        "data": bytes(entry.data),
+                        "ep": {fld[0]: getattr(ep, fld[0])
+                               for fld in _EntryParamsC._fields_},
+                        "s0": list(s0), "s1": list(s1),
+                        "r0": list(r0), "r1": list(r1),
+                        "cqp": cqp.copy(),
+                        "max_cu": max_cu, "max_tu": max_tu,
+                        "max_coef": max_coef, "nb_ctu": nb_ctu,
+                        "uw": uw, "uh": uh,
+                    }, f)
+            raise ValueError(f"native parse failed: rc={rc} "
+                             f"counts={list(counts)}")
         return None
 
     return _convert_native_entry(params, entry, ep, cu_buf, tu_buf, coef_buf,

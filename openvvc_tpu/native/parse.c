@@ -218,7 +218,7 @@ static int32_t *tu_rec(Pc *p, int64_t i) { return p->tu_buf + i * TU_NFIELDS; }
 
 static int64_t new_cu(Pc *p, int x0, int y0, int l2w, int l2h)
 {
-    if (p->ncu >= p->cu_cap) bail(p, ERR_OVERFLOW);
+    if (p->ncu >= p->cu_cap) bail(p, -4);
     int32_t *c = cu_rec(p, p->ncu);
     memset(c, 0, sizeof(int32_t) * CU_NFIELDS);
     c[CU_F_X0] = x0; c[CU_F_Y0] = y0;
@@ -237,7 +237,7 @@ static int64_t new_cu(Pc *p, int x0, int y0, int l2w, int l2h)
 
 static int64_t new_tu(Pc *p, int comp, int x0, int y0, int l2w, int l2h)
 {
-    if (p->ntu >= p->tu_cap) bail(p, ERR_OVERFLOW);
+    if (p->ntu >= p->tu_cap) bail(p, -5);
     int32_t *t = tu_rec(p, p->ntu);
     memset(t, 0, sizeof(int32_t) * TU_NFIELDS);
     t[TU_F_COMP] = comp;
@@ -609,7 +609,7 @@ static void code_tb(Pc *p, int64_t tui, int luma, int *last_x, int *last_y,
     int32_t *t = tu_rec(p, tui);
     int l2w = t[TU_F_LOG2W], l2h = t[TU_F_LOG2H];
     int n = 1 << (l2w + l2h);
-    if (p->ncoef + n > p->coef_cap) bail(p, ERR_OVERFLOW);
+    if (p->ncoef + n > p->coef_cap) bail(p, -6);
     int32_t *dst = p->coef + p->ncoef;
     t[TU_F_COEF] = (int32_t)p->ncoef;
     p->ncoef += n;
@@ -1671,6 +1671,10 @@ int64_t ov_parse_entry(const uint8_t *data, int64_t nbytes,
         ret = ERR_OVERFLOW;
     } else if ((jmp = setjmp(p->env)) != 0) {
         ret = -jmp;
+        out_counts[0] = p->ncu;
+        out_counts[1] = p->ntu;
+        out_counts[2] = p->ncoef;
+        out_counts[3] = p->cab ? cabac_bitpos(p->cab) : -1;
     } else {
         memset(p->m_log2w, UNAVAIL, un);
         memset(p->m_log2h, UNAVAIL, un);
@@ -1678,6 +1682,7 @@ int64_t ov_parse_entry(const uint8_t *data, int64_t nbytes,
         memset(p->m_pmode, UNAVAIL, un);
         memset(p->m_ctype, UNAVAIL, un);
         memset(p->cm_log2w, UNAVAIL, cn);
+        memset(p->mv0, 0, un * sizeof(MVc));
         memset(p->cm_log2h, UNAVAIL, cn);
         p->qp = ep->slice_qp;
         for (int i = 0; i < 64; i++) {
