@@ -222,47 +222,45 @@ def intra_angular_core(
     Returns [n_lines, line_len] (line = prediction row for vertical modes,
     column for horizontal modes).  filt: 'cubic' | 'gauss' | 'linear' | 'copy'.
     """
-    out = np.zeros((n_lines, line_len), np.int64)
-    delta_pos = angle_val
-    for j in range(n_lines):
-        d_int = delta_pos >> 5
-        d_frac = delta_pos & 0x1F
-        if filt == "copy":
-            out[j] = ref_main.view(d_int + 1, d_int + 1 + line_len)
-        elif filt == "linear":
-            a = ref_main.view(d_int + 1, d_int + 1 + line_len).astype(np.int64)
-            b = ref_main.view(d_int + 2, d_int + 2 + line_len).astype(np.int64)
-            out[j] = a + ((d_frac * (b - a) + 16) >> 5)
-        else:
-            taps = (GAUSS_FILTER if filt == "gauss" else CUBIC_FILTER)[d_frac]
-            if filt == "gauss":
-                taps = np.array(
-                    [16 - (d_frac >> 1), 32 - (d_frac >> 1), 16 + (d_frac >> 1), d_frac >> 1],
-                    np.int64,
-                )
-            acc = np.zeros(line_len, np.int64)
-            for i in range(4):
-                acc += taps[i] * ref_main.view(d_int + i, d_int + i + line_len)
-            val = (acc + 32) >> 6
-            if filt == "cubic":
-                val = _bdclip(val, bitdepth)
-            out[j] = val
-        delta_pos += angle_val
-    return out
+    jj = np.arange(1, n_lines + 1, dtype=np.int64)
+    delta = angle_val * jj
+    d_int = delta >> 5
+    d_frac = delta & 0x1F
+    buf = ref_main.buf.astype(np.int64)
+    base = ref_main.off
+    xs = np.arange(line_len, dtype=np.int64)[None, :]
+    if filt == "copy":
+        return buf[base + d_int[:, None] + 1 + xs]
+    if filt == "linear":
+        a = buf[base + d_int[:, None] + 1 + xs]
+        b = buf[base + d_int[:, None] + 2 + xs]
+        return a + ((d_frac[:, None] * (b - a) + 16) >> 5)
+    if filt == "gauss":
+        half = d_frac >> 1
+        taps = np.stack([16 - half, 32 - half, 16 + half, half], axis=1)
+    else:
+        taps = np.asarray(CUBIC_FILTER, np.int64)[d_frac]
+    idx = base + d_int[:, None] + xs
+    acc = (taps[:, 0:1] * buf[idx] + taps[:, 1:2] * buf[idx + 1]
+           + taps[:, 2:3] * buf[idx + 2] + taps[:, 3:4] * buf[idx + 3])
+    val = (acc + 32) >> 6
+    if filt == "cubic":
+        val = _bdclip(val, bitdepth)
+    return val
 
 
 def _pdpc_angular(pred, ref_side, inv_angle: int, scale: int, n_lines: int, line_len: int, bitdepth: int):
     """PDPC for positive angular modes (applied along each line)."""
     lim = min(3 << scale, line_len)
-    for j in range(n_lines):
-        inv_sum = 256 + inv_angle
-        for x in range(lim):
-            w_l = 32 >> min(31, (x << 1) >> scale)
-            p = ref_side[j + (inv_sum >> 9) + 1]
-            pred[j, x] = int(
-                _bdclip(pred[j, x] + ((w_l * (p - pred[j, x]) + 32) >> 6), bitdepth)
-            )
-            inv_sum += inv_angle
+    if lim <= 0 or n_lines <= 0:
+        return pred
+    xs = np.arange(lim, dtype=np.int64)
+    w_l = 32 >> np.minimum(31, (xs << 1) >> scale)
+    inv_sum = 256 + (xs + 1) * inv_angle
+    jj = np.arange(n_lines, dtype=np.int64)[:, None]
+    p = ref_side.buf.astype(np.int64)[ref_side.off + jj + (inv_sum >> 9)[None, :] + 1]
+    sub = pred[:, :lim]
+    pred[:, :lim] = _bdclip(sub + ((w_l[None, :] * (p - sub) + 32) >> 6), bitdepth)
     return pred
 
 
