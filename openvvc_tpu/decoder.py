@@ -1101,9 +1101,14 @@ class Decoder:
     """
 
     def __init__(self, use_tpu_residuals: bool = False, use_tpu: bool = False,
-                 nb_entry_threads: int = 1):
+                 nb_entry_threads: int = 1, use_native_recon: bool = True):
         self.nvcl = NvclContext()
         self.use_tpu_residuals = use_tpu_residuals or use_tpu
+        # full C entry path: parse + reconstruction both native, Python
+        # only sees the SAO/TMVP side tables (falls back per entry when a
+        # tool outside the C toolset appears)
+        self.use_native_recon = use_native_recon and not bool(
+            int(os.environ.get("OPENVVC_NO_NATIVE_RECON", "0")))
         if self.use_tpu_residuals:
             # per-shape XLA compiles dominate a cold run on this target
             # (0.5-20 s each through the device tunnel); persist them so
@@ -1217,27 +1222,54 @@ class Decoder:
         # independently — parse state is per-entry, reconstruction writes
         # disjoint tile rects of the shared frame planes and idempotent
         # cells of the shared DBF maps; whole-frame filters join after.
+        # Full-native fast path: parse AND reconstruct the entry in C,
+        # writing the frame planes + DBF maps directly (no Python CU/TU
+        # objects). Falls back per entry when the C recon's support scan
+        # hits a tool outside its set (returns with outputs untouched).
+        native_recon = (self.use_native_recon and lmcs is None
+                        and not self.use_tpu_residuals)
+        csign = -1 if params.ph.ph_joint_cbcr_sign_flag else 1
+
         def _parse_one(entry):
+            if native_recon:
+                from openvvc_tpu.native import (
+                    _convert_native_entry, native_entry_ctx_from_raw,
+                    parse_entry_native_raw, recon_entry_native)
+
+                raw = parse_entry_native_raw(params, entry)
+                if raw is not None:
+                    if recon_entry_native(raw, frame, refs0,
+                                          dist0 if refs0 is not None else None,
+                                          dbf, csign):
+                        return entry, native_entry_ctx_from_raw(raw), True
+                    ectx, _, _ = _convert_native_entry(
+                        params, entry, raw.ep, raw.cu_buf, raw.tu_buf,
+                        raw.coef_buf, raw.sao_buf, raw.ctu_meta,
+                        raw.tmvp_dir0, raw.tmvp_mv0, raw.counts, raw.uw,
+                        raw.uh, raw.uw8, raw.uh8)
+                    return entry, ectx, False
             ectx, trees, dec = parse_entry(params, entry)
             if dec.overread():
                 raise ValueError("CABAC overread in entry")
-            return entry, ectx
+            return entry, ectx, False
 
         nb_workers = min(len(params.entries), self.nb_entry_threads)
         if nb_workers > 1:
             from concurrent.futures import ThreadPoolExecutor
 
             with ThreadPoolExecutor(nb_workers) as pool:
-                parsed = list(pool.map(_parse_one, params.entries))
+                parsed3 = list(pool.map(_parse_one, params.entries))
         else:
-            parsed = [_parse_one(e) for e in params.entries]
+            parsed3 = [_parse_one(e) for e in params.entries]
+        parsed = [(e, c) for (e, c, _done) in parsed3]
+        pending = [(e, c) for (e, c, _done) in parsed3 if not _done]
 
-        precompute_residuals_batched(parsed, tools, bd,
+        precompute_residuals_batched(pending, tools, bd,
                                      device=self.use_tpu_residuals)
         if refs0 is not None:
             from openvvc_tpu.rcn.pipeline import precompute_inter_mc
 
-            precompute_inter_mc(parsed, params, tools,
+            precompute_inter_mc(pending, params, tools,
                                 (refs0, refs1, dist0, dist1), bd,
                                 device=self.use_tpu_residuals)
 
@@ -1265,9 +1297,9 @@ class Decoder:
             from concurrent.futures import ThreadPoolExecutor
 
             with ThreadPoolExecutor(nb_workers) as pool:
-                list(pool.map(_recon_one, parsed))
+                list(pool.map(_recon_one, pending))
         else:
-            for item in parsed:
+            for item in pending:
                 _recon_one(item)
 
         tmvp_export = None

@@ -22,11 +22,15 @@ _SRC_RES = os.path.join(_DIR, "residual.c")
 
 _SRC_PARSE = os.path.join(_DIR, "parse.c")
 
+_SRC_RECON = os.path.join(_DIR, "recon.c")
+
+_HDRS = (os.path.join(_DIR, "ov_shared.h"), os.path.join(_DIR, "tables.h"))
+
 
 def _build():
     subprocess.run(
         ["gcc", "-O3", "-shared", "-fPIC", "-o", _LIB, _SRC, _SRC_RES,
-         _SRC_PARSE],
+         _SRC_PARSE, _SRC_RECON],
         check=True,
         capture_output=True,
     )
@@ -50,10 +54,10 @@ def load_cabac_lib():
     if _LIB_HANDLE is not None:
         return _LIB_HANDLE
     try:
+        srcs = (_SRC, _SRC_RES, _SRC_PARSE, _SRC_RECON) + _HDRS
         if (not os.path.exists(_LIB)
-                or os.path.getmtime(_LIB) < os.path.getmtime(_SRC)
-                or os.path.getmtime(_LIB) < os.path.getmtime(_SRC_RES)
-                or os.path.getmtime(_LIB) < os.path.getmtime(_SRC_PARSE)):
+                or any(os.path.getmtime(_LIB) < os.path.getmtime(s)
+                       for s in srcs)):
             _build()
         lib = ctypes.CDLL(_LIB)
     except Exception:
@@ -270,8 +274,16 @@ class _NoOverread:
         return False
 
 
-def parse_entry_native(params, entry):
-    """Native full-entry parse; returns (ectx, None, dec-like) or None."""
+class RawNativeEntry:
+    """Holds the SoA buffers of one natively-parsed entry (pre-conversion)."""
+
+    __slots__ = ("params", "entry", "ep", "cu_buf", "tu_buf", "coef_buf",
+                 "sao_buf", "ctu_meta", "tmvp_dir0", "tmvp_mv0", "counts",
+                 "uw", "uh", "uw8", "uh8", "cqp")
+
+
+def parse_entry_native_raw(params, entry):
+    """Native full-entry parse; returns RawNativeEntry or None."""
     lib = load_cabac_lib()
     if lib is None or not native_parse_supported(params):
         return None
@@ -393,9 +405,26 @@ def parse_entry_native(params, entry):
                              f"counts={list(counts)}")
         return None
 
-    return _convert_native_entry(params, entry, ep, cu_buf, tu_buf, coef_buf,
-                                 sao_buf, ctu_meta, tmvp_dir0, tmvp_mv0,
-                                 counts, uw, uh, uw8, uh8)
+    raw = RawNativeEntry()
+    raw.params, raw.entry, raw.ep = params, entry, ep
+    raw.cu_buf, raw.tu_buf, raw.coef_buf = cu_buf, tu_buf, coef_buf
+    raw.sao_buf, raw.ctu_meta = sao_buf, ctu_meta
+    raw.tmvp_dir0, raw.tmvp_mv0 = tmvp_dir0, tmvp_mv0
+    raw.counts = counts
+    raw.uw, raw.uh, raw.uw8, raw.uh8 = uw, uh, uw8, uh8
+    raw.cqp = cqp
+    return raw
+
+
+def parse_entry_native(params, entry):
+    """Native full-entry parse; returns (ectx, None, dec-like) or None."""
+    raw = parse_entry_native_raw(params, entry)
+    if raw is None:
+        return None
+    return _convert_native_entry(params, entry, raw.ep, raw.cu_buf,
+                                 raw.tu_buf, raw.coef_buf, raw.sao_buf,
+                                 raw.ctu_meta, raw.tmvp_dir0, raw.tmvp_mv0,
+                                 raw.counts, raw.uw, raw.uh, raw.uw8, raw.uh8)
 
 
 def _convert_native_entry(params, entry, ep, cu_buf, tu_buf, coef_buf,
@@ -499,3 +528,142 @@ class _CuF:
      MIP_MODE, MRL, LFNST, SKIP, MERGE_FLAG, MERGE_IDX, INTER_DIR, MV0X,
      MV0Y, MV0REF, MV0BCW, MV0PREC, MV1X, MV1Y, MV1REF, QP, ROOT_CBF,
      PREC_EFF, TU0, NTU, CTU, COL_MODE) = range(32)
+
+
+# ---------------------------------------------------------------------------
+# Native reconstruction (recon.c): consumes a RawNativeEntry directly and
+# writes the frame planes + DBF maps, bypassing Python CU/TU objects.
+# ---------------------------------------------------------------------------
+
+
+class _ReconParamsC(ctypes.Structure):
+    _fields_ = [("dbf_enabled", ctypes.c_int32),
+                ("csign", ctypes.c_int32),
+                ("nb_refs", ctypes.c_int32)]
+
+
+_DBF_PTR_NAMES = (
+    "edge_ver", "edge_hor", "bs2_ver", "bs2_hor", "bs1_ver", "bs1_hor",
+    "cu_edge_ver", "cu_edge_hor", "qp_l", "mv_dir", "mv_vals", "mv_dist",
+    "cedge_ver", "cedge_hor", "cbs2_ver", "cbs2_hor",
+    "cbs1_cb_ver", "cbs1_cb_hor", "cbs1_cr_ver", "cbs1_cr_hor",
+    "qp_cb", "qp_cr",
+)
+
+
+class _DbfBufsC(ctypes.Structure):
+    _fields_ = [(n, ctypes.c_void_p) for n in _DBF_PTR_NAMES]
+
+
+_recon_proto_done = False
+
+
+def _setup_recon_proto(lib):
+    global _recon_proto_done
+    if _recon_proto_done:
+        return
+    i64 = ctypes.c_int64
+    vp = ctypes.c_void_p
+    lib.ov_recon_entry.restype = i64
+    lib.ov_recon_entry.argtypes = [
+        ctypes.POINTER(_EntryParamsC), ctypes.POINTER(_ReconParamsC),
+        vp, i64,          # cu_buf, ncu
+        vp, i64,          # tu_buf, ntu
+        vp,               # coef_buf
+        vp,               # cqp_tab
+        vp, vp, vp,       # frame planes
+        ctypes.POINTER(vp), ctypes.POINTER(vp), ctypes.POINTER(vp),  # refs
+        vp,               # dist0
+        ctypes.POINTER(_DbfBufsC),
+    ]
+    _recon_proto_done = True
+
+
+def recon_entry_native(raw, frame, refs0, dist0, dbf, csign) -> bool:
+    """Reconstruct a natively-parsed entry in C. Returns True on success;
+    False means an unsupported feature — caller must fall back to the
+    Python reconstruction path (outputs are untouched in that case)."""
+    lib = load_cabac_lib()
+    if lib is None:
+        return False
+    _setup_recon_proto(lib)
+
+    rp = _ReconParamsC()
+    rp.dbf_enabled = int(dbf is not None)
+    rp.csign = csign
+    rp.nb_refs = len(refs0) if refs0 else 0
+
+    vp = ctypes.c_void_p
+    nref = max(1, rp.nb_refs)
+    ry = (vp * nref)()
+    rcb = (vp * nref)()
+    rcr = (vp * nref)()
+    if refs0:
+        for i, f in enumerate(refs0):
+            ry[i] = f.y.ctypes.data
+            rcb[i] = f.cb.ctypes.data if f.cb is not None else None
+            rcr[i] = f.cr.ctypes.data if f.cr is not None else None
+    d0 = np.zeros(16, np.int32)
+    if dist0:
+        d0[:len(dist0)] = dist0
+
+    db = _DbfBufsC()
+    if dbf is not None:
+        for name in _DBF_PTR_NAMES:
+            arr = getattr(dbf, name, None)
+            setattr(db, name, arr.ctypes.data if arr is not None else None)
+
+    ncu, ntu = int(raw.counts[0]), int(raw.counts[1])
+    rc = lib.ov_recon_entry(
+        ctypes.byref(raw.ep), ctypes.byref(rp),
+        vp(raw.cu_buf.ctypes.data), ncu,
+        vp(raw.tu_buf.ctypes.data), ntu,
+        vp(raw.coef_buf.ctypes.data),
+        vp(raw.cqp.ctypes.data),
+        vp(frame.y.ctypes.data),
+        vp(frame.cb.ctypes.data if frame.cb is not None else None),
+        vp(frame.cr.ctypes.data if frame.cr is not None else None),
+        ry, rcb, rcr,
+        vp(d0.ctypes.data),
+        ctypes.byref(db))
+    return rc == 0
+
+
+def native_entry_ctx_from_raw(raw):
+    """Build the minimal entry context (SAO params + TMVP export) for an
+    entry whose CUs were reconstructed natively — no CU/TU objects."""
+    from openvvc_tpu.vcl.sao import SaoParams
+    from openvvc_tpu.drv.inter_mvp import MV
+
+    params, entry, ep = raw.params, raw.entry, raw.ep
+    nctu = int(raw.counts[3])
+    meta = raw.ctu_meta[:nctu * 3].reshape(nctu, 3)
+
+    sao_params = {}
+    if ep.sao_luma or ep.sao_chroma:
+        sao_t = raw.sao_buf[:nctu * _SAO_NFIELDS].reshape(nctu, _SAO_NFIELDS)
+        for i in range(nctu):
+            rec = sao_t[i]
+            sp = SaoParams()
+            sp.type_idx = rec[0:3].tolist()
+            sp.offset_val = rec[3:18].reshape(3, 5).tolist()
+            sp.band_position = rec[18:21].tolist()
+            sp.eo_class = rec[21:24].tolist()
+            sao_params[(int(meta[i, 0]), int(meta[i, 1]))] = sp
+
+    inter_ctx = None
+    if params.slice_type == 1:
+        uw, uh, uw8, uh8 = raw.uw, raw.uh, raw.uw8, raw.uh8
+        mv = raw.tmvp_mv0.reshape(uh8, uw8, 3)
+        tmvp0 = {}
+        dir8 = raw.tmvp_dir0.reshape(uh, uw)[::2, ::2]
+        ys, xs = np.nonzero(dir8[:uh8, :uw8])
+        for y, x in zip(ys.tolist(), xs.tolist()):
+            c = mv[y, x]
+            tmvp0[(x, y)] = MV(int(c[0]), int(c[1]), int(c[2]))
+        inter_ctx = _NativeInterCtx(uw, uh, raw.tmvp_dir0.reshape(uh, uw),
+                                    tmvp0)
+
+    ectx = NativeEntryCtx(entry, [], sao_params, inter_ctx,
+                          ep.tile_x0, ep.tile_y0)
+    return ectx

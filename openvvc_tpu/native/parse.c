@@ -89,82 +89,7 @@ enum {
     JOINT_CB_CR_FLAG = 368,
 };
 
-/* ---- IR constants (vcl/ctu.py) -------------------------------------- */
-#define UNAVAIL 0xFF
-#define MODE_INTRA 0
-#define MODE_INTER 1
-#define TREE_SINGLE 0
-#define INTRA_PLANAR 0
-#define INTRA_DC 1
-#define OV_VER 50
-#define OV_HOR 18
-#define OV_VDIA 66
-#define INTRA_LT_CCLM 81
-#define INTRA_L_CCLM 82
-#define INTRA_T_CCLM 83
-
-/* cu_utils.h CU-type map values (vcl/inter_pu.py) */
-#define CU_NA 0xFF
-#define CU_INTER 1
-#define CU_INTRA 2
-#define CU_INTER_SKIP 3
-#define CU_MIP 4
-#define CU_AFFINE 5
-#define CU_INTER_SKIP_AFF 6
-#define CU_IBC 7
-#define CU_IBC_SKIP 8
-
-#define PREC_4PEL 0
-#define PREC_INT 2
-#define PREC_HALF 3
-#define PREC_QUARTER 4
-#define PREC_INTERNAL 6
-
-/* split kinds */
-#define NO_SPLIT 0
-#define QT_SPLIT 1
-
-/* bail-out codes */
-#define ERR_UNSUPPORTED (-1)
-#define ERR_OVERFLOW (-2)
-#define ERR_STREAM (-3)
-
-/* ---- output record layout (must match native/__init__.py) ----------- */
-enum {
-    CU_F_X0, CU_F_Y0, CU_F_LOG2W, CU_F_LOG2H, CU_F_TREE, CU_F_PRED,
-    CU_F_INTRA_L, CU_F_INTRA_C, CU_F_MIP_FLAG, CU_F_MIP_T, CU_F_MIP_MODE,
-    CU_F_MRL, CU_F_LFNST, CU_F_SKIP, CU_F_MERGE_FLAG, CU_F_MERGE_IDX,
-    CU_F_INTER_DIR, CU_F_MV0X, CU_F_MV0Y, CU_F_MV0REF, CU_F_MV0BCW,
-    CU_F_MV0PREC, CU_F_MV1X, CU_F_MV1Y, CU_F_MV1REF, CU_F_QP,
-    CU_F_ROOT_CBF, CU_F_PREC_EFF, CU_F_TU0, CU_F_NTU, CU_F_CTU,
-    CU_F_COL_MODE, CU_NFIELDS
-};
-enum {
-    TU_F_COMP, TU_F_X0, TU_F_Y0, TU_F_LOG2W, TU_F_LOG2H, TU_F_CBF,
-    TU_F_JCBCR, TU_F_LFNST, TU_F_MTS, TU_F_TS, TU_F_QP, TU_F_BDPCM,
-    TU_F_LASTX, TU_F_LASTY, TU_F_SIGLO, TU_F_SIGHI, TU_F_COEF,
-    TU_NFIELDS
-};
-#define SAO_NFIELDS 24 /* type[3], val[3][5], band_pos[3], eo_class[3] */
-
-/* ---- parameters handed over from Python (ctypes.Structure) ---------- */
-typedef struct {
-    int32_t pic_w, pic_h, log2_ctb;
-    int32_t tile_x0, tile_y0, tile_w, tile_h;
-    int32_t ctu_x, ctu_y, nb_ctu_w, nb_ctu_h;
-    int32_t slice_type, slice_qp, qp_bd_offset, bitdepth;
-    /* partition info: luma then chroma */
-    int32_t l_min_qt, l_max_bt, l_max_tt, l_mtt_depth, l_min_cb, l_max_tb;
-    int32_t c_min_qt, c_max_bt, c_max_tt, c_mtt_depth, c_min_cb, c_max_tb;
-    /* tools */
-    int32_t chroma_enabled, cclm, mip, mrl, amvr;
-    int32_t dep_quant, sign_hiding, sao_luma, sao_chroma;
-    int32_t joint_cbcr, lfnst, mts, mts_implicit, expl_mts_intra, expl_mts_inter;
-    int32_t cu_qp_delta_enabled, cu_qp_delta_subdiv;
-    int32_t max_num_merge_cand, nb_active_ref0;
-    int32_t cqp_tab_len; /* 64 + qp_bd_offset */
-    int32_t cb_qp_off, cr_qp_off, jcbcr_qp_off;
-} EntryParams;
+#include "ov_shared.h"
 
 typedef struct { int32_t x, y; int8_t ref, bcw, prec; } MVc;
 

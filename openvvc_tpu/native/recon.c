@@ -1,0 +1,1160 @@
+/* Native host reconstruction of a parsed entry.
+ *
+ * Consumes the SoA IR emitted by parse.c (ov_parse_entry) and writes the
+ * picture planes and deblocking maps directly, removing Python from the
+ * per-CU path. Supported toolset = the native-parse subset minus
+ * {MIP, MRL, CCLM, LFNST, MTS-explicit/TS/BDPCM, LMCS}; implicit MTS is
+ * handled. ov_recon_entry scans the IR first and returns -1 (untouched
+ * output) when an unsupported feature appears, so the caller can fall
+ * back to the Python reconstruction path.
+ *
+ * Behavior parity is with this repo's oracle-validated numpy references:
+ * rcn/ref_intra.py (H.266 8.4.5.2), rcn/ref_mc.py (8.5.6.3),
+ * rcn/ref_transform.py (8.7.3/8.7.4), decoder.py recon drivers, and
+ * rcn/ref_dbf.py DbfMaps fills. Reference-decoder anchors:
+ * /root/reference/libovvc/rcn_intra.c:484, rcn_mc.c:380-1360,
+ * rcn_transform.c, rcn_inter.c:430-530, rcn_df.c map preprocessing.
+ */
+
+#include <stdint.h>
+#include <stdlib.h>
+#include <string.h>
+
+#include "ov_shared.h"
+#include "tables.h"
+
+#define OVINTRA_DIA_ 34
+#define TR_DCT2 0
+#define TR_DST7 1
+#define TR_DCT8 2
+
+static inline int imin(int a, int b) { return a < b ? a : b; }
+static inline int imax(int a, int b) { return a > b ? a : b; }
+static inline int iclamp(int v, int lo, int hi)
+{
+    return v < lo ? lo : (v > hi ? hi : v);
+}
+static inline int bdclip(int v, int bd_max)
+{
+    return v < 0 ? 0 : (v > bd_max ? bd_max : v);
+}
+
+/* ---- parameter blocks handed over from Python (ctypes mirrors) ------ */
+
+typedef struct {
+    int32_t dbf_enabled;
+    int32_t csign;   /* -1 if ph_joint_cbcr_sign_flag else +1 */
+    int32_t nb_refs; /* active L0 references */
+} ReconParams;
+
+typedef struct {
+    /* luma maps: bool (uh+1, uw+1) except qp (uh, uw) */
+    uint8_t *edge_ver, *edge_hor, *bs2_ver, *bs2_hor, *bs1_ver, *bs1_hor;
+    uint8_t *cu_edge_ver, *cu_edge_hor;
+    int32_t *qp_l;
+    uint8_t *mv_dir;   /* (uh, uw) */
+    int32_t *mv_vals;  /* (uh, uw, 2, 2) */
+    int32_t *mv_dist;  /* (uh, uw, 2) */
+    /* chroma maps */
+    uint8_t *cedge_ver, *cedge_hor, *cbs2_ver, *cbs2_hor;
+    uint8_t *cbs1_cb_ver, *cbs1_cb_hor, *cbs1_cr_ver, *cbs1_cr_hor;
+    int32_t *qp_cb, *qp_cr;
+} DbfBufs;
+
+typedef struct {
+    const EntryParams *ep;
+    const ReconParams *rp;
+    const int32_t *tu_buf;
+    const int32_t *coef_buf;
+    const int8_t *cqp_tab;
+    int32_t *fy, *fcb, *fcr; /* picture planes, stride = pic_w (/2) */
+    const int32_t *const *ref_y;
+    const int32_t *const *ref_cb;
+    const int32_t *const *ref_cr;
+    const int32_t *dist0;
+    const DbfBufs *dbf;
+    int uw, uh;       /* picture 4x4-unit grid (DBF maps) */
+    int bd_max;
+    /* per-tile availability (4-sample luma / 2-sample chroma units) */
+    uint8_t *avail_l; /* ((tile_h+3)/4, (tile_w+3)/4) */
+    uint8_t *avail_c;
+    int al_w, al_h, ac_w, ac_h;
+} Rc;
+
+/* ---- availability (decoder.py ReconCtx parity) ----------------------- */
+
+static int luma_avail(const Rc *r, int x, int y)
+{
+    const EntryParams *e = r->ep;
+    if (x < e->tile_x0 || x >= e->tile_x0 + e->tile_w ||
+        y < e->tile_y0 || y >= e->tile_y0 + e->tile_h)
+        return 0;
+    return r->avail_l[((y - e->tile_y0) >> 2) * r->al_w + ((x - e->tile_x0) >> 2)];
+}
+
+static int chroma_avail(const Rc *r, int cx, int cy)
+{
+    const EntryParams *e = r->ep;
+    int tx = e->tile_x0 >> 1, ty = e->tile_y0 >> 1;
+    if (cx < tx || cx >= tx + (e->tile_w >> 1) ||
+        cy < ty || cy >= ty + (e->tile_h >> 1))
+        return 0;
+    return r->avail_c[((cy - ty) >> 1) * r->ac_w + ((cx - tx) >> 1)];
+}
+
+static void mark_luma(Rc *r, int x0, int y0, int l2w, int l2h)
+{
+    const EntryParams *e = r->ep;
+    int ux = (x0 - e->tile_x0) >> 2, uy = (y0 - e->tile_y0) >> 2;
+    int nw = imax(1, (1 << l2w) >> 2), nh = imax(1, (1 << l2h) >> 2);
+    for (int j = 0; j < nh && uy + j < r->al_h; j++)
+        memset(r->avail_l + (uy + j) * r->al_w + ux, 1, imin(nw, r->al_w - ux));
+}
+
+static void mark_chroma(Rc *r, int cx0, int cy0, int l2w, int l2h)
+{
+    const EntryParams *e = r->ep;
+    int ux = (cx0 - (e->tile_x0 >> 1)) >> 1, uy = (cy0 - (e->tile_y0 >> 1)) >> 1;
+    int nw = imax(1, (1 << l2w) >> 1), nh = imax(1, (1 << l2h) >> 1);
+    for (int j = 0; j < nh && uy + j < r->ac_h; j++)
+        memset(r->avail_c + (uy + j) * r->ac_w + ux, 1, imin(nw, r->ac_w - ux));
+}
+
+/* ---- intra reference construction (rcn/ref_intra.py parity) ---------- */
+
+/* RefArrays: buf[OFF + i], i in [-(max_side+8), 2*max_side + ...]. Blocks
+ * are <= 64 so max_side = 2*64 = 128; OFF covers negative projections. */
+#define ROFF 136
+typedef struct { int32_t b[448]; } RefArr;
+
+typedef int (*avail_fn_t)(const Rc *, int, int);
+
+static void fill_side_refs(const Rc *r, const int32_t *plane, int stride,
+                           int x0, int y0, int l2w, int l2h, int is_luma,
+                           RefArr *ra, RefArr *rl)
+{
+    int w = 1 << l2w, h = 1 << l2h;
+    int unit = is_luma ? 4 : 2;
+    int avg = 1 << (r->ep->bitdepth - 1);
+    int len_a = 2 * w, len_l = 2 * h;
+    avail_fn_t av = is_luma ? luma_avail : chroma_avail;
+
+    int corner_ok = av(r, x0 - 1, y0 - 1);
+    int above_ok = av(r, x0, y0 - 1);
+    int left_ok = av(r, x0 - 1, y0);
+
+    memset(ra->b, 0, sizeof(ra->b));
+    memset(rl->b, 0, sizeof(rl->b));
+
+    if (left_ok) {
+        rl->b[ROFF + 0] = corner_ok ? plane[(y0 - 1) * stride + x0 - 1]
+                                    : plane[y0 * stride + x0 - 1];
+        int nb_units = (len_l + unit - 1) / unit;
+        int nav = 0;
+        while (nav < nb_units && av(r, x0 - 1, y0 + nav * unit))
+            nav++;
+        int n_avail = nav * unit;
+        for (int i = 0; i < n_avail; i++)
+            rl->b[ROFF + 1 + i] = plane[(y0 + i) * stride + x0 - 1];
+        int pad = n_avail ? rl->b[ROFF + n_avail] : rl->b[ROFF];
+        for (int i = n_avail; i < len_l; i++)
+            rl->b[ROFF + 1 + i] = pad;
+    } else if (above_ok) {
+        int v = plane[(y0 - 1) * stride + x0];
+        for (int i = 0; i <= len_l; i++)
+            rl->b[ROFF + i] = v;
+    } else {
+        for (int i = 0; i <= len_l; i++)
+            rl->b[ROFF + i] = avg;
+    }
+
+    if (above_ok) {
+        ra->b[ROFF + 0] = corner_ok ? plane[(y0 - 1) * stride + x0 - 1]
+                                    : plane[(y0 - 1) * stride + x0];
+        int nb_units = (len_a + unit - 1) / unit;
+        int nav = 0;
+        while (nav < nb_units && av(r, x0 + nav * unit, y0 - 1))
+            nav++;
+        int n_avail = nav * unit;
+        for (int i = 0; i < n_avail; i++)
+            ra->b[ROFF + 1 + i] = plane[(y0 - 1) * stride + x0 + i];
+        int pad = n_avail ? ra->b[ROFF + n_avail] : ra->b[ROFF];
+        for (int i = n_avail; i < len_a; i++)
+            ra->b[ROFF + 1 + i] = pad;
+    } else if (left_ok) {
+        int v = plane[y0 * stride + x0 - 1];
+        for (int i = 0; i <= len_a; i++)
+            ra->b[ROFF + i] = v;
+    } else {
+        for (int i = 0; i <= len_a; i++)
+            ra->b[ROFF + i] = avg;
+    }
+
+    for (int i = 1; i <= 8; i++) {
+        rl->b[ROFF + len_l + i] = rl->b[ROFF + len_l];
+        ra->b[ROFF + len_a + i] = ra->b[ROFF + len_a];
+    }
+}
+
+/* [1 2 1] smoothing (filter_ref_array parity) */
+static void filter_ref_array(const RefArr *ref, const RefArr *other,
+                             int length, RefArr *out)
+{
+    memset(out->b, 0, sizeof(out->b));
+    for (int i = 1; i < length; i++)
+        out->b[ROFF + i] = (ref->b[ROFF + i - 1] + 2 * ref->b[ROFF + i]
+                            + ref->b[ROFF + i + 1] + 2) >> 2;
+    out->b[ROFF + 0] = (other->b[ROFF + 1] + 2 * ref->b[ROFF + 0]
+                        + ref->b[ROFF + 1] + 2) >> 2;
+    out->b[ROFF + length] = ref->b[ROFF + length];
+    for (int i = 1; i <= 7; i++)
+        out->b[ROFF + length + i] = ref->b[ROFF + length + i];
+}
+
+static void project_negative(RefArr *rm, const RefArr *rs, int n_proj,
+                             int inv_angle, int side_len)
+{
+    int s = 256;
+    for (int k = -1; k >= -n_proj; k--) {
+        s += inv_angle;
+        rm->b[ROFF + k] = rs->b[ROFF + imin(s >> 9, side_len)];
+    }
+}
+
+static int pdpc_w(int scale, int pos)
+{
+    int sh = imin(31, (pos << 1) >> scale);
+    return sh < 6 ? 32 >> imin(sh, 5) : 0;
+}
+
+static int derive_wide_mode(int l2w, int l2h, int mode)
+{
+    static const int shift_tab[6] = {0, 6, 10, 12, 14, 15};
+    int shift = shift_tab[abs(l2w - l2h)];
+    if (l2w > l2h && mode < 2 + shift)
+        mode += OV_VDIA - 1;
+    else if (l2h > l2w && mode > OV_VDIA - shift)
+        mode -= OV_VDIA - 1;
+    return mode;
+}
+
+static int floor_log2(int v)
+{
+    int r = 0;
+    while (v > 1) { v >>= 1; r++; }
+    return r;
+}
+
+/* intra_angular_core parity: pred [n_lines][line_len], filt:
+ * 0=copy 1=linear 2=cubic 3=gauss */
+static void angular_core(const RefArr *rm, int angle_val, int n_lines,
+                         int line_len, int filt, int bd_max, int32_t *pred)
+{
+    int delta = 0;
+    for (int j = 0; j < n_lines; j++) {
+        delta += angle_val;
+        int d_int = delta >> 5;
+        int d_frac = delta & 0x1F;
+        const int32_t *base = rm->b + ROFF + d_int;
+        int32_t *row = pred + j * line_len;
+        if (filt == 0) {
+            for (int x = 0; x < line_len; x++)
+                row[x] = base[1 + x];
+        } else if (filt == 1) {
+            for (int x = 0; x < line_len; x++) {
+                int a = base[1 + x], b = base[2 + x];
+                row[x] = a + ((d_frac * (b - a) + 16) >> 5);
+            }
+        } else {
+            int t0, t1, t2, t3;
+            if (filt == 3) {
+                int half = d_frac >> 1;
+                t0 = 16 - half; t1 = 32 - half; t2 = 16 + half; t3 = half;
+            } else {
+                t0 = g_cubic_filter[d_frac][0];
+                t1 = g_cubic_filter[d_frac][1];
+                t2 = g_cubic_filter[d_frac][2];
+                t3 = g_cubic_filter[d_frac][3];
+            }
+            for (int x = 0; x < line_len; x++) {
+                int acc = t0 * base[x] + t1 * base[x + 1]
+                        + t2 * base[x + 2] + t3 * base[x + 3];
+                int v = (acc + 32) >> 6;
+                row[x] = filt == 2 ? bdclip(v, bd_max) : v;
+            }
+        }
+    }
+}
+
+/* _pdpc_angular parity */
+static void pdpc_angular(int32_t *pred, const RefArr *rs, int inv_angle,
+                         int scale, int n_lines, int line_len, int bd_max)
+{
+    int lim = imin(3 << scale, line_len);
+    for (int j = 0; j < n_lines; j++) {
+        int inv_sum = 256 + inv_angle;
+        int32_t *row = pred + j * line_len;
+        for (int x = 0; x < lim; x++) {
+            int wl = pdpc_w(scale, x);
+            int p = rs->b[ROFF + j + (inv_sum >> 9) + 1];
+            row[x] = bdclip(row[x] + ((wl * (p - row[x]) + 32) >> 6), bd_max);
+            inv_sum += inv_angle;
+        }
+    }
+}
+
+/* predict_intra parity: writes pred [h][w] (already oriented). */
+static void predict_intra_c(const Rc *r, const int32_t *plane, int stride,
+                            int x0, int y0, int l2w, int l2h, int mode,
+                            int is_luma, int32_t *pred)
+{
+    int w = 1 << l2w, h = 1 << l2h;
+    int bd_max = r->bd_max;
+    RefArr ra, rl, fa, fl;
+    fill_side_refs(r, plane, stride, x0, y0, l2w, l2h, is_luma, &ra, &rl);
+
+    int pdpc_flat_ok = is_luma || (l2w > 1 && l2h > 1);
+
+    if (mode == INTRA_PLANAR || mode == INTRA_DC) {
+        RefArr *pa = &ra, *pl = &rl;
+        if (mode == INTRA_PLANAR && is_luma && (l2w + l2h) > 5) {
+            filter_ref_array(&ra, &rl, w + 4, &fa);
+            filter_ref_array(&rl, &ra, h + 4, &fl);
+            pa = &fa; pl = &fl;
+        }
+        if (mode == INTRA_PLANAR) {
+            int tr = pa->b[ROFF + w + 1], bl = pl->b[ROFF + h + 1];
+            for (int y = 0; y < h; y++) {
+                int left = pl->b[ROFF + 1 + y];
+                for (int x = 0; x < w; x++) {
+                    int top = pa->b[ROFF + 1 + x];
+                    int hor = (left << l2w) + (x + 1) * (tr - left);
+                    int ver = (top << l2h) + (y + 1) * (bl - top);
+                    pred[y * w + x] = ((hor << l2h) + (ver << l2w)
+                                       + (1 << (l2w + l2h))) >> (1 + l2w + l2h);
+                }
+            }
+        } else {
+            int shift = imax(l2w, l2h) + (l2w == l2h ? 1 : 0);
+            int dc = 0;
+            if (l2w >= l2h)
+                for (int i = 1; i <= w; i++) dc += pa->b[ROFF + i];
+            if (l2w <= l2h)
+                for (int i = 1; i <= h; i++) dc += pl->b[ROFF + i];
+            dc = (dc + ((1 << shift) >> 1)) >> shift;
+            for (int i = 0; i < w * h; i++) pred[i] = dc;
+        }
+        if (pdpc_flat_ok) {
+            int scale = (l2w + l2h - 2) >> 2;
+            for (int y = 0; y < h; y++) {
+                int wy = pdpc_w(scale, y);
+                int left = pl->b[ROFF + 1 + y];
+                for (int x = 0; x < w; x++) {
+                    int wx = pdpc_w(scale, x);
+                    int top = pa->b[ROFF + 1 + x];
+                    int v = (wx * left + wy * top
+                             + (64 - wx - wy) * pred[y * w + x] + 32) >> 6;
+                    pred[y * w + x] = bdclip(v, bd_max);
+                }
+            }
+        }
+        return;
+    }
+
+    int pm = derive_wide_mode(l2w, l2h, mode);
+    int vertical = pm >= OVINTRA_DIA_ ? 1 : 0;
+    int mode_idx, n_lines, line_len;
+    RefArr *rm, *rs;
+    if (vertical) {
+        mode_idx = pm - OV_VER;
+        rm = &ra; rs = &rl;
+        n_lines = h; line_len = w;
+    } else {
+        mode_idx = -(pm - OV_HOR);
+        rm = &rl; rs = &ra;
+        n_lines = w; line_len = h;
+    }
+
+    int pdpc_dim_ok = is_luma ? (l2h > 1) : (l2h > 1 && l2w > 1);
+    int use_gauss = 0;
+    if (is_luma)
+        use_gauss = (l2w + l2h) > 5 &&
+                    abs(mode_idx) > g_intra_filter_thr[(l2w + l2h) >> 1];
+
+    int32_t tmp[64 * 64];
+    int32_t *out = vertical ? pred : tmp;
+
+    if (mode_idx == 0) {
+        for (int j = 0; j < n_lines; j++)
+            for (int x = 0; x < line_len; x++)
+                out[j * line_len + x] = rm->b[ROFF + 1 + x];
+        if (pdpc_dim_ok) {
+            /* _pdpc_pure writes in (h, w) orientation directly */
+            int scale = (l2w + l2h - 2) >> 2;
+            int tl = ra.b[ROFF + 0];
+            for (int y = 0; y < h; y++) {
+                for (int x = 0; x < w; x++) {
+                    int left = rl.b[ROFF + 1 + y], top = ra.b[ROFF + 1 + x];
+                    int v;
+                    if (vertical) {
+                        int wx = pdpc_w(scale, x);
+                        v = (wx * (left - tl) + (top << 6) + 32) >> 6;
+                    } else {
+                        int wy = pdpc_w(scale, y);
+                        v = (wy * (top - tl) + (left << 6) + 32) >> 6;
+                    }
+                    pred[y * w + x] = bdclip(v, bd_max);
+                }
+            }
+            return;
+        }
+        goto orient;
+    }
+
+    if (mode_idx == 16) {
+        RefArr *am = rm, *as = rs;
+        if (use_gauss) {
+            filter_ref_array(rm, rs, 2 * line_len, &fa);
+            filter_ref_array(rs, rm, 2 * n_lines, &fl);
+            am = &fa; as = &fl;
+        }
+        angular_core(am, 32, n_lines, line_len, 0, bd_max, out);
+        if (pdpc_dim_ok || use_gauss) {
+            int scale = imin(2, (vertical ? l2h : l2w) - 2);
+            pdpc_angular(out, as, 512, scale, n_lines, line_len, bd_max);
+        }
+        goto orient;
+    }
+
+    {
+        int abs_angle = g_angle_table[abs(mode_idx)];
+        int inv_angle = g_inv_angle_table[abs(mode_idx)];
+        int req_frac = abs_angle & 0x1F;
+        int n_proj = 1 << (vertical ? l2h : l2w);
+        int pdpc_scale = imin(2, (vertical ? l2h : l2w)
+                                 - (floor_log2(3 * inv_angle - 2) - 8));
+
+        if (use_gauss && !req_frac) {
+            if (mode_idx < 0) {
+                filter_ref_array(rm, rs, 2 * line_len, &fa);
+                filter_ref_array(rs, rm, 2 * n_lines, &fl);
+                project_negative(&fa, &fl, n_proj, inv_angle, n_proj);
+                angular_core(&fa, -abs_angle, n_lines, line_len, 0, bd_max, out);
+            } else if (pdpc_scale < 0) {
+                filter_ref_array(rm, rs, 2 * line_len, &fa);
+                angular_core(&fa, abs_angle, n_lines, line_len, 0, bd_max, out);
+            } else {
+                filter_ref_array(rm, rs, 2 * line_len, &fa);
+                filter_ref_array(rs, rm, 2 * n_lines, &fl);
+                angular_core(&fa, abs_angle, n_lines, line_len, 0, bd_max, out);
+                pdpc_angular(out, &fl, inv_angle, pdpc_scale, n_lines,
+                             line_len, bd_max);
+            }
+            goto orient;
+        }
+
+        int filt;
+        if (use_gauss)
+            filt = 3;
+        else if (!req_frac)
+            filt = 0;
+        else
+            filt = is_luma ? 2 : 1;
+
+        if (mode_idx < 0) {
+            project_negative(rm, rs, n_proj, inv_angle, n_proj);
+            angular_core(rm, -abs_angle, n_lines, line_len, filt, bd_max, out);
+            goto orient;
+        }
+
+        angular_core(rm, abs_angle, n_lines, line_len, filt, bd_max, out);
+        if (pdpc_scale >= 0 && (use_gauss ? 1 : pdpc_dim_ok))
+            pdpc_angular(out, rs, inv_angle, pdpc_scale, n_lines, line_len,
+                         bd_max);
+    }
+
+orient:
+    if (!vertical) {
+        /* out = tmp [w][h] -> pred [h][w] transposed */
+        for (int j = 0; j < n_lines; j++)
+            for (int x = 0; x < line_len; x++)
+                pred[x * w + j] = tmp[j * line_len + x];
+    }
+}
+
+/* ---- dequant + inverse transform (rcn/ref_transform.py parity) ------- */
+
+static const int16_t IQ_SCALE[2][6] = {
+    {40, 45, 51, 57, 64, 72}, {57, 64, 72, 80, 90, 102},
+};
+
+static void dequant_c(const int32_t *lv, int n, int qp, int l2w, int l2h,
+                      int dep_quant, int bitdepth, int32_t *out)
+{
+    int log2_s = l2w + l2h;
+    int shift, scale;
+    if (dep_quant) {
+        shift = 6 + 1 - (15 - bitdepth) - ((qp + 1) / 6)
+                + (log2_s >> 1) + (log2_s & 1);
+        scale = IQ_SCALE[log2_s & 1][(qp + 1) % 6];
+    } else {
+        shift = 6 - (15 - bitdepth) - (qp / 6) + (log2_s >> 1) + (log2_s & 1);
+        scale = IQ_SCALE[log2_s & 1][qp % 6];
+    }
+    if (shift >= 0) {
+        int64_t add = ((int64_t)1 << shift) >> 1;
+        for (int i = 0; i < n; i++) {
+            int64_t v = ((int64_t)lv[i] * scale + add) >> shift;
+            out[i] = iclamp((int)v, -32767, 32767);
+        }
+    } else {
+        int64_t s2 = (int64_t)scale << -shift;
+        for (int i = 0; i < n; i++) {
+            int64_t v = (int64_t)lv[i] * s2;
+            out[i] = v < -32767 ? -32767 : (v > 32767 ? 32767 : (int32_t)v);
+        }
+    }
+}
+
+/* (tr_h, tr_v) selection (transform_pair parity; LFNST/TS pre-excluded) */
+static void transform_pair_c(const EntryParams *ep, const int32_t *t,
+                             int intra, int *tr_h, int *tr_v)
+{
+    int luma = t[TU_F_COMP] == 0;
+    int mts_idx = luma ? t[TU_F_MTS] : 0;
+    if (luma && mts_idx == 0 && ep->mts_implicit && intra &&
+        (t[TU_F_LOG2W] <= 4 || t[TU_F_LOG2H] <= 4)) {
+        *tr_h = (t[TU_F_LOG2W] >= 2 && t[TU_F_LOG2W] <= 4) ? TR_DST7 : TR_DCT2;
+        *tr_v = (t[TU_F_LOG2H] >= 2 && t[TU_F_LOG2H] <= 4) ? TR_DST7 : TR_DCT2;
+        return;
+    }
+    if (mts_idx) {
+        int sym = mts_idx - 1;
+        *tr_h = (sym & 1) ? TR_DCT8 : TR_DST7;
+        *tr_v = (sym >> 1) ? TR_DCT8 : TR_DST7;
+        return;
+    }
+    *tr_h = TR_DCT2;
+    *tr_v = TR_DCT2;
+}
+
+/* inverse_transform_2d parity. Loop bounds come from the 4x4-subblock
+ * significance map (bit = sbx + 8*sby): coefficients outside the map's
+ * bounding box are zero, so restricting the k sums to it is exact (the
+ * raster coords of the LAST position are NOT a valid bound — diagonal
+ * scan places nonzero coeffs past them). */
+static void inv_transform_2d(const int32_t *d, int l2w, int l2h, int tr_h,
+                             int tr_v, int bitdepth, uint64_t sig_sb_map,
+                             int32_t *out)
+{
+    int w = 1 << l2w, h = 1 << l2h;
+    int shift1 = 7, shift2 = 20 - bitdepth;
+    int add1 = 1 << (shift1 - 1), add2 = 1 << (shift2 - 1);
+    const int16_t *mv = g_tr_mat[tr_v][l2h];
+    const int16_t *mh = g_tr_mat[tr_h][l2w];
+    int32_t tmp[64 * 64]; /* [x][y] */
+
+    int kx_max = w - 1, ky_max = h - 1;
+    if (w >= 4 && h >= 4 && sig_sb_map) {
+        int sbx_max = 0, sby_max = 0;
+        for (uint64_t m = sig_sb_map; m; m &= m - 1) {
+            int b = __builtin_ctzll(m);
+            int sx = b & 7, sy = b >> 3;
+            if (sx > sbx_max) sbx_max = sx;
+            if (sy > sby_max) sby_max = sy;
+        }
+        kx_max = imin(4 * sbx_max + 3, w - 1);
+        ky_max = imin(4 * sby_max + 3, h - 1);
+    }
+    for (int x = 0; x <= kx_max; x++) {
+        for (int y = 0; y < h; y++) {
+            int32_t acc = 0;
+            for (int k = 0; k <= ky_max; k++)
+                acc += d[k * w + x] * mv[k * h + y];
+            tmp[x * h + y] = iclamp((acc + add1) >> shift1, -32768, 32767);
+        }
+    }
+    for (int y = 0; y < h; y++) {
+        for (int x = 0; x < w; x++) {
+            int32_t acc = 0;
+            for (int kx = 0; kx <= kx_max; kx++)
+                acc += tmp[kx * h + y] * mh[kx * w + x];
+            out[y * w + x] = iclamp((acc + add2) >> shift2, -32768, 32767);
+        }
+    }
+}
+
+static void recon_tu_residual_c(const Rc *r, const int32_t *t, int intra,
+                                int32_t *res)
+{
+    int l2w = t[TU_F_LOG2W], l2h = t[TU_F_LOG2H];
+    int n = 1 << (l2w + l2h);
+    int32_t dq[64 * 64];
+    dequant_c(r->coef_buf + t[TU_F_COEF], n, t[TU_F_QP], l2w, l2h,
+              r->ep->dep_quant, r->ep->bitdepth, dq);
+    int tr_h, tr_v;
+    transform_pair_c(r->ep, t, intra, &tr_h, &tr_v);
+    uint64_t sig = ((uint64_t)(uint32_t)t[TU_F_SIGHI] << 32)
+                   | (uint32_t)t[TU_F_SIGLO];
+    inv_transform_2d(dq, l2w, l2h, tr_h, tr_v, r->ep->bitdepth, sig, res);
+}
+
+/* ---- motion compensation (rcn/ref_mc.py parity) ---------------------- */
+
+static void mc_uni_c(const int32_t *plane, int W, int H, int stride,
+                     int32_t *dst, int dstride, int x0, int y0, int fx,
+                     int fy, int w, int h, int bitdepth, int is_luma,
+                     int hpel, int bd_max)
+{
+    int sh1 = bitdepth - 8;
+    if (!fx && !fy) {
+        for (int j = 0; j < h; j++) {
+            int yy = iclamp(y0 + j, 0, H - 1);
+            for (int i = 0; i < w; i++)
+                dst[j * dstride + i] = plane[yy * stride + iclamp(x0 + i, 0, W - 1)];
+        }
+        return;
+    }
+    int taps, before;
+    const int16_t *fh = 0, *fv = 0;
+    int is4 = is_luma && w == 4 && h == 4;
+    if (is_luma) {
+        taps = 8; before = 3;
+        if (fx) fh = (hpel && fx == 8) ? g_mc_filters_l[15]
+                     : (is4 ? g_mc_filters_4[fx - 1] : g_mc_filters_l[fx - 1]);
+        if (fy) fv = (hpel && fy == 8) ? g_mc_filters_l[15]
+                     : (is4 ? g_mc_filters_4[fy - 1] : g_mc_filters_l[fy - 1]);
+    } else {
+        taps = 4; before = 1;
+        if (fx) fh = g_mc_filters_c[fx - 1];
+        if (fy) fv = g_mc_filters_c[fy - 1];
+    }
+    int shift = 14 - bitdepth;
+    int round = 1 << (shift - 1);
+
+    if (fv == 0) {
+        for (int j = 0; j < h; j++) {
+            int yy = iclamp(y0 + j, 0, H - 1);
+            const int32_t *row = plane + yy * stride;
+            for (int i = 0; i < w; i++) {
+                int32_t acc = 0;
+                for (int k = 0; k < taps; k++)
+                    acc += fh[k] * row[iclamp(x0 - before + i + k, 0, W - 1)];
+                dst[j * dstride + i] = bdclip(((acc >> sh1) + round) >> shift,
+                                              bd_max);
+            }
+        }
+        return;
+    }
+    if (fh == 0) {
+        for (int j = 0; j < h; j++) {
+            for (int i = 0; i < w; i++) {
+                int xx = iclamp(x0 + i, 0, W - 1);
+                int32_t acc = 0;
+                for (int k = 0; k < taps; k++)
+                    acc += fv[k] * plane[iclamp(y0 - before + j + k, 0, H - 1)
+                                         * stride + xx];
+                dst[j * dstride + i] = bdclip(((acc >> sh1) + round) >> shift,
+                                              bd_max);
+            }
+        }
+        return;
+    }
+    /* hv: horizontal into an int16 intermediate, then vertical */
+    int16_t tmp[(64 + 8) * 64];
+    int th = h + taps - 1;
+    for (int j = 0; j < th; j++) {
+        int yy = iclamp(y0 - before + j, 0, H - 1);
+        const int32_t *row = plane + yy * stride;
+        for (int i = 0; i < w; i++) {
+            int32_t acc = 0;
+            for (int k = 0; k < taps; k++)
+                acc += fh[k] * row[iclamp(x0 - before + i + k, 0, W - 1)];
+            tmp[j * w + i] = (int16_t)(acc >> sh1);
+        }
+    }
+    for (int j = 0; j < h; j++) {
+        for (int i = 0; i < w; i++) {
+            int32_t acc = 0;
+            for (int k = 0; k < taps; k++)
+                acc += fv[k] * tmp[(j + k) * w + i];
+            dst[j * dstride + i] = bdclip(((acc >> 6) + round) >> shift,
+                                          bd_max);
+        }
+    }
+}
+
+/* rcn_inter.c clip_mv parity (:97) */
+static void clip_mv_c(int pos_x, int pos_y, int pic_w, int pic_h, int pb_w,
+                      int pb_h, int mvx, int mvy, int *ox, int *oy)
+{
+    int x_max = (pic_w + 2 - pos_x) << 4;
+    int y_max = (pic_h + 2 - pos_y) << 4;
+    int x_min = -((pb_w + 3 + pos_x) << 4);
+    int y_min = -((pb_h + 3 + pos_y) << 4);
+    *ox = imax(x_min, imin(x_max, mvx));
+    *oy = imax(y_min, imin(y_max, mvy));
+}
+
+/* ---- DBF map fills (rcn/ref_dbf.py DbfMaps parity) -------------------- */
+
+static void dbf_rect(int x0, int y0, int w, int h, int *xu, int *yu, int *wu,
+                     int *hu)
+{
+    *xu = x0 >> 2; *yu = y0 >> 2;
+    *wu = imax(1, w >> 2); *hu = imax(1, h >> 2);
+}
+
+static void set_col(uint8_t *m, int mw, int yu, int hu, int col)
+{
+    for (int j = 0; j < hu; j++)
+        m[(yu + j) * mw + col] = 1;
+}
+
+static void set_row(uint8_t *m, int mw, int row, int xu, int wu)
+{
+    memset(m + row * mw + xu, 1, wu);
+}
+
+static void dbf_add_cu_luma(const Rc *r, int x0, int y0, int w, int h, int qp,
+                            int intra)
+{
+    const DbfBufs *d = r->dbf;
+    int mw = r->uw + 1;
+    int xu, yu, wu, hu;
+    dbf_rect(x0, y0, w, h, &xu, &yu, &wu, &hu);
+    set_col(d->edge_ver, mw, yu, hu, xu);
+    set_col(d->edge_ver, mw, yu, hu, xu + wu);
+    set_row(d->edge_hor, mw, yu, xu, wu);
+    set_row(d->edge_hor, mw, yu + hu, xu, wu);
+    set_col(d->cu_edge_ver, mw, yu, hu, xu);
+    set_col(d->cu_edge_ver, mw, yu, hu, xu + wu);
+    set_row(d->cu_edge_hor, mw, yu, xu, wu);
+    set_row(d->cu_edge_hor, mw, yu + hu, xu, wu);
+    if (intra) {
+        set_col(d->bs2_ver, mw, yu, hu, xu);
+        set_col(d->bs2_ver, mw, yu, hu, xu + wu);
+        set_row(d->bs2_hor, mw, yu, xu, wu);
+        set_row(d->bs2_hor, mw, yu + hu, xu, wu);
+    }
+    for (int j = 0; j < hu; j++)
+        for (int i = 0; i < wu; i++)
+            d->qp_l[(yu + j) * r->uw + xu + i] = qp;
+}
+
+static void dbf_add_tb_luma(const Rc *r, int x0, int y0, int w, int h)
+{
+    const DbfBufs *d = r->dbf;
+    int mw = r->uw + 1;
+    int xu, yu, wu, hu;
+    dbf_rect(x0, y0, w, h, &xu, &yu, &wu, &hu);
+    set_col(d->edge_ver, mw, yu, hu, xu);
+    set_col(d->bs1_ver, mw, yu, hu, xu);
+    set_col(d->edge_ver, mw, yu, hu, xu + wu);
+    set_col(d->bs1_ver, mw, yu, hu, xu + wu);
+    set_row(d->edge_hor, mw, yu, xu, wu);
+    set_row(d->bs1_hor, mw, yu, xu, wu);
+    set_row(d->edge_hor, mw, yu + hu, xu, wu);
+    set_row(d->bs1_hor, mw, yu + hu, xu, wu);
+}
+
+static void dbf_add_cu_chroma(const Rc *r, int cx0, int cy0, int cw, int ch,
+                              int qp_cb, int qp_cr, int intra)
+{
+    const DbfBufs *d = r->dbf;
+    int mw = r->uw + 1;
+    int xu = cx0 >> 1, yu = cy0 >> 1;
+    int wu = imax(1, cw >> 1), hu = imax(1, ch >> 1);
+    set_col(d->cedge_ver, mw, yu, hu, xu);
+    set_col(d->cedge_ver, mw, yu, hu, xu + wu);
+    set_row(d->cedge_hor, mw, yu, xu, wu);
+    set_row(d->cedge_hor, mw, yu + hu, xu, wu);
+    if (intra) {
+        set_col(d->cbs2_ver, mw, yu, hu, xu);
+        set_col(d->cbs2_ver, mw, yu, hu, xu + wu);
+        set_row(d->cbs2_hor, mw, yu, xu, wu);
+        set_row(d->cbs2_hor, mw, yu + hu, xu, wu);
+    }
+    for (int j = 0; j < hu; j++)
+        for (int i = 0; i < wu; i++) {
+            d->qp_cb[(yu + j) * r->uw + xu + i] = qp_cb;
+            d->qp_cr[(yu + j) * r->uw + xu + i] = qp_cr;
+        }
+}
+
+static void dbf_add_tb_chroma(const Rc *r, int comp, int cx0, int cy0, int cw,
+                              int ch)
+{
+    const DbfBufs *d = r->dbf;
+    int mw = r->uw + 1;
+    int xu = cx0 >> 1, yu = cy0 >> 1;
+    int wu = imax(1, cw >> 1), hu = imax(1, ch >> 1);
+    uint8_t *bs1v = comp != 2 ? d->cbs1_cb_ver : d->cbs1_cr_ver;
+    uint8_t *bs1h = comp != 2 ? d->cbs1_cb_hor : d->cbs1_cr_hor;
+    set_col(d->cedge_ver, mw, yu, hu, xu);
+    set_col(bs1v, mw, yu, hu, xu);
+    set_col(d->cedge_ver, mw, yu, hu, xu + wu);
+    set_col(bs1v, mw, yu, hu, xu + wu);
+    set_row(d->cedge_hor, mw, yu, xu, wu);
+    set_row(bs1h, mw, yu, xu, wu);
+    set_row(d->cedge_hor, mw, yu + hu, xu, wu);
+    set_row(bs1h, mw, yu + hu, xu, wu);
+}
+
+static void dbf_add_cu_motion(const Rc *r, int x0, int y0, int w, int h,
+                              int mvx, int mvy, int dist)
+{
+    const DbfBufs *d = r->dbf;
+    int xu, yu, wu, hu;
+    dbf_rect(x0, y0, w, h, &xu, &yu, &wu, &hu);
+    for (int j = 0; j < hu; j++)
+        for (int i = 0; i < wu; i++) {
+            int u = (yu + j) * r->uw + xu + i;
+            d->mv_dir[u] = 1;
+            d->mv_vals[u * 4 + 0] = mvx;
+            d->mv_vals[u * 4 + 1] = mvy;
+            d->mv_dist[u * 2 + 0] = dist;
+        }
+}
+
+/* chroma QP for DBF maps (parse.c chroma_qp parity, minus qp_bd) */
+static int dbf_chroma_qp(const Rc *r, int comp, int qp_y)
+{
+    const EntryParams *e = r->ep;
+    int qp_bd = e->qp_bd_offset;
+    int base = iclamp(qp_y, 0, 63);
+    int mapped = r->cqp_tab[(comp - 1) * e->cqp_tab_len + base + qp_bd];
+    int off = comp == 1 ? e->cb_qp_off : e->cr_qp_off;
+    int v = iclamp(mapped + off, -qp_bd, 63);
+    return v; /* + qp_bd - qp_bd */
+}
+
+/* ---- TU lookup and residual application ------------------------------ */
+
+static const int32_t *find_tu_c(const Rc *r, const int32_t *cu, int comp,
+                                int x, int y)
+{
+    int tu0 = cu[CU_F_TU0], ntu = cu[CU_F_NTU];
+    for (int i = 0; i < ntu; i++) {
+        const int32_t *t = r->tu_buf + (int64_t)(tu0 + i) * TU_NFIELDS;
+        if (t[TU_F_COMP] == comp && t[TU_F_X0] == x && t[TU_F_Y0] == y)
+            return t;
+    }
+    return 0;
+}
+
+/* recursive TU-unit geometry (_tu_units parity) */
+typedef struct { int x, y, l2w, l2h; } TuUnit;
+
+static int tu_units(int x0, int y0, int l2w, int l2h, int max_tb, TuUnit *out,
+                    int n)
+{
+    int split_v = l2w > max_tb, split_h = l2h > max_tb;
+    if (!split_v && !split_h) {
+        out[n] = (TuUnit){x0, y0, l2w, l2h};
+        return n + 1;
+    }
+    int nl2w = l2w - (split_v ? 1 : 0);
+    int nl2h = l2h - (split_h ? 1 : 0);
+    n = tu_units(x0, y0, nl2w, nl2h, max_tb, out, n);
+    if (split_v)
+        n = tu_units(x0 + (1 << nl2w), y0, nl2w, nl2h, max_tb, out, n);
+    if (split_h)
+        n = tu_units(x0, y0 + (1 << nl2h), nl2w, nl2h, max_tb, out, n);
+    if (split_v && split_h)
+        n = tu_units(x0 + (1 << nl2w), y0 + (1 << nl2h), nl2w, nl2h, max_tb,
+                     out, n);
+    return n;
+}
+
+/* ---- per-CU reconstruction ------------------------------------------- */
+
+static void recon_intra_cu(Rc *r, const int32_t *cu)
+{
+    const EntryParams *e = r->ep;
+    int bd_max = r->bd_max;
+    int x0 = cu[CU_F_X0], y0 = cu[CU_F_Y0];
+    int l2w = cu[CU_F_LOG2W], l2h = cu[CU_F_LOG2H];
+    int32_t pred[64 * 64], res[64 * 64];
+    TuUnit units[16];
+
+    int nu = tu_units(x0, y0, l2w, l2h, e->l_max_tb, units, 0);
+    for (int u = 0; u < nu; u++) {
+        TuUnit *tu = &units[u];
+        int w = 1 << tu->l2w, h = 1 << tu->l2h;
+        predict_intra_c(r, r->fy, e->pic_w, tu->x, tu->y, tu->l2w, tu->l2h,
+                        cu[CU_F_INTRA_L], 1, pred);
+        const int32_t *t = find_tu_c(r, cu, 0, tu->x, tu->y);
+        if (t) {
+            recon_tu_residual_c(r, t, 1, res);
+            for (int i = 0; i < w * h; i++)
+                pred[i] += res[i];
+        }
+        for (int j = 0; j < h; j++)
+            for (int i = 0; i < w; i++)
+                r->fy[(tu->y + j) * e->pic_w + tu->x + i] =
+                    bdclip(pred[j * w + i], bd_max);
+        mark_luma(r, tu->x, tu->y, tu->l2w, tu->l2h);
+    }
+
+    if (!e->chroma_enabled)
+        return;
+
+    int cs = e->pic_w >> 1;
+    int cx0 = x0 >> 1, cy0 = y0 >> 1;
+    int cl2w = l2w - 1, cl2h = l2h - 1;
+    int mode = cu[CU_F_INTRA_C];
+    int csign = r->rp->csign;
+    int32_t rcb[32 * 32], rcr[32 * 32];
+
+    nu = tu_units(cx0, cy0, cl2w, cl2h, e->l_max_tb - 1, units, 0);
+    for (int u = 0; u < nu; u++) {
+        TuUnit *tu = &units[u];
+        int w = 1 << tu->l2w, h = 1 << tu->l2h;
+        int have_cb = 0, have_cr = 0;
+        const int32_t *jt = find_tu_c(r, cu, 3, tu->x, tu->y);
+        if (jt) {
+            recon_tu_residual_c(r, jt, 1, res);
+            int jc = jt[TU_F_JCBCR];
+            for (int i = 0; i < w * h; i++) {
+                int v = res[i];
+                if (jc == 3) { rcb[i] = v; rcr[i] = csign * v; }
+                else if (jc == 2) { rcb[i] = v; rcr[i] = (csign * v) >> 1; }
+                else { rcr[i] = v; rcb[i] = (csign * v) >> 1; }
+            }
+            have_cb = have_cr = 1;
+        } else {
+            const int32_t *tb = find_tu_c(r, cu, 1, tu->x, tu->y);
+            const int32_t *tr = find_tu_c(r, cu, 2, tu->x, tu->y);
+            if (tb) { recon_tu_residual_c(r, tb, 1, rcb); have_cb = 1; }
+            if (tr) { recon_tu_residual_c(r, tr, 1, rcr); have_cr = 1; }
+        }
+        for (int comp = 1; comp <= 2; comp++) {
+            int32_t *plane = comp == 1 ? r->fcb : r->fcr;
+            const int32_t *rr = comp == 1 ? rcb : rcr;
+            int have = comp == 1 ? have_cb : have_cr;
+            predict_intra_c(r, plane, cs, tu->x, tu->y, tu->l2w, tu->l2h,
+                            mode, 0, pred);
+            for (int j = 0; j < h; j++)
+                for (int i = 0; i < w; i++) {
+                    int v = pred[j * w + i] + (have ? rr[j * w + i] : 0);
+                    plane[(tu->y + j) * cs + tu->x + i] = bdclip(v, bd_max);
+                }
+        }
+        mark_chroma(r, tu->x, tu->y, tu->l2w, tu->l2h);
+    }
+}
+
+static void recon_inter_cu(Rc *r, const int32_t *cu)
+{
+    const EntryParams *e = r->ep;
+    int bd_max = r->bd_max;
+    int bd = e->bitdepth;
+    int x0 = cu[CU_F_X0], y0 = cu[CU_F_Y0];
+    int l2w = cu[CU_F_LOG2W], l2h = cu[CU_F_LOG2H];
+    int w = 1 << l2w, h = 1 << l2h;
+    int hpel = cu[CU_F_PREC_EFF] == PREC_HALF;
+    int ref_idx = cu[CU_F_MV0REF];
+    int mvx, mvy;
+    clip_mv_c(x0, y0, e->pic_w, e->pic_h, w, h, cu[CU_F_MV0X], cu[CU_F_MV0Y],
+              &mvx, &mvy);
+
+    int32_t pred[64 * 64], res[64 * 64];
+
+    /* luma */
+    mc_uni_c(r->ref_y[ref_idx], e->pic_w, e->pic_h, e->pic_w, pred, w,
+             x0 + (mvx >> 4), y0 + (mvy >> 4), mvx & 15, mvy & 15, w, h, bd,
+             1, hpel, bd_max);
+    for (int j = 0; j < h; j++)
+        for (int i = 0; i < w; i++)
+            r->fy[(y0 + j) * e->pic_w + x0 + i] = pred[j * w + i];
+
+    /* luma residuals (_add_luma_residuals parity) */
+    int tu0 = cu[CU_F_TU0], ntu = cu[CU_F_NTU];
+    for (int i = 0; i < ntu; i++) {
+        const int32_t *t = r->tu_buf + (int64_t)(tu0 + i) * TU_NFIELDS;
+        if (t[TU_F_COMP] != 0)
+            continue;
+        recon_tu_residual_c(r, t, 0, res);
+        int tw = 1 << t[TU_F_LOG2W], th = 1 << t[TU_F_LOG2H];
+        int tx = t[TU_F_X0], ty = t[TU_F_Y0];
+        for (int j = 0; j < th; j++)
+            for (int k = 0; k < tw; k++) {
+                int32_t *px = r->fy + (ty + j) * e->pic_w + tx + k;
+                *px = bdclip(*px + res[j * tw + k], bd_max);
+            }
+    }
+    mark_luma(r, x0, y0, l2w, l2h);
+
+    if (!e->chroma_enabled)
+        return;
+
+    int cs = e->pic_w >> 1;
+    int cx0 = x0 >> 1, cy0 = y0 >> 1;
+    int cw = w >> 1, ch = h >> 1;
+    for (int comp = 1; comp <= 2; comp++) {
+        const int32_t *rpl = (comp == 1 ? r->ref_cb : r->ref_cr)[ref_idx];
+        int32_t *dst = comp == 1 ? r->fcb : r->fcr;
+        mc_uni_c(rpl, e->pic_w >> 1, e->pic_h >> 1, cs, pred, cw,
+                 cx0 + (mvx >> 5), cy0 + (mvy >> 5), mvx & 31, mvy & 31, cw,
+                 ch, bd, 0, 0, bd_max);
+        for (int j = 0; j < ch; j++)
+            for (int i = 0; i < cw; i++)
+                dst[(cy0 + j) * cs + cx0 + i] = pred[j * cw + i];
+    }
+
+    /* chroma residuals (_add_chroma_residuals parity) */
+    int csign = r->rp->csign;
+    for (int i = 0; i < ntu; i++) {
+        const int32_t *t = r->tu_buf + (int64_t)(tu0 + i) * TU_NFIELDS;
+        int comp = t[TU_F_COMP];
+        if (comp == 0)
+            continue;
+        recon_tu_residual_c(r, t, 0, res);
+        int tw = 1 << t[TU_F_LOG2W], th = 1 << t[TU_F_LOG2H];
+        int tx = t[TU_F_X0], ty = t[TU_F_Y0];
+        int n = tw * th;
+        int32_t rc2[32 * 32];
+        int32_t *planes[2] = {0, 0};
+        const int32_t *rs[2] = {0, 0};
+        if (comp == 3) {
+            int jc = t[TU_F_JCBCR];
+            for (int k = 0; k < n; k++) {
+                int v = res[k];
+                if (jc == 3) rc2[k] = csign * v;
+                else if (jc == 2) rc2[k] = (csign * v) >> 1;
+                else rc2[k] = (csign * v) >> 1;
+            }
+            if (jc >= 2) {
+                planes[0] = r->fcb; rs[0] = res;
+                planes[1] = r->fcr; rs[1] = rc2;
+            } else {
+                planes[0] = r->fcr; rs[0] = res;
+                planes[1] = r->fcb; rs[1] = rc2;
+            }
+        } else {
+            planes[0] = comp == 1 ? r->fcb : r->fcr;
+            rs[0] = res;
+        }
+        for (int p = 0; p < 2; p++) {
+            if (!planes[p])
+                continue;
+            for (int j = 0; j < th; j++)
+                for (int k = 0; k < tw; k++) {
+                    int32_t *px = planes[p] + (ty + j) * cs + tx + k;
+                    *px = bdclip(*px + rs[p][j * tw + k], bd_max);
+                }
+        }
+    }
+    mark_chroma(r, cx0, cy0, l2w - 1, l2h - 1);
+}
+
+/* ---- entry driver ----------------------------------------------------- */
+
+int64_t ov_recon_entry(const EntryParams *ep, const ReconParams *rp,
+                       const int32_t *cu_buf, int64_t ncu,
+                       const int32_t *tu_buf, int64_t ntu,
+                       const int32_t *coef_buf, const int8_t *cqp_tab,
+                       int32_t *fy, int32_t *fcb, int32_t *fcr,
+                       const int32_t *const *ref_y,
+                       const int32_t *const *ref_cb,
+                       const int32_t *const *ref_cr, const int32_t *dist0,
+                       const DbfBufs *dbf)
+{
+    /* support scan first: leave all outputs untouched on -1 */
+    for (int64_t i = 0; i < ncu; i++) {
+        const int32_t *c = cu_buf + i * CU_NFIELDS;
+        if (c[CU_F_TREE] != TREE_SINGLE || c[CU_F_MIP_FLAG] || c[CU_F_MRL] ||
+            c[CU_F_LFNST] || c[CU_F_PRED] > MODE_INTER ||
+            (c[CU_F_INTRA_C] >= INTRA_LT_CCLM &&
+             c[CU_F_INTRA_C] <= INTRA_T_CCLM))
+            return -1;
+        if (c[CU_F_PRED] == MODE_INTER &&
+            (c[CU_F_INTER_DIR] != 1 || c[CU_F_MV0REF] < 0 ||
+             c[CU_F_MV0REF] >= rp->nb_refs))
+            return -1;
+    }
+    for (int64_t i = 0; i < ntu; i++) {
+        const int32_t *t = tu_buf + i * TU_NFIELDS;
+        if (t[TU_F_LFNST] || t[TU_F_TS] || t[TU_F_BDPCM] || t[TU_F_COEF] < 0)
+            return -1;
+    }
+
+    Rc rc;
+    memset(&rc, 0, sizeof(rc));
+    rc.ep = ep;
+    rc.rp = rp;
+    rc.tu_buf = tu_buf;
+    rc.coef_buf = coef_buf;
+    rc.cqp_tab = cqp_tab;
+    rc.fy = fy; rc.fcb = fcb; rc.fcr = fcr;
+    rc.ref_y = ref_y; rc.ref_cb = ref_cb; rc.ref_cr = ref_cr;
+    rc.dist0 = dist0;
+    rc.dbf = dbf;
+    rc.uw = (ep->pic_w + 3) >> 2;
+    rc.uh = (ep->pic_h + 3) >> 2;
+    rc.bd_max = (1 << ep->bitdepth) - 1;
+    rc.al_w = (ep->tile_w + 3) / 4;
+    rc.al_h = (ep->tile_h + 3) / 4;
+    rc.ac_w = (ep->tile_w / 2 + 1) / 2 + 1;
+    rc.ac_h = (ep->tile_h / 2 + 1) / 2 + 1;
+    rc.avail_l = calloc((size_t)rc.al_w * rc.al_h, 1);
+    rc.avail_c = calloc((size_t)rc.ac_w * rc.ac_h, 1);
+    if (!rc.avail_l || !rc.avail_c) {
+        free(rc.avail_l);
+        free(rc.avail_c);
+        return -2;
+    }
+
+    int dbf_on = rp->dbf_enabled && dbf;
+    for (int64_t i = 0; i < ncu; i++) {
+        const int32_t *c = cu_buf + i * CU_NFIELDS;
+        int x0 = c[CU_F_X0], y0 = c[CU_F_Y0];
+        int w = 1 << c[CU_F_LOG2W], h = 1 << c[CU_F_LOG2H];
+        int intra = c[CU_F_PRED] == MODE_INTRA;
+        if (dbf_on) {
+            dbf_add_cu_luma(&rc, x0, y0, w, h, c[CU_F_QP], intra);
+            if (!intra)
+                dbf_add_cu_motion(&rc, x0, y0, w, h, c[CU_F_MV0X],
+                                  c[CU_F_MV0Y], dist0[c[CU_F_MV0REF]]);
+            int tu0 = c[CU_F_TU0], ntu_cu = c[CU_F_NTU];
+            for (int k = 0; k < ntu_cu; k++) {
+                const int32_t *t = tu_buf + (int64_t)(tu0 + k) * TU_NFIELDS;
+                if (t[TU_F_COMP] == 0)
+                    dbf_add_tb_luma(&rc, t[TU_F_X0], t[TU_F_Y0],
+                                    1 << t[TU_F_LOG2W], 1 << t[TU_F_LOG2H]);
+            }
+            if (ep->chroma_enabled) {
+                int qcb = dbf_chroma_qp(&rc, 1, c[CU_F_QP]);
+                int qcr = dbf_chroma_qp(&rc, 2, c[CU_F_QP]);
+                dbf_add_cu_chroma(&rc, x0 >> 1, y0 >> 1, w >> 1, h >> 1, qcb,
+                                  qcr, intra);
+                for (int k = 0; k < ntu_cu; k++) {
+                    const int32_t *t =
+                        tu_buf + (int64_t)(tu0 + k) * TU_NFIELDS;
+                    int comp = t[TU_F_COMP];
+                    if (comp == 0)
+                        continue;
+                    int tw = 1 << t[TU_F_LOG2W], th = 1 << t[TU_F_LOG2H];
+                    if (comp == 3) {
+                        dbf_add_tb_chroma(&rc, 1, t[TU_F_X0], t[TU_F_Y0], tw,
+                                          th);
+                        dbf_add_tb_chroma(&rc, 2, t[TU_F_X0], t[TU_F_Y0], tw,
+                                          th);
+                    } else {
+                        dbf_add_tb_chroma(&rc, comp, t[TU_F_X0], t[TU_F_Y0],
+                                          tw, th);
+                    }
+                }
+            }
+        }
+        if (intra)
+            recon_intra_cu(&rc, c);
+        else
+            recon_inter_cu(&rc, c);
+    }
+
+    free(rc.avail_l);
+    free(rc.avail_c);
+    return 0;
+}
