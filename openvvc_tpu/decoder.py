@@ -1314,29 +1314,54 @@ class Decoder:
         if lmcs is not None:
             frame.y = lmcs.bwd_lut[np.clip(frame.y, 0, (1 << bd) - 1)].astype(np.int32)
         if dbf is not None:
-            dbf.finalize_inter_bs()
             hook = getattr(self, "_pre_dbf_hook", None)
-            if hook is not None:
-                hook(frame, dbf, params)
-            from openvvc_tpu.rcn.jax_dbf import deblock_frame_batched
+            native_dbf = None
+            if not self.use_tpu_residuals and self.use_native_recon:
+                from openvvc_tpu.native import dbf_frame_native
+                native_dbf = dbf_frame_native
+            if native_dbf is not None:
+                from openvvc_tpu.rcn.ref_dbf import _beta_tc_offsets
 
-            if self.use_tpu_residuals:
-                import jax.numpy as jnp
+                no_x, no_y = [], []
+                ti = params.tile_info
+                if (ti.nb_tiles > 1 and not
+                        pps.pps_loop_filter_across_tiles_enabled_flag):
+                    no_x = [x << sps.ctb_log2 for x in ti.col_x()[1:-1]]
+                    no_y = [y << sps.ctb_log2 for y in ti.row_y()[1:-1]]
+                offs = (_beta_tc_offsets(params, "luma")
+                        + _beta_tc_offsets(params, "cb")
+                        + _beta_tc_offsets(params, "cr"))
+                finalize = True
+                if hook is not None:  # tests inspect finalized maps
+                    dbf.finalize_inter_bs()
+                    hook(frame, dbf, params)
+                    finalize = False
+                if not native_dbf(frame, dbf, offs, sps.ctb_log2, no_x,
+                                  no_y, finalize=finalize):
+                    native_dbf = None  # lib unavailable: numpy fallback
+            if native_dbf is None:  # numpy / device fallback
+                dbf.finalize_inter_bs()
+                if hook is not None:
+                    hook(frame, dbf, params)
+                from openvvc_tpu.rcn.jax_dbf import deblock_frame_batched
 
-                dy, dcb, dcr = deblock_frame_batched(
-                    jnp, jnp.asarray(frame.y),
-                    jnp.asarray(frame.cb) if frame.cb is not None else None,
-                    jnp.asarray(frame.cr) if frame.cr is not None else None,
-                    dbf, params, sps.ctb_log2, bd)
-                # np.array (not asarray): device->host views are read-only
-                # and SAO/ALF mutate the planes in place
-                frame.y = np.array(dy)
-                if dcb is not None:
-                    frame.cb, frame.cr = np.array(dcb), np.array(dcr)
-            else:
-                frame.y, frame.cb, frame.cr = deblock_frame_batched(
-                    np, frame.y, frame.cb, frame.cr, dbf, params,
-                    sps.ctb_log2, bd)
+                if self.use_tpu_residuals:
+                    import jax.numpy as jnp
+
+                    dy, dcb, dcr = deblock_frame_batched(
+                        jnp, jnp.asarray(frame.y),
+                        jnp.asarray(frame.cb) if frame.cb is not None else None,
+                        jnp.asarray(frame.cr) if frame.cr is not None else None,
+                        dbf, params, sps.ctb_log2, bd)
+                    # np.array (not asarray): device->host views are read-only
+                    # and SAO/ALF mutate the planes in place
+                    frame.y = np.array(dy)
+                    if dcb is not None:
+                        frame.cb, frame.cr = np.array(dcb), np.array(dcr)
+                else:
+                    frame.y, frame.cb, frame.cr = deblock_frame_batched(
+                        np, frame.y, frame.cb, frame.cr, dbf, params,
+                        sps.ctb_log2, bd)
         for entry, sao_params in sao_entries:
             apply_sao_entry(frame, (entry.ctu_x, entry.ctu_y, entry.nb_ctu_w, entry.nb_ctu_h),
                             sps.ctb_log2, sao_params, bd, pps.pic_w, pps.pic_h)

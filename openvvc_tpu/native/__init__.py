@@ -24,13 +24,15 @@ _SRC_PARSE = os.path.join(_DIR, "parse.c")
 
 _SRC_RECON = os.path.join(_DIR, "recon.c")
 
+_SRC_DBF = os.path.join(_DIR, "dbf.c")
+
 _HDRS = (os.path.join(_DIR, "ov_shared.h"), os.path.join(_DIR, "tables.h"))
 
 
 def _build():
     subprocess.run(
         ["gcc", "-O3", "-shared", "-fPIC", "-o", _LIB, _SRC, _SRC_RES,
-         _SRC_PARSE, _SRC_RECON],
+         _SRC_PARSE, _SRC_RECON, _SRC_DBF],
         check=True,
         capture_output=True,
     )
@@ -54,7 +56,7 @@ def load_cabac_lib():
     if _LIB_HANDLE is not None:
         return _LIB_HANDLE
     try:
-        srcs = (_SRC, _SRC_RES, _SRC_PARSE, _SRC_RECON) + _HDRS
+        srcs = (_SRC, _SRC_RES, _SRC_PARSE, _SRC_RECON, _SRC_DBF) + _HDRS
         if (not os.path.exists(_LIB)
                 or any(os.path.getmtime(_LIB) < os.path.getmtime(s)
                        for s in srcs)):
@@ -547,7 +549,7 @@ _DBF_PTR_NAMES = (
     "cu_edge_ver", "cu_edge_hor", "qp_l", "mv_dir", "mv_vals", "mv_dist",
     "cedge_ver", "cedge_hor", "cbs2_ver", "cbs2_hor",
     "cbs1_cb_ver", "cbs1_cb_hor", "cbs1_cr_ver", "cbs1_cr_hor",
-    "qp_cb", "qp_cr",
+    "qp_cb", "qp_cr", "sb_edge_ver", "sb_edge_hor", "aff_unit",
 )
 
 
@@ -626,6 +628,70 @@ def recon_entry_native(raw, frame, refs0, dist0, dbf, csign) -> bool:
         ry, rcb, rcr,
         vp(d0.ctypes.data),
         ctypes.byref(db))
+    return rc == 0
+
+
+class _DbfFrameParamsC(ctypes.Structure):
+    _fields_ = [(n, ctypes.c_int32) for n in (
+        "pic_w", "pic_h", "bitdepth", "chroma_enabled", "log2_ctb",
+        "beta_off_l", "tc_off_l", "beta_off_cb", "tc_off_cb",
+        "beta_off_cr", "tc_off_cr", "nb_no_x", "nb_no_y",
+        "finalize_inter_bs",
+    )]
+
+
+_dbf_proto_done = False
+
+
+def _setup_dbf_proto(lib):
+    global _dbf_proto_done
+    if _dbf_proto_done:
+        return
+    vp = ctypes.c_void_p
+    lib.ov_dbf_frame.restype = ctypes.c_int64
+    lib.ov_dbf_frame.argtypes = [
+        ctypes.POINTER(_DbfFrameParamsC), ctypes.POINTER(_DbfBufsC),
+        vp, vp, vp,  # planes
+        vp, vp,      # no_filter_x / no_filter_y
+    ]
+    _dbf_proto_done = True
+
+
+def dbf_frame_native(frame, dbf, offsets, log2_ctb, no_x=(), no_y=(),
+                     finalize=True) -> bool:
+    """Whole-frame deblocking in C (ref_dbf.py deblock_frame +
+    finalize_inter_bs parity). offsets = (beta_l, tc_l, beta_cb, tc_cb,
+    beta_cr, tc_cr). Returns False if the native lib is unavailable."""
+    lib = load_cabac_lib()
+    if lib is None:
+        return False
+    _setup_dbf_proto(lib)
+
+    fp = _DbfFrameParamsC()
+    fp.pic_w, fp.pic_h = frame.y.shape[1], frame.y.shape[0]
+    fp.bitdepth = frame.bitdepth
+    fp.chroma_enabled = int(frame.cb is not None)
+    fp.log2_ctb = log2_ctb
+    (fp.beta_off_l, fp.tc_off_l, fp.beta_off_cb, fp.tc_off_cb,
+     fp.beta_off_cr, fp.tc_off_cr) = offsets
+    nx = np.asarray(list(no_x), np.int32)
+    ny = np.asarray(list(no_y), np.int32)
+    fp.nb_no_x, fp.nb_no_y = len(nx), len(ny)
+    fp.finalize_inter_bs = int(finalize)
+
+    db = _DbfBufsC()
+    for name in _DBF_PTR_NAMES:
+        arr = getattr(dbf, name, None)
+        setattr(db, name, arr.ctypes.data if arr is not None else None)
+
+    vp = ctypes.c_void_p
+    rc = lib.ov_dbf_frame(
+        ctypes.byref(fp), ctypes.byref(db),
+        vp(frame.y.ctypes.data),
+        vp(frame.cb.ctypes.data if frame.cb is not None else None),
+        vp(frame.cr.ctypes.data if frame.cr is not None else None),
+        vp(nx.ctypes.data if len(nx) else None),
+        vp(ny.ctypes.data if len(ny) else None))
     return rc == 0
 
 

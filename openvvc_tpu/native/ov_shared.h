@@ -82,5 +82,33 @@ typedef struct {
     int32_t cb_qp_off, cr_qp_off, jcbcr_qp_off;
 } EntryParams;
 
+/* ---- deblocking maps handed over from Python (rcn/ref_dbf.py DbfMaps;
+ * ctypes mirror _DbfBufsC in native/__init__.py) ---------------------- */
+typedef struct {
+    /* luma maps: uint8 bool (uh+1, uw+1) except qp (uh, uw) */
+    uint8_t *edge_ver, *edge_hor, *bs2_ver, *bs2_hor, *bs1_ver, *bs1_hor;
+    uint8_t *cu_edge_ver, *cu_edge_hor;
+    int32_t *qp_l;
+    uint8_t *mv_dir;   /* (uh, uw) */
+    int32_t *mv_vals;  /* (uh, uw, 2, 2) */
+    int32_t *mv_dist;  /* (uh, uw, 2) */
+    /* chroma maps */
+    uint8_t *cedge_ver, *cedge_hor, *cbs2_ver, *cbs2_hor;
+    uint8_t *cbs1_cb_ver, *cbs1_cb_hor, *cbs1_cr_ver, *cbs1_cr_hor;
+    int32_t *qp_cb, *qp_cr;
+    /* affine / SbTMVP sub-block state */
+    uint8_t *sb_edge_ver, *sb_edge_hor;
+    uint8_t *aff_unit;  /* (uh, uw) */
+} DbfBufs;
+
+/* whole-frame deblocking parameters (ref_dbf.py deblock_frame) */
+typedef struct {
+    int32_t pic_w, pic_h, bitdepth, chroma_enabled;
+    int32_t log2_ctb;
+    int32_t beta_off_l, tc_off_l;
+    int32_t beta_off_cb, tc_off_cb, beta_off_cr, tc_off_cr;
+    int32_t nb_no_x, nb_no_y;  /* unfiltered tile-boundary coords (luma) */
+    int32_t finalize_inter_bs; /* run the MV-bs pass before filtering */
+} DbfFrameParams;
 
 #endif /* OV_SHARED_H */

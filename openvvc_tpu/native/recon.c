@@ -48,20 +48,6 @@ typedef struct {
 } ReconParams;
 
 typedef struct {
-    /* luma maps: bool (uh+1, uw+1) except qp (uh, uw) */
-    uint8_t *edge_ver, *edge_hor, *bs2_ver, *bs2_hor, *bs1_ver, *bs1_hor;
-    uint8_t *cu_edge_ver, *cu_edge_hor;
-    int32_t *qp_l;
-    uint8_t *mv_dir;   /* (uh, uw) */
-    int32_t *mv_vals;  /* (uh, uw, 2, 2) */
-    int32_t *mv_dist;  /* (uh, uw, 2) */
-    /* chroma maps */
-    uint8_t *cedge_ver, *cedge_hor, *cbs2_ver, *cbs2_hor;
-    uint8_t *cbs1_cb_ver, *cbs1_cb_hor, *cbs1_cr_ver, *cbs1_cr_hor;
-    int32_t *qp_cb, *qp_cr;
-} DbfBufs;
-
-typedef struct {
     const EntryParams *ep;
     const ReconParams *rp;
     const int32_t *tu_buf;
