@@ -1075,21 +1075,49 @@ def _merge_tmvp_export(acc, ectx, pps):
     """Assemble picture-level TMVP field from per-tile InterCtx state."""
     uw, uh = (pps.pic_w + 3) >> 2, (pps.pic_h + 3) >> 2
     if acc is None:
-        dir0 = [[0] * uw for _ in range(uh)]
-        dir1 = [[0] * uw for _ in range(uh)]
-        acc = (dir0, dir1, {}, {}, None, None)
+        acc = (np.zeros((uh, uw), np.uint8), np.zeros((uh, uw), np.uint8),
+               {}, {}, None, None)
     ictx = ectx.inter_ctx
     ox, oy = ectx.tile_x0 >> 2, ectx.tile_y0 >> 2
-    for j in range(ictx.uh):
-        for i in range(ictx.uw):
-            if oy + j < uh and ox + i < uw:
-                acc[0][oy + j][ox + i] = ictx.dir0[j][i]
-                acc[1][oy + j][ox + i] = ictx.dir1[j][i]
+    jh, iw = min(ictx.uh, uh - oy), min(ictx.uw, uw - ox)
+    acc[0][oy:oy + jh, ox:ox + iw] = np.asarray(ictx.dir0)[:jh, :iw]
+    acc[1][oy:oy + jh, ox:ox + iw] = np.asarray(ictx.dir1)[:jh, :iw]
     for (x, y), mv in ictx.tmvp_mv0.items():
         acc[2][(x + (ox >> 1), y + (oy >> 1))] = mv
     for (x, y), mv in ictx.tmvp_mv1.items():
         acc[3][(x + (ox >> 1), y + (oy >> 1))] = mv
     return acc
+
+
+class _LazyTmvp:
+    """Deferred picture-level TMVP field.
+
+    Building the dict/plane form costs ~100 ms/frame at 1080p and is only
+    consumed when a LATER picture enables TMVP and selects this frame as
+    collocated ref, so it materializes on first use — the analog of the
+    reference allocating MV planes on demand (dpb.c tmvp_request_mv_plane
+    :931)."""
+
+    __slots__ = ("_ectxs", "_pps", "_sd0", "_sd1", "_dmvr", "_val")
+
+    def __init__(self, ectxs, pps, sd0, sd1, dmvr_overrides):
+        self._ectxs, self._pps = ectxs, pps
+        self._sd0, self._sd1, self._dmvr = sd0, sd1, dmvr_overrides
+        self._val = None
+
+    def resolve(self):
+        if self._val is None:
+            acc = None
+            for ectx in self._ectxs:
+                acc = _merge_tmvp_export(acc, ectx, self._pps)
+            # DMVR-refined MVs override the TMVP field at select 8x8 cells
+            # (prediction_unit_inter_b :2610 "temporary hack")
+            for (gx, gy, m0, m1) in self._dmvr:
+                acc[2][(gx, gy)] = m0
+                acc[3][(gx, gy)] = m1
+            self._val = acc[:4] + (self._sd0, self._sd1)
+            self._ectxs = None  # release the parse contexts
+        return self._val
 
 
 class Decoder:
@@ -1191,8 +1219,10 @@ class Decoder:
                     or params.slice_type == 1
                 cidx = int(getattr(params.sh, "sh_collocated_ref_idx", 0))
                 col_f = (refs0 if from_l0 else refs1)[cidx]
-                if getattr(col_f, "tmvp", None) is not None:
-                    params._tmvp_col = col_f.tmvp
+                col = getattr(col_f, "tmvp", None)
+                if col is not None:
+                    params._tmvp_col = (col.resolve()
+                                        if hasattr(col, "resolve") else col)
 
         tools = {
             "bdof": bool(getattr(sps, "sps_bdof_enabled_flag", 0))
@@ -1302,14 +1332,14 @@ class Decoder:
             for item in pending:
                 _recon_one(item)
 
-        tmvp_export = None
+        tmvp_ectxs = []
         for entry, ectx in parsed:
-            if ectx.sao_params:
-                sao_entries.append((entry, ectx.sao_params))
+            if ectx.sao_params or getattr(ectx, "sao_recs", None) is not None:
+                sao_entries.append((entry, ectx))
             if ectx.alf_params:
                 alf_entries.append((entry, ectx.alf_params))
             if ectx.inter_ctx is not None:
-                tmvp_export = _merge_tmvp_export(tmvp_export, ectx, pps)
+                tmvp_ectxs.append(ectx)
 
         if lmcs is not None:
             frame.y = lmcs.bwd_lut[np.clip(frame.y, 0, (1 << bd) - 1)].astype(np.int32)
@@ -1362,9 +1392,19 @@ class Decoder:
                     frame.y, frame.cb, frame.cr = deblock_frame_batched(
                         np, frame.y, frame.cb, frame.cr, dbf, params,
                         sps.ctb_log2, bd)
-        for entry, sao_params in sao_entries:
-            apply_sao_entry(frame, (entry.ctu_x, entry.ctu_y, entry.nb_ctu_w, entry.nb_ctu_h),
-                            sps.ctb_log2, sao_params, bd, pps.pic_w, pps.pic_h)
+        for entry, ectx in sao_entries:
+            bounds = (entry.ctu_x, entry.ctu_y, entry.nb_ctu_w, entry.nb_ctu_h)
+            if self.use_native_recon and not self.use_tpu_residuals:
+                from openvvc_tpu.native import (sao_apply_native,
+                                                sao_recs_from_params)
+
+                recs = getattr(ectx, "sao_recs", None)
+                if recs is None:
+                    recs = sao_recs_from_params(ectx.sao_params)
+                if sao_apply_native(frame, bounds, sps.ctb_log2, recs):
+                    continue
+            apply_sao_entry(frame, bounds, sps.ctb_log2, ectx.sao_params,
+                            bd, pps.pic_w, pps.pic_h)
         if alf_entries:
             aps_luma = [a.alf_data for a in getattr(params, "alf_aps_luma", []) if a is not None]
             aps_c = getattr(params, "alf_aps_chroma", None)
@@ -1376,15 +1416,12 @@ class Decoder:
                 apply_alf_entry(frame, (entry.ctu_x, entry.ctu_y, entry.nb_ctu_w, entry.nb_ctu_h),
                                 sps.ctb_log2, alf_params, filters, cc_data, bd,
                                 pps.pic_w, pps.pic_h)
-        if tmvp_export is not None:
-            # DMVR-refined MVs override the TMVP field at select 8x8 cells
-            # (prediction_unit_inter_b :2610 "temporary hack")
-            for (gx, gy, m0, m1) in dmvr_overrides:
-                tmvp_export[2][(gx, gy)] = m0
-                tmvp_export[3][(gx, gy)] = m1
-            tmvp_export = tmvp_export[:4] + ([-d for d in _sd(params, 0)],
-                                             [-d for d in _sd(params, 1)])
-        frame.tmvp = tmvp_export
+        frame.tmvp = None
+        if tmvp_ectxs:
+            frame.tmvp = _LazyTmvp(tmvp_ectxs, pps,
+                                   [-d for d in _sd(params, 0)],
+                                   [-d for d in _sd(params, 1)],
+                                   dmvr_overrides)
         self.dpb.store(poc, frame)
         return frame
 

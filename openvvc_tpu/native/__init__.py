@@ -26,13 +26,15 @@ _SRC_RECON = os.path.join(_DIR, "recon.c")
 
 _SRC_DBF = os.path.join(_DIR, "dbf.c")
 
+_SRC_SAO = os.path.join(_DIR, "sao.c")
+
 _HDRS = (os.path.join(_DIR, "ov_shared.h"), os.path.join(_DIR, "tables.h"))
 
 
 def _build():
     subprocess.run(
         ["gcc", "-O3", "-shared", "-fPIC", "-o", _LIB, _SRC, _SRC_RES,
-         _SRC_PARSE, _SRC_RECON, _SRC_DBF],
+         _SRC_PARSE, _SRC_RECON, _SRC_DBF, _SRC_SAO],
         check=True,
         capture_output=True,
     )
@@ -56,7 +58,8 @@ def load_cabac_lib():
     if _LIB_HANDLE is not None:
         return _LIB_HANDLE
     try:
-        srcs = (_SRC, _SRC_RES, _SRC_PARSE, _SRC_RECON, _SRC_DBF) + _HDRS
+        srcs = (_SRC, _SRC_RES, _SRC_PARSE, _SRC_RECON, _SRC_DBF,
+                _SRC_SAO) + _HDRS
         if (not os.path.exists(_LIB)
                 or any(os.path.getmtime(_LIB) < os.path.getmtime(s)
                        for s in srcs)):
@@ -247,14 +250,35 @@ def native_parse_supported(params) -> bool:
 
 
 class _NativeInterCtx:
-    """Just enough InterCtx surface for decoder._merge_tmvp_export."""
+    """Just enough InterCtx surface for decoder._merge_tmvp_export.
 
-    def __init__(self, uw, uh, dir0, tmvp_mv0):
+    The MV dict form costs ~40ms/frame at 1080p and is only consumed when
+    a LATER picture enables TMVP, so it materializes lazily (the analog of
+    the reference allocating MV planes on demand, dpb.c:931)."""
+
+    def __init__(self, uw, uh, dir0, mv0_raw, uw8, uh8):
         self.uw, self.uh = uw, uh
         self.dir0 = dir0
         self.dir1 = np.zeros_like(dir0)
-        self.tmvp_mv0 = tmvp_mv0
+        self._mv0_raw = mv0_raw  # (uh8, uw8, 3) int32
+        self._uw8, self._uh8 = uw8, uh8
+        self._mv0_dict = None
         self.tmvp_mv1 = {}
+
+    @property
+    def tmvp_mv0(self):
+        if self._mv0_dict is None:
+            from openvvc_tpu.drv.inter_mvp import MV
+
+            mv = self._mv0_raw
+            dir8 = self.dir0[::2, ::2]
+            ys, xs = np.nonzero(dir8[:self._uh8, :self._uw8])
+            d = {}
+            for y, x in zip(ys.tolist(), xs.tolist()):
+                c = mv[y, x]
+                d[(x, y)] = MV(int(c[0]), int(c[1]), int(c[2]))
+            self._mv0_dict = d
+        return self._mv0_dict
 
 
 class NativeEntryCtx:
@@ -264,6 +288,7 @@ class NativeEntryCtx:
         self.entry = entry
         self.ctus = ctus
         self.sao_params = sao_params
+        self.sao_recs = None  # flat SAO records for the C SAO path
         self.alf_params = {}
         self.inter_ctx = inter_ctx
         self.tile_x0 = tile_x0
@@ -511,14 +536,8 @@ def _convert_native_entry(params, entry, ep, cu_buf, tu_buf, coef_buf,
 
     inter_ctx = None
     if params.slice_type == 1:
-        mv = tmvp_mv0.reshape(uh8, uw8, 3)
-        tmvp0 = {}
-        dir8 = tmvp_dir0.reshape(uh, uw)[::2, ::2]
-        ys, xs = np.nonzero(dir8[:uh8, :uw8])
-        for y, x in zip(ys.tolist(), xs.tolist()):
-            c = mv[y, x]
-            tmvp0[(x, y)] = MV(int(c[0]), int(c[1]), int(c[2]))
-        inter_ctx = _NativeInterCtx(uw, uh, tmvp_dir0.reshape(uh, uw), tmvp0)
+        inter_ctx = _NativeInterCtx(uw, uh, tmvp_dir0.reshape(uh, uw),
+                                    tmvp_mv0.reshape(uh8, uw8, 3), uw8, uh8)
 
     ectx = NativeEntryCtx(entry, ctus, sao_params, inter_ctx,
                           ep.tile_x0, ep.tile_y0)
@@ -695,41 +714,86 @@ def dbf_frame_native(frame, dbf, offsets, log2_ctb, no_x=(), no_y=(),
     return rc == 0
 
 
+class _SaoEntryParamsC(ctypes.Structure):
+    _fields_ = [(n, ctypes.c_int32) for n in (
+        "pic_w", "pic_h", "bitdepth", "chroma_enabled", "ctb_log2",
+        "ex0", "ey0", "nw", "nh",
+    )]
+
+
+_sao_proto_done = False
+
+
+def _setup_sao_proto(lib):
+    global _sao_proto_done
+    if _sao_proto_done:
+        return
+    vp = ctypes.c_void_p
+    lib.ov_sao_entry.restype = ctypes.c_int64
+    lib.ov_sao_entry.argtypes = [
+        ctypes.POINTER(_SaoEntryParamsC), vp, ctypes.c_int64, vp, vp, vp,
+    ]
+    _sao_proto_done = True
+
+
+def sao_recs_from_params(sao_params):
+    """Flatten a {(cx,cy): SaoParams} dict into the C record array."""
+    recs = np.zeros((len(sao_params), 26), np.int32)
+    for i, ((cx, cy), sp) in enumerate(sao_params.items()):
+        r = recs[i]
+        r[0], r[1] = cx, cy
+        r[2:5] = sp.type_idx
+        r[5:20] = np.asarray(sp.offset_val, np.int32).reshape(15)
+        r[20:23] = sp.band_position
+        r[23:26] = sp.eo_class
+    return recs
+
+
+def sao_apply_native(frame, entry_bounds, ctb_log2, recs) -> bool:
+    """Apply SAO for one entry in C (ref_sao.py apply_sao_entry parity).
+    recs: (n, 26) int32 [cx, cy, type[3], val[3][5], band_pos[3], eo[3]].
+    Returns False if the native lib is unavailable."""
+    lib = load_cabac_lib()
+    if lib is None:
+        return False
+    _setup_sao_proto(lib)
+    sp = _SaoEntryParamsC()
+    sp.pic_w, sp.pic_h = frame.y.shape[1], frame.y.shape[0]
+    sp.bitdepth = frame.bitdepth
+    sp.chroma_enabled = int(frame.cb is not None)
+    sp.ctb_log2 = ctb_log2
+    sp.ex0, sp.ey0, sp.nw, sp.nh = entry_bounds
+    recs = np.ascontiguousarray(recs, np.int32)
+    vp = ctypes.c_void_p
+    rc = lib.ov_sao_entry(
+        ctypes.byref(sp), vp(recs.ctypes.data), len(recs),
+        vp(frame.y.ctypes.data),
+        vp(frame.cb.ctypes.data if frame.cb is not None else None),
+        vp(frame.cr.ctypes.data if frame.cr is not None else None))
+    return rc == 0
+
+
 def native_entry_ctx_from_raw(raw):
     """Build the minimal entry context (SAO params + TMVP export) for an
     entry whose CUs were reconstructed natively — no CU/TU objects."""
-    from openvvc_tpu.vcl.sao import SaoParams
-    from openvvc_tpu.drv.inter_mvp import MV
-
     params, entry, ep = raw.params, raw.entry, raw.ep
     nctu = int(raw.counts[3])
     meta = raw.ctu_meta[:nctu * 3].reshape(nctu, 3)
 
     sao_params = {}
+    sao_recs = None
     if ep.sao_luma or ep.sao_chroma:
         sao_t = raw.sao_buf[:nctu * _SAO_NFIELDS].reshape(nctu, _SAO_NFIELDS)
-        for i in range(nctu):
-            rec = sao_t[i]
-            sp = SaoParams()
-            sp.type_idx = rec[0:3].tolist()
-            sp.offset_val = rec[3:18].reshape(3, 5).tolist()
-            sp.band_position = rec[18:21].tolist()
-            sp.eo_class = rec[21:24].tolist()
-            sao_params[(int(meta[i, 0]), int(meta[i, 1]))] = sp
+        sao_recs = np.concatenate([meta[:, :2], sao_t], axis=1)
 
     inter_ctx = None
     if params.slice_type == 1:
         uw, uh, uw8, uh8 = raw.uw, raw.uh, raw.uw8, raw.uh8
-        mv = raw.tmvp_mv0.reshape(uh8, uw8, 3)
-        tmvp0 = {}
-        dir8 = raw.tmvp_dir0.reshape(uh, uw)[::2, ::2]
-        ys, xs = np.nonzero(dir8[:uh8, :uw8])
-        for y, x in zip(ys.tolist(), xs.tolist()):
-            c = mv[y, x]
-            tmvp0[(x, y)] = MV(int(c[0]), int(c[1]), int(c[2]))
         inter_ctx = _NativeInterCtx(uw, uh, raw.tmvp_dir0.reshape(uh, uw),
-                                    tmvp0)
+                                    raw.tmvp_mv0.reshape(uh8, uw8, 3),
+                                    uw8, uh8)
 
     ectx = NativeEntryCtx(entry, [], sao_params, inter_ctx,
                           ep.tile_x0, ep.tile_y0)
+    ectx.sao_recs = sao_recs
     return ectx
