@@ -1129,7 +1129,7 @@ class Decoder:
     """
 
     def __init__(self, use_tpu_residuals: bool = False, use_tpu: bool = False,
-                 nb_entry_threads: int = 1, use_native_recon: bool = True):
+                 nb_entry_threads: int = 0, use_native_recon: bool = True):
         self.nvcl = NvclContext()
         self.use_tpu_residuals = use_tpu_residuals or use_tpu
         # full C entry path: parse + reconstruction both native, Python
@@ -1154,13 +1154,14 @@ class Decoder:
                 pass  # older jax without persistent-cache knobs
         self.dpb = DPB()
         self.last_pps = None
-        # entry-level parallel runtime (the reference's -e threads). The
-        # parse/recon stages are thread-safe per entry (validated by
-        # tests/test_entry_threads.py), but with the Python orchestration
-        # still owning the inner loops the GIL makes >1 threads net-slower
-        # today — the default stays 1 until the native parse path owns the
-        # entry loop end to end.
-        self.nb_entry_threads = max(1, nb_entry_threads)
+        # entry-level parallel runtime (the reference's -e threads,
+        # ovthreads.c entry jobs). Parse/recon are thread-safe per entry
+        # (tests/test_entry_threads.py); the C entry path releases the GIL,
+        # so 0 derives #cores like the reference's `-e 0`
+        # (get_number_of_cores, ovutils.c:47).
+        if nb_entry_threads <= 0:
+            nb_entry_threads = os.cpu_count() or 1
+        self.nb_entry_threads = nb_entry_threads
 
     def decode(self, stream: bytes) -> list[Frame]:
         frames = []

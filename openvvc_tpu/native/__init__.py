@@ -33,7 +33,8 @@ _HDRS = (os.path.join(_DIR, "ov_shared.h"), os.path.join(_DIR, "tables.h"))
 
 def _build():
     subprocess.run(
-        ["gcc", "-O3", "-shared", "-fPIC", "-o", _LIB, _SRC, _SRC_RES,
+        ["gcc", "-O3", "-march=native", "-fno-math-errno", "-shared",
+         "-fPIC", "-o", _LIB, _SRC, _SRC_RES,
          _SRC_PARSE, _SRC_RECON, _SRC_DBF, _SRC_SAO],
         check=True,
         capture_output=True,
