@@ -17,13 +17,20 @@ import time
 
 
 def crop_frame_bytes(frame, pps) -> bytes:
-    """Planar YUV for one frame with the conformance window cropped."""
+    """Planar YUV for one frame with the conformance window cropped.
+
+    The window is per-frame (PPS window when flagged, else SPS —
+    dpb.c:1151-1161); pps is the fallback for frames without one."""
     import numpy as np
 
-    lft = int(getattr(pps, "pps_conf_win_left_offset", 0) or 0)
-    rgt = int(getattr(pps, "pps_conf_win_right_offset", 0) or 0)
-    top = int(getattr(pps, "pps_conf_win_top_offset", 0) or 0)
-    bot = int(getattr(pps, "pps_conf_win_bottom_offset", 0) or 0)
+    win = getattr(frame, "output_window", None)
+    if win is not None:
+        lft, rgt, top, bot = win
+    else:
+        lft = int(getattr(pps, "pps_conf_win_left_offset", 0) or 0)
+        rgt = int(getattr(pps, "pps_conf_win_right_offset", 0) or 0)
+        top = int(getattr(pps, "pps_conf_win_top_offset", 0) or 0)
+        bot = int(getattr(pps, "pps_conf_win_bottom_offset", 0) or 0)
     if not (lft or rgt or top or bot):
         return frame.to_yuv_bytes()
 
@@ -47,6 +54,9 @@ def main(argv=None):
     ap.add_argument("--tpu", action="store_true",
                     help="use the batched device reconstruction path")
     ap.add_argument("--fps", action="store_true", help="print decode fps")
+    ap.add_argument("-u", "--upscale", action="store_true",
+                    help="RPR: upscale output frames to the SPS max size "
+                         "(dectest -u 1)")
     args = ap.parse_args(argv)
 
     from openvvc_tpu.decoder import Decoder
@@ -54,7 +64,7 @@ def main(argv=None):
     with open(args.infile, "rb") as f:
         stream = f.read()
 
-    dec = Decoder(use_tpu=args.tpu)
+    dec = Decoder(use_tpu=args.tpu, upscale=args.upscale)
     t0 = time.monotonic()
     frames = dec.decode(stream)
     dt = time.monotonic() - t0

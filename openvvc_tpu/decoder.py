@@ -615,6 +615,17 @@ def _add_chroma_residuals(rc: ReconCtx, cu, params, trc, bd):
     rc.mark_chroma(cu.x0 >> 1, cu.y0 >> 1, cu.log2_w - 1, cu.log2_h - 1)
 
 
+def _rpr_scale(params, lst, ref_idx):
+    """Non-unit (scale_hor, scale_ver) for a ref, or None (normal MC)."""
+    sc = getattr(params, "_rpr_scales", None)
+    if sc is None:
+        return None
+    from openvvc_tpu.rcn.ref_rpr import NO_SCALE
+
+    s = sc[lst][ref_idx]
+    return None if s == (NO_SCALE, NO_SCALE) else s
+
+
 def _clip_mv(pos_x, pos_y, pic_w, pic_h, pb_w, pb_h, mvx, mvy):
     """rcn_inter.c clip_mv parity (:97)."""
     x_max = (pic_w + 2 - pos_x) << 4
@@ -896,19 +907,38 @@ def _reconstruct_inter(rc: ReconCtx, cu: CU, params, trc, refs, find_tu):
                         r0.y, r1.y, cu.x0 + sx, cu.y0 + sy, cu.mv0, cu.mv1,
                         bw, bh, bd, hpel, clip_fn)
         else:
-            p0 = ref_mc.interp_14bit(r0.y, cu.x0 + (x0v >> 4), cu.y0 + (y0v >> 4),
-                                     x0v & 0xF, y0v & 0xF, w, h, bd, luma=True,
-                                     hpel=hpel)
-            p1 = ref_mc.interp_14bit(r1.y, cu.x0 + (x1v >> 4), cu.y0 + (y1v >> 4),
-                                     x1v & 0xF, y1v & 0xF, w, h, bd, luma=True,
-                                     hpel=hpel)
+            s0 = _rpr_scale(params, 0, cu.mv0.ref_idx)
+            s1 = _rpr_scale(params, 1, cu.mv1.ref_idx)
+            if s0 is not None:
+                from openvvc_tpu.rcn.ref_rpr import mc_rpr_14bit
+                p0 = mc_rpr_14bit(r0.y, cu.x0, cu.y0, w, h, cu.mv0.x,
+                                  cu.mv0.y, s0[0], s0[1], bd, luma=True)
+            else:
+                p0 = ref_mc.interp_14bit(r0.y, cu.x0 + (x0v >> 4), cu.y0 + (y0v >> 4),
+                                         x0v & 0xF, y0v & 0xF, w, h, bd, luma=True,
+                                         hpel=hpel)
+            if s1 is not None:
+                from openvvc_tpu.rcn.ref_rpr import mc_rpr_14bit
+                p1 = mc_rpr_14bit(r1.y, cu.x0, cu.y0, w, h, cu.mv1.x,
+                                  cu.mv1.y, s1[0], s1[1], bd, luma=True)
+            else:
+                p1 = ref_mc.interp_14bit(r1.y, cu.x0 + (x1v >> 4), cu.y0 + (y1v >> 4),
+                                         x1v & 0xF, y1v & 0xF, w, h, bd, luma=True,
+                                         hpel=hpel)
             pred_y = bi_comb(p0, p1)
     else:
         lst = 0 if inter_dir & 0x1 else 1
+        mv_u = cu.mv0 if lst == 0 else cu.mv1
+        s_u = _rpr_scale(params, lst, mv_u.ref_idx)
         ref, mvx, mvy = mv_for(lst)
-        pred_y = ref_mc.mc_uni(ref.y, cu.x0 + (mvx >> 4), cu.y0 + (mvy >> 4),
-                               mvx & 0xF, mvy & 0xF, w, h, bd, luma=True,
-                               hpel=hpel)
+        if s_u is not None:
+            from openvvc_tpu.rcn.ref_rpr import mc_rpr_uni
+            pred_y = mc_rpr_uni(ref.y, cu.x0, cu.y0, w, h, mv_u.x, mv_u.y,
+                                s_u[0], s_u[1], bd, luma=True)
+        else:
+            pred_y = ref_mc.mc_uni(ref.y, cu.x0 + (mvx >> 4), cu.y0 + (mvy >> 4),
+                                   mvx & 0xF, mvy & 0xF, w, h, bd, luma=True,
+                                   hpel=hpel)
 
     if trc.lmcs is not None:
         pred_y = trc.lmcs.fwd_lut[np.asarray(pred_y)].astype(np.int32)
@@ -929,15 +959,47 @@ def _reconstruct_inter(rc: ReconCtx, cu: CU, params, trc, refs, find_tu):
     if pre is not None and "cb" in pre:
         pred_cb, pred_cr = pre["cb"], pre["cr"]
     elif inter_dir == 3:
+        flag44 = cu.log2_w == 2 and cu.log2_h == 2
         cbs, crs = [], []
         for lst in (0, 1):
+            mv_u = cu.mv0 if lst == 0 else cu.mv1
             ref, mvx, mvy = mv_for(lst)
+            s_u = _rpr_scale(params, lst, mv_u.ref_idx)
+            if s_u is not None:
+                from openvvc_tpu.rcn.ref_rpr import chroma_add_xy, mc_rpr_14bit
+                ccol = getattr(ref, "rpr_info", (None, (0, 0)))[1]
+                ax, ay = chroma_add_xy(s_u[0], s_u[1], ccol[0], ccol[1])
+                cbs.append(mc_rpr_14bit(ref.cb, cx0, cy0, cw, ch, mv_u.x,
+                                        mv_u.y, s_u[0], s_u[1], bd,
+                                        luma=False, flag_4x4=flag44,
+                                        add_x=ax, add_y=ay))
+                crs.append(mc_rpr_14bit(ref.cr, cx0, cy0, cw, ch, mv_u.x,
+                                        mv_u.y, s_u[0], s_u[1], bd,
+                                        luma=False, flag_4x4=flag44,
+                                        add_x=ax, add_y=ay))
+                continue
             cbs.append(ref_mc.interp_14bit(ref.cb, cx0 + (mvx >> 5), cy0 + (mvy >> 5),
                                            mvx & 0x1F, mvy & 0x1F, cw, ch, bd, luma=False))
             crs.append(ref_mc.interp_14bit(ref.cr, cx0 + (mvx >> 5), cy0 + (mvy >> 5),
                                            mvx & 0x1F, mvy & 0x1F, cw, ch, bd, luma=False))
         pred_cb = bi_comb(cbs[0], cbs[1])
         pred_cr = bi_comb(crs[0], crs[1])
+    elif _rpr_scale(params, 0 if inter_dir & 0x1 else 1,
+                    (cu.mv0 if inter_dir & 0x1 else cu.mv1).ref_idx) is not None:
+        from openvvc_tpu.rcn.ref_rpr import chroma_add_xy, mc_rpr_uni
+        lst = 0 if inter_dir & 0x1 else 1
+        mv_u = cu.mv0 if lst == 0 else cu.mv1
+        s_u = _rpr_scale(params, lst, mv_u.ref_idx)
+        ref = (refs0 if lst == 0 else refs1)[mv_u.ref_idx]
+        ccol = getattr(ref, "rpr_info", (None, (0, 0)))[1]
+        ax, ay = chroma_add_xy(s_u[0], s_u[1], ccol[0], ccol[1])
+        flag44 = cu.log2_w == 2 and cu.log2_h == 2
+        pred_cb = mc_rpr_uni(ref.cb, cx0, cy0, cw, ch, mv_u.x, mv_u.y,
+                             s_u[0], s_u[1], bd, luma=False,
+                             flag_4x4=flag44, add_x=ax, add_y=ay)
+        pred_cr = mc_rpr_uni(ref.cr, cx0, cy0, cw, ch, mv_u.x, mv_u.y,
+                             s_u[0], s_u[1], bd, luma=False,
+                             flag_4x4=flag44, add_x=ax, add_y=ay)
     else:
         pred_cb = ref_mc.mc_uni(ref.cb, cx0 + (mvx >> 5), cy0 + (mvy >> 5),
                                 mvx & 0x1F, mvy & 0x1F, cw, ch, bd, luma=False)
@@ -1129,8 +1191,12 @@ class Decoder:
     """
 
     def __init__(self, use_tpu_residuals: bool = False, use_tpu: bool = False,
-                 nb_entry_threads: int = 0, use_native_recon: bool = True):
+                 nb_entry_threads: int = 0, use_native_recon: bool = True,
+                 upscale: bool = False):
         self.nvcl = NvclContext()
+        # RPR output upscale to the SPS max size (dectest -u /
+        # OVDEC_RPR_UPSCALE, ovdec.c:557-562)
+        self.upscale = upscale
         self.use_tpu_residuals = use_tpu_residuals or use_tpu
         # full C entry path: parse + reconstruction both native, Python
         # only sees the SAO/TMVP side tables (falls back per entry when a
@@ -1174,17 +1240,37 @@ class Decoder:
 
     def _post_process(self, frame: Frame) -> Frame:
         """Output-side post-processing (reference post_proc.c:75-137): film
-        grain is synthesized onto a writable output copy; the DPB keeps the
-        un-grained picture for inter prediction."""
+        grain is synthesized onto a writable output copy (the DPB keeps the
+        un-grained picture for inter prediction), then the optional RPR
+        upscale resamples the output to the SPS max size
+        (pp_sample_rate_conv, pp_pic_scale.c:250)."""
         fg = getattr(self.nvcl, "sei_film_grain", None)
-        if fg is None:
-            return frame
-        from openvvc_tpu.rcn.ref_fg import apply_film_grain
+        out = frame
+        if fg is not None:
+            from openvvc_tpu.rcn.ref_fg import apply_film_grain
 
-        y, cb, cr = apply_film_grain((frame.y, frame.cb, frame.cr), fg,
-                                     frame.poc)
-        out = Frame(frame.poc, y, cb, cr, frame.bitdepth)
-        out.cvs_id = getattr(frame, "cvs_id", 0)
+            y, cb, cr = apply_film_grain((frame.y, frame.cb, frame.cr), fg,
+                                         frame.poc)
+            out = Frame(frame.poc, y, cb, cr, frame.bitdepth)
+            out.cvs_id = getattr(frame, "cvs_id", 0)
+            out.output_window = getattr(frame, "output_window", None)
+        if self.upscale:
+            from openvvc_tpu.rcn.ref_rpr import pp_upscale_plane
+
+            max_w, max_h = getattr(frame, "max_dims",
+                                   (frame.y.shape[1], frame.y.shape[0]))
+            win, ccol = getattr(frame, "rpr_info", ((0, 0, 0, 0), (0, 0)))
+            y = pp_upscale_plane(out.y, max_w, max_h, win, ccol, luma=True)
+            cb = cr = None
+            if out.cb is not None:
+                cb = pp_upscale_plane(out.cb, max_w >> 1, max_h >> 1, win,
+                                      ccol, luma=False)
+                cr = pp_upscale_plane(out.cr, max_w >> 1, max_h >> 1, win,
+                                      ccol, luma=False)
+            up = Frame(out.poc, y, cb, cr, out.bitdepth)
+            up.cvs_id = getattr(frame, "cvs_id", 0)
+            up.output_window = getattr(frame, "output_window", None)
+            out = up
         return out
 
     @staticmethod
@@ -1207,6 +1293,26 @@ class Decoder:
         frame = Frame(poc, y, cb, cr, bd)
 
         refs0 = refs1 = None
+        cur_win = (int(getattr(pps, "pps_scaling_win_left_offset", 0) or 0),
+                   int(getattr(pps, "pps_scaling_win_right_offset", 0) or 0),
+                   int(getattr(pps, "pps_scaling_win_top_offset", 0) or 0),
+                   int(getattr(pps, "pps_scaling_win_bottom_offset", 0) or 0))
+        chroma_col = (int(getattr(sps, "sps_chroma_horizontal_collocated_flag", 0) or 0),
+                      int(getattr(sps, "sps_chroma_vertical_collocated_flag", 0) or 0))
+        frame.rpr_info = (cur_win, chroma_col)
+        # per-frame output (conformance) window: PPS window when flagged,
+        # else the SPS window (dpb.c:1151-1161)
+        if getattr(pps, "pps_conformance_window_flag", 0):
+            frame.output_window = tuple(
+                int(getattr(pps, f"pps_conf_win_{k}_offset", 0) or 0)
+                for k in ("left", "right", "top", "bottom"))
+        else:
+            frame.output_window = tuple(
+                int(getattr(sps, f"sps_conf_win_{k}_offset", 0) or 0)
+                for k in ("left", "right", "top", "bottom"))
+        frame.max_dims = (
+            int(getattr(sps, "sps_pic_width_max_in_luma_samples", pps.pic_w)),
+            int(getattr(sps, "sps_pic_height_max_in_luma_samples", pps.pic_h)))
         if params.slice_type != SLICE_I:
             hrpl0, hrpl1 = params.sh.resolved_rpls(pps, params.ph)
             nra = getattr(params.sh, "_num_ref_idx_active", [1, 0])
@@ -1214,6 +1320,21 @@ class Decoder:
             dist1 = []
             if params.slice_type == 0:  # B
                 refs1, dist1 = self.dpb.resolve_rpl(hrpl1, sps, poc, nra[1])
+            # RPR: per-ref scale factors (ctudec_compute_refs_scaling,
+            # ctudec.c:43-88); unit scale keeps the normal MC path
+            params._rpr_scales = None
+            if getattr(sps, "sps_ref_pic_resampling_enabled_flag", 0):
+                from openvvc_tpu.rcn.ref_rpr import rpr_scale_factors
+
+                def _scales(rl):
+                    out = []
+                    for f in (rl or []):
+                        rw_, rh_ = f.y.shape[1], f.y.shape[0]
+                        rwin = getattr(f, "rpr_info", ((0, 0, 0, 0), (0, 0)))[0]
+                        out.append(rpr_scale_factors(
+                            pps.pic_w, pps.pic_h, cur_win, rw_, rh_, rwin))
+                    return out
+                params._rpr_scales = (_scales(refs0), _scales(refs1))
             if getattr(params.ph, "ph_temporal_mvp_enabled_flag", 0):
                 # collocated ref selection (dpb.c init_tmvp_info :1016)
                 from_l0 = bool(getattr(params.sh, "sh_collocated_from_l0_flag", 1)) \
@@ -1297,7 +1418,13 @@ class Decoder:
 
         precompute_residuals_batched(pending, tools, bd,
                                      device=self.use_tpu_residuals)
-        if refs0 is not None:
+        rpr_active = False
+        sc = getattr(params, "_rpr_scales", None)
+        if sc is not None:
+            from openvvc_tpu.rcn.ref_rpr import NO_SCALE
+            rpr_active = any(s != (NO_SCALE, NO_SCALE)
+                             for sl in sc for s in sl)
+        if refs0 is not None and not rpr_active:
             from openvvc_tpu.rcn.pipeline import precompute_inter_mc
 
             precompute_inter_mc(pending, params, tools,

@@ -229,6 +229,8 @@ def native_parse_supported(params) -> bool:
         return False
     if g(sps, "sps_chroma_format_idc") > 1:
         return False
+    if g(sps, "sps_ref_pic_resampling_enabled_flag"):
+        return False  # scaled-ref MC not in C; refs may differ in size
     bad_sps = (
         "sps_isp_enabled_flag", "sps_bdpcm_enabled_flag",
         "sps_transform_skip_enabled_flag", "sps_sbt_enabled_flag",

@@ -98,6 +98,11 @@ class StreamConfig:
     filter_across_tiles: bool = False
     tile_cols: list = None  # explicit CTU widths or None for single tile
     tile_rows: list = None
+    # RPR: extra PPS sizes [(w, h), ...] -> pps ids 1..N (id 0 = cfg size);
+    # frames select via spec["pps_id"]. scaling_windows: per-pps-id
+    # (l, r, t, b) explicit scaling windows (chroma-sample units).
+    rpr_sizes: list = None
+    scaling_windows: list = None
 
 
 def build_sps(cfg: StreamConfig) -> SPS:
@@ -108,6 +113,9 @@ def build_sps(cfg: StreamConfig) -> SPS:
     sps.sps_pic_width_max_in_luma_samples = cfg.width
     sps.sps_pic_height_max_in_luma_samples = cfg.height
     sps.sps_bitdepth_minus8 = cfg.bitdepth - 8
+    if cfg.rpr_sizes:
+        sps.sps_ref_pic_resampling_enabled_flag = 1
+        sps.sps_res_change_in_clvs_allowed_flag = 1
     sps.sps_entry_point_offsets_present_flag = 1
     sps.sps_log2_max_pic_order_cnt_lsb_minus4 = 4
     sps.sps_log2_min_luma_coding_block_size_minus2 = cfg.min_cb_log2 - 2
@@ -192,18 +200,26 @@ def build_sps(cfg: StreamConfig) -> SPS:
     return sps
 
 
-def build_pps(cfg: StreamConfig, sps: SPS) -> PPS:
+def build_pps(cfg: StreamConfig, sps: SPS, pps_id: int = 0,
+              size=None, swin=None) -> PPS:
     pps = PPS()
-    pps.pps_pic_parameter_set_id = 0
+    pps.pps_pic_parameter_set_id = pps_id
     pps.pps_seq_parameter_set_id = 0
-    pps.pps_pic_width_in_luma_samples = cfg.width
-    pps.pps_pic_height_in_luma_samples = cfg.height
+    pps.pps_pic_width_in_luma_samples = size[0] if size else cfg.width
+    pps.pps_pic_height_in_luma_samples = size[1] if size else cfg.height
+    if swin is not None:
+        pps.pps_scaling_window_explicit_signalling_flag = 1
+        (pps.pps_scaling_win_left_offset, pps.pps_scaling_win_right_offset,
+         pps.pps_scaling_win_top_offset,
+         pps.pps_scaling_win_bottom_offset) = swin
     pps.pps_cu_qp_delta_enabled_flag = 1 if cfg.delta_qp else 0
     if cfg.tile_cols or cfg.tile_rows:
         pps.pps_no_pic_partition_flag = 0
         pps.pps_log2_ctu_size_minus5 = cfg.ctu_log2 - 5
-        cols = cfg.tile_cols or [(cfg.width + (1 << cfg.ctu_log2) - 1) >> cfg.ctu_log2]
-        rows = cfg.tile_rows or [(cfg.height + (1 << cfg.ctu_log2) - 1) >> cfg.ctu_log2]
+        pw = pps.pps_pic_width_in_luma_samples
+        ph_ = pps.pps_pic_height_in_luma_samples
+        cols = cfg.tile_cols or [(pw + (1 << cfg.ctu_log2) - 1) >> cfg.ctu_log2]
+        rows = cfg.tile_rows or [(ph_ + (1 << cfg.ctu_log2) - 1) >> cfg.ctu_log2]
         pps.pps_num_exp_tile_columns_minus1 = len(cols) - 1
         pps.pps_num_exp_tile_rows_minus1 = len(rows) - 1
         pps.pps_tile_column_width_minus1 = ListField({i: w - 1 for i, w in enumerate(cols)})
@@ -620,9 +636,12 @@ def build_stream_frames(cfg: StreamConfig, frames) -> bytes:
     from openvvc_tpu.hls.params import NvclContext
 
     sps = build_sps(cfg)
-    pps = build_pps(cfg, sps)
+    sizes = [None] + list(cfg.rpr_sizes or [])
+    swins = cfg.scaling_windows or [None] * len(sizes)
+    pps_list = [build_pps(cfg, sps, i, size, swins[i] if i < len(swins) else None)
+                for i, size in enumerate(sizes)]
     sps_nal = _write_ps_nal(sps_syntax, sps, NalType.SPS)
-    pps_nal = _write_ps_nal(pps_syntax, pps, NalType.PPS)
+    pps_nals = [_write_ps_nal(pps_syntax, p, NalType.PPS) for p in pps_list]
     aps_nals = []
     if cfg.lmcs:
         aps_nals.append(_build_lmcs_aps_nal(cfg))
@@ -633,15 +652,18 @@ def build_stream_frames(cfg: StreamConfig, frames) -> bytes:
 
     ctx = NvclContext()
     ctx.decode_nalu(sps_nal)
-    ctx.decode_nalu(pps_nal)
+    for pn in pps_nals:
+        ctx.decode_nalu(pn)
     for nal in aps_nals:
         ctx.decode_nalu(nal)
-    sps_r, pps_r = ctx.sps_list[0], ctx.pps_list[0]
+    sps_r = ctx.sps_list[0]
 
-    nals = [sps_nal, pps_nal] + aps_nals
+    nals = [sps_nal] + pps_nals + aps_nals
     for i, spec in enumerate(frames):
         poc = spec.get("poc", i)
         slice_type = spec.get("slice_type", 2)
+        pps_id = spec.get("pps_id", 0)
+        pps, pps_r = pps_list[pps_id], ctx.pps_list[pps_id]
         if spec.get("idr"):
             nal_type = NalType.IDR_N_LP
         elif spec.get("cra"):
@@ -651,6 +673,7 @@ def build_stream_frames(cfg: StreamConfig, frames) -> bytes:
         ph = build_ph(cfg, poc=poc, inter=slice_type != 2)
         sh = build_sh(cfg, sps, pps, slice_type, spec.get("ref_deltas"),
                       spec.get("ref_deltas1"), spec.get("sps_rpl_idx"))
+        sh.sh_pic_parameter_set_id = pps_id
         nals += build_slice_nals(ctx, cfg, sps_r, pps_r, ph, sh, nal_type,
                                  spec["tree_builder"])
     return mux_annexb(nals)
