@@ -17,6 +17,7 @@ static inline int iclamp__(int v, int lo, int hi)
     return v < lo ? lo : (v > hi ? hi : v);
 }
 static inline int imin__(int a, int b) { return a < b ? a : b; }
+static inline int imax__(int a, int b) { return a > b ? a : b; }
 static inline int sgn__(int v) { return (v > 0) - (v < 0); }
 
 /* per-CTU SAO record layout (native/__init__.py sao_apply_native):
@@ -84,19 +85,35 @@ int64_t ov_sao_entry(const SaoEntryParams *sp, const int32_t *recs,
 {
     int np = sp->chroma_enabled ? 3 : 1;
     int32_t *planes[3] = {fy, fcb, fcr};
-    int32_t *srcs[3] = {0, 0, 0};
+    /* pre-SAO source: copy only the entry rect + 1-sample halo (edge
+     * classification reads at most one neighbor in each direction) */
+    int32_t *srcs[3] = {0, 0, 0}; /* virtual full-plane base pointers */
+    int32_t *allocs[3] = {0, 0, 0};
+    int ctb = 1 << sp->ctb_log2;
     for (int c = 0; c < np; c++) {
         int sh = c == 0 ? 0 : 1;
-        size_t n = (size_t)(sp->pic_w >> sh) * (sp->pic_h >> sh);
-        srcs[c] = malloc(n * sizeof(int32_t));
-        if (!srcs[c]) {
-            for (int k = 0; k < c; k++) free(srcs[k]);
+        int W = sp->pic_w >> sh, H = sp->pic_h >> sh;
+        int ex = ((sp->ex0 << sp->ctb_log2) >> sh) - 1;
+        int ey = ((sp->ey0 << sp->ctb_log2) >> sh) - 1;
+        int ex1 = (((sp->ex0 + sp->nw) << sp->ctb_log2) >> sh) + 1;
+        int ey1 = (((sp->ey0 + sp->nh) << sp->ctb_log2) >> sh) + 1;
+        ex = imin__(imax__(ex, 0), W); ex1 = imin__(imax__(ex1, 0), W);
+        ey = imin__(imax__(ey, 0), H); ey1 = imin__(imax__(ey1, 0), H);
+        int rw = ex1 - ex, rh = ey1 - ey;
+        /* keep the copy at the PLANE stride so absolute (x, y) indexing
+         * stays valid: allocate rh rows of W, fill only [ex, ex1) */
+        allocs[c] = malloc((size_t)rh * W * sizeof(int32_t));
+        if (!allocs[c]) {
+            for (int k = 0; k < c; k++) free(allocs[k]);
             return -2;
         }
-        memcpy(srcs[c], planes[c], n * sizeof(int32_t));
+        for (int j = 0; j < rh; j++)
+            memcpy(allocs[c] + (size_t)j * W + ex,
+                   planes[c] + (size_t)(ey + j) * W + ex,
+                   (size_t)rw * sizeof(int32_t));
+        srcs[c] = allocs[c] - (size_t)ey * W; /* virtual row-0 base */
     }
 
-    int ctb = 1 << sp->ctb_log2;
     for (int64_t r = 0; r < nrec; r++) {
         const int32_t *rec = recs + r * SR_NFIELDS;
         int cx = rec[SR_CX], cy = rec[SR_CY];
@@ -146,6 +163,6 @@ int64_t ov_sao_entry(const SaoEntryParams *sp, const int32_t *recs,
     }
 
     for (int c = 0; c < np; c++)
-        free(srcs[c]);
+        free(allocs[c]);
     return 0;
 }
