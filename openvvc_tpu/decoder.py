@@ -1390,15 +1390,12 @@ class Decoder:
 
                 raw = parse_entry_native_raw(params, entry)
                 if raw is not None:
-                    if recon_entry_native(raw, frame, refs0,
-                                          dist0 if refs0 is not None else None,
-                                          dbf, csign):
+                    if recon_entry_native(
+                            raw, frame, refs0,
+                            dist0 if refs0 is not None else None, dbf, csign,
+                            refs1, dist1 if refs1 is not None else None):
                         return entry, native_entry_ctx_from_raw(raw), True
-                    ectx, _, _ = _convert_native_entry(
-                        params, entry, raw.ep, raw.cu_buf, raw.tu_buf,
-                        raw.coef_buf, raw.sao_buf, raw.ctu_meta,
-                        raw.tmvp_dir0, raw.tmvp_mv0, raw.counts, raw.uw,
-                        raw.uh, raw.uw8, raw.uh8)
+                    ectx, _, _ = _convert_native_entry(params, entry, raw)
                     return entry, ectx, False
             ectx, trees, dec = parse_entry(params, entry)
             if dec.overread():

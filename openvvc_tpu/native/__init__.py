@@ -190,7 +190,8 @@ class _EntryParamsC(ctypes.Structure):
         "cu_qp_delta_enabled", "cu_qp_delta_subdiv",
         "max_num_merge_cand", "nb_active_ref0",
         "cqp_tab_len", "cb_qp_off", "cr_qp_off", "jcbcr_qp_off",
-    )]
+        "nb_active_ref1", "mvd1_zero",
+    )] + [("rpl0_opp", ctypes.c_int32 * 16), ("rpl1_opp", ctypes.c_int32 * 16)]
 
 
 _CU_NFIELDS = 32
@@ -213,7 +214,7 @@ def _setup_parse_proto(lib):
         ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
         vp,                              # cqp_tab
         vp, i64, vp, i64, vp, i64,       # cu/tu/coef bufs
-        vp, vp, vp, vp,                  # sao, ctu_meta, tmvp_dir0, tmvp_mv0
+        vp, vp, vp, vp, vp, vp,          # sao, meta, tdir0, tmv0, tdir1, tmv1
         ctypes.POINTER(i64),             # out_counts
     ]
     _parse_proto_done = True
@@ -222,9 +223,13 @@ def _setup_parse_proto(lib):
 def native_parse_supported(params) -> bool:
     """True when the active parameter set stays inside parse.c's toolset."""
     sps, pps, ph, sh = params.sps, params.pps, params.ph, params.sh
-    if params.slice_type not in (1, 2):
-        return False  # B slices not yet in C
     g = lambda o, n: int(getattr(o, n, 0) or 0)
+    if params.slice_type == 0:
+        # B slices: recon-side tools outside the C set
+        if g(sps, "sps_bdof_enabled_flag") and not g(ph, "ph_bdof_disabled_flag"):
+            return False
+        if g(sps, "sps_dmvr_enabled_flag") and not g(ph, "ph_dmvr_disabled_flag"):
+            return False
     if params.slice_type == 2 and g(sps, "sps_qtbtt_dual_tree_intra_flag"):
         return False
     if g(sps, "sps_chroma_format_idc") > 1:
@@ -259,29 +264,41 @@ class _NativeInterCtx:
     a LATER picture enables TMVP, so it materializes lazily (the analog of
     the reference allocating MV planes on demand, dpb.c:931)."""
 
-    def __init__(self, uw, uh, dir0, mv0_raw, uw8, uh8):
+    def __init__(self, uw, uh, dir0, mv0_raw, uw8, uh8, dir1=None,
+                 mv1_raw=None):
         self.uw, self.uh = uw, uh
         self.dir0 = dir0
-        self.dir1 = np.zeros_like(dir0)
+        self.dir1 = dir1 if dir1 is not None else np.zeros_like(dir0)
         self._mv0_raw = mv0_raw  # (uh8, uw8, 3) int32
+        self._mv1_raw = mv1_raw
         self._uw8, self._uh8 = uw8, uh8
         self._mv0_dict = None
-        self.tmvp_mv1 = {}
+        self._mv1_dict = None
+
+    def _mat(self, dirm, raw_mv):
+        from openvvc_tpu.drv.inter_mvp import MV
+
+        d = {}
+        if raw_mv is None:
+            return d
+        dir8 = dirm[::2, ::2]
+        ys, xs = np.nonzero(dir8[:self._uh8, :self._uw8])
+        for y, x in zip(ys.tolist(), xs.tolist()):
+            c = raw_mv[y, x]
+            d[(x, y)] = MV(int(c[0]), int(c[1]), int(c[2]))
+        return d
 
     @property
     def tmvp_mv0(self):
         if self._mv0_dict is None:
-            from openvvc_tpu.drv.inter_mvp import MV
-
-            mv = self._mv0_raw
-            dir8 = self.dir0[::2, ::2]
-            ys, xs = np.nonzero(dir8[:self._uh8, :self._uw8])
-            d = {}
-            for y, x in zip(ys.tolist(), xs.tolist()):
-                c = mv[y, x]
-                d[(x, y)] = MV(int(c[0]), int(c[1]), int(c[2]))
-            self._mv0_dict = d
+            self._mv0_dict = self._mat(self.dir0, self._mv0_raw)
         return self._mv0_dict
+
+    @property
+    def tmvp_mv1(self):
+        if self._mv1_dict is None:
+            self._mv1_dict = self._mat(self.dir1, self._mv1_raw)
+        return self._mv1_dict
 
 
 class NativeEntryCtx:
@@ -308,7 +325,8 @@ class RawNativeEntry:
     """Holds the SoA buffers of one natively-parsed entry (pre-conversion)."""
 
     __slots__ = ("params", "entry", "ep", "cu_buf", "tu_buf", "coef_buf",
-                 "sao_buf", "ctu_meta", "tmvp_dir0", "tmvp_mv0", "counts",
+                 "sao_buf", "ctu_meta", "tmvp_dir0", "tmvp_mv0",
+                 "tmvp_dir1", "tmvp_mv1", "counts",
                  "uw", "uh", "uw8", "uh8", "cqp")
 
 
@@ -366,6 +384,22 @@ def parse_entry_native_raw(params, entry):
     ep.max_num_merge_cand = 6 - g(sps, "sps_six_minus_max_num_merge_cand")
     nra = getattr(sh, "_num_ref_idx_active", [1, 0])
     ep.nb_active_ref0 = nra[0]
+    ep.nb_active_ref1 = nra[1] if params.slice_type == 0 else 0
+    ep.mvd1_zero = g(ph, "ph_mvd_l1_zero_flag")
+    for i in range(16):
+        ep.rpl0_opp[i] = 0xFF
+        ep.rpl1_opp[i] = 0xFF
+    if params.slice_type == 0:
+        from openvvc_tpu.vcl.ctu import _signed_rpl_deltas
+
+        hr0, hr1 = sh.resolved_rpls(pps, ph)
+        cur_poc = getattr(params, "_cur_poc", ph.ph_pic_order_cnt_lsb)
+        d0 = _signed_rpl_deltas(hr0.rpl, nra[0], cur_poc)
+        d1 = _signed_rpl_deltas(hr1.rpl, nra[1], cur_poc)
+        for i, d in enumerate(d0):
+            ep.rpl0_opp[i] = d1.index(d) if d in d1 else 0xFF
+        for i, d in enumerate(d1):
+            ep.rpl1_opp[i] = d0.index(d) if d in d0 else 0xFF
     qp_bd = params.qp_bd_offset
     ep.cqp_tab_len = 64 + qp_bd
     ep.cb_qp_off = g(pps, "pps_cb_qp_offset") + g(sh, "sh_cb_qp_offset")
@@ -398,6 +432,8 @@ def parse_entry_native_raw(params, entry):
     ctu_meta = np.zeros(nb_ctu * 3, np.int32)
     tmvp_dir0 = np.zeros(uh * uw, np.uint8)
     tmvp_mv0 = np.zeros(uh8 * uw8 * 3, np.int32)
+    tmvp_dir1 = np.zeros(uh * uw, np.uint8)
+    tmvp_mv1 = np.zeros(uh8 * uw8 * 3, np.int32)
     counts = (ctypes.c_int64 * 4)()
 
     vp = ctypes.c_void_p
@@ -410,6 +446,7 @@ def parse_entry_native_raw(params, entry):
         vp(coef_buf.ctypes.data), max_coef,
         vp(sao_buf.ctypes.data), vp(ctu_meta.ctypes.data),
         vp(tmvp_dir0.ctypes.data), vp(tmvp_mv0.ctypes.data),
+        vp(tmvp_dir1.ctypes.data), vp(tmvp_mv1.ctypes.data),
         counts)
     if rc != 0:
         # ERR_UNSUPPORTED (-1): expected mid-parse bail (SCIPU, 4x4 inter).
@@ -440,6 +477,7 @@ def parse_entry_native_raw(params, entry):
     raw.cu_buf, raw.tu_buf, raw.coef_buf = cu_buf, tu_buf, coef_buf
     raw.sao_buf, raw.ctu_meta = sao_buf, ctu_meta
     raw.tmvp_dir0, raw.tmvp_mv0 = tmvp_dir0, tmvp_mv0
+    raw.tmvp_dir1, raw.tmvp_mv1 = tmvp_dir1, tmvp_mv1
     raw.counts = counts
     raw.uw, raw.uh, raw.uw8, raw.uh8 = uw, uh, uw8, uh8
     raw.cqp = cqp
@@ -451,18 +489,19 @@ def parse_entry_native(params, entry):
     raw = parse_entry_native_raw(params, entry)
     if raw is None:
         return None
-    return _convert_native_entry(params, entry, raw.ep, raw.cu_buf,
-                                 raw.tu_buf, raw.coef_buf, raw.sao_buf,
-                                 raw.ctu_meta, raw.tmvp_dir0, raw.tmvp_mv0,
-                                 raw.counts, raw.uw, raw.uh, raw.uw8, raw.uh8)
+    return _convert_native_entry(params, entry, raw)
 
 
-def _convert_native_entry(params, entry, ep, cu_buf, tu_buf, coef_buf,
-                          sao_buf, ctu_meta, tmvp_dir0, tmvp_mv0, counts,
-                          uw, uh, uw8, uh8):
+def _convert_native_entry(params, entry, raw):
     from openvvc_tpu.vcl.ctu import CU, TU, CtuIR
     from openvvc_tpu.vcl.sao import SaoParams
     from openvvc_tpu.drv.inter_mvp import MV
+
+    ep = raw.ep
+    cu_buf, tu_buf, coef_buf = raw.cu_buf, raw.tu_buf, raw.coef_buf
+    sao_buf, ctu_meta = raw.sao_buf, raw.ctu_meta
+    counts = raw.counts
+    uw, uh, uw8, uh8 = raw.uw, raw.uh, raw.uw8, raw.uh8
 
     ncu, ntu, ncoef, nctu = (int(counts[i]) for i in range(4))
     cu_t = cu_buf[:ncu * _CU_NFIELDS].reshape(ncu, _CU_NFIELDS).tolist()
@@ -520,6 +559,13 @@ def _convert_native_entry(params, entry, ep, cu_buf, tu_buf, coef_buf,
                            "bcw_idx_plus1": r[F.MV0BCW],
                            "prec_amvr": r[F.MV0PREC]}
             d["mv0"] = mv
+        if r[F.MV1REF] >= 0:
+            mv = mv_new(MV)
+            mv.__dict__ = {"x": r[F.MV1X], "y": r[F.MV1Y],
+                           "ref_idx": r[F.MV1REF],
+                           "bcw_idx_plus1": r[F.MV0BCW],
+                           "prec_amvr": r[F.MV0PREC]}
+            d["mv1"] = mv
         if r[F.COL_MODE] >= 0:
             d["col_luma_mode"] = r[F.COL_MODE]
         cu.__dict__ = d
@@ -538,9 +584,12 @@ def _convert_native_entry(params, entry, ep, cu_buf, tu_buf, coef_buf,
             sao_params[(m[0], m[1])] = sp
 
     inter_ctx = None
-    if params.slice_type == 1:
-        inter_ctx = _NativeInterCtx(uw, uh, tmvp_dir0.reshape(uh, uw),
-                                    tmvp_mv0.reshape(uh8, uw8, 3), uw8, uh8)
+    if params.slice_type != 2:
+        inter_ctx = _NativeInterCtx(
+            uw, uh, raw.tmvp_dir0.reshape(uh, uw),
+            raw.tmvp_mv0.reshape(uh8, uw8, 3), uw8, uh8,
+            raw.tmvp_dir1.reshape(uh, uw),
+            raw.tmvp_mv1.reshape(uh8, uw8, 3))
 
     ectx = NativeEntryCtx(entry, ctus, sao_params, inter_ctx,
                           ep.tile_x0, ep.tile_y0)
@@ -563,7 +612,10 @@ class _CuF:
 class _ReconParamsC(ctypes.Structure):
     _fields_ = [("dbf_enabled", ctypes.c_int32),
                 ("csign", ctypes.c_int32),
-                ("nb_refs", ctypes.c_int32)]
+                ("nb_refs", ctypes.c_int32),
+                ("nb_refs1", ctypes.c_int32),
+                ("poc0", ctypes.c_int32 * 16),
+                ("poc1", ctypes.c_int32 * 16)]
 
 
 _DBF_PTR_NAMES = (
@@ -596,14 +648,16 @@ def _setup_recon_proto(lib):
         vp,               # coef_buf
         vp,               # cqp_tab
         vp, vp, vp,       # frame planes
-        ctypes.POINTER(vp), ctypes.POINTER(vp), ctypes.POINTER(vp),  # refs
-        vp,               # dist0
+        ctypes.POINTER(vp), ctypes.POINTER(vp), ctypes.POINTER(vp),  # refs0
+        ctypes.POINTER(vp), ctypes.POINTER(vp), ctypes.POINTER(vp),  # refs1
+        vp, vp,           # dist0, dist1
         ctypes.POINTER(_DbfBufsC),
     ]
     _recon_proto_done = True
 
 
-def recon_entry_native(raw, frame, refs0, dist0, dbf, csign) -> bool:
+def recon_entry_native(raw, frame, refs0, dist0, dbf, csign,
+                       refs1=None, dist1=None) -> bool:
     """Reconstruct a natively-parsed entry in C. Returns True on success;
     False means an unsupported feature — caller must fall back to the
     Python reconstruction path (outputs are untouched in that case)."""
@@ -616,20 +670,33 @@ def recon_entry_native(raw, frame, refs0, dist0, dbf, csign) -> bool:
     rp.dbf_enabled = int(dbf is not None)
     rp.csign = csign
     rp.nb_refs = len(refs0) if refs0 else 0
+    rp.nb_refs1 = len(refs1) if refs1 else 0
 
     vp = ctypes.c_void_p
-    nref = max(1, rp.nb_refs)
-    ry = (vp * nref)()
-    rcb = (vp * nref)()
-    rcr = (vp * nref)()
-    if refs0:
-        for i, f in enumerate(refs0):
+
+    def _ref_arrays(rl):
+        nref = max(1, len(rl) if rl else 0)
+        ry = (vp * nref)()
+        rcb = (vp * nref)()
+        rcr = (vp * nref)()
+        for i, f in enumerate(rl or []):
             ry[i] = f.y.ctypes.data
             rcb[i] = f.cb.ctypes.data if f.cb is not None else None
             rcr[i] = f.cr.ctypes.data if f.cr is not None else None
+        return ry, rcb, rcr
+
+    ry, rcb, rcr = _ref_arrays(refs0)
+    r1y, r1cb, r1cr = _ref_arrays(refs1)
+    for i, f in enumerate(refs0 or []):
+        rp.poc0[i] = int(f.poc)
+    for i, f in enumerate(refs1 or []):
+        rp.poc1[i] = int(f.poc)
     d0 = np.zeros(16, np.int32)
     if dist0:
         d0[:len(dist0)] = dist0
+    d1 = np.zeros(16, np.int32)
+    if dist1:
+        d1[:len(dist1)] = dist1
 
     db = _DbfBufsC()
     if dbf is not None:
@@ -647,8 +714,8 @@ def recon_entry_native(raw, frame, refs0, dist0, dbf, csign) -> bool:
         vp(frame.y.ctypes.data),
         vp(frame.cb.ctypes.data if frame.cb is not None else None),
         vp(frame.cr.ctypes.data if frame.cr is not None else None),
-        ry, rcb, rcr,
-        vp(d0.ctypes.data),
+        ry, rcb, rcr, r1y, r1cb, r1cr,
+        vp(d0.ctypes.data), vp(d1.ctypes.data),
         ctypes.byref(db))
     return rc == 0
 
@@ -790,11 +857,13 @@ def native_entry_ctx_from_raw(raw):
         sao_recs = np.concatenate([meta[:, :2], sao_t], axis=1)
 
     inter_ctx = None
-    if params.slice_type == 1:
+    if params.slice_type != 2:
         uw, uh, uw8, uh8 = raw.uw, raw.uh, raw.uw8, raw.uh8
-        inter_ctx = _NativeInterCtx(uw, uh, raw.tmvp_dir0.reshape(uh, uw),
-                                    raw.tmvp_mv0.reshape(uh8, uw8, 3),
-                                    uw8, uh8)
+        inter_ctx = _NativeInterCtx(
+            uw, uh, raw.tmvp_dir0.reshape(uh, uw),
+            raw.tmvp_mv0.reshape(uh8, uw8, 3), uw8, uh8,
+            raw.tmvp_dir1.reshape(uh, uw),
+            raw.tmvp_mv1.reshape(uh8, uw8, 3))
 
     ectx = NativeEntryCtx(entry, [], sao_params, inter_ctx,
                           ep.tile_x0, ep.tile_y0)

@@ -80,6 +80,11 @@ typedef struct {
     int32_t max_num_merge_cand, nb_active_ref0;
     int32_t cqp_tab_len; /* 64 + qp_bd_offset */
     int32_t cb_qp_off, cr_qp_off, jcbcr_qp_off;
+    /* B slices */
+    int32_t nb_active_ref1;
+    int32_t mvd1_zero; /* ph_mvd_l1_zero_flag */
+    int32_t rpl0_opp[16], rpl1_opp[16]; /* opposite-list ref with same POC
+                                           delta, 0xFF if none */
 } EntryParams;
 
 /* ---- deblocking maps handed over from Python (rcn/ref_dbf.py DbfMaps;

@@ -109,16 +109,16 @@ typedef struct {
     int qp, cu_qp_delta, is_qp_delta_coded;
     int32_t qp_map_x[64], qp_map_y[64];
 
-    /* inter derivation state */
-    uint8_t *dir0; /* [uh][uw] */
-    MVc *mv0;      /* [uh][uw] */
-    MVc hmvp_mv[5];
+    /* inter derivation state (per list) */
+    uint8_t *dir0, *dir1; /* [uh][uw] */
+    MVc *mv0, *mv1;       /* [uh][uw] */
+    MVc hmvp_mv0[5], hmvp_mv1[5];
+    uint8_t hmvp_dir[5];
     int hmvp_n;
     int prec_amvr;
     /* TMVP export (8x8 grid) */
     int uw8, uh8;
-    uint8_t *tdir0;
-    int32_t *tmv0; /* [uh8][uw8][3] x,y,ref */
+    int32_t *tmv0, *tmv1; /* [uh8][uw8][3] x,y,ref */
 
     /* tree-walk state */
     int tree_type, share;
@@ -753,71 +753,140 @@ static int mv_cmp2(MVc a, MVc b)
     return a.x == b.x && a.y == b.y && a.ref == b.ref;
 }
 
-static void hmvp_update(Pc *p, MVc mv)
+/* hmvp_update_lut_b parity (drv/inter_mvp.py HmvpLut.update) */
+static void hmvp_update_b(Pc *p, MVc mv0, MVc mv1, int inter_dir)
 {
-    /* P path: inter_dir 0x1, mv0 == mv1 == mv */
     int dup_at = -1;
     for (int i = 0; i < p->hmvp_n && i < 5; i++) {
-        if (mv_cmp(mv, p->hmvp_mv[i]) && mv.ref == p->hmvp_mv[i].ref) {
-            dup_at = i;
-            break;
-        }
+        if (p->hmvp_dir[i] != inter_dir)
+            continue;
+        int dup;
+        if (inter_dir == 1)
+            dup = mv_cmp(mv0, p->hmvp_mv0[i]) && mv0.ref == p->hmvp_mv0[i].ref;
+        else if (inter_dir == 2)
+            dup = mv_cmp(mv1, p->hmvp_mv1[i]) && mv1.ref == p->hmvp_mv1[i].ref;
+        else
+            dup = mv_cmp(mv0, p->hmvp_mv0[i]) && mv_cmp(mv1, p->hmvp_mv1[i])
+                && mv0.ref == p->hmvp_mv0[i].ref
+                && mv1.ref == p->hmvp_mv1[i].ref;
+        if (dup) { dup_at = i; break; }
     }
     if (dup_at >= 0) {
-        for (int i = dup_at; i < p->hmvp_n - 1; i++)
-            p->hmvp_mv[i] = p->hmvp_mv[i + 1];
+        for (int i = dup_at; i < p->hmvp_n - 1; i++) {
+            p->hmvp_mv0[i] = p->hmvp_mv0[i + 1];
+            p->hmvp_mv1[i] = p->hmvp_mv1[i + 1];
+            p->hmvp_dir[i] = p->hmvp_dir[i + 1];
+        }
         p->hmvp_n -= 1;
     } else if (p->hmvp_n == 5) {
-        for (int i = 0; i < 4; i++)
-            p->hmvp_mv[i] = p->hmvp_mv[i + 1];
+        for (int i = 0; i < 4; i++) {
+            p->hmvp_mv0[i] = p->hmvp_mv0[i + 1];
+            p->hmvp_mv1[i] = p->hmvp_mv1[i + 1];
+            p->hmvp_dir[i] = p->hmvp_dir[i + 1];
+        }
         p->hmvp_n = 4;
     }
-    p->hmvp_mv[p->hmvp_n++] = mv;
+    p->hmvp_mv0[p->hmvp_n] = mv0;
+    p->hmvp_mv1[p->hmvp_n] = mv1;
+    p->hmvp_dir[p->hmvp_n++] = (uint8_t)inter_dir;
 }
 
-static int iavail(const Pc *p, int ux, int uy)
+static int iavail(const Pc *p, int lst, int ux, int uy)
 {
     if (ux < 0 || uy < 0 || ux >= p->uw || uy >= p->uh) return 0;
-    return p->dir0[uy * p->uw + ux];
+    return (lst ? p->dir1 : p->dir0)[uy * p->uw + ux];
 }
 
-static MVc imv_at(const Pc *p, int ux, int uy)
+static MVc imv_at(const Pc *p, int lst, int ux, int uy)
 {
-    return p->mv0[uy * p->uw + ux];
+    return (lst ? p->mv1 : p->mv0)[uy * p->uw + ux];
 }
 
-static void ifill(Pc *p, MVc mv, int ux, int uy, int nw, int nh)
+static void ifill(Pc *p, int lst, MVc mv, int ux, int uy, int nw, int nh)
 {
+    uint8_t *d = lst ? p->dir1 : p->dir0;
+    MVc *m = lst ? p->mv1 : p->mv0;
     if (ux + nw > p->uw) nw = p->uw - ux;
     if (uy + nh > p->uh) nh = p->uh - uy;
     for (int j = 0; j < nh; j++)
         for (int i = 0; i < nw; i++) {
-            p->dir0[(uy + j) * p->uw + (ux + i)] = 1;
-            p->mv0[(uy + j) * p->uw + (ux + i)] = mv;
+            d[(uy + j) * p->uw + (ux + i)] = 1;
+            m[(uy + j) * p->uw + (ux + i)] = mv;
         }
 }
 
-static void ifill_tmvp(Pc *p, MVc mv, int ux, int uy, int nw, int nh)
+static void ifill_tmvp(Pc *p, int lst, MVc mv, int ux, int uy, int nw, int nh)
 {
     mv.bcw = 0;
     mv.prec = 0;
+    int32_t *t = lst ? p->tmv1 : p->tmv0;
     int sx = ux & 1, sy = uy & 1;
     int x0 = (ux + sx) >> 1, y0 = (uy + sy) >> 1;
     int nj = (nh + (1 - sy)) >> 1, ni = (nw + (1 - sx)) >> 1;
     for (int j = 0; j < nj; j++)
         for (int i = 0; i < ni; i++) {
-            int32_t *cell = p->tmv0 + ((y0 + j) * p->uw8 + (x0 + i)) * 3;
+            int32_t *cell = t + ((y0 + j) * p->uw8 + (x0 + i)) * 3;
             cell[0] = mv.x;
             cell[1] = mv.y;
             cell[2] = mv.ref;
         }
 }
 
+/* P-path update (update_mv_ctx :1454) */
 static void update_mv_ctx(Pc *p, MVc mv, int ux, int uy, int nw, int nh)
 {
-    ifill(p, mv, ux, uy, nw, nh);
-    ifill_tmvp(p, mv, ux, uy, nw, nh);
-    hmvp_update(p, mv);
+    ifill(p, 0, mv, ux, uy, nw, nh);
+    ifill_tmvp(p, 0, mv, ux, uy, nw, nh);
+    hmvp_update_b(p, mv, mv, 1);
+}
+
+/* B-path update (update_mv_ctx_b) */
+static void update_mv_ctx_b(Pc *p, MVc mv0, MVc mv1, int ux, int uy, int nw,
+                            int nh, int inter_dir)
+{
+    if (inter_dir & 1) {
+        ifill(p, 0, mv0, ux, uy, nw, nh);
+        ifill_tmvp(p, 0, mv0, ux, uy, nw, nh);
+    }
+    if (inter_dir & 2) {
+        ifill(p, 1, mv1, ux, uy, nw, nh);
+        ifill_tmvp(p, 1, mv1, ux, uy, nw, nh);
+    }
+    hmvp_update_b(p, mv0, mv1, inter_dir);
+}
+
+/* MergeInfo (both lists) */
+typedef struct { int dir; MVc mv0, mv1; } MIc;
+
+static MIc mi_at(const Pc *p, int ux, int uy)
+{
+    MIc mi;
+    int d0 = iavail(p, 0, ux, uy), d1 = iavail(p, 1, ux, uy);
+    mi.dir = d0 | (d1 << 1);
+    mi.mv0 = p->mv0[uy * p->uw + ux]; /* zero-init when never filled */
+    mi.mv1 = p->mv1[uy * p->uw + ux];
+    return mi;
+}
+
+static int mi_cmp_c(MIc a, MIc b)
+{
+    if (a.dir != b.dir) return 0;
+    if ((a.dir & 1) && !(mv_cmp(a.mv0, b.mv0) && a.mv0.ref == b.mv0.ref))
+        return 0;
+    if ((a.dir & 2) && !(mv_cmp(a.mv1, b.mv1) && a.mv1.ref == b.mv1.ref))
+        return 0;
+    return 1;
+}
+
+static MVc avg_mv_pair(MVc a, MVc b)
+{
+    int x = a.x + b.x, y = a.y + b.y;
+    x += 1 - (x >= 0);
+    y += 1 - (y >= 0);
+    MVc o = a;
+    o.x = x >> 1;
+    o.y = y >> 1;
+    return o;
 }
 
 /* vvc_derive_merge_mvp (P path, TMVP pre-gated off) */
@@ -829,39 +898,39 @@ static MVc derive_merge_mvp(Pc *p, int ux, int uy, int nw, int nh,
     MVc amvp[5];
     int have[5] = {0, 0, 0, 0, 0};
 
-    int got_t = iavail(p, ux + nw - 1, uy - 1);
-    int got_l = iavail(p, ux - 1, uy + nh - 1);
+    int got_t = iavail(p, 0, ux + nw - 1, uy - 1);
+    int got_l = iavail(p, 0, ux - 1, uy + nh - 1);
 
     if (got_t) { /* B1 */
-        MVc mv = imv_at(p, ux + nw - 1, uy - 1);
+        MVc mv = imv_at(p, 0, ux + nw - 1, uy - 1);
         amvp[0] = mv; have[0] = 1;
         cand[ncand++] = mv;
         if (ncand - 1 == merge_idx) return mv;
     }
     if (got_l) { /* A1 */
-        MVc mv = imv_at(p, ux - 1, uy + nh - 1);
+        MVc mv = imv_at(p, 0, ux - 1, uy + nh - 1);
         amvp[1] = mv; have[1] = 1;
         if (!got_t || !mv_cmp2(mv, amvp[0])) {
             cand[ncand++] = mv;
             if (ncand - 1 == merge_idx) return mv;
         }
     }
-    if (iavail(p, ux + nw, uy - 1)) { /* B0 */
-        MVc mv = imv_at(p, ux + nw, uy - 1);
+    if (iavail(p, 0, ux + nw, uy - 1)) { /* B0 */
+        MVc mv = imv_at(p, 0, ux + nw, uy - 1);
         if (!got_t || !mv_cmp2(mv, amvp[0])) {
             cand[ncand++] = mv;
             if (ncand - 1 == merge_idx) return mv;
         }
     }
-    if (iavail(p, ux - 1, uy + nh)) { /* A0 */
-        MVc mv = imv_at(p, ux - 1, uy + nh);
+    if (iavail(p, 0, ux - 1, uy + nh)) { /* A0 */
+        MVc mv = imv_at(p, 0, ux - 1, uy + nh);
         if (!got_l || !mv_cmp2(mv, amvp[1])) {
             cand[ncand++] = mv;
             if (ncand - 1 == merge_idx) return mv;
         }
     }
-    if (ncand < 4 && iavail(p, ux - 1, uy - 1)) { /* B2 */
-        MVc mv = imv_at(p, ux - 1, uy - 1);
+    if (ncand < 4 && iavail(p, 0, ux - 1, uy - 1)) { /* B2 */
+        MVc mv = imv_at(p, 0, ux - 1, uy - 1);
         if ((!got_l || !mv_cmp2(mv, amvp[1])) &&
             (!got_t || !mv_cmp2(mv, amvp[0]))) {
             cand[ncand++] = mv;
@@ -869,11 +938,13 @@ static MVc derive_merge_mvp(Pc *p, int ux, int uy, int nw, int nh,
         }
     }
 
-    /* HMVP (hmvp_add_merge_cand parity): newest-first */
+    /* HMVP (hmvp_add_merge_cand parity): newest-first, list-0 entries */
     if (ncand != max_nb_cand - 1) {
         for (int i = 1; i <= p->hmvp_n; i++) {
             int idx = p->hmvp_n - i;
-            MVc mv = p->hmvp_mv[idx];
+            if (!(p->hmvp_dir[idx] & 1))
+                continue;
+            MVc mv = p->hmvp_mv0[idx];
             if (i > 2 || ((!got_t || !mv_cmp2(mv, amvp[0])) &&
                           (!got_l || !mv_cmp2(mv, amvp[1])))) {
                 cand[ncand++] = mv;
@@ -907,17 +978,24 @@ static MVc derive_merge_mvp(Pc *p, int ux, int uy, int nw, int nh,
     return cand[ncand - 1];
 }
 
-/* derive_mvp_candidates_1 parity (P: list 0 only, TMVP pre-gated off) */
-static MVc derive_mvp_cand(Pc *p, int ref_idx, int ux, int uy, int nw, int nh,
-                           int mvp_idx, int prec_amvr)
+/* derive_mvp_candidates_1 parity (per list; opp-list fallback via
+ * rpl0/1_opp; TMVP pre-gated off) */
+static MVc derive_mvp_cand(Pc *p, int lst, int ref_idx, int ux, int uy,
+                           int nw, int nh, int mvp_idx, int inter_dir_bit,
+                           int prec_amvr)
 {
     MVc cand[4];
     int ncand = 0;
+    int opp = (lst ? p->ep->rpl1_opp : p->ep->rpl0_opp)[ref_idx];
+    int olst = 1 - lst;
 
-    /* A0 then A1 (left), B0/B1/B2 (above); list-1 probes never hit in P */
+    /* A0 then A1 (left), B0/B1/B2 (above): same-list same-ref first,
+     * else opposite-list opposite-ref */
 #define PROBE(px, py) \
-    (iavail(p, px, py) && imv_at(p, px, py).ref == ref_idx \
-         ? (cand[ncand++] = imv_at(p, px, py), 1) : 0)
+    ((iavail(p, lst, px, py) && imv_at(p, lst, px, py).ref == ref_idx) \
+         ? (cand[ncand++] = imv_at(p, lst, px, py), 1) \
+     : (iavail(p, olst, px, py) && imv_at(p, olst, px, py).ref == opp) \
+         ? (cand[ncand++] = imv_at(p, olst, px, py), 1) : 0)
     if (!PROBE(ux - 1, uy + nh))
         PROBE(ux - 1, uy + nh - 1);
     if (!PROBE(ux + nw, uy - 1))
@@ -930,10 +1008,22 @@ static MVc derive_mvp_cand(Pc *p, int ref_idx, int ux, int uy, int nw, int nh,
     if (ncand == 2 && mv_cmp(cand[0], cand[1]))
         ncand = 1;
 
-    if (ncand < 2) { /* hmvp_add_cand_1: oldest-first, same-dir same-ref */
-        for (int i = 0; i < p->hmvp_n && i < 4 && ncand < 2; i++)
-            if (p->hmvp_mv[i].ref == ref_idx)
-                cand[ncand++] = p->hmvp_mv[i];
+    if (ncand < 2) { /* hmvp_add_cand_1: oldest-first, same-dir then opp */
+        for (int i = 0; i < p->hmvp_n && i < 4 && ncand < 2; i++) {
+            if (p->hmvp_dir[i] & inter_dir_bit) {
+                MVc c = (inter_dir_bit & 1) ? p->hmvp_mv0[i] : p->hmvp_mv1[i];
+                if (c.ref == ref_idx)
+                    cand[ncand++] = c;
+            }
+            if (ncand >= 2)
+                break;
+            if (p->hmvp_dir[i] & (3 - inter_dir_bit)) {
+                MVc c = ((3 - inter_dir_bit) & 1) ? p->hmvp_mv0[i]
+                                                  : p->hmvp_mv1[i];
+                if (c.ref == opp)
+                    cand[ncand++] = c;
+            }
+        }
     }
     while (ncand < 2) {
         MVc z = {0, 0, (int8_t)ref_idx, 0, 0};
@@ -942,6 +1032,121 @@ static MVc derive_mvp_cand(Pc *p, int ref_idx, int ux, int uy, int nw, int nh,
     for (int i = 0; i < 2; i++)
         cand[i] = mv_round_prec(cand[i], PREC_INTERNAL, prec_amvr);
     return cand[mvp_idx];
+}
+
+/* derive_merge_mvp_b parity (drv/inter_mvp.py :541) */
+static MIc derive_merge_mvp_b(Pc *p, int ux, int uy, int nw, int nh,
+                              int merge_idx, int max_nb_cand, int is_small)
+{
+    MIc cand[8];
+    int ncand = 0;
+    MIc amvp[5];
+    int have[5] = {0, 0, 0, 0, 0};
+    memset(amvp, 0, sizeof(amvp));
+    for (int i = 0; i < 5; i++) amvp[i].dir = 3;
+
+    (void)is_small; /* TMVP pre-gated off */
+    int got_t = iavail(p, 0, ux + nw - 1, uy - 1)
+                || iavail(p, 1, ux + nw - 1, uy - 1);
+    int got_l = iavail(p, 0, ux - 1, uy + nh - 1)
+                || iavail(p, 1, ux - 1, uy + nh - 1);
+
+    if (got_t) { /* B1 */
+        MIc mi = mi_at(p, ux + nw - 1, uy - 1);
+        amvp[0] = mi; have[0] = 1;
+        cand[ncand++] = mi;
+        if (ncand - 1 == merge_idx) return mi;
+    }
+    if (got_l) { /* A1 */
+        MIc mi = mi_at(p, ux - 1, uy + nh - 1);
+        amvp[1] = mi; have[1] = 1;
+        if (!got_t || !mi_cmp_c(mi, amvp[0])) {
+            cand[ncand++] = mi;
+            if (ncand - 1 == merge_idx) return mi;
+        }
+    }
+    if (iavail(p, 0, ux + nw, uy - 1) || iavail(p, 1, ux + nw, uy - 1)) {
+        MIc mi = mi_at(p, ux + nw, uy - 1); /* B0 */
+        if (!got_t || !mi_cmp_c(mi, amvp[0])) {
+            cand[ncand++] = mi;
+            if (ncand - 1 == merge_idx) return mi;
+        }
+    }
+    if (iavail(p, 0, ux - 1, uy + nh) || iavail(p, 1, ux - 1, uy + nh)) {
+        MIc mi = mi_at(p, ux - 1, uy + nh); /* A0 */
+        if (!got_l || !mi_cmp_c(mi, amvp[1])) {
+            cand[ncand++] = mi;
+            if (ncand - 1 == merge_idx) return mi;
+        }
+    }
+    if (ncand < 4 && (iavail(p, 0, ux - 1, uy - 1)
+                      || iavail(p, 1, ux - 1, uy - 1))) {
+        MIc mi = mi_at(p, ux - 1, uy - 1); /* B2 */
+        if ((!got_l || !mi_cmp_c(mi, amvp[1])) &&
+            (!got_t || !mi_cmp_c(mi, amvp[0]))) {
+            cand[ncand++] = mi;
+            if (ncand - 1 == merge_idx) return mi;
+        }
+    }
+    (void)have;
+
+    if (ncand != max_nb_cand - 1) { /* HMVP, newest-first */
+        for (int i = 1; i <= p->hmvp_n; i++) {
+            int idx = p->hmvp_n - i;
+            MIc mi;
+            mi.dir = p->hmvp_dir[idx];
+            mi.mv0 = p->hmvp_mv0[idx];
+            mi.mv1 = p->hmvp_mv1[idx];
+            if (i > 2 || ((!got_t || !mi_cmp_c(mi, amvp[0])) &&
+                          (!got_l || !mi_cmp_c(mi, amvp[1])))) {
+                cand[ncand++] = mi;
+                if (ncand == merge_idx + 1)
+                    return cand[ncand - 1];
+                if (ncand == max_nb_cand - 1)
+                    break;
+            }
+        }
+    }
+
+    if (ncand > 1 && ncand < max_nb_cand) { /* pairwise average */
+        MIc a = cand[0], b = cand[1];
+        int inter_dir = a.dir & b.dir;
+        MVc mv0 = a.mv0, mv1 = a.mv1;
+        if (inter_dir & 1) {
+            mv0 = avg_mv_pair(a.mv0, b.mv0);
+        } else if (b.dir & 1) {
+            mv0 = b.mv0;
+            inter_dir |= 1;
+        } else if (a.dir & 1) {
+            inter_dir |= 1;
+        }
+        if (inter_dir & 2) {
+            mv1 = avg_mv_pair(a.mv1, b.mv1);
+        } else if (b.dir & 2) {
+            mv1 = b.mv1;
+            inter_dir |= 2;
+        } else if (a.dir & 2) {
+            inter_dir |= 2;
+        }
+        if (ncand == merge_idx) {
+            int pa = (a.dir & 1) ? a.mv0.prec : a.mv1.prec;
+            int pb = (b.dir & 1) ? b.mv0.prec : b.mv1.prec;
+            int prec = pa == pb ? pa : 0;
+            mv0.prec = (int8_t)prec; mv0.bcw = 0;
+            mv1.prec = (int8_t)prec; mv1.bcw = 0;
+            MIc out = {inter_dir, mv0, mv1};
+            return out;
+        }
+        ncand++; /* placeholder: C increments without storing */
+    }
+
+    int diff = merge_idx - ncand;
+    int nmin = p->ep->nb_active_ref0 < p->ep->nb_active_ref1
+                   ? p->ep->nb_active_ref0 : p->ep->nb_active_ref1;
+    int ridx = diff <= nmin - 1 ? diff : 0;
+    MVc z = {0, 0, (int8_t)ridx, 0, 0};
+    MIc out = {3, z, z};
+    return out;
 }
 
 /* ---- inter PU syntax (vcl/inter_pu.py parity, P subset) ------------- */
@@ -1026,7 +1231,8 @@ static void pred_unit_inter_p(Pc *p, int32_t *c, int x0, int y0,
         if (e->amvr && (mdx || mdy))
             prec = code_amvr_precision(p);
         p->prec_amvr = prec;
-        mv0 = derive_mvp_cand(p, ref_idx, ux, uy, nw, nh, mvp_idx, prec);
+        mv0 = derive_mvp_cand(p, 0, ref_idx, ux, uy, nw, nh, mvp_idx, 1,
+                              prec);
         MVc mvd = {mdx, mdy, 0, 0, 0};
         mvd = mv_change_prec(mvd, prec, PREC_INTERNAL);
         mv0.x += mvd.x;
@@ -1041,6 +1247,117 @@ static void pred_unit_inter_p(Pc *p, int32_t *c, int x0, int y0,
     c[CU_F_MV0REF] = mv0.ref;
     c[CU_F_MV0BCW] = mv0.bcw;
     c[CU_F_MV0PREC] = mv0.prec;
+    c[CU_F_PRED] = MODE_INTER;
+    (void)skip;
+}
+
+/* list-1 ref idx: same binarization as list 0 */
+static int code_ref_idx1(Pc *p, int nb_active)
+{
+    if (nb_active <= 1)
+        return nb_active - 1;
+    return code_ref_idx(p, nb_active);
+}
+
+/* ovcabac_read_ae_inter_dir parity (vcl/inter_pu.py code_inter_dir) */
+static int code_inter_dir(Pc *p, int l2w, int l2h)
+{
+    if (l2w + l2h > 5) {
+        int ctx_id = 7 - ((l2w + l2h + 1) >> 1);
+        if (cabac_decode_bin(p->cab, INTER_DIR + ctx_id))
+            return 3;
+    }
+    return 1 + cabac_decode_bin(p->cab, INTER_DIR + 5);
+}
+
+/* prediction_unit_inter_b parity (affine/smvd/mmvd/ciip/gpm/bcw
+ * pre-gated off by the SPS support check) */
+static void pred_unit_inter_b(Pc *p, int32_t *c, int x0, int y0,
+                              int l2w, int l2h, int skip, int merge)
+{
+    const EntryParams *e = p->ep;
+    int ux = (x0 - e->tile_x0) >> 2, uy = (y0 - e->tile_y0) >> 2;
+    int nw = (1 << l2w) >> 2, nh = (1 << l2h) >> 2;
+    p->prec_amvr = PREC_QUARTER;
+    MIc mi;
+    if (merge) {
+        int midx = code_merge_idx(p, e->max_num_merge_cand);
+        c[CU_F_MERGE_IDX] = midx;
+        mi = derive_merge_mvp_b(p, ux, uy, nw, nh, midx,
+                                e->max_num_merge_cand, l2w + l2h <= 5);
+        update_mv_ctx_b(p, mi.mv0, mi.mv1, ux, uy, nw, nh, mi.dir);
+        p->prec_amvr = (mi.dir & 1) ? mi.mv0.prec : mi.mv1.prec;
+    } else {
+        int inter_dir = code_inter_dir(p, l2w, l2h);
+        if (inter_dir == 3) {
+            int nb0 = e->nb_active_ref0, nb1 = e->nb_active_ref1;
+            int ref0 = nb0 > 1 ? code_ref_idx(p, nb0) : nb0 - 1;
+            int m0x, m0y, m1x = 0, m1y = 0;
+            code_mvd(p, &m0x, &m0y);
+            int mvp0 = cabac_decode_bin(p->cab, MVP_IDX);
+            int ref1 = code_ref_idx1(p, nb1);
+            if (!e->mvd1_zero)
+                code_mvd(p, &m1x, &m1y);
+            int mvp1 = cabac_decode_bin(p->cab, MVP_IDX);
+            int prec = PREC_QUARTER;
+            int nz = (m0x || m0y) || (!e->mvd1_zero && (m1x || m1y));
+            if (e->amvr && nz)
+                prec = code_amvr_precision(p);
+            p->prec_amvr = prec;
+            MVc mv0 = derive_mvp_cand(p, 0, ref0, ux, uy, nw, nh, mvp0, 1,
+                                      prec);
+            MVc mv1 = derive_mvp_cand(p, 1, ref1, ux, uy, nw, nh, mvp1, 2,
+                                      prec);
+            MVc d0 = {m0x, m0y, 0, 0, 0}, d1 = {m1x, m1y, 0, 0, 0};
+            d0 = mv_change_prec(d0, prec, PREC_INTERNAL);
+            d1 = mv_change_prec(d1, prec, PREC_INTERNAL);
+            mv0.x += d0.x; mv0.y += d0.y;
+            mv1.x += d1.x; mv1.y += d1.y;
+            mv0.ref = (int8_t)ref0; mv1.ref = (int8_t)ref1;
+            mv0.bcw = 3; mv1.bcw = 3; /* BCW_DEFAULT + 1 */
+            mv0.prec = (int8_t)prec; mv1.prec = (int8_t)prec;
+            update_mv_ctx_b(p, mv0, mv1, ux, uy, nw, nh, 3);
+            mi.dir = 3; mi.mv0 = mv0; mi.mv1 = mv1;
+        } else {
+            int lst = inter_dir == 1 ? 0 : 1;
+            int nb = lst == 0 ? e->nb_active_ref0 : e->nb_active_ref1;
+            int ridx;
+            if (lst == 0)
+                ridx = nb > 1 ? code_ref_idx(p, nb) : nb - 1;
+            else
+                ridx = code_ref_idx1(p, nb);
+            int mdx, mdy;
+            code_mvd(p, &mdx, &mdy);
+            int mvp_idx = cabac_decode_bin(p->cab, MVP_IDX);
+            int prec = PREC_QUARTER;
+            if (e->amvr && (mdx || mdy))
+                prec = code_amvr_precision(p);
+            p->prec_amvr = prec;
+            MVc mv = derive_mvp_cand(p, lst, ridx, ux, uy, nw, nh, mvp_idx,
+                                     inter_dir, prec);
+            MVc d = {mdx, mdy, 0, 0, 0};
+            d = mv_change_prec(d, prec, PREC_INTERNAL);
+            mv.x += d.x; mv.y += d.y;
+            mv.ref = (int8_t)ridx;
+            mv.bcw = 3;
+            mv.prec = (int8_t)prec;
+            /* drv_mvp_b with mvd0 for both: the unused list keeps MV() */
+            MVc z = {0, 0, 0, 0, 0};
+            MVc mv0 = lst == 0 ? mv : z;
+            MVc mv1 = lst == 1 ? mv : z;
+            update_mv_ctx_b(p, mv0, mv1, ux, uy, nw, nh, inter_dir);
+            mi.dir = inter_dir; mi.mv0 = mv0; mi.mv1 = mv1;
+        }
+    }
+    c[CU_F_MV0X] = mi.mv0.x;
+    c[CU_F_MV0Y] = mi.mv0.y;
+    c[CU_F_MV0REF] = (mi.dir & 1) ? mi.mv0.ref : -1;
+    c[CU_F_MV0BCW] = mi.mv0.bcw;
+    c[CU_F_MV0PREC] = mi.mv0.prec;
+    c[CU_F_MV1X] = mi.mv1.x;
+    c[CU_F_MV1Y] = mi.mv1.y;
+    c[CU_F_MV1REF] = (mi.dir & 2) ? mi.mv1.ref : -1;
+    c[CU_F_INTER_DIR] = mi.dir;
     c[CU_F_PRED] = MODE_INTER;
     (void)skip;
 }
@@ -1131,7 +1448,7 @@ static void coding_unit_dispatch(Pc *p, int x0, int y0, int l2w, int l2h)
 {
     const EntryParams *e = p->ep;
 
-    if (e->slice_type != 2) { /* P slice (B pre-gated off) */
+    if (e->slice_type != 2) { /* P or B slice */
         int64_t cui = new_cu(p, x0, y0, l2w, l2h);
         int32_t *c = cu_rec(p, cui);
         c[CU_F_PRED] = MODE_INTER;
@@ -1150,7 +1467,10 @@ static void coding_unit_dispatch(Pc *p, int x0, int y0, int l2w, int l2h)
 
         if (skip) {
             c[CU_F_MERGE_FLAG] = 1;
-            pred_unit_inter_p(p, c, x0, y0, l2w, l2h, 1, 1);
+            if (e->slice_type == 0)
+                pred_unit_inter_b(p, c, x0, y0, l2w, l2h, 1, 1);
+            else
+                pred_unit_inter_p(p, c, x0, y0, l2w, l2h, 1, 1);
             c[CU_F_PREC_EFF] = p->prec_amvr;
             reset_intra_map(p, x0, y0, l2w, l2h);
             cu_tail_maps(p, cui, CU_INTER_SKIP);
@@ -1173,7 +1493,10 @@ static void coding_unit_dispatch(Pc *p, int x0, int y0, int l2w, int l2h)
         }
 
         c[CU_F_MERGE_FLAG] = cabac_decode_bin(p->cab, MERGE_FLAG);
-        pred_unit_inter_p(p, c, x0, y0, l2w, l2h, 0, c[CU_F_MERGE_FLAG]);
+        if (e->slice_type == 0)
+            pred_unit_inter_b(p, c, x0, y0, l2w, l2h, 0, c[CU_F_MERGE_FLAG]);
+        else
+            pred_unit_inter_p(p, c, x0, y0, l2w, l2h, 0, c[CU_F_MERGE_FLAG]);
         c[CU_F_PREC_EFF] = p->prec_amvr;
         reset_intra_map(p, x0, y0, l2w, l2h);
         inter_tu_tail(p, cui, x0, y0, l2w, l2h);
@@ -1555,6 +1878,7 @@ int64_t ov_parse_entry(const uint8_t *data, int64_t nbytes,
                        int32_t *coef_buf, int64_t coef_cap,
                        int32_t *sao_buf, int32_t *ctu_meta,
                        uint8_t *tmvp_dir0, int32_t *tmvp_mv0,
+                       uint8_t *tmvp_dir1, int32_t *tmvp_mv1,
                        int64_t *out_counts)
 {
     Pc pc;
@@ -1577,11 +1901,14 @@ int64_t ov_parse_entry(const uint8_t *data, int64_t nbytes,
     p->m_imode = malloc(un); p->m_pmode = malloc(un); p->m_ctype = malloc(un);
     p->cm_log2w = malloc(cn); p->cm_log2h = malloc(cn); p->cm_qtd = calloc(cn, 1);
     p->dir0 = tmvp_dir0; /* exported directly: caller pre-zeroes */
-    p->mv0 = malloc(un * sizeof(MVc));
+    p->dir1 = tmvp_dir1;
+    p->mv0 = calloc(un, sizeof(MVc)); /* zero: mi_at reads unset cells */
+    p->mv1 = calloc(un, sizeof(MVc));
     p->tmv0 = tmvp_mv0;
+    p->tmv1 = tmvp_mv1;
     int alloc_fail = !(p->m_log2w && p->m_log2h && p->m_qtd && p->m_imode &&
                        p->m_pmode && p->m_ctype && p->cm_log2w &&
-                       p->cm_log2h && p->cm_qtd && p->mv0);
+                       p->cm_log2h && p->cm_qtd && p->mv0 && p->mv1);
 
     p->cu_buf = cu_buf; p->cu_cap = cu_cap;
     p->tu_buf = tu_buf; p->tu_cap = tu_cap;
@@ -1662,5 +1989,6 @@ int64_t ov_parse_entry(const uint8_t *data, int64_t nbytes,
     free(p->m_imode); free(p->m_pmode); free(p->m_ctype);
     free(p->cm_log2w); free(p->cm_log2h); free(p->cm_qtd);
     free(p->mv0);
+    free(p->mv1);
     return ret;
 }

@@ -45,6 +45,8 @@ typedef struct {
     int32_t dbf_enabled;
     int32_t csign;   /* -1 if ph_joint_cbcr_sign_flag else +1 */
     int32_t nb_refs; /* active L0 references */
+    int32_t nb_refs1;
+    int32_t poc0[16], poc1[16]; /* ref POCs (identical-motion check) */
 } ReconParams;
 
 typedef struct {
@@ -57,7 +59,11 @@ typedef struct {
     const int32_t *const *ref_y;
     const int32_t *const *ref_cb;
     const int32_t *const *ref_cr;
+    const int32_t *const *ref1_y;
+    const int32_t *const *ref1_cb;
+    const int32_t *const *ref1_cr;
     const int32_t *dist0;
+    const int32_t *dist1;
     const DbfBufs *dbf;
     int uw, uh;       /* picture 4x4-unit grid (DBF maps) */
     int bd_max;
@@ -587,17 +593,22 @@ static void recon_tu_residual_c(const Rc *r, const int32_t *t, int intra,
 
 /* ---- motion compensation (rcn/ref_mc.py parity) ---------------------- */
 
-static void mc_uni_c(const int32_t *plane, int W, int H, int stride,
-                     int32_t *dst, int dstride, int x0, int y0, int fx,
-                     int fy, int w, int h, int bitdepth, int is_luma,
-                     int hpel, int bd_max)
+/* out14: write the 14-bit intermediate (put_vvc_*_bi_* parity) instead
+ * of the rounded/clipped uni output */
+static void mc_block_c(const int32_t *plane, int W, int H, int stride,
+                       int32_t *dst, int dstride, int x0, int y0, int fx,
+                       int fy, int w, int h, int bitdepth, int is_luma,
+                       int hpel, int bd_max, int out14)
 {
     int sh1 = bitdepth - 8;
     if (!fx && !fy) {
+        int sh14 = 14 - bitdepth;
         for (int j = 0; j < h; j++) {
             int yy = iclamp(y0 + j, 0, H - 1);
-            for (int i = 0; i < w; i++)
-                dst[j * dstride + i] = plane[yy * stride + iclamp(x0 + i, 0, W - 1)];
+            for (int i = 0; i < w; i++) {
+                int v = plane[yy * stride + iclamp(x0 + i, 0, W - 1)];
+                dst[j * dstride + i] = out14 ? v << sh14 : v;
+            }
         }
         return;
     }
@@ -626,8 +637,9 @@ static void mc_uni_c(const int32_t *plane, int W, int H, int stride,
                 int32_t acc = 0;
                 for (int k = 0; k < taps; k++)
                     acc += fh[k] * row[iclamp(x0 - before + i + k, 0, W - 1)];
-                dst[j * dstride + i] = bdclip(((acc >> sh1) + round) >> shift,
-                                              bd_max);
+                acc >>= sh1;
+                dst[j * dstride + i] =
+                    out14 ? acc : bdclip((acc + round) >> shift, bd_max);
             }
         }
         return;
@@ -640,8 +652,9 @@ static void mc_uni_c(const int32_t *plane, int W, int H, int stride,
                 for (int k = 0; k < taps; k++)
                     acc += fv[k] * plane[iclamp(y0 - before + j + k, 0, H - 1)
                                          * stride + xx];
-                dst[j * dstride + i] = bdclip(((acc >> sh1) + round) >> shift,
-                                              bd_max);
+                acc >>= sh1;
+                dst[j * dstride + i] =
+                    out14 ? acc : bdclip((acc + round) >> shift, bd_max);
             }
         }
         return;
@@ -664,10 +677,20 @@ static void mc_uni_c(const int32_t *plane, int W, int H, int stride,
             int32_t acc = 0;
             for (int k = 0; k < taps; k++)
                 acc += fv[k] * tmp[(j + k) * w + i];
-            dst[j * dstride + i] = bdclip(((acc >> 6) + round) >> shift,
-                                          bd_max);
+            acc >>= 6;
+            dst[j * dstride + i] =
+                out14 ? acc : bdclip((acc + round) >> shift, bd_max);
         }
     }
+}
+
+static void mc_uni_c(const int32_t *plane, int W, int H, int stride,
+                     int32_t *dst, int dstride, int x0, int y0, int fx,
+                     int fy, int w, int h, int bitdepth, int is_luma,
+                     int hpel, int bd_max)
+{
+    mc_block_c(plane, W, H, stride, dst, dstride, x0, y0, fx, fy, w, h,
+               bitdepth, is_luma, hpel, bd_max, 0);
 }
 
 /* rcn_inter.c clip_mv parity (:97) */
@@ -788,7 +811,8 @@ static void dbf_add_tb_chroma(const Rc *r, int comp, int cx0, int cy0, int cw,
 }
 
 static void dbf_add_cu_motion(const Rc *r, int x0, int y0, int w, int h,
-                              int mvx, int mvy, int dist)
+                              int inter_dir, int m0x, int m0y, int dist0,
+                              int m1x, int m1y, int dist1)
 {
     const DbfBufs *d = r->dbf;
     int xu, yu, wu, hu;
@@ -796,10 +820,17 @@ static void dbf_add_cu_motion(const Rc *r, int x0, int y0, int w, int h,
     for (int j = 0; j < hu; j++)
         for (int i = 0; i < wu; i++) {
             int u = (yu + j) * r->uw + xu + i;
-            d->mv_dir[u] = 1;
-            d->mv_vals[u * 4 + 0] = mvx;
-            d->mv_vals[u * 4 + 1] = mvy;
-            d->mv_dist[u * 2 + 0] = dist;
+            d->mv_dir[u] = (uint8_t)inter_dir;
+            if (inter_dir & 1) {
+                d->mv_vals[u * 4 + 0] = m0x;
+                d->mv_vals[u * 4 + 1] = m0y;
+                d->mv_dist[u * 2 + 0] = dist0;
+            }
+            if (inter_dir & 2) {
+                d->mv_vals[u * 4 + 2] = m1x;
+                d->mv_vals[u * 4 + 3] = m1y;
+                d->mv_dist[u * 2 + 1] = dist1;
+            }
         }
 }
 
@@ -931,6 +962,16 @@ static void recon_intra_cu(Rc *r, const int32_t *cu)
     }
 }
 
+/* bi average of two 14-bit blocks (ref_mc.mc_bi) */
+static void mc_bi_c(const int32_t *p0, const int32_t *p1, int n, int bd,
+                    int bd_max, int32_t *out)
+{
+    int shift = 15 - bd;
+    int off = 1 << (shift - 1);
+    for (int i = 0; i < n; i++)
+        out[i] = bdclip((p0[i] + p1[i] + off) >> shift, bd_max);
+}
+
 static void recon_inter_cu(Rc *r, const int32_t *cu)
 {
     const EntryParams *e = r->ep;
@@ -940,17 +981,45 @@ static void recon_inter_cu(Rc *r, const int32_t *cu)
     int l2w = cu[CU_F_LOG2W], l2h = cu[CU_F_LOG2H];
     int w = 1 << l2w, h = 1 << l2h;
     int hpel = cu[CU_F_PREC_EFF] == PREC_HALF;
-    int ref_idx = cu[CU_F_MV0REF];
-    int mvx, mvy;
-    clip_mv_c(x0, y0, e->pic_w, e->pic_h, w, h, cu[CU_F_MV0X], cu[CU_F_MV0Y],
-              &mvx, &mvy);
+    int inter_dir = cu[CU_F_MV1REF] >= 0 ? cu[CU_F_INTER_DIR] : 1;
 
-    int32_t pred[64 * 64], res[64 * 64];
+    /* identical-motion reduction to list-1 uni (check_identical_motion,
+     * rcn_inter.c:255-267: equal ref POC + equal MV) */
+    if (inter_dir == 3 &&
+        r->rp->poc0[cu[CU_F_MV0REF]] == r->rp->poc1[cu[CU_F_MV1REF]] &&
+        cu[CU_F_MV0X] == cu[CU_F_MV1X] && cu[CU_F_MV0Y] == cu[CU_F_MV1Y])
+        inter_dir = 2;
+
+    int32_t pred[64 * 64], res[64 * 64], tmp1[64 * 64];
+
+    int lst = inter_dir == 2 ? 1 : 0;
+    int ref0 = lst ? cu[CU_F_MV1REF] : cu[CU_F_MV0REF];
+    int ref1 = cu[CU_F_MV1REF];
+    int m0x, m0y, m1x = 0, m1y = 0;
+    clip_mv_c(x0, y0, e->pic_w, e->pic_h, w, h,
+              lst ? cu[CU_F_MV1X] : cu[CU_F_MV0X],
+              lst ? cu[CU_F_MV1Y] : cu[CU_F_MV0Y], &m0x, &m0y);
+    if (inter_dir == 3)
+        clip_mv_c(x0, y0, e->pic_w, e->pic_h, w, h, cu[CU_F_MV1X],
+                  cu[CU_F_MV1Y], &m1x, &m1y);
+    const int32_t *const *py0 = lst ? r->ref1_y : r->ref_y;
+    const int32_t *const *pcb0 = lst ? r->ref1_cb : r->ref_cb;
+    const int32_t *const *pcr0 = lst ? r->ref1_cr : r->ref_cr;
 
     /* luma */
-    mc_uni_c(r->ref_y[ref_idx], e->pic_w, e->pic_h, e->pic_w, pred, w,
-             x0 + (mvx >> 4), y0 + (mvy >> 4), mvx & 15, mvy & 15, w, h, bd,
-             1, hpel, bd_max);
+    if (inter_dir == 3) {
+        mc_block_c(py0[ref0], e->pic_w, e->pic_h, e->pic_w, pred, w,
+                   x0 + (m0x >> 4), y0 + (m0y >> 4), m0x & 15, m0y & 15,
+                   w, h, bd, 1, hpel, bd_max, 1);
+        mc_block_c(r->ref1_y[ref1], e->pic_w, e->pic_h, e->pic_w, tmp1, w,
+                   x0 + (m1x >> 4), y0 + (m1y >> 4), m1x & 15, m1y & 15,
+                   w, h, bd, 1, hpel, bd_max, 1);
+        mc_bi_c(pred, tmp1, w * h, bd, bd_max, pred);
+    } else {
+        mc_uni_c(py0[ref0], e->pic_w, e->pic_h, e->pic_w, pred, w,
+                 x0 + (m0x >> 4), y0 + (m0y >> 4), m0x & 15, m0y & 15, w, h,
+                 bd, 1, hpel, bd_max);
+    }
     for (int j = 0; j < h; j++)
         for (int i = 0; i < w; i++)
             r->fy[(y0 + j) * e->pic_w + x0 + i] = pred[j * w + i];
@@ -979,11 +1048,23 @@ static void recon_inter_cu(Rc *r, const int32_t *cu)
     int cx0 = x0 >> 1, cy0 = y0 >> 1;
     int cw = w >> 1, ch = h >> 1;
     for (int comp = 1; comp <= 2; comp++) {
-        const int32_t *rpl = (comp == 1 ? r->ref_cb : r->ref_cr)[ref_idx];
+        const int32_t *rpl = (comp == 1 ? pcb0 : pcr0)[ref0];
         int32_t *dst = comp == 1 ? r->fcb : r->fcr;
-        mc_uni_c(rpl, e->pic_w >> 1, e->pic_h >> 1, cs, pred, cw,
-                 cx0 + (mvx >> 5), cy0 + (mvy >> 5), mvx & 31, mvy & 31, cw,
-                 ch, bd, 0, 0, bd_max);
+        if (inter_dir == 3) {
+            const int32_t *rpl1 =
+                (comp == 1 ? r->ref1_cb : r->ref1_cr)[ref1];
+            mc_block_c(rpl, e->pic_w >> 1, e->pic_h >> 1, cs, pred, cw,
+                       cx0 + (m0x >> 5), cy0 + (m0y >> 5), m0x & 31,
+                       m0y & 31, cw, ch, bd, 0, 0, bd_max, 1);
+            mc_block_c(rpl1, e->pic_w >> 1, e->pic_h >> 1, cs, tmp1, cw,
+                       cx0 + (m1x >> 5), cy0 + (m1y >> 5), m1x & 31,
+                       m1y & 31, cw, ch, bd, 0, 0, bd_max, 1);
+            mc_bi_c(pred, tmp1, cw * ch, bd, bd_max, pred);
+        } else {
+            mc_uni_c(rpl, e->pic_w >> 1, e->pic_h >> 1, cs, pred, cw,
+                     cx0 + (m0x >> 5), cy0 + (m0y >> 5), m0x & 31, m0y & 31,
+                     cw, ch, bd, 0, 0, bd_max);
+        }
         for (int j = 0; j < ch; j++)
             for (int i = 0; i < cw; i++)
                 dst[(cy0 + j) * cs + cx0 + i] = pred[j * cw + i];
@@ -1044,7 +1125,11 @@ int64_t ov_recon_entry(const EntryParams *ep, const ReconParams *rp,
                        int32_t *fy, int32_t *fcb, int32_t *fcr,
                        const int32_t *const *ref_y,
                        const int32_t *const *ref_cb,
-                       const int32_t *const *ref_cr, const int32_t *dist0,
+                       const int32_t *const *ref_cr,
+                       const int32_t *const *ref1_y,
+                       const int32_t *const *ref1_cb,
+                       const int32_t *const *ref1_cr,
+                       const int32_t *dist0, const int32_t *dist1,
                        const DbfBufs *dbf)
 {
     /* support scan first: leave all outputs untouched on -1 */
@@ -1055,10 +1140,19 @@ int64_t ov_recon_entry(const EntryParams *ep, const ReconParams *rp,
             (c[CU_F_INTRA_C] >= INTRA_LT_CCLM &&
              c[CU_F_INTRA_C] <= INTRA_T_CCLM))
             return -1;
-        if (c[CU_F_PRED] == MODE_INTER &&
-            (c[CU_F_INTER_DIR] != 1 || c[CU_F_MV0REF] < 0 ||
-             c[CU_F_MV0REF] >= rp->nb_refs))
-            return -1;
+        if (c[CU_F_PRED] == MODE_INTER) {
+            int dir = c[CU_F_MV1REF] >= 0 ? c[CU_F_INTER_DIR] : 1;
+            if (dir & 1) {
+                if (c[CU_F_MV0REF] < 0 || c[CU_F_MV0REF] >= rp->nb_refs)
+                    return -1;
+            }
+            if (dir & 2) {
+                if (c[CU_F_MV1REF] < 0 || c[CU_F_MV1REF] >= rp->nb_refs1)
+                    return -1;
+            }
+            if (dir == 3 && c[CU_F_MV0BCW] != 0 && c[CU_F_MV0BCW] != 3)
+                return -1; /* BCW weighting not in C yet */
+        }
     }
     for (int64_t i = 0; i < ntu; i++) {
         const int32_t *t = tu_buf + i * TU_NFIELDS;
@@ -1075,7 +1169,8 @@ int64_t ov_recon_entry(const EntryParams *ep, const ReconParams *rp,
     rc.cqp_tab = cqp_tab;
     rc.fy = fy; rc.fcb = fcb; rc.fcr = fcr;
     rc.ref_y = ref_y; rc.ref_cb = ref_cb; rc.ref_cr = ref_cr;
-    rc.dist0 = dist0;
+    rc.ref1_y = ref1_y; rc.ref1_cb = ref1_cb; rc.ref1_cr = ref1_cr;
+    rc.dist0 = dist0; rc.dist1 = dist1;
     rc.dbf = dbf;
     rc.uw = (ep->pic_w + 3) >> 2;
     rc.uh = (ep->pic_h + 3) >> 2;
@@ -1100,9 +1195,14 @@ int64_t ov_recon_entry(const EntryParams *ep, const ReconParams *rp,
         int intra = c[CU_F_PRED] == MODE_INTRA;
         if (dbf_on) {
             dbf_add_cu_luma(&rc, x0, y0, w, h, c[CU_F_QP], intra);
-            if (!intra)
-                dbf_add_cu_motion(&rc, x0, y0, w, h, c[CU_F_MV0X],
-                                  c[CU_F_MV0Y], dist0[c[CU_F_MV0REF]]);
+            if (!intra) {
+                int idir = c[CU_F_MV1REF] >= 0 ? c[CU_F_INTER_DIR] : 1;
+                dbf_add_cu_motion(&rc, x0, y0, w, h, idir,
+                                  c[CU_F_MV0X], c[CU_F_MV0Y],
+                                  (idir & 1) ? dist0[c[CU_F_MV0REF]] : 0,
+                                  c[CU_F_MV1X], c[CU_F_MV1Y],
+                                  (idir & 2) ? dist1[c[CU_F_MV1REF]] : 0);
+            }
             int tu0 = c[CU_F_TU0], ntu_cu = c[CU_F_NTU];
             for (int k = 0; k < ntu_cu; k++) {
                 const int32_t *t = tu_buf + (int64_t)(tu0 + k) * TU_NFIELDS;
