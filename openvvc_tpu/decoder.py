@@ -1160,12 +1160,34 @@ class _LazyTmvp:
     reference allocating MV planes on demand (dpb.c tmvp_request_mv_plane
     :931)."""
 
-    __slots__ = ("_ectxs", "_pps", "_sd0", "_sd1", "_dmvr", "_val")
+    __slots__ = ("_ectxs", "_pps", "_sd0", "_sd1", "_dmvr", "_val",
+                 "_dense")
 
     def __init__(self, ectxs, pps, sd0, sd1, dmvr_overrides):
         self._ectxs, self._pps = ectxs, pps
         self._sd0, self._sd1, self._dmvr = sd0, sd1, dmvr_overrides
         self._val = None
+        self._dense = None
+
+    def resolve_dense(self):
+        """(dir0, dir1, mv0, mv1) with dense (uh8, uw8, 3) int32 MV grids
+        — the C parser's collocated-field form."""
+        if self._dense is None:
+            acc = self.resolve()
+            d0, d1 = acc[0], acc[1]
+            uh, uw = d0.shape
+            uw8, uh8 = (uw + 1) >> 1, (uh + 1) >> 1
+            a0 = np.zeros((uh8, uw8, 3), np.int32)
+            a1 = np.zeros_like(a0)
+            for (x, y), mv in acc[2].items():
+                if 0 <= y < uh8 and 0 <= x < uw8:
+                    a0[y, x] = (mv.x, mv.y, mv.ref_idx)
+            for (x, y), mv in acc[3].items():
+                if 0 <= y < uh8 and 0 <= x < uw8:
+                    a1[y, x] = (mv.x, mv.y, mv.ref_idx)
+            self._dense = (np.ascontiguousarray(d0),
+                           np.ascontiguousarray(d1), a0, a1)
+        return self._dense
 
     def resolve(self):
         if self._val is None:
@@ -1343,6 +1365,7 @@ class Decoder:
                 col_f = (refs0 if from_l0 else refs1)[cidx]
                 col = getattr(col_f, "tmvp", None)
                 if col is not None:
+                    params._tmvp_col_obj = col  # dense form for the C parse
                     params._tmvp_col = (col.resolve()
                                         if hasattr(col, "resolve") else col)
 

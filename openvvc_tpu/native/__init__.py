@@ -191,7 +191,12 @@ class _EntryParamsC(ctypes.Structure):
         "max_num_merge_cand", "nb_active_ref0",
         "cqp_tab_len", "cb_qp_off", "cr_qp_off", "jcbcr_qp_off",
         "nb_active_ref1", "mvd1_zero",
-    )] + [("rpl0_opp", ctypes.c_int32 * 16), ("rpl1_opp", ctypes.c_int32 * 16)]
+    )] + [("rpl0_opp", ctypes.c_int32 * 16), ("rpl1_opp", ctypes.c_int32 * 16)] \
+      + [(n, ctypes.c_int32) for n in (
+          "tmvp_enabled", "tmvp_ldc", "col_uw", "col_uh", "col_uw8",
+          "col_uh8",
+      )] + [(n, ctypes.c_int32 * 16) for n in (
+          "dist_ref0", "dist_ref1", "dist_col0", "dist_col1")]
 
 
 _CU_NFIELDS = 32
@@ -215,6 +220,7 @@ def _setup_parse_proto(lib):
         vp,                              # cqp_tab
         vp, i64, vp, i64, vp, i64,       # cu/tu/coef bufs
         vp, vp, vp, vp, vp, vp,          # sao, meta, tdir0, tmv0, tdir1, tmv1
+        vp, vp, vp, vp,                  # collocated dir0/dir1/mv0/mv1
         ctypes.POINTER(i64),             # out_counts
     ]
     _parse_proto_done = True
@@ -247,8 +253,6 @@ def native_parse_supported(params) -> bool:
     )
     if any(g(sps, n) for n in bad_sps):
         return False
-    if g(ph, "ph_temporal_mvp_enabled_flag"):
-        return False  # TMVP derivation not yet in C
     if any(g(sh, n) for n in ("sh_alf_enabled_flag", "sh_alf_cb_enabled_flag",
                               "sh_alf_cc_cb_enabled_flag",
                               "sh_alf_cc_cr_enabled_flag",
@@ -389,17 +393,42 @@ def parse_entry_native_raw(params, entry):
     for i in range(16):
         ep.rpl0_opp[i] = 0xFF
         ep.rpl1_opp[i] = 0xFF
-    if params.slice_type == 0:
+    col_planes = None
+    if params.slice_type != SLICE_I:
         from openvvc_tpu.vcl.ctu import _signed_rpl_deltas
 
         hr0, hr1 = sh.resolved_rpls(pps, ph)
         cur_poc = getattr(params, "_cur_poc", ph.ph_pic_order_cnt_lsb)
         d0 = _signed_rpl_deltas(hr0.rpl, nra[0], cur_poc)
-        d1 = _signed_rpl_deltas(hr1.rpl, nra[1], cur_poc)
-        for i, d in enumerate(d0):
-            ep.rpl0_opp[i] = d1.index(d) if d in d1 else 0xFF
-        for i, d in enumerate(d1):
-            ep.rpl1_opp[i] = d0.index(d) if d in d0 else 0xFF
+        d1 = _signed_rpl_deltas(hr1.rpl, nra[1] if params.slice_type == 0
+                                else 0, cur_poc)
+        if params.slice_type == 0:
+            for i, d in enumerate(d0):
+                ep.rpl0_opp[i] = d1.index(d) if d in d1 else 0xFF
+            for i, d in enumerate(d1):
+                ep.rpl1_opp[i] = d0.index(d) if d in d0 else 0xFF
+        # TMVP collocated field (ctu.py CTUParseCtx set_tmvp parity)
+        col_obj = getattr(params, "_tmvp_col_obj", None)
+        if (g(ph, "ph_temporal_mvp_enabled_flag") and col_obj is not None
+                and hasattr(col_obj, "resolve_dense")):
+            colv = col_obj.resolve()
+            dense = col_obj.resolve_dense()
+            ep.tmvp_enabled = 1
+            ep.tmvp_ldc = int(not any(dd > 0 for dd in d0 + d1))
+            ep.col_uh, ep.col_uw = dense[0].shape
+            ep.col_uh8, ep.col_uw8 = dense[2].shape[:2]
+            for i, dd in enumerate(d0[:16]):
+                ep.dist_ref0[i] = -dd
+            for i, dd in enumerate(d1[:16]):
+                ep.dist_ref1[i] = -dd
+            for i, dd in enumerate((colv[4] or [])[:16]):
+                ep.dist_col0[i] = dd
+            for i, dd in enumerate((colv[5] or [])[:16]):
+                ep.dist_col1[i] = dd
+            col_planes = dense
+        elif g(ph, "ph_temporal_mvp_enabled_flag") and col_obj is None \
+                and getattr(params, "_tmvp_col", None) is not None:
+            return None  # non-lazy collocated form: Python path only
     qp_bd = params.qp_bd_offset
     ep.cqp_tab_len = 64 + qp_bd
     ep.cb_qp_off = g(pps, "pps_cb_qp_offset") + g(sh, "sh_cb_qp_offset")
@@ -447,6 +476,10 @@ def parse_entry_native_raw(params, entry):
         vp(sao_buf.ctypes.data), vp(ctu_meta.ctypes.data),
         vp(tmvp_dir0.ctypes.data), vp(tmvp_mv0.ctypes.data),
         vp(tmvp_dir1.ctypes.data), vp(tmvp_mv1.ctypes.data),
+        vp(col_planes[0].ctypes.data if col_planes else None),
+        vp(col_planes[1].ctypes.data if col_planes else None),
+        vp(col_planes[2].ctypes.data if col_planes else None),
+        vp(col_planes[3].ctypes.data if col_planes else None),
         counts)
     if rc != 0:
         # ERR_UNSUPPORTED (-1): expected mid-parse bail (SCIPU, 4x4 inter).

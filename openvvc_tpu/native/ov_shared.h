@@ -85,6 +85,12 @@ typedef struct {
     int32_t mvd1_zero; /* ph_mvd_l1_zero_flag */
     int32_t rpl0_opp[16], rpl1_opp[16]; /* opposite-list ref with same POC
                                            delta, 0xFF if none */
+    /* TMVP (collocated picture planes are passed as ov_parse_entry args) */
+    int32_t tmvp_enabled, tmvp_ldc;
+    int32_t col_uw, col_uh;   /* picture 4x4-unit grid dims */
+    int32_t col_uw8, col_uh8; /* picture 8x8 MV grid dims */
+    int32_t dist_ref0[16], dist_ref1[16]; /* current-slice ref distances */
+    int32_t dist_col0[16], dist_col1[16]; /* collocated pic ref distances */
 } EntryParams;
 
 /* ---- deblocking maps handed over from Python (rcn/ref_dbf.py DbfMaps;

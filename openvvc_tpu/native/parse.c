@@ -119,6 +119,9 @@ typedef struct {
     /* TMVP export (8x8 grid) */
     int uw8, uh8;
     int32_t *tmv0, *tmv1; /* [uh8][uw8][3] x,y,ref */
+    /* collocated picture field (picture-level grids) */
+    const uint8_t *col_dir0, *col_dir1;  /* [col_uh][col_uw] */
+    const int32_t *col_mv0, *col_mv1;    /* [col_uh8][col_uw8][3] */
 
     /* tree-walk state */
     int tree_type, share;
@@ -889,9 +892,156 @@ static MVc avg_mv_pair(MVc a, MVc b)
     return o;
 }
 
+/* ---- TMVP (drv/inter_mvp.py _col_avail/_tmvp_scaled etc.;
+ * reference: drv_mvp.c load_ctb_tmvp/derive_tmvp_cand :297-540) -------- */
+
+#define MV_MAX_ ((1 << 17) - 1)
+#define MV_MIN_ (-(1 << 17))
+
+/* tmvp_round_mv parity (:119): mantissa/exponent MV compression */
+static int tmvp_round_mv(int val)
+{
+    int sign = val < 0 ? -1 : 0;
+    if (((val ^ sign) - (sign ? 1 : 0)) > 31) {
+        unsigned bits = (unsigned)((val ^ sign) | 31);
+        int scale = (31 - __builtin_clz(bits)) - 5;
+        int rnd = (1 << scale) >> 1;
+        int n = (val + rnd) >> scale;
+        int exponent = scale + ((n ^ sign) >> 5);
+        int mantissa = (n & 31) | (sign << 5);
+        return (mantissa ^ 32) << (exponent - (exponent ? 1 : 0));
+    }
+    return val;
+}
+
+static int trunc_div_c(int a, int b)
+{
+    int q = abs(a) / abs(b);
+    return ((a < 0) != (b < 0)) ? -q : q;
+}
+
+static int derive_tmvp_scale(int dist_ref, int dist_col)
+{
+    if (dist_ref == dist_col || !dist_col)
+        return 256;
+    if (dist_ref < -128) dist_ref = -128;
+    if (dist_ref > 127) dist_ref = 127;
+    if (dist_col < -128) dist_col = -128;
+    if (dist_col > 127) dist_col = 127;
+    int scale = dist_ref * trunc_div_c(0x4000 + abs(dist_col >> 1), dist_col);
+    scale += 32;
+    scale >>= 6;
+    if (scale < -4096) scale = -4096;
+    if (scale > 4095) scale = 4095;
+    return scale;
+}
+
+static int tmvp_scale_one(int scale, int v)
+{
+    int64_t pv = (int64_t)scale * v;
+    int r = (int)((pv + 128 - (pv >= 0 ? 1 : 0)) >> 8);
+    if (r < MV_MIN_) r = MV_MIN_;
+    if (r > MV_MAX_) r = MV_MAX_;
+    return r;
+}
+
+static int col_avail(const Pc *p, int lst, int cx, int cy, int cu_uy,
+                     int cu_ux)
+{
+    const EntryParams *e = p->ep;
+    if (!e->tmvp_enabled)
+        return 0;
+    int sh = e->log2_ctb - 2;
+    if ((cy >> sh) != (cu_uy >> sh))
+        return 0;
+    if ((cx >> sh) > (cu_ux >> sh) + 1 ||
+        (cx - ((cu_ux >> sh) << sh)) > (1 << sh))
+        return 0;
+    const uint8_t *dir_m = lst ? p->col_dir1 : p->col_dir0;
+    int px = cx + (e->tile_x0 >> 2), py = cy + (e->tile_y0 >> 2);
+    if (py < 0 || px < 0 || py >= e->col_uh || px >= e->col_uw)
+        return 0;
+    return dir_m[py * e->col_uw + px];
+}
+
+static MVc tmvp_scaled(const Pc *p, int lst_cur, int ref_idx, int col_lst,
+                       int cx, int cy, int prec_amvr /* -1 = none */)
+{
+    const EntryParams *e = p->ep;
+    int px = (cx + (e->tile_x0 >> 2)) >> 1;
+    int py = (cy + (e->tile_y0 >> 2)) >> 1;
+    const int32_t *cell = (col_lst ? p->col_mv1 : p->col_mv0)
+                          + (py * e->col_uw8 + px) * 3;
+    int dist_col = (col_lst ? e->dist_col1 : e->dist_col0)[cell[2]];
+    int dist_ref = (lst_cur ? e->dist_ref1 : e->dist_ref0)[ref_idx];
+    int scale = derive_tmvp_scale(dist_ref, dist_col);
+    MVc out;
+    out.x = tmvp_scale_one(scale, tmvp_round_mv(cell[0]));
+    out.y = tmvp_scale_one(scale, tmvp_round_mv(cell[1]));
+    if (prec_amvr >= 0)
+        out = mv_round_prec(out, PREC_INTERNAL, prec_amvr);
+    out.ref = (int8_t)ref_idx;
+    out.bcw = 0;
+    out.prec = 0;
+    return out;
+}
+
+/* derive_tmvp_cand parity (:403) */
+static int derive_tmvp_amvp(const Pc *p, int lst, int ref_idx, int ux,
+                            int uy, int nw, int nh, int prec_amvr, MVc *out)
+{
+    int c1x = (ux + (nw >> 1)) & ~1, c1y = (uy + (nh >> 1)) & ~1;
+    int c0x = (ux + nw) & ~1, c0y = (uy + nh) & ~1;
+    int a_c0 = col_avail(p, 0, c0x, c0y, uy, ux);
+    int a_c01 = col_avail(p, 1, c0x, c0y, uy, ux);
+    int a_c1 = col_avail(p, 0, c1x, c1y, uy, ux);
+    int a_c11 = col_avail(p, 1, c1x, c1y, uy, ux);
+    int av[4], cl[4], px[4], py[4];
+    if (!p->ep->tmvp_ldc || lst == 0) {
+        av[0] = a_c0;  cl[0] = 0; px[0] = c0x; py[0] = c0y;
+        av[1] = a_c01; cl[1] = 1; px[1] = c0x; py[1] = c0y;
+        av[2] = a_c1;  cl[2] = 0; px[2] = c1x; py[2] = c1y;
+        av[3] = a_c11; cl[3] = 1; px[3] = c1x; py[3] = c1y;
+    } else {
+        av[0] = a_c01; cl[0] = 1; px[0] = c0x; py[0] = c0y;
+        av[1] = a_c0;  cl[1] = 0; px[1] = c0x; py[1] = c0y;
+        av[2] = a_c11; cl[2] = 1; px[2] = c1x; py[2] = c1y;
+        av[3] = a_c1;  cl[3] = 0; px[3] = c1x; py[3] = c1y;
+    }
+    for (int i = 0; i < 4; i++)
+        if (av[i]) {
+            *out = tmvp_scaled(p, lst, ref_idx, cl[i], px[i], py[i],
+                               prec_amvr);
+            return 1;
+        }
+    return 0;
+}
+
+/* vvc_derive_merge_mvp TMVP candidate, P path (:760) */
+static int derive_tmvp_merge_p(const Pc *p, int ux, int uy, int nw, int nh,
+                               MVc *out)
+{
+    int c1x = (ux + (nw >> 1)) & ~1, c1y = (uy + (nh >> 1)) & ~1;
+    int c0x = (ux + nw) & ~1, c0y = (uy + nh) & ~1;
+    int av[4] = {col_avail(p, 0, c0x, c0y, uy, ux),
+                 col_avail(p, 1, c0x, c0y, uy, ux),
+                 col_avail(p, 0, c1x, c1y, uy, ux),
+                 col_avail(p, 1, c1x, c1y, uy, ux)};
+    int cl[4] = {0, 1, 0, 1};
+    int px[4] = {c0x, c0x, c1x, c1x};
+    int py[4] = {c0y, c0y, c1y, c1y};
+    for (int i = 0; i < 4; i++)
+        if (av[i]) {
+            *out = tmvp_scaled(p, 0, 0, cl[i], px[i], py[i], -1);
+            out->ref = 0;
+            return 1;
+        }
+    return 0;
+}
+
 /* vvc_derive_merge_mvp (P path, TMVP pre-gated off) */
 static MVc derive_merge_mvp(Pc *p, int ux, int uy, int nw, int nh,
-                            int merge_idx, int max_nb_cand)
+                            int merge_idx, int max_nb_cand, int is_small)
 {
     MVc cand[8];
     int ncand = 0;
@@ -935,6 +1085,14 @@ static MVc derive_merge_mvp(Pc *p, int ux, int uy, int nw, int nh,
             (!got_t || !mv_cmp2(mv, amvp[0]))) {
             cand[ncand++] = mv;
             if (ncand - 1 == merge_idx) return mv;
+        }
+    }
+
+    if (p->ep->tmvp_enabled && !is_small) {
+        MVc t;
+        if (derive_tmvp_merge_p(p, ux, uy, nw, nh, &t)) {
+            cand[ncand++] = t;
+            if (ncand - 1 == merge_idx) return t;
         }
     }
 
@@ -982,7 +1140,7 @@ static MVc derive_merge_mvp(Pc *p, int ux, int uy, int nw, int nh,
  * rpl0/1_opp; TMVP pre-gated off) */
 static MVc derive_mvp_cand(Pc *p, int lst, int ref_idx, int ux, int uy,
                            int nw, int nh, int mvp_idx, int inter_dir_bit,
-                           int prec_amvr)
+                           int prec_amvr, int is_small)
 {
     MVc cand[4];
     int ncand = 0;
@@ -1007,6 +1165,12 @@ static MVc derive_mvp_cand(Pc *p, int lst, int ref_idx, int ux, int uy,
         cand[i] = mv_round_prec(cand[i], PREC_INTERNAL, prec_amvr);
     if (ncand == 2 && mv_cmp(cand[0], cand[1]))
         ncand = 1;
+
+    if (p->ep->tmvp_enabled && ncand < 2 && !is_small) {
+        MVc t;
+        if (derive_tmvp_amvp(p, lst, ref_idx, ux, uy, nw, nh, prec_amvr, &t))
+            cand[ncand++] = t;
+    }
 
     if (ncand < 2) { /* hmvp_add_cand_1: oldest-first, same-dir then opp */
         for (int i = 0; i < p->hmvp_n && i < 4 && ncand < 2; i++) {
@@ -1045,7 +1209,6 @@ static MIc derive_merge_mvp_b(Pc *p, int ux, int uy, int nw, int nh,
     memset(amvp, 0, sizeof(amvp));
     for (int i = 0; i < 5; i++) amvp[i].dir = 3;
 
-    (void)is_small; /* TMVP pre-gated off */
     int got_t = iavail(p, 0, ux + nw - 1, uy - 1)
                 || iavail(p, 1, ux + nw - 1, uy - 1);
     int got_l = iavail(p, 0, ux - 1, uy + nh - 1)
@@ -1089,6 +1252,35 @@ static MIc derive_merge_mvp_b(Pc *p, int ux, int uy, int nw, int nh,
         }
     }
     (void)have;
+
+    if (p->ep->tmvp_enabled && !is_small) {
+        /* vvc_derive_merge_mvp_b TMVP: bi candidate from c0 (both-plane
+         * aware) else c1 */
+        int c1x = (ux + (nw >> 1)) & ~1, c1y = (uy + (nh >> 1)) & ~1;
+        int c0x = (ux + nw) & ~1, c0y = (uy + nh) & ~1;
+        int a00 = col_avail(p, 0, c0x, c0y, uy, ux);
+        int a01 = col_avail(p, 1, c0x, c0y, uy, ux);
+        int a10 = col_avail(p, 0, c1x, c1y, uy, ux);
+        int a11 = col_avail(p, 1, c1x, c1y, uy, ux);
+        int pick = (a00 || a01) ? 0 : ((a10 || a11) ? 1 : -1);
+        if (pick >= 0) {
+            int a0 = pick ? a10 : a00, a1 = pick ? a11 : a01;
+            int cx = pick ? c1x : c0x, cy = pick ? c1y : c0y;
+            MIc t;
+            t.dir = 3;
+            if (a0) {
+                t.mv0 = tmvp_scaled(p, 0, 0, 0, cx, cy, -1);
+                t.mv1 = (a1 && p->ep->tmvp_ldc)
+                            ? tmvp_scaled(p, 1, 0, 1, cx, cy, -1)
+                            : tmvp_scaled(p, 1, 0, 0, cx, cy, -1);
+            } else {
+                t.mv0 = tmvp_scaled(p, 0, 0, 1, cx, cy, -1);
+                t.mv1 = tmvp_scaled(p, 1, 0, 1, cx, cy, -1);
+            }
+            cand[ncand++] = t;
+            if (ncand - 1 == merge_idx) return t;
+        }
+    }
 
     if (ncand != max_nb_cand - 1) { /* HMVP, newest-first */
         for (int i = 1; i <= p->hmvp_n; i++) {
@@ -1217,7 +1409,8 @@ static void pred_unit_inter_p(Pc *p, int32_t *c, int x0, int y0,
         /* merge_data_p with all optional tools off -> plain merge idx */
         int midx = code_merge_idx(p, e->max_num_merge_cand);
         c[CU_F_MERGE_IDX] = midx;
-        mv0 = derive_merge_mvp(p, ux, uy, nw, nh, midx, e->max_num_merge_cand);
+        mv0 = derive_merge_mvp(p, ux, uy, nw, nh, midx, e->max_num_merge_cand,
+                               l2w + l2h <= 5);
         p->prec_amvr = mv0.prec;
         update_mv_ctx(p, mv0, ux, uy, nw, nh);
     } else {
@@ -1232,7 +1425,7 @@ static void pred_unit_inter_p(Pc *p, int32_t *c, int x0, int y0,
             prec = code_amvr_precision(p);
         p->prec_amvr = prec;
         mv0 = derive_mvp_cand(p, 0, ref_idx, ux, uy, nw, nh, mvp_idx, 1,
-                              prec);
+                              prec, l2w + l2h <= 5);
         MVc mvd = {mdx, mdy, 0, 0, 0};
         mvd = mv_change_prec(mvd, prec, PREC_INTERNAL);
         mv0.x += mvd.x;
@@ -1305,9 +1498,9 @@ static void pred_unit_inter_b(Pc *p, int32_t *c, int x0, int y0,
                 prec = code_amvr_precision(p);
             p->prec_amvr = prec;
             MVc mv0 = derive_mvp_cand(p, 0, ref0, ux, uy, nw, nh, mvp0, 1,
-                                      prec);
+                                      prec, l2w + l2h <= 5);
             MVc mv1 = derive_mvp_cand(p, 1, ref1, ux, uy, nw, nh, mvp1, 2,
-                                      prec);
+                                      prec, l2w + l2h <= 5);
             MVc d0 = {m0x, m0y, 0, 0, 0}, d1 = {m1x, m1y, 0, 0, 0};
             d0 = mv_change_prec(d0, prec, PREC_INTERNAL);
             d1 = mv_change_prec(d1, prec, PREC_INTERNAL);
@@ -1334,7 +1527,7 @@ static void pred_unit_inter_b(Pc *p, int32_t *c, int x0, int y0,
                 prec = code_amvr_precision(p);
             p->prec_amvr = prec;
             MVc mv = derive_mvp_cand(p, lst, ridx, ux, uy, nw, nh, mvp_idx,
-                                     inter_dir, prec);
+                                     inter_dir, prec, l2w + l2h <= 5);
             MVc d = {mdx, mdy, 0, 0, 0};
             d = mv_change_prec(d, prec, PREC_INTERNAL);
             mv.x += d.x; mv.y += d.y;
@@ -1879,6 +2072,8 @@ int64_t ov_parse_entry(const uint8_t *data, int64_t nbytes,
                        int32_t *sao_buf, int32_t *ctu_meta,
                        uint8_t *tmvp_dir0, int32_t *tmvp_mv0,
                        uint8_t *tmvp_dir1, int32_t *tmvp_mv1,
+                       const uint8_t *col_dir0, const uint8_t *col_dir1,
+                       const int32_t *col_mv0, const int32_t *col_mv1,
                        int64_t *out_counts)
 {
     Pc pc;
@@ -1906,6 +2101,10 @@ int64_t ov_parse_entry(const uint8_t *data, int64_t nbytes,
     p->mv1 = calloc(un, sizeof(MVc));
     p->tmv0 = tmvp_mv0;
     p->tmv1 = tmvp_mv1;
+    p->col_dir0 = col_dir0;
+    p->col_dir1 = col_dir1;
+    p->col_mv0 = col_mv0;
+    p->col_mv1 = col_mv1;
     int alloc_fail = !(p->m_log2w && p->m_log2h && p->m_qtd && p->m_imode &&
                        p->m_pmode && p->m_ctype && p->cm_log2w &&
                        p->cm_log2h && p->cm_qtd && p->mv0 && p->mv1);
