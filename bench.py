@@ -23,6 +23,8 @@ sys.path.insert(0, REPO)
 
 STREAM = "/tmp/bench_1080p_r2.266"
 REF_YUV = "/tmp/bench_1080p_r2.yuv"
+STREAM_RA = "/tmp/bench_1080p_ra.266"
+REF_YUV_RA = "/tmp/bench_1080p_ra.yuv"
 NB_FRAMES = 9
 PERF_BIN = "/tmp/refperf/dectest"
 
@@ -38,6 +40,41 @@ def ensure_assets():
     if not os.path.exists(REF_YUV):
         subprocess.run([PERF_BIN, "-i", STREAM, "-o", REF_YUV, "-t", "1", "-e", "1"],
                        check=True, capture_output=True)
+    if not os.path.exists(STREAM_RA):
+        subprocess.run([sys.executable, os.path.join(REPO, "tools/gen_bench_stream.py"),
+                        "--frames", str(NB_FRAMES), "--tiles", "2",
+                        "--gop", "ra", "--out", STREAM_RA],
+                       check=True, capture_output=True, timeout=1200)
+    if not os.path.exists(REF_YUV_RA):
+        subprocess.run([PERF_BIN, "-i", STREAM_RA, "-o", REF_YUV_RA,
+                        "-t", "1", "-e", "1"],
+                       check=True, capture_output=True)
+
+
+def bench_ra():
+    """RA B-pyramid (TMVP + AMVR + bi-pred) fps, bit-exactness gated."""
+    from openvvc_tpu.decoder import Decoder
+
+    with open(STREAM_RA, "rb") as f:
+        stream = f.read()
+    with open(REF_YUV_RA, "rb") as f:
+        ref = f.read()
+    dec = Decoder()
+    t0 = time.monotonic()
+    frames = dec.decode(stream)
+    dt = time.monotonic() - t0
+    mine = b"".join(fr.to_yuv_bytes() for fr in dec.output_order(frames))
+    assert mine == ref, "RA decode is not bit-exact vs the reference binary"
+    best = None
+    for _ in range(3):
+        t0 = time.monotonic()
+        subprocess.run([PERF_BIN, "-i", STREAM_RA, "-o", "/dev/null",
+                        "-t", "8", "-e", "8"], check=True,
+                       capture_output=True)
+        d = time.monotonic() - t0
+        best = d if best is None else min(best, d)
+    return {"ra_fps": round(len(frames) / dt, 3),
+            "ra_ref_fps_8thread": round(len(frames) / best, 2)}
 
 
 def measure_ref_fps():
@@ -80,9 +117,13 @@ def main():
     ref_fps = measure_ref_fps()
     extra = {}
     try:
-        extra = bench_pallas_mc()
+        extra.update(bench_ra())
+    except Exception as e:
+        extra["ra_error"] = str(e)[:120]
+    try:
+        extra.update(bench_pallas_mc())
     except Exception as e:  # pragma: no cover - device-dependent
-        extra = {"pallas_mc_error": str(e)[:120]}
+        extra["pallas_mc_error"] = str(e)[:120]
     print(json.dumps({
         "metric": "end-to-end 1080p decode (bit-exact, host parse + batched recon/filters)",
         "value": round(fps, 3),

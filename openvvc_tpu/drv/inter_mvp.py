@@ -116,6 +116,7 @@ class InterCtx:
         self.rpl0_opp = [0xFF] * 16
         self.rpl1_opp = [0xFF] * 16
         self.tmvp_enabled = False
+        self.col_ref_l0 = True  # ph/sh collocated_from_l0 || P slice
         self.prec_amvr = MV_PRECISION_QUARTER
         # own-picture TMVP field (8x8 grid), exported to the DPB after decode
         self.tmvp_mv0: dict[tuple[int, int], MV] = {}
@@ -212,15 +213,17 @@ class InterCtx:
 
     def derive_tmvp_amvp(self, lst: int, ref_idx: int, ux, uy, nw, nh,
                          prec_amvr) -> MV | None:
-        """derive_tmvp_cand parity (:403); col_ref_l0 is always 0 in the
-        reference, so branch selection reduces to !ldc || lst==0."""
+        """derive_tmvp_cand parity (:403,431-433): collocated-plane probe
+        order is (!col_ref_l0 && !ldc) || (ldc && lst==0) -> plane 0
+        first, else plane 1 first (col_ref_l0 = ph/sh collocated_from_l0
+        || P slice, slicedec.c:1441-1443)."""
         c1x, c1y = (ux + (nw >> 1)) & ~1, (uy + (nh >> 1)) & ~1
         c0x, c0y = (ux + nw) & ~1, (uy + nh) & ~1
         a_c0 = self._col_avail(0, c0x, c0y, uy, ux)
         a_c01 = self._col_avail(1, c0x, c0y, uy, ux)
         a_c1 = self._col_avail(0, c1x, c1y, uy, ux)
         a_c11 = self._col_avail(1, c1x, c1y, uy, ux)
-        if (not self.ldc) or lst == 0:
+        if ((not self.col_ref_l0) and not self.ldc) or (self.ldc and lst == 0):
             order = ((a_c0, 0, c0x, c0y), (a_c01, 1, c0x, c0y),
                      (a_c1, 0, c1x, c1y), (a_c11, 1, c1x, c1y))
         else:
@@ -247,8 +250,9 @@ class InterCtx:
         return None
 
     def derive_tmvp_merge_b(self, ux, uy, nw, nh):
-        """TMVP merge candidate, B path (vvc_derive_merge_mvp_b): bi
-        candidate from c0 (both-plane aware) else c1."""
+        """TMVP merge candidate, B path (vvc_derive_merge_mvp_b :1050-1250):
+        bi candidate from c0 (both-plane aware) else c1; !col_ref_l0
+        prefers the plane-0 MV, col_ref_l0 the plane-1 MV."""
         c1x, c1y = (ux + (nw >> 1)) & ~1, (uy + (nh >> 1)) & ~1
         c0x, c0y = (ux + nw) & ~1, (uy + nh) & ~1
         for (a0, a1, cx, cy) in (
@@ -256,7 +260,9 @@ class InterCtx:
                  self._col_avail(1, c0x, c0y, uy, ux), c0x, c0y),
                 (self._col_avail(0, c1x, c1y, uy, ux),
                  self._col_avail(1, c1x, c1y, uy, ux), c1x, c1y)):
-            if a0 or a1:
+            if not (a0 or a1):
+                continue
+            if not self.col_ref_l0:
                 if a0:
                     mv0 = self._tmvp_scaled(0, 0, 0, cx, cy)
                     if a1 and self.ldc:
@@ -266,7 +272,17 @@ class InterCtx:
                 else:
                     mv0 = self._tmvp_scaled(0, 0, 1, cx, cy)
                     mv1 = self._tmvp_scaled(1, 0, 1, cx, cy)
-                return MergeInfo(3, mv0, mv1)
+            else:
+                if a1:
+                    mv1 = self._tmvp_scaled(1, 0, 1, cx, cy)
+                    if a0 and self.ldc:
+                        mv0 = self._tmvp_scaled(0, 0, 0, cx, cy)
+                    else:
+                        mv0 = self._tmvp_scaled(0, 0, 1, cx, cy)
+                else:
+                    mv0 = self._tmvp_scaled(0, 0, 0, cx, cy)
+                    mv1 = self._tmvp_scaled(1, 0, 0, cx, cy)
+            return MergeInfo(3, mv0, mv1)
         return None
 
     # -- AMVP (derive_mvp_candidates_1 :542) ----------------------------

@@ -193,8 +193,8 @@ class _EntryParamsC(ctypes.Structure):
         "nb_active_ref1", "mvd1_zero",
     )] + [("rpl0_opp", ctypes.c_int32 * 16), ("rpl1_opp", ctypes.c_int32 * 16)] \
       + [(n, ctypes.c_int32) for n in (
-          "tmvp_enabled", "tmvp_ldc", "col_uw", "col_uh", "col_uw8",
-          "col_uh8",
+          "tmvp_enabled", "tmvp_ldc", "col_ref_l0", "col_uw", "col_uh",
+          "col_uw8", "col_uh8",
       )] + [(n, ctypes.c_int32 * 16) for n in (
           "dist_ref0", "dist_ref1", "dist_col0", "dist_col1")]
 
@@ -415,6 +415,10 @@ def parse_entry_native_raw(params, entry):
             dense = col_obj.resolve_dense()
             ep.tmvp_enabled = 1
             ep.tmvp_ldc = int(not any(dd > 0 for dd in d0 + d1))
+            ep.col_ref_l0 = int(bool(
+                g(ph, "ph_collocated_from_l0_flag")
+                or g(sh, "sh_collocated_from_l0_flag")
+                or params.slice_type == 1))
             ep.col_uh, ep.col_uw = dense[0].shape
             ep.col_uh8, ep.col_uw8 = dense[2].shape[:2]
             for i, dd in enumerate(d0[:16]):

@@ -86,7 +86,7 @@ typedef struct {
     int32_t rpl0_opp[16], rpl1_opp[16]; /* opposite-list ref with same POC
                                            delta, 0xFF if none */
     /* TMVP (collocated picture planes are passed as ov_parse_entry args) */
-    int32_t tmvp_enabled, tmvp_ldc;
+    int32_t tmvp_enabled, tmvp_ldc, col_ref_l0;
     int32_t col_uw, col_uh;   /* picture 4x4-unit grid dims */
     int32_t col_uw8, col_uh8; /* picture 8x8 MV grid dims */
     int32_t dist_ref0[16], dist_ref1[16]; /* current-slice ref distances */

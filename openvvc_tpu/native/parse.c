@@ -997,7 +997,10 @@ static int derive_tmvp_amvp(const Pc *p, int lst, int ref_idx, int ux,
     int a_c1 = col_avail(p, 0, c1x, c1y, uy, ux);
     int a_c11 = col_avail(p, 1, c1x, c1y, uy, ux);
     int av[4], cl[4], px[4], py[4];
-    if (!p->ep->tmvp_ldc || lst == 0) {
+    /* drv_mvp.c :431-433: plane-0-first iff (!col_ref_l0 && !ldc) ||
+     * (ldc && lst == 0) */
+    if ((!p->ep->col_ref_l0 && !p->ep->tmvp_ldc)
+        || (p->ep->tmvp_ldc && lst == 0)) {
         av[0] = a_c0;  cl[0] = 0; px[0] = c0x; py[0] = c0y;
         av[1] = a_c01; cl[1] = 1; px[1] = c0x; py[1] = c0y;
         av[2] = a_c1;  cl[2] = 0; px[2] = c1x; py[2] = c1y;
@@ -1268,14 +1271,26 @@ static MIc derive_merge_mvp_b(Pc *p, int ux, int uy, int nw, int nh,
             int cx = pick ? c1x : c0x, cy = pick ? c1y : c0y;
             MIc t;
             t.dir = 3;
-            if (a0) {
-                t.mv0 = tmvp_scaled(p, 0, 0, 0, cx, cy, -1);
-                t.mv1 = (a1 && p->ep->tmvp_ldc)
-                            ? tmvp_scaled(p, 1, 0, 1, cx, cy, -1)
-                            : tmvp_scaled(p, 1, 0, 0, cx, cy, -1);
+            if (!p->ep->col_ref_l0) {
+                if (a0) {
+                    t.mv0 = tmvp_scaled(p, 0, 0, 0, cx, cy, -1);
+                    t.mv1 = (a1 && p->ep->tmvp_ldc)
+                                ? tmvp_scaled(p, 1, 0, 1, cx, cy, -1)
+                                : tmvp_scaled(p, 1, 0, 0, cx, cy, -1);
+                } else {
+                    t.mv0 = tmvp_scaled(p, 0, 0, 1, cx, cy, -1);
+                    t.mv1 = tmvp_scaled(p, 1, 0, 1, cx, cy, -1);
+                }
             } else {
-                t.mv0 = tmvp_scaled(p, 0, 0, 1, cx, cy, -1);
-                t.mv1 = tmvp_scaled(p, 1, 0, 1, cx, cy, -1);
+                if (a1) {
+                    t.mv1 = tmvp_scaled(p, 1, 0, 1, cx, cy, -1);
+                    t.mv0 = (a0 && p->ep->tmvp_ldc)
+                                ? tmvp_scaled(p, 0, 0, 0, cx, cy, -1)
+                                : tmvp_scaled(p, 0, 0, 1, cx, cy, -1);
+                } else {
+                    t.mv0 = tmvp_scaled(p, 0, 0, 0, cx, cy, -1);
+                    t.mv1 = tmvp_scaled(p, 1, 0, 0, cx, cy, -1);
+                }
             }
             cand[ncand++] = t;
             if (ncand - 1 == merge_idx) return t;

@@ -292,6 +292,11 @@ class CTUParseCtx:
                 col = getattr(params, "_tmvp_col", None)
                 self.inter_ctx.tmvp_enabled = True
                 self.inter_ctx.ldc = ldc
+                # slicedec.c :1441-1443
+                self.inter_ctx.col_ref_l0 = bool(
+                    getattr(ph, "ph_collocated_from_l0_flag", 0)
+                    or getattr(sh, "sh_collocated_from_l0_flag", 0)
+                    or self.slice_type == 1)
                 self.inter_ctx.log2_ctb_units = self.log2_ctb - 2
                 self.inter_ctx.col = col
                 self.inter_ctx.tile_uoff = (self.tile_x0 >> 2, self.tile_y0 >> 2)

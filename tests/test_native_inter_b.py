@@ -101,3 +101,31 @@ def test_native_p_tmvp_bit_exact():
         I, P([1], 1), P([1, 2], 2), P([1, 3], 3)])
     hits, dn, fn = _native_vs_python(stream)
     assert hits[0] == 4 and hits[1] == 0, hits
+
+
+@pytest.mark.skipif(not os.path.exists("/tmp/refbuild/dectest"),
+                    reason="no oracle binary")
+def test_ra_pyramid_tmvp_col_ref_l0_oracle():
+    """RA GOP-4 pyramid where the collocated picture is itself a B frame:
+    pins the collocated-plane probe order (col_ref_l0, drv_mvp.c:431-433 /
+    slicedec.c:1441-1443) — with sh_collocated_from_l0 and not low-delay
+    the reference prefers the LIST-1 collocated plane."""
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import gen_bench_stream as g
+
+    rng = np.random.RandomState(7)
+    cfg = StreamConfig(width=256, height=128, deblocking=True, sao=True,
+                       tmvp=True, amvr=True)
+    I = {"tree_builder": g._qt_tree(
+        lambda x, y, l: g._intra_cu(rng, x, y, l), 5)}
+    specs = g.ra_frame_specs(9, rng, 4, g._qt_tree)
+    stream = build_stream_frames(cfg, [I] + specs)
+    ref = decode_with_oracle(stream)
+    dec = Decoder()
+    mine = b"".join(f.to_yuv_bytes()
+                    for f in dec.output_order(dec.decode(stream)))
+    assert mine == ref
+    dec2 = Decoder(use_native_recon=False)
+    mine2 = b"".join(f.to_yuv_bytes()
+                     for f in dec2.output_order(dec2.decode(stream)))
+    assert mine2 == ref

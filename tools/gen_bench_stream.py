@@ -59,7 +59,7 @@ def _intra_cu(rng, x, y, log2):
     return cu
 
 
-def _inter_cu(rng, x, y, log2):
+def _inter_cu(rng, x, y, log2, nb_ref0=1, nb_ref1=0):
     from openvvc_tpu.vcl.ctu import TU
 
     cu = CU(x, y, log2, log2)
@@ -75,14 +75,51 @@ def _inter_cu(rng, x, y, log2):
         cu.merge_idx = int(rng.randint(0, 5))
     else:
         cu.merge_flag = 0
-        cu.ref_idx = 0
+        cu.ref_idx = int(rng.randint(0, nb_ref0))
         cu.mvd = (int(rng.randint(-24, 25)), int(rng.randint(-24, 25)))
         cu.mvp_idx = int(rng.randint(0, 2))
+        if nb_ref1:
+            cu.inter_dir = int(rng.choice([1, 2, 3]))
+            cu.ref_idx1 = int(rng.randint(0, nb_ref1))
+            cu.mvd1 = (int(rng.randint(-24, 25)), int(rng.randint(-24, 25)))
+            cu.mvp_idx1 = int(rng.randint(0, 2))
     lv = _sparse(rng, log2, log2, p=0.05, mag=8)
     if lv.any():
         cu.tus.append(TU(x, y, log2, log2, 0, cbf=1, levels=lv,
                          last_pos=_find_last(lv, log2, log2)))
     return cu
+
+
+def ra_frame_specs(nb_frames, rng, leaf_inter, qt_tree):
+    """Random-access GOP-4 B-pyramid frame specs with decode != display
+    order (the JVET CTC RA structure scaled down): per GOP
+    P(poc+4) <- B(poc+2) <- B(poc+1), B(poc+3)."""
+    def inter(nb0, nb1):
+        return qt_tree(lambda x, y, l: _inter_cu(rng, x, y, l, nb0, nb1),
+                       leaf_inter)
+
+    specs = []
+    poc = 0
+    while len(specs) + 1 < nb_frames:
+        base = poc
+        gop = [
+            ({"slice_type": 1, "poc": base + 4,
+              "ref_deltas": [4, 8] if base else [4]},
+             (2 if base else 1, 0)),
+            ({"slice_type": 0, "poc": base + 2, "ref_deltas": [2],
+              "ref_deltas1": [-2]}, (1, 1)),
+            ({"slice_type": 0, "poc": base + 1, "ref_deltas": [1],
+              "ref_deltas1": [-1, -3]}, (1, 2)),
+            ({"slice_type": 0, "poc": base + 3, "ref_deltas": [1, 3],
+              "ref_deltas1": [-1]}, (2, 1)),
+        ]
+        for spec, (n0, n1) in gop:
+            if len(specs) + 1 >= nb_frames:
+                break
+            spec["tree_builder"] = inter(n0, n1)
+            specs.append(spec)
+        poc += 4
+    return specs
 
 
 def _qt_tree(cu_factory, leaf_log2):
@@ -112,6 +149,8 @@ def main():
     ap.add_argument("--leaf-intra", type=int, default=5)
     ap.add_argument("--leaf-inter", type=int, default=4)
     ap.add_argument("--seed", type=int, default=7)
+    ap.add_argument("--gop", choices=["lowdelay", "ra"], default="lowdelay",
+                    help="ra = GOP-4 B pyramid with TMVP + AMVR")
     ap.add_argument("--out", default="/tmp/bench_1080p.266")
     args = ap.parse_args()
 
@@ -125,17 +164,21 @@ def main():
         per = nctu_w // args.tiles
         tile_cols = [per] * (args.tiles - 1) + [nctu_w - per * (args.tiles - 1)]
     cfg = StreamConfig(width=w, height=h, deblocking=True, sao=True,
-                       tile_cols=tile_cols)
+                       tile_cols=tile_cols,
+                       tmvp=args.gop == "ra", amvr=args.gop == "ra")
 
     frames = [{"tree_builder": _qt_tree(lambda x, y, l: _intra_cu(rng, x, y, l),
                                         args.leaf_intra)}]
-    for i in range(1, args.frames):
-        frames.append({
-            "tree_builder": _qt_tree(lambda x, y, l: _inter_cu(rng, x, y, l),
-                                     args.leaf_inter),
-            "slice_type": 1,
-            "ref_deltas": [1],
-        })
+    if args.gop == "ra":
+        frames += ra_frame_specs(args.frames, rng, args.leaf_inter, _qt_tree)
+    else:
+        for i in range(1, args.frames):
+            frames.append({
+                "tree_builder": _qt_tree(lambda x, y, l: _inter_cu(rng, x, y, l),
+                                         args.leaf_inter),
+                "slice_type": 1,
+                "ref_deltas": [1],
+            })
     stream = build_stream_frames(cfg, frames)
     with open(args.out, "wb") as f:
         f.write(stream)
