@@ -1171,23 +1171,50 @@ class _LazyTmvp:
 
     def resolve_dense(self):
         """(dir0, dir1, mv0, mv1) with dense (uh8, uw8, 3) int32 MV grids
-        — the C parser's collocated-field form."""
+        — the C parser's collocated-field form. Built straight from the
+        per-entry raw tile arrays (no dict round-trip) when the source
+        entries were natively parsed."""
         if self._dense is None:
-            acc = self.resolve()
-            d0, d1 = acc[0], acc[1]
-            uh, uw = d0.shape
+            pps = self._pps
+            uw, uh = (pps.pic_w + 3) >> 2, (pps.pic_h + 3) >> 2
             uw8, uh8 = (uw + 1) >> 1, (uh + 1) >> 1
+            dir0 = np.zeros((uh, uw), np.uint8)
+            dir1 = np.zeros((uh, uw), np.uint8)
             a0 = np.zeros((uh8, uw8, 3), np.int32)
             a1 = np.zeros_like(a0)
-            for (x, y), mv in acc[2].items():
-                if 0 <= y < uh8 and 0 <= x < uw8:
-                    a0[y, x] = (mv.x, mv.y, mv.ref_idx)
-            for (x, y), mv in acc[3].items():
-                if 0 <= y < uh8 and 0 <= x < uw8:
-                    a1[y, x] = (mv.x, mv.y, mv.ref_idx)
-            self._dense = (np.ascontiguousarray(d0),
-                           np.ascontiguousarray(d1), a0, a1)
+            for ectx in self._ectxs:
+                ictx = ectx.inter_ctx
+                ox, oy = ectx.tile_x0 >> 2, ectx.tile_y0 >> 2
+                jh, iw = min(ictx.uh, uh - oy), min(ictx.uw, uw - ox)
+                dir0[oy:oy + jh, ox:ox + iw] = np.asarray(ictx.dir0)[:jh, :iw]
+                dir1[oy:oy + jh, ox:ox + iw] = np.asarray(ictx.dir1)[:jh, :iw]
+                ox8, oy8 = ox >> 1, oy >> 1
+                raw0 = getattr(ictx, "_mv0_raw", None)
+                if raw0 is not None:  # native tile: dense already
+                    raw1 = ictx._mv1_raw
+                    j8 = min(raw0.shape[0], uh8 - oy8)
+                    i8 = min(raw0.shape[1], uw8 - ox8)
+                    a0[oy8:oy8 + j8, ox8:ox8 + i8] = raw0[:j8, :i8]
+                    if raw1 is not None:
+                        a1[oy8:oy8 + j8, ox8:ox8 + i8] = raw1[:j8, :i8]
+                else:  # Python-parsed tile: dict form
+                    for (x, y), mv in ictx.tmvp_mv0.items():
+                        if 0 <= oy8 + y < uh8 and 0 <= ox8 + x < uw8:
+                            a0[oy8 + y, ox8 + x] = (mv.x, mv.y, mv.ref_idx)
+                    for (x, y), mv in ictx.tmvp_mv1.items():
+                        if 0 <= oy8 + y < uh8 and 0 <= ox8 + x < uw8:
+                            a1[oy8 + y, ox8 + x] = (mv.x, mv.y, mv.ref_idx)
+            # DMVR-refined MV overrides (prediction_unit_inter_b :2610)
+            for (gx, gy, m0, m1) in self._dmvr:
+                if 0 <= gy < uh8 and 0 <= gx < uw8:
+                    a0[gy, gx] = (m0.x, m0.y, m0.ref_idx)
+                    a1[gy, gx] = (m1.x, m1.y, m1.ref_idx)
+            self._dense = (dir0, dir1, a0, a1)
         return self._dense
+
+    @property
+    def sd(self):
+        return self._sd0, self._sd1
 
     def resolve(self):
         if self._val is None:
@@ -1200,7 +1227,6 @@ class _LazyTmvp:
                 acc[2][(gx, gy)] = m0
                 acc[3][(gx, gy)] = m1
             self._val = acc[:4] + (self._sd0, self._sd1)
-            self._ectxs = None  # release the parse contexts
         return self._val
 
 
@@ -1365,9 +1391,12 @@ class Decoder:
                 col_f = (refs0 if from_l0 else refs1)[cidx]
                 col = getattr(col_f, "tmvp", None)
                 if col is not None:
-                    params._tmvp_col_obj = col  # dense form for the C parse
-                    params._tmvp_col = (col.resolve()
-                                        if hasattr(col, "resolve") else col)
+                    if hasattr(col, "resolve"):
+                        # dict form resolves lazily in CTUParseCtx (Python
+                        # parse fallback); the C parse uses resolve_dense
+                        params._tmvp_col_obj = col
+                    else:
+                        params._tmvp_col = col
 
         tools = {
             "bdof": bool(getattr(sps, "sps_bdof_enabled_flag", 0))

@@ -411,7 +411,7 @@ def parse_entry_native_raw(params, entry):
         col_obj = getattr(params, "_tmvp_col_obj", None)
         if (g(ph, "ph_temporal_mvp_enabled_flag") and col_obj is not None
                 and hasattr(col_obj, "resolve_dense")):
-            colv = col_obj.resolve()
+            colv = (None, None, None, None) + col_obj.sd
             dense = col_obj.resolve_dense()
             ep.tmvp_enabled = 1
             ep.tmvp_ldc = int(not any(dd > 0 for dd in d0 + d1))

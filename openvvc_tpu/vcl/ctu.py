@@ -290,6 +290,10 @@ class CTUParseCtx:
             if self.tmvp_enabled:
                 ldc = not any(d > 0 for d in d0 + d1)
                 col = getattr(params, "_tmvp_col", None)
+                if col is None:
+                    obj = getattr(params, "_tmvp_col_obj", None)
+                    if obj is not None:
+                        col = obj.resolve()
                 self.inter_ctx.tmvp_enabled = True
                 self.inter_ctx.ldc = ldc
                 # slicedec.c :1441-1443
