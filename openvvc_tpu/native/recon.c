@@ -19,9 +19,26 @@
 #include <stdint.h>
 #include <stdlib.h>
 #include <string.h>
+#include <time.h>
 
 #include "ov_shared.h"
 #include "tables.h"
+
+/* ---- stage profiling (ov_prof_read from Python; thread-safe adds) ---- */
+enum { PROF_INTRA, PROF_INTER, PROF_RESID, PROF_DBFMAP, PROF_MCL, PROF_MCC, PROF_WR, PROF_N };
+static int64_t ov_prof_ns[PROF_N];
+static inline int64_t prof_now(void)
+{
+    struct timespec ts;
+    clock_gettime(CLOCK_MONOTONIC, &ts);
+    return ts.tv_sec * 1000000000LL + ts.tv_nsec;
+}
+static inline void prof_add(int idx, int64_t t0)
+{
+    __atomic_fetch_add(&ov_prof_ns[idx], prof_now() - t0, __ATOMIC_RELAXED);
+}
+int64_t ov_prof_read(int idx) { return idx < PROF_N ? ov_prof_ns[idx] : 0; }
+void ov_prof_reset(void) { memset(ov_prof_ns, 0, sizeof ov_prof_ns); }
 
 #define OVINTRA_DIA_ 34
 #define TR_DCT2 0
@@ -496,12 +513,14 @@ static void dequant_c(const int32_t *lv, int n, int qp, int l2w, int l2h,
     if (shift >= 0) {
         int64_t add = ((int64_t)1 << shift) >> 1;
         for (int i = 0; i < n; i++) {
+            if (!lv[i]) { out[i] = 0; continue; }
             int64_t v = ((int64_t)lv[i] * scale + add) >> shift;
             out[i] = iclamp((int)v, -32767, 32767);
         }
     } else {
         int64_t s2 = (int64_t)scale << -shift;
         for (int i = 0; i < n; i++) {
+            if (!lv[i]) { out[i] = 0; continue; }
             int64_t v = (int64_t)lv[i] * s2;
             out[i] = v < -32767 ? -32767 : (v > 32767 ? 32767 : (int32_t)v);
         }
@@ -558,22 +577,44 @@ static void inv_transform_2d(const int32_t *d, int l2w, int l2h, int tr_h,
         kx_max = imin(4 * sbx_max + 3, w - 1);
         ky_max = imin(4 * sby_max + 3, h - 1);
     }
-    for (int x = 0; x <= kx_max; x++) {
+    /* Pass 1 (vertical) as rank-1 updates: for each nonzero input
+     * coefficient d[k][x], add d*column(mv,k) into acc[x][.]. The inner
+     * loop is contiguous over y (autovectorizes) and zero coefficients —
+     * the common case for sparse residuals — are skipped entirely. */
+    int nx = kx_max + 1;
+    memset(tmp, 0, (size_t)nx * h * sizeof(*tmp));
+    for (int k = 0; k <= ky_max; k++) {
+        const int16_t *restrict mvk = mv + k * h;
+        const int32_t *restrict dk = d + k * w;
+        for (int x = 0; x < nx; x++) {
+            int32_t c = dk[x];
+            if (!c)
+                continue;
+            int32_t *restrict a = tmp + x * h;
+            for (int y = 0; y < h; y++)
+                a[y] += c * mvk[y];
+        }
+    }
+    for (int i = 0; i < nx * h; i++)
+        tmp[i] = iclamp((tmp[i] + add1) >> shift1, -32768, 32767);
+
+    /* Pass 2 (horizontal), same shape: out[y][.] += tmp[kx][y]*row(mh,kx) */
+    int32_t acc2[64 * 64];
+    memset(acc2, 0, (size_t)h * w * sizeof(*acc2));
+    for (int kx = 0; kx < nx; kx++) {
+        const int16_t *restrict mhk = mh + kx * w;
+        const int32_t *restrict tk = tmp + kx * h;
         for (int y = 0; y < h; y++) {
-            int32_t acc = 0;
-            for (int k = 0; k <= ky_max; k++)
-                acc += d[k * w + x] * mv[k * h + y];
-            tmp[x * h + y] = iclamp((acc + add1) >> shift1, -32768, 32767);
+            int32_t c = tk[y];
+            if (!c)
+                continue;
+            int32_t *restrict o = acc2 + y * w;
+            for (int x = 0; x < w; x++)
+                o[x] += c * mhk[x];
         }
     }
-    for (int y = 0; y < h; y++) {
-        for (int x = 0; x < w; x++) {
-            int32_t acc = 0;
-            for (int kx = 0; kx <= kx_max; kx++)
-                acc += tmp[kx * h + y] * mh[kx * w + x];
-            out[y * w + x] = iclamp((acc + add2) >> shift2, -32768, 32767);
-        }
-    }
+    for (int i = 0; i < h * w; i++)
+        out[i] = iclamp((acc2[i] + add2) >> shift2, -32768, 32767);
 }
 
 static void recon_tu_residual_c(const Rc *r, const int32_t *t, int intra,
@@ -581,6 +622,7 @@ static void recon_tu_residual_c(const Rc *r, const int32_t *t, int intra,
 {
     int l2w = t[TU_F_LOG2W], l2h = t[TU_F_LOG2H];
     int n = 1 << (l2w + l2h);
+    int64_t pt0 = prof_now();
     int32_t dq[64 * 64];
     dequant_c(r->coef_buf + t[TU_F_COEF], n, t[TU_F_QP], l2w, l2h,
               r->ep->dep_quant, r->ep->bitdepth, dq);
@@ -589,6 +631,7 @@ static void recon_tu_residual_c(const Rc *r, const int32_t *t, int intra,
     uint64_t sig = ((uint64_t)(uint32_t)t[TU_F_SIGHI] << 32)
                    | (uint32_t)t[TU_F_SIGLO];
     inv_transform_2d(dq, l2w, l2h, tr_h, tr_v, r->ep->bitdepth, sig, res);
+    prof_add(PROF_RESID, pt0);
 }
 
 /* ---- motion compensation (rcn/ref_mc.py parity) ---------------------- */
@@ -628,6 +671,88 @@ static void mc_block_c(const int32_t *plane, int W, int H, int stride,
     }
     int shift = 14 - bitdepth;
     int round = 1 << (shift - 1);
+
+    /* Interior fast paths: when the full filter support lies inside the
+     * picture, run clean contiguous loops (no per-sample clamping) that
+     * the compiler vectorizes. Border blocks use the clamped path below. */
+    int ix = fh ? (x0 - before >= 0 && x0 - before + w + taps - 1 <= W)
+                : (x0 >= 0 && x0 + w <= W);
+    int iy = fv ? (y0 - before >= 0 && y0 - before + h + taps - 1 <= H)
+                : (y0 >= 0 && y0 + h <= H);
+    if (ix && iy) {
+        if (fv == 0) { /* copy handled above; here fh != 0 */
+            const int32_t *src = plane + (int64_t)y0 * stride + x0 - before;
+#define H_ROW(T)                                                           \
+            for (int j = 0; j < h; j++) {                                  \
+                const int32_t *restrict row = src + (int64_t)j * stride;   \
+                int32_t *restrict o = dst + (int64_t)j * dstride;          \
+                for (int i = 0; i < w; i++) {                              \
+                    int32_t acc = 0;                                       \
+                    for (int k = 0; k < (T); k++)                          \
+                        acc += fh[k] * row[i + k];                         \
+                    acc >>= sh1;                                           \
+                    o[i] = out14 ? acc                                     \
+                                 : bdclip((acc + round) >> shift, bd_max); \
+                }                                                          \
+            }
+            if (taps == 8) { H_ROW(8) } else { H_ROW(4) }
+#undef H_ROW
+            return;
+        }
+        if (fh == 0) {
+            const int32_t *src = plane + (int64_t)(y0 - before) * stride + x0;
+#define V_ROW(T)                                                           \
+            for (int j = 0; j < h; j++) {                                  \
+                const int32_t *restrict row = src + (int64_t)j * stride;   \
+                int32_t *restrict o = dst + (int64_t)j * dstride;          \
+                for (int i = 0; i < w; i++) {                              \
+                    int32_t acc = 0;                                       \
+                    for (int k = 0; k < (T); k++)                          \
+                        acc += fv[k] * row[(int64_t)k * stride + i];       \
+                    acc >>= sh1;                                           \
+                    o[i] = out14 ? acc                                     \
+                                 : bdclip((acc + round) >> shift, bd_max); \
+                }                                                          \
+            }
+            if (taps == 8) { V_ROW(8) } else { V_ROW(4) }
+#undef V_ROW
+            return;
+        }
+        /* hv separable */
+        int16_t tmp[(64 + 8) * 64];
+        int th = h + taps - 1;
+        const int32_t *src =
+            plane + (int64_t)(y0 - before) * stride + x0 - before;
+#define HV_H(T)                                                            \
+        for (int j = 0; j < th; j++) {                                    \
+            const int32_t *restrict row = src + (int64_t)j * stride;      \
+            int16_t *restrict o = tmp + j * w;                            \
+            for (int i = 0; i < w; i++) {                                 \
+                int32_t acc = 0;                                          \
+                for (int k = 0; k < (T); k++)                             \
+                    acc += fh[k] * row[i + k];                            \
+                o[i] = (int16_t)(acc >> sh1);                             \
+            }                                                             \
+        }
+        if (taps == 8) { HV_H(8) } else { HV_H(4) }
+#undef HV_H
+#define HV_V(T)                                                            \
+        for (int j = 0; j < h; j++) {                                     \
+            const int16_t *restrict ti = tmp + j * w;                     \
+            int32_t *restrict o = dst + (int64_t)j * dstride;             \
+            for (int i = 0; i < w; i++) {                                 \
+                int32_t acc = 0;                                          \
+                for (int k = 0; k < (T); k++)                             \
+                    acc += fv[k] * ti[k * w + i];                         \
+                acc >>= 6;                                                \
+                o[i] = out14 ? acc                                        \
+                             : bdclip((acc + round) >> shift, bd_max);    \
+            }                                                             \
+        }
+        if (taps == 8) { HV_V(8) } else { HV_V(4) }
+#undef HV_V
+        return;
+    }
 
     if (fv == 0) {
         for (int j = 0; j < h; j++) {
@@ -1007,6 +1132,7 @@ static void recon_inter_cu(Rc *r, const int32_t *cu)
     const int32_t *const *pcr0 = lst ? r->ref1_cr : r->ref_cr;
 
     /* luma */
+    int64_t mt0 = prof_now();
     if (inter_dir == 3) {
         mc_block_c(py0[ref0], e->pic_w, e->pic_h, e->pic_w, pred, w,
                    x0 + (m0x >> 4), y0 + (m0y >> 4), m0x & 15, m0y & 15,
@@ -1020,9 +1146,12 @@ static void recon_inter_cu(Rc *r, const int32_t *cu)
                  x0 + (m0x >> 4), y0 + (m0y >> 4), m0x & 15, m0y & 15, w, h,
                  bd, 1, hpel, bd_max);
     }
+    prof_add(PROF_MCL, mt0);
+    mt0 = prof_now();
     for (int j = 0; j < h; j++)
         for (int i = 0; i < w; i++)
             r->fy[(y0 + j) * e->pic_w + x0 + i] = pred[j * w + i];
+    prof_add(PROF_WR, mt0);
 
     /* luma residuals (_add_luma_residuals parity) */
     int tu0 = cu[CU_F_TU0], ntu = cu[CU_F_NTU];
@@ -1047,6 +1176,7 @@ static void recon_inter_cu(Rc *r, const int32_t *cu)
     int cs = e->pic_w >> 1;
     int cx0 = x0 >> 1, cy0 = y0 >> 1;
     int cw = w >> 1, ch = h >> 1;
+    mt0 = prof_now();
     for (int comp = 1; comp <= 2; comp++) {
         const int32_t *rpl = (comp == 1 ? pcb0 : pcr0)[ref0];
         int32_t *dst = comp == 1 ? r->fcb : r->fcr;
@@ -1069,6 +1199,7 @@ static void recon_inter_cu(Rc *r, const int32_t *cu)
             for (int i = 0; i < cw; i++)
                 dst[(cy0 + j) * cs + cx0 + i] = pred[j * cw + i];
     }
+    prof_add(PROF_MCC, mt0);
 
     /* chroma residuals (_add_chroma_residuals parity) */
     int csign = r->rp->csign;
@@ -1193,6 +1324,7 @@ int64_t ov_recon_entry(const EntryParams *ep, const ReconParams *rp,
         int x0 = c[CU_F_X0], y0 = c[CU_F_Y0];
         int w = 1 << c[CU_F_LOG2W], h = 1 << c[CU_F_LOG2H];
         int intra = c[CU_F_PRED] == MODE_INTRA;
+        int64_t pt0 = prof_now();
         if (dbf_on) {
             dbf_add_cu_luma(&rc, x0, y0, w, h, c[CU_F_QP], intra);
             if (!intra) {
@@ -1234,10 +1366,15 @@ int64_t ov_recon_entry(const EntryParams *ep, const ReconParams *rp,
                 }
             }
         }
-        if (intra)
+        prof_add(PROF_DBFMAP, pt0);
+        pt0 = prof_now();
+        if (intra) {
             recon_intra_cu(&rc, c);
-        else
+            prof_add(PROF_INTRA, pt0);
+        } else {
             recon_inter_cu(&rc, c);
+            prof_add(PROF_INTER, pt0);
+        }
     }
 
     free(rc.avail_l);
