@@ -34,17 +34,21 @@ static void sao_band(int32_t *dst, const int32_t *src, int stride, int y0,
                      int x0, int h, int w, const int32_t *offsets,
                      int band_pos, int bitdepth)
 {
-    int32_t table[32];
-    memset(table, 0, sizeof(table));
-    for (int k = 0; k < 4; k++)
-        table[(k + band_pos) & 31] = offsets[k];
+    /* only 4 consecutive bands (mod 32) carry offsets: select by distance
+     * from band_pos instead of a table gather so the loop vectorizes */
     int shift = bitdepth - 5;
     int bd_max = (1 << bitdepth) - 1;
+    int o0 = offsets[0], o1 = offsets[1], o2 = offsets[2], o3 = offsets[3];
     for (int j = 0; j < h; j++) {
-        const int32_t *s = src + (y0 + j) * stride + x0;
-        int32_t *d = dst + (y0 + j) * stride + x0;
-        for (int i = 0; i < w; i++)
-            d[i] = iclamp__(s[i] + table[s[i] >> shift], 0, bd_max);
+        const int32_t *restrict s = src + (y0 + j) * stride + x0;
+        int32_t *restrict d = dst + (y0 + j) * stride + x0;
+        for (int i = 0; i < w; i++) {
+            int v = s[i];
+            int t = ((v >> shift) - band_pos) & 31;
+            int off = o0 * (t == 0) + o1 * (t == 1) + o2 * (t == 2)
+                      + o3 * (t == 3);
+            d[i] = iclamp__(v + off, 0, bd_max);
+        }
     }
 }
 
@@ -68,14 +72,20 @@ static void sao_edge(int32_t *dst, const int32_t *src, int stride, int y0,
     int ax = EO_POS[eo][0][0], ay = EO_POS[eo][0][1];
     int bx = EO_POS[eo][1][0], by = EO_POS[eo][1][1];
     int bd_max = (1 << bitdepth) - 1;
+    int o0 = offsets[0], o1 = offsets[1], o2 = offsets[2];
+    int o3 = offsets[3], o4 = offsets[4];
     for (int j = 0; j < h; j++) {
-        const int32_t *s = src + (y0 + j) * stride + x0;
-        const int32_t *na = s + ay * stride + ax;
-        const int32_t *nb = s + by * stride + bx;
-        int32_t *d = dst + (y0 + j) * stride + x0;
+        const int32_t *restrict s = src + (y0 + j) * stride + x0;
+        const int32_t *restrict na = s + ay * stride + ax;
+        const int32_t *restrict nb = s + by * stride + bx;
+        int32_t *restrict d = dst + (y0 + j) * stride + x0;
         for (int i = 0; i < w; i++) {
-            int idx = 2 + sgn__(s[i] - na[i]) + sgn__(s[i] - nb[i]);
-            d[i] = iclamp__(s[i] + offsets[idx], 0, bd_max);
+            int v = s[i];
+            int da = v - na[i], db = v - nb[i];
+            int e = (da > 0) - (da < 0) + (db > 0) - (db < 0);
+            int off = o0 * (e == -2) + o1 * (e == -1) + o2 * (e == 0)
+                      + o3 * (e == 1) + o4 * (e == 2);
+            d[i] = iclamp__(v + off, 0, bd_max);
         }
     }
 }
