@@ -36,6 +36,7 @@ from openvvc_tpu.vcl.transform_unit import isp_part_dims
 from openvvc_tpu.vcl.ctu import CU, TREE_DUAL_CHROMA, TREE_DUAL_LUMA, TREE_SINGLE, UNAVAIL
 from openvvc_tpu.vcl.slice_data import parse_entry
 from openvvc_tpu.dpb import DPB
+from openvvc_tpu.utils import trace
 from openvvc_tpu.rcn import ref_mc
 from openvvc_tpu.drv.inter_mvp import MV_PRECISION_HALF
 from openvvc_tpu.hls.ph import SLICE_I
@@ -1230,6 +1231,22 @@ class _LazyTmvp:
         return self._val
 
 
+class _PicCtx:
+    """Per-picture decode state across the parse→reconstruct pipeline."""
+
+    __slots__ = ("params", "frame", "poc", "refs0", "refs1", "dist0",
+                 "dist1", "tools", "lmcs", "dbf", "csign", "native_recon",
+                 "dmvr_overrides", "futures", "results", "ectxs",
+                 "recon_futures", "native_items")
+
+    def __init__(self):
+        self.futures = None
+        self.results = None
+        self.ectxs = None
+        self.recon_futures = None
+        self.native_items = None
+
+
 class Decoder:
     """Frame decoder over the currently supported toolset.
 
@@ -1278,21 +1295,66 @@ class Decoder:
         self.nb_entry_threads = nb_entry_threads
 
     def decode(self, stream: bytes) -> list[Frame]:
+        """Decode all pictures. Frame-pipelined (the reference's frame
+        threads, ovdec.c:189-248): while picture N runs reconstruction and
+        in-loop filters, picture N+1's entries parse on the thread pool —
+        parse needs only the collocated TMVP field (a parse product),
+        never reference pixels, so one picture of lookahead is safe.
+        Gated off for tools whose TMVP export depends on reconstruction
+        (DMVR refined-MV overrides, prediction_unit_inter_b :2610)."""
         frames = []
+        pending = None
+
+        def flush():
+            nonlocal pending
+            if pending is not None:
+                self._join_parse(pending)
+                frames.append(
+                    self._post_process(self._finish_picture(pending)))
+                pending = None
+
         for nal in demux_annexb(stream):
             if is_vcl(nal.type):
-                frames.append(self._post_process(self._decode_picture(nal)))
+                if pending is not None:
+                    # previous picture: parse done (its TMVP export must
+                    # exist before the next picture's parse), then queue
+                    # its reconstruction AHEAD of the next parse jobs so
+                    # the pool drains in dependency order
+                    self._join_parse(pending)
+                    self._start_recon(pending)
+                ctx = self._start_picture(nal)
+                pipe = self._can_pipeline(ctx)
+                self._submit_parse(ctx, async_=pipe or pending is not None)
+                flush()  # filters of N on this thread while N+1 parses
+                if pipe:
+                    pending = ctx
+                else:
+                    self._join_parse(ctx)
+                    frames.append(
+                        self._post_process(self._finish_picture(ctx)))
             else:
+                # NVCL readers REPLACE parameter-set objects (never mutate,
+                # params.py decode_nalu), so a pending picture's captured
+                # params stay valid; finish-time SEI state is snapshotted
+                # at _start_picture. No pipeline flush needed.
                 self.nvcl.decode_nalu(nal)
+        flush()
         return frames
+
+    def _can_pipeline(self, ctx) -> bool:
+        return (ctx.native_recon and not ctx.tools["dmvr"]
+                and getattr(self, "_pre_dbf_hook", None) is None)
 
     def _post_process(self, frame: Frame) -> Frame:
         """Output-side post-processing (reference post_proc.c:75-137): film
         grain is synthesized onto a writable output copy (the DPB keeps the
         un-grained picture for inter prediction), then the optional RPR
         upscale resamples the output to the SPS max size
-        (pp_sample_rate_conv, pp_pic_scale.c:250)."""
-        fg = getattr(self.nvcl, "sei_film_grain", None)
+        (pp_sample_rate_conv, pp_pic_scale.c:250). The film-grain SEI is
+        the one active when the picture STARTED (captured per access unit
+        in _start_picture) — a later SEI must not retro-apply under the
+        frame pipeline."""
+        fg = getattr(frame, "_fg_sei", None)
         out = frame
         if fg is not None:
             from openvvc_tpu.rcn.ref_fg import apply_film_grain
@@ -1328,6 +1390,23 @@ class Decoder:
         return sorted(frames, key=lambda f: (getattr(f, "cvs_id", 0), f.poc))
 
     def _decode_picture(self, nal) -> Frame:
+        ctx = self._start_picture(nal)
+        self._submit_parse(ctx, async_=False)
+        self._join_parse(ctx)
+        return self._finish_picture(ctx)
+
+    def _get_pool(self):
+        from concurrent.futures import ThreadPoolExecutor
+
+        if getattr(self, "_pool", None) is None:
+            self._pool = ThreadPoolExecutor(max(2, self.nb_entry_threads))
+        return self._pool
+
+    def _start_picture(self, nal) -> "_PicCtx":
+        with trace.span("start_picture"):
+            return self._start_picture_inner(nal)
+
+    def _start_picture_inner(self, nal) -> "_PicCtx":
         params = self.nvcl.parse_slice(nal)
         sps, pps = params.sps, params.pps
         self.last_pps = pps
@@ -1339,8 +1418,12 @@ class Decoder:
         poc = self.dpb.picture_poc(params, int(nal.type))
         params._cur_poc = poc
         frame = Frame(poc, y, cb, cr, bd)
+        # snapshot the access unit's film-grain SEI for output-side post
+        # processing (a later AU's SEI must not retro-apply, post_proc.c:75)
+        frame._fg_sei = getattr(self.nvcl, "sei_film_grain", None)
 
         refs0 = refs1 = None
+        dist0 = dist1 = None
         cur_win = (int(getattr(pps, "pps_scaling_win_left_offset", 0) or 0),
                    int(getattr(pps, "pps_scaling_win_right_offset", 0) or 0),
                    int(getattr(pps, "pps_scaling_win_top_offset", 0) or 0),
@@ -1418,14 +1501,6 @@ class Decoder:
         dbf_disabled = self._dbf_disabled(params)
         dbf = None if dbf_disabled else DbfMaps(pps.pic_w, pps.pic_h, chroma)
 
-        sao_entries = []
-        alf_entries = []
-
-        # entry-level parallelism (the reference's -e entry threads,
-        # ovthreads.c entry jobs): tiles parse and reconstruct
-        # independently — parse state is per-entry, reconstruction writes
-        # disjoint tile rects of the shared frame planes and idempotent
-        # cells of the shared DBF maps; whole-frame filters join after.
         # Full-native fast path: parse AND reconstruct the entry in C,
         # writing the frame planes + DBF maps directly (no Python CU/TU
         # objects). Falls back per entry when the C recon's support scan
@@ -1434,36 +1509,127 @@ class Decoder:
                         and not self.use_tpu_residuals)
         csign = -1 if params.ph.ph_joint_cbcr_sign_flag else 1
 
-        def _parse_one(entry):
-            if native_recon:
-                from openvvc_tpu.native import (
-                    _convert_native_entry, native_entry_ctx_from_raw,
-                    parse_entry_native_raw, recon_entry_native)
+        ctx = _PicCtx()
+        ctx.params, ctx.frame, ctx.poc = params, frame, poc
+        ctx.refs0, ctx.refs1 = refs0, refs1
+        ctx.dist0, ctx.dist1 = dist0, dist1
+        ctx.tools, ctx.lmcs, ctx.dbf, ctx.csign = tools, lmcs, dbf, csign
+        ctx.native_recon = native_recon
+        ctx.dmvr_overrides = []
+        # register in the DPB now: later pictures resolve their RPLs (and
+        # read the parse-level TMVP export) before this one reconstructs
+        self.dpb.store(poc, frame)
+        return ctx
 
-                raw = parse_entry_native_raw(params, entry)
+    def _parse_entry_job(self, ctx, entry):
+        """Parse one entry (no pixel access — safe ahead of refs).
+        Returns (entry, raw, ectx): raw for natively-parsed entries,
+        ectx for Python-parsed ones."""
+        with trace.span("parse_entry"):
+            if ctx.native_recon:
+                from openvvc_tpu.native import parse_entry_native_raw
+
+                raw = parse_entry_native_raw(ctx.params, entry)
                 if raw is not None:
-                    if recon_entry_native(
-                            raw, frame, refs0,
-                            dist0 if refs0 is not None else None, dbf, csign,
-                            refs1, dist1 if refs1 is not None else None):
-                        return entry, native_entry_ctx_from_raw(raw), True
-                    ectx, _, _ = _convert_native_entry(params, entry, raw)
-                    return entry, ectx, False
-            ectx, trees, dec = parse_entry(params, entry)
+                    return entry, raw, None
+            ectx, trees, dec = parse_entry(ctx.params, entry)
             if dec.overread():
                 raise ValueError("CABAC overread in entry")
-            return entry, ectx, False
+            return entry, None, ectx
 
-        nb_workers = min(len(params.entries), self.nb_entry_threads)
-        if nb_workers > 1:
-            from concurrent.futures import ThreadPoolExecutor
-
-            with ThreadPoolExecutor(nb_workers) as pool:
-                parsed3 = list(pool.map(_parse_one, params.entries))
+    def _submit_parse(self, ctx, async_: bool) -> None:
+        # entry-level parallelism (the reference's -e entry threads,
+        # ovthreads.c entry jobs): tiles parse independently
+        entries = ctx.params.entries
+        nb_workers = min(len(entries), self.nb_entry_threads)
+        if async_ or nb_workers > 1:
+            pool = self._get_pool()
+            ctx.futures = [pool.submit(self._parse_entry_job, ctx, e)
+                           for e in entries]
         else:
-            parsed3 = [_parse_one(e) for e in params.entries]
-        parsed = [(e, c) for (e, c, _done) in parsed3]
-        pending = [(e, c) for (e, c, _done) in parsed3 if not _done]
+            ctx.results = [self._parse_entry_job(ctx, e) for e in entries]
+
+    def _join_parse(self, ctx) -> None:
+        if ctx.results is None:
+            with trace.span("parse_wait"):
+                ctx.results = [f.result() for f in ctx.futures]
+        if ctx.ectxs is not None:
+            return
+        from openvvc_tpu.native import native_entry_ctx_from_raw
+
+        ectxs = []
+        for entry, raw, ectx in ctx.results:
+            if raw is not None:
+                ectx = native_entry_ctx_from_raw(raw)
+            ectxs.append((entry, ectx))
+        ctx.ectxs = ectxs
+        # picture-level TMVP export is a pure parse product — publish it
+        # now so the next picture's parse can collocate against this frame
+        # (dmvr_overrides is shared and still empty; DMVR streams are not
+        # pipelined, so recon-time refinements land before any reader)
+        params = ctx.params
+        tmvp_ectxs = [e for (_, e) in ectxs if e.inter_ctx is not None]
+        ctx.frame.tmvp = None
+        if tmvp_ectxs:
+            ctx.frame.tmvp = _LazyTmvp(tmvp_ectxs, params.pps,
+                                       [-d for d in _sd(params, 0)],
+                                       [-d for d in _sd(params, 1)],
+                                       ctx.dmvr_overrides)
+
+    def _start_recon(self, ctx) -> None:
+        """Queue native entry reconstruction on the pool. Caller must
+        guarantee the reference pictures are pixel-complete (the decode
+        loop only reaches here after finishing every earlier picture)."""
+        if ctx.recon_futures is not None:
+            return
+        from openvvc_tpu.native import recon_entry_native
+
+        frame = ctx.frame
+        refs0, refs1 = ctx.refs0, ctx.refs1
+        dist0, dist1, dbf, csign = ctx.dist0, ctx.dist1, ctx.dbf, ctx.csign
+
+        def _nrecon(item):
+            with trace.span("recon_entry_c"):
+                _entry, raw = item
+                ok = recon_entry_native(raw, frame, refs0, dist0, dbf,
+                                        csign, refs1, dist1)
+                return None if ok else item
+
+        items = [(e, raw) for (e, raw, _ectx) in ctx.results
+                 if raw is not None]
+        ctx.native_items = items
+        if items:
+            pool = self._get_pool()
+            ctx.recon_futures = [pool.submit(_nrecon, it) for it in items]
+        else:
+            ctx.recon_futures = []
+
+    def _finish_picture(self, ctx) -> Frame:
+        params, frame, poc = ctx.params, ctx.frame, ctx.poc
+        sps, pps = params.sps, params.pps
+        bd = sps.bitdepth
+        refs0, refs1 = ctx.refs0, ctx.refs1
+        dist0, dist1 = ctx.dist0, ctx.dist1
+        tools, lmcs, dbf, csign = ctx.tools, ctx.lmcs, ctx.dbf, ctx.csign
+        dmvr_overrides = ctx.dmvr_overrides
+
+        sao_entries = []
+        alf_entries = []
+
+        # reconstruction: native entries write the frame planes + DBF maps
+        # in C; tiles write disjoint rects so entries run in parallel
+        pending = [(e, ectx) for (e, raw, ectx) in ctx.results
+                   if raw is None]  # entries needing the Python recon path
+        self._start_recon(ctx)  # no-op when the pipeline queued it already
+        with trace.span("recon_wait"):
+            fallbacks = [r for r in (f.result() for f in ctx.recon_futures)
+                         if r is not None]
+        if fallbacks:
+            from openvvc_tpu.native import _convert_native_entry
+
+            for entry, raw in fallbacks:
+                ectx, _, _ = _convert_native_entry(params, entry, raw)
+                pending.append((entry, ectx))
 
         precompute_residuals_batched(pending, tools, bd,
                                      device=self.use_tpu_residuals)
@@ -1479,8 +1645,6 @@ class Decoder:
             precompute_inter_mc(pending, params, tools,
                                 (refs0, refs1, dist0, dist1), bd,
                                 device=self.use_tpu_residuals)
-
-        dmvr_overrides = []
 
         def _recon_one(item):
             entry, ectx = item
@@ -1500,26 +1664,23 @@ class Decoder:
                 for cu in ctu.cus:
                     reconstruct_cu(rc, cu, params, tools, dbf, erefs)
 
-        if nb_workers > 1:
-            from concurrent.futures import ThreadPoolExecutor
+        with trace.span("recon_py"):
+            if min(len(pending), self.nb_entry_threads) > 1:
+                list(self._get_pool().map(_recon_one, pending))
+            else:
+                for item in pending:
+                    _recon_one(item)
 
-            with ThreadPoolExecutor(nb_workers) as pool:
-                list(pool.map(_recon_one, pending))
-        else:
-            for item in pending:
-                _recon_one(item)
-
-        tmvp_ectxs = []
-        for entry, ectx in parsed:
+        for entry, ectx in ctx.ectxs:
             if ectx.sao_params or getattr(ectx, "sao_recs", None) is not None:
                 sao_entries.append((entry, ectx))
             if ectx.alf_params:
                 alf_entries.append((entry, ectx.alf_params))
-            if ectx.inter_ctx is not None:
-                tmvp_ectxs.append(ectx)
 
         if lmcs is not None:
             frame.y = lmcs.bwd_lut[np.clip(frame.y, 0, (1 << bd) - 1)].astype(np.int32)
+        dbf_span = trace.span("dbf_frame")
+        dbf_span.__enter__()
         if dbf is not None:
             hook = getattr(self, "_pre_dbf_hook", None)
             native_dbf = None
@@ -1569,6 +1730,9 @@ class Decoder:
                     frame.y, frame.cb, frame.cr = deblock_frame_batched(
                         np, frame.y, frame.cb, frame.cr, dbf, params,
                         sps.ctb_log2, bd)
+        dbf_span.__exit__()
+        sao_span = trace.span("sao_frame")
+        sao_span.__enter__()
         for entry, ectx in sao_entries:
             bounds = (entry.ctu_x, entry.ctu_y, entry.nb_ctu_w, entry.nb_ctu_h)
             if self.use_native_recon and not self.use_tpu_residuals:
@@ -1582,6 +1746,7 @@ class Decoder:
                     continue
             apply_sao_entry(frame, bounds, sps.ctb_log2, ectx.sao_params,
                             bd, pps.pic_w, pps.pic_h)
+        sao_span.__exit__()
         if alf_entries:
             aps_luma = [a.alf_data for a in getattr(params, "alf_aps_luma", []) if a is not None]
             aps_c = getattr(params, "alf_aps_chroma", None)
@@ -1593,13 +1758,8 @@ class Decoder:
                 apply_alf_entry(frame, (entry.ctu_x, entry.ctu_y, entry.nb_ctu_w, entry.nb_ctu_h),
                                 sps.ctb_log2, alf_params, filters, cc_data, bd,
                                 pps.pic_w, pps.pic_h)
-        frame.tmvp = None
-        if tmvp_ectxs:
-            frame.tmvp = _LazyTmvp(tmvp_ectxs, pps,
-                                   [-d for d in _sd(params, 0)],
-                                   [-d for d in _sd(params, 1)],
-                                   dmvr_overrides)
-        self.dpb.store(poc, frame)
+        # frame.tmvp was published at _join_parse (parse product); the
+        # frame itself was registered in the DPB at _start_picture
         return frame
 
     @staticmethod
