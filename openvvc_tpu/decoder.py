@@ -1412,12 +1412,19 @@ class Decoder:
         self.last_pps = pps
         bd = sps.bitdepth
         chroma = sps.sps_chroma_format_idc != 0
-        y = np.zeros((pps.pic_h, pps.pic_w), np.int32)
-        cb = np.zeros((pps.pic_h // 2, pps.pic_w // 2), np.int32) if chroma else None
-        cr = np.zeros((pps.pic_h // 2, pps.pic_w // 2), np.int32) if chroma else None
+        # plane pool: faulting fresh pages costs ~10x a warm re-zero here;
+        # planes return to the pool when the Frame is collected (the
+        # reference's picture pool, ovdpb.c)
+        from openvvc_tpu.utils.pool import GLOBAL as _pool
+        y = _pool.take_zeroed((pps.pic_h, pps.pic_w), np.int32)
+        cb = (_pool.take_zeroed((pps.pic_h // 2, pps.pic_w // 2), np.int32)
+              if chroma else None)
+        cr = (_pool.take_zeroed((pps.pic_h // 2, pps.pic_w // 2), np.int32)
+              if chroma else None)
         poc = self.dpb.picture_poc(params, int(nal.type))
         params._cur_poc = poc
         frame = Frame(poc, y, cb, cr, bd)
+        _pool.adopt(frame, (y, cb, cr))
         # snapshot the access unit's film-grain SEI for output-side post
         # processing (a later AU's SEI must not retro-apply, post_proc.c:75)
         frame._fg_sei = getattr(self.nvcl, "sei_film_grain", None)
@@ -1630,6 +1637,13 @@ class Decoder:
             for entry, raw in fallbacks:
                 ectx, _, _ = _convert_native_entry(params, entry, raw)
                 pending.append((entry, ectx))
+        # natively-reconstructed entries are done with their SoA buffers;
+        # recycle them (fallback items keep theirs — the converted CU/TU
+        # objects may hold views into coef_buf)
+        fb = {id(r[1]) for r in fallbacks}
+        for _e, raw in (ctx.native_items or ()):
+            if id(raw) not in fb:
+                raw.release()
 
         precompute_residuals_batched(pending, tools, bd,
                                      device=self.use_tpu_residuals)

@@ -28,7 +28,8 @@ _SRC_DBF = os.path.join(_DIR, "dbf.c")
 
 _SRC_SAO = os.path.join(_DIR, "sao.c")
 
-_HDRS = (os.path.join(_DIR, "ov_shared.h"), os.path.join(_DIR, "tables.h"))
+_HDRS = (os.path.join(_DIR, "ov_shared.h"), os.path.join(_DIR, "tables.h"),
+         os.path.join(_DIR, "cabac_inl.h"))
 
 
 def _build():
@@ -333,6 +334,17 @@ class RawNativeEntry:
                  "tmvp_dir1", "tmvp_mv1", "counts",
                  "uw", "uh", "uw8", "uh8", "cqp")
 
+    def release(self):
+        """Return the big SoA buffers to the pool. Only safe once native
+        reconstruction has consumed them (TMVP exports are excluded — the
+        DPB keeps those for later pictures' collocated field)."""
+        from openvvc_tpu.utils.pool import GLOBAL as _pool
+
+        _pool.give(self.cu_buf, self.tu_buf, self.coef_buf,
+                   self.sao_buf, self.ctu_meta)
+        self.cu_buf = self.tu_buf = self.coef_buf = None
+        self.sao_buf = self.ctu_meta = None
+
 
 def parse_entry_native_raw(params, entry):
     """Native full-entry parse; returns RawNativeEntry or None."""
@@ -458,11 +470,17 @@ def parse_entry_native_raw(params, entry):
     max_tu = 3 * max_cu
     max_coef = ep.tile_w * ep.tile_h * 3 // 2 + 8192
     nb_ctu = entry.nb_ctu_w * entry.nb_ctu_h
-    cu_buf = np.empty(max_cu * _CU_NFIELDS, np.int32)
-    tu_buf = np.empty(max_tu * _TU_NFIELDS, np.int32)
-    coef_buf = np.empty(max_coef, np.int32)
-    sao_buf = np.zeros(nb_ctu * _SAO_NFIELDS, np.int32)
-    ctu_meta = np.zeros(nb_ctu * 3, np.int32)
+    # pooled working buffers (~26 MB/entry at 1080p): fresh-page faults
+    # cost far more than the parse itself; RawNativeEntry.release()
+    # returns them once reconstruction consumed them
+    from openvvc_tpu.utils.pool import GLOBAL as _pool
+    cu_buf = _pool.take(max_cu * _CU_NFIELDS, np.int32)
+    tu_buf = _pool.take(max_tu * _TU_NFIELDS, np.int32)
+    coef_buf = _pool.take(max_coef, np.int32)
+    sao_buf = _pool.take_zeroed(nb_ctu * _SAO_NFIELDS, np.int32)
+    ctu_meta = _pool.take_zeroed(nb_ctu * 3, np.int32)
+    # TMVP exports escape into the DPB (collocated field of later
+    # pictures) — never pooled
     tmvp_dir0 = np.zeros(uh * uw, np.uint8)
     tmvp_mv0 = np.zeros(uh8 * uw8 * 3, np.int32)
     tmvp_dir1 = np.zeros(uh * uw, np.uint8)

@@ -1,9 +1,9 @@
-/* Native CABAC arithmetic decoder for the host parse path.
+/* Native CABAC arithmetic decoder — ABI wrappers for the host parse path.
  *
- * Same algorithm as openvvc_tpu/cabac/engine.py (ITU-T H.266 9.3.4.3:
- * dual-rate probability states, 9-bit range, bit-serial renormalization with
- * zero padding past the entry end). Exposed as a flat C ABI consumed via
- * ctypes; one CabacDec per CABAC entry.
+ * The engine itself lives in cabac_inl.h (static inline, so parse.c and
+ * residual.c inline it into their symbol loops); this file provides the
+ * allocation/lifecycle plus exported entry points consumed via ctypes
+ * (openvvc_tpu/native/__init__.py NativeCabacDecoder) and by tests.
  *
  * Behavior parity target: /root/reference/libovvc/cabac_internal.h:45-157.
  */
@@ -12,27 +12,7 @@
 #include <stdlib.h>
 #include <string.h>
 
-#define NB_CTX 393
-
-typedef struct CabacDec {
-    const uint8_t *data;
-    int64_t bitpos;
-    int64_t nbits;
-    uint32_t range;
-    uint32_t offset;
-    uint16_t s0[NB_CTX];
-    uint16_t s1[NB_CTX];
-    uint8_t r0[NB_CTX];
-    uint8_t r1[NB_CTX];
-} CabacDec;
-
-static inline int read_bit(CabacDec *d)
-{
-    int64_t p = d->bitpos++;
-    if (p >= d->nbits)
-        return 0;
-    return (d->data[p >> 3] >> (7 - (p & 7))) & 1;
-}
+#include "cabac_inl.h"
 
 CabacDec *cabac_new(const uint8_t *data, int64_t nbytes,
                     const uint16_t *s0, const uint16_t *s1,
@@ -42,96 +22,55 @@ CabacDec *cabac_new(const uint8_t *data, int64_t nbytes,
     if (!d)
         return NULL;
     d->data = data;
-    d->bitpos = 0;
-    d->nbits = nbytes * 8;
+    d->bytepos = 0;
+    d->nbytes = nbytes;
+    d->cache = 0;
+    d->ncache = 0;
     memcpy(d->s0, s0, sizeof(d->s0));
     memcpy(d->s1, s1, sizeof(d->s1));
     memcpy(d->r0, r0, sizeof(d->r0));
     memcpy(d->r1, r1, sizeof(d->r1));
     d->range = 510;
-    d->offset = 0;
-    for (int i = 0; i < 9; i++)
-        d->offset = (d->offset << 1) | read_bit(d);
+    ov_cb_refill(d);
+    d->offset = (uint32_t)(d->cache >> (64 - 9));
+    d->cache <<= 9;
+    d->ncache -= 9;
     return d;
 }
 
 void cabac_free(CabacDec *d) { free(d); }
 
-int cabac_overread(const CabacDec *d) { return d->bitpos > d->nbits; }
+int cabac_overread(const CabacDec *d)
+{
+    return d->bytepos * 8 - d->ncache > d->nbytes * 8;
+}
 
-int64_t cabac_bitpos(const CabacDec *d) { return d->bitpos; }
+int64_t cabac_bitpos(const CabacDec *d)
+{
+    return d->bytepos * 8 - d->ncache;
+}
 
 int cabac_decode_bin(CabacDec *d, int ctx_idx)
 {
-    uint32_t s0 = d->s0[ctx_idx];
-    uint32_t s1 = d->s1[ctx_idx];
-    uint32_t p_state = (s0 + s1) >> 1;
-    uint32_t val_mps = p_state >> 14;
-    uint32_t q_range = d->range >> 5;
-    uint32_t lps_prob = (val_mps ? 32767 - p_state : p_state) >> 9;
-    uint32_t ivl_lps = ((q_range * lps_prob) >> 1) + 4;
-    int bin_val;
-
-    d->range -= ivl_lps;
-    if (d->offset >= d->range) {
-        bin_val = 1 - (int)val_mps;
-        d->offset -= d->range;
-        d->range = ivl_lps;
-    } else {
-        bin_val = (int)val_mps;
-    }
-    s0 -= (s0 >> d->r0[ctx_idx]) & 0x7FE0;
-    s1 -= (s1 >> d->r1[ctx_idx]) & 0x7FFE;
-    if (bin_val) {
-        s0 += (0x7FFFu >> d->r0[ctx_idx]) & 0x7FE0;
-        s1 += (0x7FFFu >> d->r1[ctx_idx]) & 0x7FFE;
-    }
-    d->s0[ctx_idx] = (uint16_t)s0;
-    d->s1[ctx_idx] = (uint16_t)s1;
-    while (d->range < 256) {
-        d->range <<= 1;
-        d->offset = (d->offset << 1) | read_bit(d);
-    }
-    return bin_val;
+    return ov_decode_bin(d, ctx_idx);
 }
 
-int cabac_decode_bypass(CabacDec *d)
-{
-    d->offset = (d->offset << 1) | read_bit(d);
-    if (d->offset >= d->range) {
-        d->offset -= d->range;
-        return 1;
-    }
-    return 0;
-}
+int cabac_decode_bypass(CabacDec *d) { return ov_decode_bypass(d); }
 
 uint32_t cabac_decode_bypass_bits(CabacDec *d, int n)
 {
-    uint32_t v = 0;
-    for (int i = 0; i < n; i++)
-        v = (v << 1) | cabac_decode_bypass(d);
-    return v;
+    return ov_decode_bypass_bits(d, n);
 }
 
-int cabac_decode_terminate(CabacDec *d)
-{
-    d->range -= 2;
-    if (d->offset >= d->range)
-        return 1;
-    while (d->range < 256) {
-        d->range <<= 1;
-        d->offset = (d->offset << 1) | read_bit(d);
-    }
-    return 0;
-}
+int cabac_decode_terminate(CabacDec *d) { return ov_decode_terminate(d); }
 
-/* Export/import the mutable state so Python-side code can interleave. */
+/* Export the mutable state so Python-side code can interleave. */
 void cabac_get_state(const CabacDec *d, uint16_t *s0, uint16_t *s1,
                      int64_t *bitpos, uint32_t *rng, uint32_t *offset)
 {
     memcpy(s0, d->s0, sizeof(d->s0));
     memcpy(s1, d->s1, sizeof(d->s1));
-    *bitpos = d->bitpos;
+    *bitpos = d->bytepos * 8 - d->ncache;
     *rng = d->range;
     *offset = d->offset;
 }

@@ -21,18 +21,13 @@
 #include <stdlib.h>
 #include <string.h>
 
-/* ---- CABAC engine (cabac.c) ---------------------------------------- */
-typedef struct CabacDec CabacDec;
-CabacDec *cabac_new(const uint8_t *data, int64_t nbytes,
-                    const uint16_t *s0, const uint16_t *s1,
-                    const uint8_t *r0, const uint8_t *r1);
-void cabac_free(CabacDec *d);
+/* ---- CABAC engine (cabac_inl.h; extern calls — the coding-tree layer
+ * has hundreds of call sites and inlining them all costs icache) ------ */
+#include "cabac_inl.h"
 int cabac_decode_bin(CabacDec *d, int ctx_idx);
 int cabac_decode_bypass(CabacDec *d);
 uint32_t cabac_decode_bypass_bits(CabacDec *d, int n);
 int cabac_decode_terminate(CabacDec *d);
-int cabac_overread(const CabacDec *d);
-int64_t cabac_bitpos(const CabacDec *d);
 
 /* residual.c */
 int64_t rc_decode_tb(CabacDec *d, int32_t *levels, int32_t *decoded,

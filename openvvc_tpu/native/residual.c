@@ -12,10 +12,8 @@
 #include <stdint.h>
 #include <string.h>
 
-typedef struct CabacDec CabacDec;
-int cabac_decode_bin(CabacDec *d, int ctx_idx);
-int cabac_decode_bypass(CabacDec *d);
-uint32_t cabac_decode_bypass_bits(CabacDec *d, int n);
+#define OV_CABAC_ALIASES
+#include "cabac_inl.h"
 
 /* context offsets (openvvc_tpu/cabac/ctx.py CtxOffset) */
 #define CTX_LAST_X 246
@@ -53,10 +51,12 @@ struct TB {
     uint8_t scan_y[64];
     int sig_x[64];        /* per-subblock significant list */
     int sig_y[64];
+    int sig_p[64];        /* scan index of each significant entry */
     int abs_lvl[64];
     int dep_map[64];
     int gt2_x[64];
     int gt2_y[64];
+    int gt2_i[64];        /* index into the sig list for pass-2 bumps */
     int luma, dep_quant, sdh;
     int rem_bins, state;
     int sig_base, gt1_base, par_base, gt2_base;
@@ -180,10 +180,14 @@ static int code_subblock(CabacDec *d, struct TB *tb, int32_t *levels,
             int gt2 = cabac_decode_bin(d, tb->gt2_base);
             tb->rem_bins -= 2;
             coeff += par + 2 * gt2;
-            if (gt2) { tb->gt2_x[nb_gt2] = lx; tb->gt2_y[nb_gt2] = ly; nb_gt2++; }
+            if (gt2) {
+                tb->gt2_x[nb_gt2] = lx; tb->gt2_y[nb_gt2] = ly;
+                tb->gt2_i[nb_gt2] = nb_sig; nb_gt2++;
+            }
         }
         tb->dep_map[nb_sig] = tb->state >> 1;
         tb->sig_x[nb_sig] = lx; tb->sig_y[nb_sig] = ly;
+        tb->sig_p[nb_sig] = scan_pos;
         tb->abs_lvl[nb_sig] = coeff;
         nb_sig++;
         nbr_update_pass1(tb, x0 + lx, y0 + ly, coeff);
@@ -219,10 +223,14 @@ static int code_subblock(CabacDec *d, struct TB *tb, int32_t *levels,
                 int gt2 = cabac_decode_bin(d, tb->gt2_base + gt_ctx_off);
                 tb->rem_bins -= 2;
                 coeff += par + 2 * gt2;
-                if (gt2) { tb->gt2_x[nb_gt2] = lx; tb->gt2_y[nb_gt2] = ly; nb_gt2++; }
+                if (gt2) {
+                    tb->gt2_x[nb_gt2] = lx; tb->gt2_y[nb_gt2] = ly;
+                    tb->gt2_i[nb_gt2] = nb_sig; nb_gt2++;
+                }
             }
             tb->dep_map[nb_sig] = tb->state >> 1;
             tb->sig_x[nb_sig] = lx; tb->sig_y[nb_sig] = ly;
+            tb->sig_p[nb_sig] = scan_pos;
             tb->abs_lvl[nb_sig] = coeff;
             nb_sig++;
             nbr_update_pass1(tb, gx, gy, coeff);
@@ -243,13 +251,7 @@ static int code_subblock(CabacDec *d, struct TB *tb, int32_t *levels,
         int rem = decode_rice(d, rice);
         if (rem) {
             nbr_update_pass2(tb, gx, gy, 2 * rem);
-            /* find the sig entry and bump */
-            for (int m = 0; m < nb_sig; m++) {
-                if (tb->sig_x[m] == lx && tb->sig_y[m] == ly) {
-                    tb->abs_lvl[m] += 2 * rem;
-                    break;
-                }
-            }
+            tb->abs_lvl[tb->gt2_i[k]] += 2 * rem;
         }
     }
 
@@ -269,6 +271,7 @@ static int code_subblock(CabacDec *d, struct TB *tb, int32_t *levels,
             nbr_update_pass2(tb, gx, gy, value);
             tb->dep_map[nb_sig] = tb->state >> 1;
             tb->sig_x[nb_sig] = lx; tb->sig_y[nb_sig] = ly;
+            tb->sig_p[nb_sig] = scan_pos;
             tb->abs_lvl[nb_sig] = value;
             nb_sig++;
         }
@@ -289,17 +292,9 @@ static int code_subblock(CabacDec *d, struct TB *tb, int32_t *levels,
     } else {
         int use_sdh = 0;
         if (tb->sdh && nb_sig) {
-            /* scan index of first/last significant */
-            int sw = 1 << log2_sb_w;
-            int n = 1 << (log2_sb_w + log2_sb_h);
-            int idx_first = -1, idx_last = -1;
-            for (int p = 0; p < n; p++) {
-                int px = tb->scan_x[p], py = tb->scan_y[p];
-                if (px == tb->sig_x[0] && py == tb->sig_y[0]) idx_first = p;
-                if (px == tb->sig_x[nb_sig - 1] && py == tb->sig_y[nb_sig - 1]) idx_last = p;
-            }
-            (void)sw;
-            use_sdh = (idx_first - idx_last) >= 4;
+            /* entries are pushed in descending scan order: first pushed
+             * has the highest scan index, last pushed the lowest */
+            use_sdh = (tb->sig_p[0] - tb->sig_p[nb_sig - 1]) >= 4;
         }
         int sum_par = 0;
         int n_signs = nb_sig - use_sdh;
@@ -342,9 +337,6 @@ int64_t rc_decode_tb(CabacDec *d, int32_t *levels, int32_t *decoded,
     int last_y = py > 3 ? last_suffix(d, py) : py;
 
     struct TB tb; /* stack-allocated: entry threads parse concurrently */
-    memset(tb.abs1, 0, sizeof(tb.abs1));
-    memset(tb.abs2, 0, sizeof(tb.abs2));
-    memset(tb.sig, 0, sizeof(tb.sig));
     tb.luma = luma;
     tb.dep_quant = dep_quant;
     tb.sdh = sdh;
@@ -381,6 +373,18 @@ int64_t rc_decode_tb(CabacDec *d, int32_t *levels, int32_t *decoded,
         decoded[0] = s ? -a : a;
         *sig_sb_map_out = 1;
         return 0;
+    }
+
+    /* clear only the region the neighbour templates touch:
+     * rows 0..(1<<lim_h)+PAD-1, cols 0..(1<<lim_w)+PAD-1 */
+    {
+        int clr_h = (1 << lim_h) + PAD, clr_w = (1 << lim_w) + PAD;
+        size_t row = (size_t)clr_w * sizeof(int32_t);
+        for (int r = 0; r < clr_h; r++) {
+            memset(tb.abs1[r], 0, row);
+            memset(tb.abs2[r], 0, row);
+            memset(tb.sig[r], 0, row);
+        }
     }
 
     /* subblock geometry (sb_dims) */
