@@ -1414,12 +1414,15 @@ class Decoder:
         chroma = sps.sps_chroma_format_idc != 0
         # plane pool: faulting fresh pages costs ~10x a warm re-zero here;
         # planes return to the pool when the Frame is collected (the
-        # reference's picture pool, ovdpb.c)
+        # reference's picture pool, ovdpb.c). Contents stay UNINITIALIZED —
+        # reconstruction writes prediction into every sample of every CU,
+        # and entries tile the picture (the reference's pool frames are
+        # likewise not zeroed, ovframepool.c:194)
         from openvvc_tpu.utils.pool import GLOBAL as _pool
-        y = _pool.take_zeroed((pps.pic_h, pps.pic_w), np.int32)
-        cb = (_pool.take_zeroed((pps.pic_h // 2, pps.pic_w // 2), np.int32)
+        y = _pool.take((pps.pic_h, pps.pic_w), np.int32)
+        cb = (_pool.take((pps.pic_h // 2, pps.pic_w // 2), np.int32)
               if chroma else None)
-        cr = (_pool.take_zeroed((pps.pic_h // 2, pps.pic_w // 2), np.int32)
+        cr = (_pool.take((pps.pic_h // 2, pps.pic_w // 2), np.int32)
               if chroma else None)
         poc = self.dpb.picture_poc(params, int(nal.type))
         params._cur_poc = poc
@@ -1718,8 +1721,19 @@ class Decoder:
                     dbf.finalize_inter_bs()
                     hook(frame, dbf, params)
                     finalize = False
-                if not native_dbf(frame, dbf, offs, sps.ctb_log2, no_x,
-                                  no_y, finalize=finalize):
+                if frame.cb is not None:
+                    # luma (incl. the inter-bs finalize pass) and chroma
+                    # touch disjoint maps/planes: run them on two threads
+                    # (the C call releases the GIL)
+                    fut = self._get_pool().submit(
+                        native_dbf, frame, dbf, offs, sps.ctb_log2,
+                        no_x, no_y, finalize, 1)
+                    okc = native_dbf(frame, dbf, offs, sps.ctb_log2,
+                                     no_x, no_y, False, 2)
+                    if not (fut.result() and okc):
+                        native_dbf = None
+                elif not native_dbf(frame, dbf, offs, sps.ctb_log2, no_x,
+                                    no_y, finalize=finalize):
                     native_dbf = None  # lib unavailable: numpy fallback
             if native_dbf is None:  # numpy / device fallback
                 dbf.finalize_inter_bs()

@@ -792,17 +792,18 @@ def _setup_dbf_proto(lib):
     if _dbf_proto_done:
         return
     vp = ctypes.c_void_p
-    lib.ov_dbf_frame.restype = ctypes.c_int64
-    lib.ov_dbf_frame.argtypes = [
+    lib.ov_dbf_frame_part.restype = ctypes.c_int64
+    lib.ov_dbf_frame_part.argtypes = [
         ctypes.POINTER(_DbfFrameParamsC), ctypes.POINTER(_DbfBufsC),
         vp, vp, vp,  # planes
         vp, vp,      # no_filter_x / no_filter_y
+        ctypes.c_int32,
     ]
     _dbf_proto_done = True
 
 
 def dbf_frame_native(frame, dbf, offsets, log2_ctb, no_x=(), no_y=(),
-                     finalize=True) -> bool:
+                     finalize=True, part=0) -> bool:
     """Whole-frame deblocking in C (ref_dbf.py deblock_frame +
     finalize_inter_bs parity). offsets = (beta_l, tc_l, beta_cb, tc_cb,
     beta_cr, tc_cr). Returns False if the native lib is unavailable."""
@@ -829,13 +830,13 @@ def dbf_frame_native(frame, dbf, offsets, log2_ctb, no_x=(), no_y=(),
         setattr(db, name, arr.ctypes.data if arr is not None else None)
 
     vp = ctypes.c_void_p
-    rc = lib.ov_dbf_frame(
+    rc = lib.ov_dbf_frame_part(
         ctypes.byref(fp), ctypes.byref(db),
         vp(frame.y.ctypes.data),
         vp(frame.cb.ctypes.data if frame.cb is not None else None),
         vp(frame.cr.ctypes.data if frame.cr is not None else None),
         vp(nx.ctypes.data if len(nx) else None),
-        vp(ny.ctypes.data if len(ny) else None))
+        vp(ny.ctypes.data if len(ny) else None), part)
     return rc == 0
 
 

@@ -594,15 +594,20 @@ static void deblock_chroma_plane(const DbfFrameParams *fp, const DbfBufs *m,
 
 /* ---- entry point ------------------------------------------------------- */
 
-int64_t ov_dbf_frame(const DbfFrameParams *fp, const DbfBufs *m, int32_t *fy,
-                     int32_t *fcb, int32_t *fcr, const int32_t *no_x,
-                     const int32_t *no_y)
+/* part: 0 = whole frame, 1 = luma only (incl. the inter-bs finalize, which
+ * writes only the luma bs1 maps), 2 = chroma only. Parts 1 and 2 touch
+ * disjoint maps/planes so the decoder runs them on two threads. */
+int64_t ov_dbf_frame_part(const DbfFrameParams *fp, const DbfBufs *m,
+                          int32_t *fy, int32_t *fcb, int32_t *fcr,
+                          const int32_t *no_x, const int32_t *no_y, int part)
 {
     int uw = fp->pic_w / 4, uh = fp->pic_h / 4;
-    if (fp->finalize_inter_bs)
-        finalize_inter_bs(m, uw, uh);
-    deblock_luma(fp, m, fy, no_x, no_y);
-    if (fp->chroma_enabled && fcb && fcr) {
+    if (part != 2) {
+        if (fp->finalize_inter_bs)
+            finalize_inter_bs(m, uw, uh);
+        deblock_luma(fp, m, fy, no_x, no_y);
+    }
+    if (part != 1 && fp->chroma_enabled && fcb && fcr) {
         deblock_chroma_plane(fp, m, fcb, m->cbs1_cb_ver, m->cbs1_cb_hor,
                              m->qp_cb, fp->beta_off_cb, fp->tc_off_cb,
                              no_x, no_y);
@@ -611,4 +616,11 @@ int64_t ov_dbf_frame(const DbfFrameParams *fp, const DbfBufs *m, int32_t *fy,
                              no_x, no_y);
     }
     return 0;
+}
+
+int64_t ov_dbf_frame(const DbfFrameParams *fp, const DbfBufs *m, int32_t *fy,
+                     int32_t *fcb, int32_t *fcr, const int32_t *no_x,
+                     const int32_t *no_y)
+{
+    return ov_dbf_frame_part(fp, m, fy, fcb, fcr, no_x, no_y, 0);
 }

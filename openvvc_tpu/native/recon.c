@@ -809,14 +809,6 @@ static void mc_block_c(const int32_t *plane, int W, int H, int stride,
     }
 }
 
-static void mc_uni_c(const int32_t *plane, int W, int H, int stride,
-                     int32_t *dst, int dstride, int x0, int y0, int fx,
-                     int fy, int w, int h, int bitdepth, int is_luma,
-                     int hpel, int bd_max)
-{
-    mc_block_c(plane, W, H, stride, dst, dstride, x0, y0, fx, fy, w, h,
-               bitdepth, is_luma, hpel, bd_max, 0);
-}
 
 /* rcn_inter.c clip_mv parity (:97) */
 static void clip_mv_c(int pos_x, int pos_y, int pic_w, int pic_h, int pb_w,
@@ -1088,13 +1080,18 @@ static void recon_intra_cu(Rc *r, const int32_t *cu)
 }
 
 /* bi average of two 14-bit blocks (ref_mc.mc_bi) */
-static void mc_bi_c(const int32_t *p0, const int32_t *p1, int n, int bd,
-                    int bd_max, int32_t *out)
+static void mc_bi_c(const int32_t *p0, const int32_t *p1, int w, int h,
+                    int bd, int bd_max, int32_t *out, int ostride)
 {
     int shift = 15 - bd;
     int off = 1 << (shift - 1);
-    for (int i = 0; i < n; i++)
-        out[i] = bdclip((p0[i] + p1[i] + off) >> shift, bd_max);
+    for (int j = 0; j < h; j++) {
+        const int32_t *restrict a = p0 + (int64_t)j * w;
+        const int32_t *restrict b = p1 + (int64_t)j * w;
+        int32_t *restrict o = out + (int64_t)j * ostride;
+        for (int i = 0; i < w; i++)
+            o[i] = bdclip((a[i] + b[i] + off) >> shift, bd_max);
+    }
 }
 
 static void recon_inter_cu(Rc *r, const int32_t *cu)
@@ -1131,8 +1128,10 @@ static void recon_inter_cu(Rc *r, const int32_t *cu)
     const int32_t *const *pcb0 = lst ? r->ref1_cb : r->ref_cb;
     const int32_t *const *pcr0 = lst ? r->ref1_cr : r->ref_cr;
 
-    /* luma */
+    /* luma — prediction written straight into the frame plane (the
+     * residual add below reads/writes the plane in place) */
     int64_t mt0 = prof_now();
+    int32_t *fdst = r->fy + (int64_t)y0 * e->pic_w + x0;
     if (inter_dir == 3) {
         mc_block_c(py0[ref0], e->pic_w, e->pic_h, e->pic_w, pred, w,
                    x0 + (m0x >> 4), y0 + (m0y >> 4), m0x & 15, m0y & 15,
@@ -1140,18 +1139,13 @@ static void recon_inter_cu(Rc *r, const int32_t *cu)
         mc_block_c(r->ref1_y[ref1], e->pic_w, e->pic_h, e->pic_w, tmp1, w,
                    x0 + (m1x >> 4), y0 + (m1y >> 4), m1x & 15, m1y & 15,
                    w, h, bd, 1, hpel, bd_max, 1);
-        mc_bi_c(pred, tmp1, w * h, bd, bd_max, pred);
+        mc_bi_c(pred, tmp1, w, h, bd, bd_max, fdst, e->pic_w);
     } else {
-        mc_uni_c(py0[ref0], e->pic_w, e->pic_h, e->pic_w, pred, w,
-                 x0 + (m0x >> 4), y0 + (m0y >> 4), m0x & 15, m0y & 15, w, h,
-                 bd, 1, hpel, bd_max);
+        mc_block_c(py0[ref0], e->pic_w, e->pic_h, e->pic_w, fdst, e->pic_w,
+                   x0 + (m0x >> 4), y0 + (m0y >> 4), m0x & 15, m0y & 15,
+                   w, h, bd, 1, hpel, bd_max, 0);
     }
     prof_add(PROF_MCL, mt0);
-    mt0 = prof_now();
-    for (int j = 0; j < h; j++)
-        for (int i = 0; i < w; i++)
-            r->fy[(y0 + j) * e->pic_w + x0 + i] = pred[j * w + i];
-    prof_add(PROF_WR, mt0);
 
     /* luma residuals (_add_luma_residuals parity) */
     int tu0 = cu[CU_F_TU0], ntu = cu[CU_F_NTU];
@@ -1179,7 +1173,8 @@ static void recon_inter_cu(Rc *r, const int32_t *cu)
     mt0 = prof_now();
     for (int comp = 1; comp <= 2; comp++) {
         const int32_t *rpl = (comp == 1 ? pcb0 : pcr0)[ref0];
-        int32_t *dst = comp == 1 ? r->fcb : r->fcr;
+        int32_t *dst = (comp == 1 ? r->fcb : r->fcr)
+                       + (int64_t)cy0 * cs + cx0;
         if (inter_dir == 3) {
             const int32_t *rpl1 =
                 (comp == 1 ? r->ref1_cb : r->ref1_cr)[ref1];
@@ -1189,15 +1184,12 @@ static void recon_inter_cu(Rc *r, const int32_t *cu)
             mc_block_c(rpl1, e->pic_w >> 1, e->pic_h >> 1, cs, tmp1, cw,
                        cx0 + (m1x >> 5), cy0 + (m1y >> 5), m1x & 31,
                        m1y & 31, cw, ch, bd, 0, 0, bd_max, 1);
-            mc_bi_c(pred, tmp1, cw * ch, bd, bd_max, pred);
+            mc_bi_c(pred, tmp1, cw, ch, bd, bd_max, dst, cs);
         } else {
-            mc_uni_c(rpl, e->pic_w >> 1, e->pic_h >> 1, cs, pred, cw,
-                     cx0 + (m0x >> 5), cy0 + (m0y >> 5), m0x & 31, m0y & 31,
-                     cw, ch, bd, 0, 0, bd_max);
+            mc_block_c(rpl, e->pic_w >> 1, e->pic_h >> 1, cs, dst, cs,
+                       cx0 + (m0x >> 5), cy0 + (m0y >> 5), m0x & 31,
+                       m0y & 31, cw, ch, bd, 0, 0, bd_max, 0);
         }
-        for (int j = 0; j < ch; j++)
-            for (int i = 0; i < cw; i++)
-                dst[(cy0 + j) * cs + cx0 + i] = pred[j * cw + i];
     }
     prof_add(PROF_MCC, mt0);
 
