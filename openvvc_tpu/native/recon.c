@@ -21,6 +21,10 @@
 #include <string.h>
 #include <time.h>
 
+#ifdef __AVX2__
+#include <immintrin.h>
+#endif
+
 #include "ov_shared.h"
 #include "tables.h"
 
@@ -638,6 +642,76 @@ static void recon_tu_residual_c(const Rc *r, const int32_t *t, int intra,
 
 /* out14: write the 14-bit intermediate (put_vvc_*_bi_* parity) instead
  * of the rounded/clipped uni output */
+#ifdef __AVX2__
+/* One separable-FIR pass over int32 sample lanes (interior blocks only —
+ * no per-sample clamping). Taps step by `tapstep` elements: 1 for a
+ * horizontal pass, the source stride for a vertical pass. sh_pre is the
+ * unconditional post-accumulate shift (bitdepth-8 for a first pass, 6 for
+ * the second pass of an hv pair); when out14 is 0 the (acc+round)>>shift
+ * clip to [0, bd_max] follows, matching the scalar loops below bit for
+ * bit. Widths: 8-lane main loop, 4-lane then scalar tails (chroma w==2).
+ * Value ranges: |sample| < 2^14, |coef| <= 88, 8 taps -> |acc| < 2^24,
+ * so 32-bit vpmulld/vpaddd are exact. */
+static void fir_avx2(const int32_t *src, int sstride, int tapstep,
+                     int32_t *dst, int dstride, int w, int h,
+                     const int16_t *f, int taps, int sh_pre,
+                     int out14, int shift, int round, int bd_max)
+{
+    __m256i vf[8];
+    for (int k = 0; k < taps; k++)
+        vf[k] = _mm256_set1_epi32(f[k]);
+    const __m256i vround = _mm256_set1_epi32(round);
+    const __m256i vmax = _mm256_set1_epi32(bd_max);
+    const __m256i vzero = _mm256_setzero_si256();
+    for (int j = 0; j < h; j++) {
+        const int32_t *restrict row = src + (int64_t)j * sstride;
+        int32_t *restrict o = dst + (int64_t)j * dstride;
+        int i = 0;
+        for (; i + 8 <= w; i += 8) {
+            __m256i acc = _mm256_mullo_epi32(
+                _mm256_loadu_si256((const __m256i *)(row + i)), vf[0]);
+            for (int k = 1; k < taps; k++)
+                acc = _mm256_add_epi32(acc, _mm256_mullo_epi32(
+                    _mm256_loadu_si256(
+                        (const __m256i *)(row + i + k * tapstep)), vf[k]));
+            acc = _mm256_srai_epi32(acc, sh_pre);
+            if (!out14) {
+                acc = _mm256_srai_epi32(_mm256_add_epi32(acc, vround),
+                                        shift);
+                acc = _mm256_min_epi32(_mm256_max_epi32(acc, vzero), vmax);
+            }
+            _mm256_storeu_si256((__m256i *)(o + i), acc);
+        }
+        if (i + 4 <= w) {
+            __m128i acc = _mm_mullo_epi32(
+                _mm_loadu_si128((const __m128i *)(row + i)),
+                _mm256_castsi256_si128(vf[0]));
+            for (int k = 1; k < taps; k++)
+                acc = _mm_add_epi32(acc, _mm_mullo_epi32(
+                    _mm_loadu_si128((const __m128i *)(row + i + k * tapstep)),
+                    _mm256_castsi256_si128(vf[k])));
+            acc = _mm_srai_epi32(acc, sh_pre);
+            if (!out14) {
+                acc = _mm_srai_epi32(
+                    _mm_add_epi32(acc, _mm256_castsi256_si128(vround)),
+                    shift);
+                acc = _mm_min_epi32(_mm_max_epi32(acc, _mm_setzero_si128()),
+                                    _mm256_castsi256_si128(vmax));
+            }
+            _mm_storeu_si128((__m128i *)(o + i), acc);
+            i += 4;
+        }
+        for (; i < w; i++) {
+            int32_t a = 0;
+            for (int k = 0; k < taps; k++)
+                a += f[k] * row[i + k * tapstep];
+            a >>= sh_pre;
+            o[i] = out14 ? a : bdclip((a + round) >> shift, bd_max);
+        }
+    }
+}
+#endif
+
 static void mc_block_c(const int32_t *plane, int W, int H, int stride,
                        int32_t *dst, int dstride, int x0, int y0, int fx,
                        int fy, int w, int h, int bitdepth, int is_luma,
@@ -646,6 +720,19 @@ static void mc_block_c(const int32_t *plane, int W, int H, int stride,
     int sh1 = bitdepth - 8;
     if (!fx && !fy) {
         int sh14 = 14 - bitdepth;
+        if (x0 >= 0 && y0 >= 0 && x0 + w <= W && y0 + h <= H) {
+            const int32_t *src = plane + (int64_t)y0 * stride + x0;
+            for (int j = 0; j < h; j++) {
+                const int32_t *restrict s = src + (int64_t)j * stride;
+                int32_t *restrict o = dst + (int64_t)j * dstride;
+                if (out14)
+                    for (int i = 0; i < w; i++)
+                        o[i] = s[i] << sh14;
+                else
+                    memcpy(o, s, (size_t)w * sizeof *o);
+            }
+            return;
+        }
         for (int j = 0; j < h; j++) {
             int yy = iclamp(y0 + j, 0, H - 1);
             for (int i = 0; i < w; i++) {
@@ -680,6 +767,32 @@ static void mc_block_c(const int32_t *plane, int W, int H, int stride,
     int iy = fv ? (y0 - before >= 0 && y0 - before + h + taps - 1 <= H)
                 : (y0 >= 0 && y0 + h <= H);
     if (ix && iy) {
+#ifdef __AVX2__
+        if (fv == 0) {
+            fir_avx2(plane + (int64_t)y0 * stride + x0 - before, stride, 1,
+                     dst, dstride, w, h, fh, taps, sh1, out14, shift, round,
+                     bd_max);
+            return;
+        }
+        if (fh == 0) {
+            fir_avx2(plane + (int64_t)(y0 - before) * stride + x0, stride,
+                     stride, dst, dstride, w, h, fv, taps, sh1, out14,
+                     shift, round, bd_max);
+            return;
+        }
+        {
+            /* hv separable: horizontal into an int32 scratch (the scalar
+             * path's int16 intermediate always fits int16, so widening it
+             * is value-identical), then vertical */
+            int32_t tmp32[(64 + 8) * 64];
+            int th = h + taps - 1;
+            fir_avx2(plane + (int64_t)(y0 - before) * stride + x0 - before,
+                     stride, 1, tmp32, w, w, th, fh, taps, sh1, 1, 0, 0, 0);
+            fir_avx2(tmp32, w, w, dst, dstride, w, h, fv, taps, 6, out14,
+                     shift, round, bd_max);
+            return;
+        }
+#endif
         if (fv == 0) { /* copy handled above; here fh != 0 */
             const int32_t *src = plane + (int64_t)y0 * stride + x0 - before;
 #define H_ROW(T)                                                           \
