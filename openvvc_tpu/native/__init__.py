@@ -797,13 +797,13 @@ def _setup_dbf_proto(lib):
         ctypes.POINTER(_DbfFrameParamsC), ctypes.POINTER(_DbfBufsC),
         vp, vp, vp,  # planes
         vp, vp,      # no_filter_x / no_filter_y
-        ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,  # part, lo, hi
     ]
     _dbf_proto_done = True
 
 
 def dbf_frame_native(frame, dbf, offsets, log2_ctb, no_x=(), no_y=(),
-                     finalize=True, part=0) -> bool:
+                     finalize=True, part=0, lo=0, hi=0) -> bool:
     """Whole-frame deblocking in C (ref_dbf.py deblock_frame +
     finalize_inter_bs parity). offsets = (beta_l, tc_l, beta_cb, tc_cb,
     beta_cr, tc_cr). Returns False if the native lib is unavailable."""
@@ -836,7 +836,7 @@ def dbf_frame_native(frame, dbf, offsets, log2_ctb, no_x=(), no_y=(),
         vp(frame.cb.ctypes.data if frame.cb is not None else None),
         vp(frame.cr.ctypes.data if frame.cr is not None else None),
         vp(nx.ctypes.data if len(nx) else None),
-        vp(ny.ctypes.data if len(ny) else None), part)
+        vp(ny.ctypes.data if len(ny) else None), part, lo, hi)
     return rc == 0
 
 

@@ -329,23 +329,26 @@ static int in_list(const int32_t *lst, int n, int v)
     return 0;
 }
 
-static void deblock_luma(const DbfFrameParams *fp, const DbfBufs *m,
-                         int32_t *plane, const int32_t *no_x,
-                         const int32_t *no_y)
+/* Vertical-edge pass over the yu band [yu_lo, yu_hi). A segment at
+ * (xu, yu) writes only rows 4yu..4yu+3, so disjoint yu bands are
+ * independent and run on separate threads. */
+static void deblock_luma_ver(const DbfFrameParams *fp, const DbfBufs *m,
+                             int32_t *plane, const int32_t *no_x,
+                             int yu_lo, int yu_hi)
 {
     int bd_max = (1 << fp->bitdepth) - 1;
     int uw = fp->pic_w / 4, uh = fp->pic_h / 4;
     int mw = uw + 1;
     int stride = fp->pic_w;
     const uint8_t *ev = m->edge_ver, *sv = m->sb_edge_ver;
-    const uint8_t *eh = m->edge_hor, *sh = m->sb_edge_hor;
+    if (yu_hi > uh)
+        yu_hi = uh;
 
-    /* vertical edges first */
     for (int xu = 1; xu < uw; xu++) {
         int x = xu * 4;
         if (in_list(no_x, fp->nb_no_x, x))
             continue;
-        for (int yu = 0; yu < uh; yu++) {
+        for (int yu = yu_lo; yu < yu_hi; yu++) {
             int e = yu * mw + xu;
             if (!(ev[e] | sv[e]))
                 continue;
@@ -390,13 +393,28 @@ static void deblock_luma(const DbfFrameParams *fp, const DbfBufs *m,
             filter_luma_segment(lines, beta, tc, mlp, mlq, bd_max);
         }
     }
+}
 
-    /* horizontal edges */
+/* Horizontal-edge pass over the xu band [xu_lo, xu_hi). Runs after ALL
+ * vertical edges (normative order); a segment writes only columns
+ * 4xu..4xu+3, so disjoint xu bands are independent. */
+static void deblock_luma_hor(const DbfFrameParams *fp, const DbfBufs *m,
+                             int32_t *plane, const int32_t *no_y,
+                             int xu_lo, int xu_hi)
+{
+    int bd_max = (1 << fp->bitdepth) - 1;
+    int uw = fp->pic_w / 4, uh = fp->pic_h / 4;
+    int mw = uw + 1;
+    int stride = fp->pic_w;
+    const uint8_t *eh = m->edge_hor, *sh = m->sb_edge_hor;
+    if (xu_hi > uw)
+        xu_hi = uw;
+
     for (int yu = 1; yu < uh; yu++) {
         int y = yu * 4;
         if (in_list(no_y, fp->nb_no_y, y))
             continue;
-        for (int xu = 0; xu < uw; xu++) {
+        for (int xu = xu_lo; xu < xu_hi; xu++) {
             int e = yu * mw + xu;
             if (!(eh[e] | sh[e]))
                 continue;
@@ -594,20 +612,57 @@ static void deblock_chroma_plane(const DbfFrameParams *fp, const DbfBufs *m,
 
 /* ---- entry point ------------------------------------------------------- */
 
-/* part: 0 = whole frame, 1 = luma only (incl. the inter-bs finalize, which
- * writes only the luma bs1 maps), 2 = chroma only. Parts 1 and 2 touch
- * disjoint maps/planes so the decoder runs them on two threads. */
+/* part selects a unit of work so the decoder can schedule the filter
+ * across threads (all units are mutually independent except for the
+ * barriers noted):
+ *   0 = whole frame
+ *   1 = luma only (incl. the inter-bs finalize)   2 = chroma only
+ *   3 = inter-bs finalize only (writes luma bs1 maps; run before 4/5)
+ *   4 = luma vertical-edge band, yu in [lo, hi)   (after 3)
+ *   5 = luma horizontal-edge band, xu in [lo, hi) (after ALL of 4)
+ *   6 = chroma Cb plane                           7 = chroma Cr plane */
 int64_t ov_dbf_frame_part(const DbfFrameParams *fp, const DbfBufs *m,
                           int32_t *fy, int32_t *fcb, int32_t *fcr,
-                          const int32_t *no_x, const int32_t *no_y, int part)
+                          const int32_t *no_x, const int32_t *no_y,
+                          int part, int lo, int hi)
 {
     int uw = fp->pic_w / 4, uh = fp->pic_h / 4;
-    if (part != 2) {
+    int chroma = fp->chroma_enabled && fcb && fcr;
+    switch (part) {
+    case 0:
+    case 1:
         if (fp->finalize_inter_bs)
             finalize_inter_bs(m, uw, uh);
-        deblock_luma(fp, m, fy, no_x, no_y);
+        deblock_luma_ver(fp, m, fy, no_x, 0, uh);
+        deblock_luma_hor(fp, m, fy, no_y, 0, uw);
+        if (part == 1)
+            return 0;
+        /* fall through: part 0 continues with chroma */
+        break;
+    case 3:
+        if (fp->finalize_inter_bs)
+            finalize_inter_bs(m, uw, uh);
+        return 0;
+    case 4:
+        deblock_luma_ver(fp, m, fy, no_x, lo, hi);
+        return 0;
+    case 5:
+        deblock_luma_hor(fp, m, fy, no_y, lo, hi);
+        return 0;
+    case 6:
+        if (chroma)
+            deblock_chroma_plane(fp, m, fcb, m->cbs1_cb_ver, m->cbs1_cb_hor,
+                                 m->qp_cb, fp->beta_off_cb, fp->tc_off_cb,
+                                 no_x, no_y);
+        return 0;
+    case 7:
+        if (chroma)
+            deblock_chroma_plane(fp, m, fcr, m->cbs1_cr_ver, m->cbs1_cr_hor,
+                                 m->qp_cr, fp->beta_off_cr, fp->tc_off_cr,
+                                 no_x, no_y);
+        return 0;
     }
-    if (part != 1 && fp->chroma_enabled && fcb && fcr) {
+    if (chroma) {
         deblock_chroma_plane(fp, m, fcb, m->cbs1_cb_ver, m->cbs1_cb_hor,
                              m->qp_cb, fp->beta_off_cb, fp->tc_off_cb,
                              no_x, no_y);
@@ -622,5 +677,5 @@ int64_t ov_dbf_frame(const DbfFrameParams *fp, const DbfBufs *m, int32_t *fy,
                      int32_t *fcb, int32_t *fcr, const int32_t *no_x,
                      const int32_t *no_y)
 {
-    return ov_dbf_frame_part(fp, m, fy, fcb, fcr, no_x, no_y, 0);
+    return ov_dbf_frame_part(fp, m, fy, fcb, fcr, no_x, no_y, 0, 0, 0);
 }
