@@ -925,3 +925,137 @@ def native_entry_ctx_from_raw(raw):
                           ep.tile_x0, ep.tile_y0)
     ectx.sao_recs = sao_recs
     return ectx
+
+
+# ---------------------------------------------------------------------------
+# Device-IR builder (ov_build_ir): dense per-frame tensors for the TPU path
+# ---------------------------------------------------------------------------
+
+_ir_proto_done = False
+
+
+def _setup_ir_proto(lib):
+    global _ir_proto_done
+    if _ir_proto_done:
+        return
+    i64 = ctypes.c_int64
+    i32 = ctypes.c_int32
+    vp = ctypes.c_void_p
+    lib.ov_build_ir.restype = i64
+    lib.ov_build_ir.argtypes = [
+        ctypes.POINTER(_EntryParamsC), ctypes.POINTER(_ReconParamsC),
+        vp, i64,        # cu_buf, ncu
+        vp, i64,        # tu_buf, ntu
+        vp, vp,         # coef_buf, cqp_tab
+        vp, vp, vp,     # res_y, res_cb, res_cr
+        i32, i32,       # ry_stride, rc_stride
+        vp, vp, vp, vp, vp, i32,  # gmask, gmv, gref, gw, ghpel, g_stride
+        vp, i64,        # jobs_l, cap_l
+        vp, i64,        # jobs_c, cap_c
+        vp, vp,         # dist0, dist1
+        ctypes.POINTER(_DbfBufsC),
+        vp,             # out_counts int64[4]
+    ]
+    _ir_proto_done = True
+
+
+class FrameIR:
+    """Dense per-frame IR tensors shared by all entries of one picture."""
+
+    __slots__ = ("res_y", "res_cb", "res_cr", "gmask", "gmv", "gref", "gw",
+                 "ghpel", "jobs_l", "jobs_c", "uw", "uh", "chroma")
+
+    def __init__(self, pic_w, pic_h, chroma=True):
+        from openvvc_tpu.utils.pool import GLOBAL as _pool
+
+        uw, uh = (pic_w + 3) >> 2, (pic_h + 3) >> 2
+        self.uw, self.uh = uw, uh
+        self.chroma = chroma
+        self.res_y = _pool.take_zeroed((uh * 4, uw * 4), np.int16)
+        if chroma:
+            self.res_cb = _pool.take_zeroed((uh * 2, uw * 2), np.int16)
+            self.res_cr = _pool.take_zeroed((uh * 2, uw * 2), np.int16)
+        else:
+            self.res_cb = self.res_cr = None
+        self.gmask = _pool.take_zeroed((uh, uw), np.uint8)
+        self.gmv = _pool.take_zeroed((uh, uw, 2, 2), np.int32)
+        self.gref = _pool.take_zeroed((uh, uw, 2), np.int8)
+        self.gw = _pool.take_zeroed((uh, uw, 2), np.int8)
+        self.ghpel = _pool.take_zeroed((uh, uw), np.uint8)
+        self.jobs_l = []  # per-entry (n, J_NFIELDS) int32 arrays
+        self.jobs_c = []
+
+    def release(self):
+        from openvvc_tpu.utils.pool import GLOBAL as _pool
+
+        _pool.give(self.res_y, self.res_cb, self.res_cr, self.gmask,
+                   self.gmv, self.gref, self.gw, self.ghpel)
+        self.res_y = self.res_cb = self.res_cr = None
+        self.gmask = self.gmv = self.gref = self.gw = self.ghpel = None
+
+
+_J_NFIELDS = 16
+
+
+def build_ir_entry_native(raw, ir: FrameIR, dbf, csign, nb_refs0, nb_refs1,
+                          dist0, dist1) -> bool:
+    """Run ov_build_ir for one parsed entry into the shared FrameIR.
+
+    Returns True on success; False = unsupported tool (caller falls back to
+    host reconstruction for the whole picture; partially-written IR buffers
+    are discarded)."""
+    lib = load_cabac_lib()
+    if lib is None:
+        return False
+    _setup_ir_proto(lib)
+
+    rp = _ReconParamsC()
+    rp.dbf_enabled = int(dbf is not None)
+    rp.csign = csign
+    rp.nb_refs = nb_refs0
+    rp.nb_refs1 = nb_refs1
+
+    d0 = np.zeros(16, np.int32)
+    if dist0:
+        d0[:len(dist0)] = dist0
+    d1 = np.zeros(16, np.int32)
+    if dist1:
+        d1[:len(dist1)] = dist1
+
+    db = _DbfBufsC()
+    if dbf is not None:
+        for name in _DBF_PTR_NAMES:
+            arr = getattr(dbf, name, None)
+            setattr(db, name, arr.ctypes.data if arr is not None else None)
+
+    ep = raw.ep
+    # job capacity: one job per 4x4 unit of the tile is the worst case
+    cap_l = ((ep.tile_w // 4 + 1) * (ep.tile_h // 4 + 1)) + 256
+    cap_c = cap_l
+    jobs_l = np.empty((cap_l, _J_NFIELDS), np.int32)
+    jobs_c = np.empty((cap_c, _J_NFIELDS), np.int32)
+    counts = (ctypes.c_int64 * 4)()
+
+    vp = ctypes.c_void_p
+    ncu, ntu = int(raw.counts[0]), int(raw.counts[1])
+    rc = lib.ov_build_ir(
+        ctypes.byref(ep), ctypes.byref(rp),
+        vp(raw.cu_buf.ctypes.data), ncu,
+        vp(raw.tu_buf.ctypes.data), ntu,
+        vp(raw.coef_buf.ctypes.data), vp(raw.cqp.ctypes.data),
+        vp(ir.res_y.ctypes.data),
+        vp(ir.res_cb.ctypes.data if ir.res_cb is not None else None),
+        vp(ir.res_cr.ctypes.data if ir.res_cr is not None else None),
+        ir.res_y.shape[1], ir.res_cb.shape[1] if ir.res_cb is not None else 0,
+        vp(ir.gmask.ctypes.data), vp(ir.gmv.ctypes.data),
+        vp(ir.gref.ctypes.data), vp(ir.gw.ctypes.data),
+        vp(ir.ghpel.ctypes.data), ir.uw,
+        vp(jobs_l.ctypes.data), cap_l,
+        vp(jobs_c.ctypes.data), cap_c,
+        vp(d0.ctypes.data), vp(d1.ctypes.data),
+        ctypes.byref(db), vp(counts))
+    if rc != 0:
+        return False
+    ir.jobs_l.append(jobs_l[:int(counts[0])].copy())
+    ir.jobs_c.append(jobs_c[:int(counts[1])].copy())
+    return True

@@ -63,6 +63,14 @@ enum {
 };
 #define SAO_NFIELDS 24 /* type[3], val[3][5], band_pos[3], eo_class[3] */
 
+/* ---- device-IR records (tpu/intra_wave.py + tpu/frame_program.py) ---- */
+enum {
+    J_X0, J_Y0, J_L2W, J_L2H, J_OX, J_OY, J_MODE, J_CORNER, J_ABOVE,
+    J_LEFT, J_NAVA, J_NAVL, J_LEVEL, J_KIND, J_AUX0, J_AUX1, J_NFIELDS
+};
+#define JOB_KIND_INTRA 0
+#define IR_TILE 32 /* intra job sub-tile (intra_wave.TILE) */
+
 /* ---- parameters handed over from Python (ctypes.Structure) ---------- */
 typedef struct {
     int32_t pic_w, pic_h, log2_ctb;

@@ -1078,6 +1078,51 @@ static int dbf_chroma_qp(const Rc *r, int comp, int qp_y)
 
 /* ---- TU lookup and residual application ------------------------------ */
 
+/* one CU's contribution to the deblocking maps (shared by the recon and
+ * IR-builder drivers; parity: decoder.py reconstruct_cu DBF fills) */
+static void fill_dbf_cu(const Rc *r, const int32_t *c)
+{
+    const EntryParams *ep = r->ep;
+    int x0 = c[CU_F_X0], y0 = c[CU_F_Y0];
+    int w = 1 << c[CU_F_LOG2W], h = 1 << c[CU_F_LOG2H];
+    int intra = c[CU_F_PRED] == MODE_INTRA;
+    dbf_add_cu_luma(r, x0, y0, w, h, c[CU_F_QP], intra);
+    if (!intra) {
+        int idir = c[CU_F_MV1REF] >= 0 ? c[CU_F_INTER_DIR] : 1;
+        dbf_add_cu_motion(r, x0, y0, w, h, idir,
+                          c[CU_F_MV0X], c[CU_F_MV0Y],
+                          (idir & 1) ? r->dist0[c[CU_F_MV0REF]] : 0,
+                          c[CU_F_MV1X], c[CU_F_MV1Y],
+                          (idir & 2) ? r->dist1[c[CU_F_MV1REF]] : 0);
+    }
+    int tu0 = c[CU_F_TU0], ntu_cu = c[CU_F_NTU];
+    for (int k = 0; k < ntu_cu; k++) {
+        const int32_t *t = r->tu_buf + (int64_t)(tu0 + k) * TU_NFIELDS;
+        if (t[TU_F_COMP] == 0)
+            dbf_add_tb_luma(r, t[TU_F_X0], t[TU_F_Y0],
+                            1 << t[TU_F_LOG2W], 1 << t[TU_F_LOG2H]);
+    }
+    if (ep->chroma_enabled) {
+        int qcb = dbf_chroma_qp(r, 1, c[CU_F_QP]);
+        int qcr = dbf_chroma_qp(r, 2, c[CU_F_QP]);
+        dbf_add_cu_chroma(r, x0 >> 1, y0 >> 1, w >> 1, h >> 1, qcb, qcr,
+                          intra);
+        for (int k = 0; k < ntu_cu; k++) {
+            const int32_t *t = r->tu_buf + (int64_t)(tu0 + k) * TU_NFIELDS;
+            int comp = t[TU_F_COMP];
+            if (comp == 0)
+                continue;
+            int tw = 1 << t[TU_F_LOG2W], th = 1 << t[TU_F_LOG2H];
+            if (comp == 3) {
+                dbf_add_tb_chroma(r, 1, t[TU_F_X0], t[TU_F_Y0], tw, th);
+                dbf_add_tb_chroma(r, 2, t[TU_F_X0], t[TU_F_Y0], tw, th);
+            } else {
+                dbf_add_tb_chroma(r, comp, t[TU_F_X0], t[TU_F_Y0], tw, th);
+            }
+        }
+    }
+}
+
 static const int32_t *find_tu_c(const Rc *r, const int32_t *cu, int comp,
                                 int x, int y)
 {
@@ -1426,51 +1471,10 @@ int64_t ov_recon_entry(const EntryParams *ep, const ReconParams *rp,
     int dbf_on = rp->dbf_enabled && dbf;
     for (int64_t i = 0; i < ncu; i++) {
         const int32_t *c = cu_buf + i * CU_NFIELDS;
-        int x0 = c[CU_F_X0], y0 = c[CU_F_Y0];
-        int w = 1 << c[CU_F_LOG2W], h = 1 << c[CU_F_LOG2H];
         int intra = c[CU_F_PRED] == MODE_INTRA;
         int64_t pt0 = prof_now();
-        if (dbf_on) {
-            dbf_add_cu_luma(&rc, x0, y0, w, h, c[CU_F_QP], intra);
-            if (!intra) {
-                int idir = c[CU_F_MV1REF] >= 0 ? c[CU_F_INTER_DIR] : 1;
-                dbf_add_cu_motion(&rc, x0, y0, w, h, idir,
-                                  c[CU_F_MV0X], c[CU_F_MV0Y],
-                                  (idir & 1) ? dist0[c[CU_F_MV0REF]] : 0,
-                                  c[CU_F_MV1X], c[CU_F_MV1Y],
-                                  (idir & 2) ? dist1[c[CU_F_MV1REF]] : 0);
-            }
-            int tu0 = c[CU_F_TU0], ntu_cu = c[CU_F_NTU];
-            for (int k = 0; k < ntu_cu; k++) {
-                const int32_t *t = tu_buf + (int64_t)(tu0 + k) * TU_NFIELDS;
-                if (t[TU_F_COMP] == 0)
-                    dbf_add_tb_luma(&rc, t[TU_F_X0], t[TU_F_Y0],
-                                    1 << t[TU_F_LOG2W], 1 << t[TU_F_LOG2H]);
-            }
-            if (ep->chroma_enabled) {
-                int qcb = dbf_chroma_qp(&rc, 1, c[CU_F_QP]);
-                int qcr = dbf_chroma_qp(&rc, 2, c[CU_F_QP]);
-                dbf_add_cu_chroma(&rc, x0 >> 1, y0 >> 1, w >> 1, h >> 1, qcb,
-                                  qcr, intra);
-                for (int k = 0; k < ntu_cu; k++) {
-                    const int32_t *t =
-                        tu_buf + (int64_t)(tu0 + k) * TU_NFIELDS;
-                    int comp = t[TU_F_COMP];
-                    if (comp == 0)
-                        continue;
-                    int tw = 1 << t[TU_F_LOG2W], th = 1 << t[TU_F_LOG2H];
-                    if (comp == 3) {
-                        dbf_add_tb_chroma(&rc, 1, t[TU_F_X0], t[TU_F_Y0], tw,
-                                          th);
-                        dbf_add_tb_chroma(&rc, 2, t[TU_F_X0], t[TU_F_Y0], tw,
-                                          th);
-                    } else {
-                        dbf_add_tb_chroma(&rc, comp, t[TU_F_X0], t[TU_F_Y0],
-                                          tw, th);
-                    }
-                }
-            }
-        }
+        if (dbf_on)
+            fill_dbf_cu(&rc, c);
         prof_add(PROF_DBFMAP, pt0);
         pt0 = prof_now();
         if (intra) {
@@ -1485,4 +1489,415 @@ int64_t ov_recon_entry(const EntryParams *ep, const ReconParams *rp,
     free(rc.avail_l);
     free(rc.avail_c);
     return 0;
+}
+
+/* ======================================================================
+ * Device-IR builder: turn a parsed entry into the dense per-frame tensors
+ * consumed by the TPU frame program (tpu/frame_program.py). Instead of
+ * reconstructing samples, it emits
+ *   - residual planes (dequant + inverse transform per TU),
+ *   - per-4x4-unit inter motion grids (clipped MVs, refs, BCW weights),
+ *   - wave-scheduled intra job records with decode-order availability,
+ *   - the deblocking maps (shared fill_dbf_cu).
+ * Same walk order as ov_recon_entry so availability/DBF parity holds.
+ * Equivalent of the reference's per-CU dispatch state (rcn.c:147-300)
+ * re-expressed as tensors (SURVEY.md §7.1 "CTU tensor IR").
+ * ====================================================================== */
+
+typedef struct {
+    int16_t *res_y, *res_cb, *res_cr;
+    int32_t ry_stride, rc_stride;
+    uint8_t *gmask;
+    int32_t *gmv;   /* (uh, uw, 2, 2) */
+    int8_t *gref;   /* (uh, uw, 2) */
+    int8_t *gw;     /* (uh, uw, 2) */
+    uint8_t *ghpel; /* (uh, uw) */
+    int32_t g_stride;
+    int32_t *jobs_l, *jobs_c;
+    int64_t cap_l, cap_c, njl, njc;
+    uint16_t *lvl_l, *lvl_c; /* per-tile wave level maps (avail grids) */
+    int64_t max_lvl_l, max_lvl_c;
+} IrOut;
+
+static void ir_write_res(int16_t *dst, int stride, const int32_t *res,
+                         int tx, int ty, int tw, int th)
+{
+    for (int j = 0; j < th; j++) {
+        int16_t *o = dst + (int64_t)(ty + j) * stride + tx;
+        const int32_t *s = res + (int64_t)j * tw;
+        for (int k = 0; k < tw; k++)
+            o[k] = (int16_t)s[k];
+    }
+}
+
+/* decode-order availability extents (fill_side_refs parity, sample units) */
+static void ir_avail(const Rc *r, int x0, int y0, int l2w, int l2h,
+                     int is_luma, int *corner, int *above, int *left,
+                     int *nava, int *navl)
+{
+    avail_fn_t av = is_luma ? luma_avail : chroma_avail;
+    int unit = is_luma ? 4 : 2;
+    int w = 1 << l2w, h = 1 << l2h;
+    *corner = av(r, x0 - 1, y0 - 1);
+    *above = av(r, x0, y0 - 1);
+    *left = av(r, x0 - 1, y0);
+    *nava = *navl = 0;
+    if (*above) {
+        int nb = (2 * w + unit - 1) / unit, nav = 0;
+        while (nav < nb && av(r, x0 + nav * unit, y0 - 1))
+            nav++;
+        *nava = nav * unit;
+    }
+    if (*left) {
+        int nb = (2 * h + unit - 1) / unit, nav = 0;
+        while (nav < nb && av(r, x0 - 1, y0 + nav * unit))
+            nav++;
+        *navl = nav * unit;
+    }
+}
+
+/* wave level = 1 + max level over the referenced neighbour units */
+static int ir_level(const Rc *r, const uint16_t *lvl, int lw, int lh,
+                    int x0, int y0, int nava, int navl, int is_luma)
+{
+    const EntryParams *e = r->ep;
+    int sh = is_luma ? 2 : 1;
+    int tx0 = is_luma ? e->tile_x0 : (e->tile_x0 >> 1);
+    int ty0 = is_luma ? e->tile_y0 : (e->tile_y0 >> 1);
+    int best = 0;
+    int uy = (y0 - 1 - ty0) >> sh;
+    if (uy >= 0 && uy < lh) { /* above row incl. corner */
+        int ux_lo = (x0 - 1 - tx0) >> sh;
+        int ux_hi = (x0 + nava - tx0) >> sh;
+        if (ux_lo < 0) ux_lo = 0;
+        if (ux_hi >= lw) ux_hi = lw - 1;
+        const uint16_t *row = lvl + (int64_t)uy * lw;
+        for (int ux = ux_lo; ux <= ux_hi; ux++)
+            if (row[ux] > best) best = row[ux];
+    }
+    int ux = (x0 - 1 - tx0) >> sh;
+    if (ux >= 0 && ux < lw) { /* left column */
+        int uy_lo = (y0 - 1 - ty0) >> sh;
+        int uy_hi = (y0 + navl - ty0) >> sh;
+        if (uy_lo < 0) uy_lo = 0;
+        if (uy_hi >= lh) uy_hi = lh - 1;
+        for (int vy = uy_lo; vy <= uy_hi; vy++) {
+            int v = lvl[(int64_t)vy * lw + ux];
+            if (v > best) best = v;
+        }
+    }
+    return best + 1;
+}
+
+static void ir_set_level(const Rc *r, uint16_t *lvl, int lw, int lh,
+                         int x0, int y0, int l2w, int l2h, int is_luma,
+                         int level)
+{
+    const EntryParams *e = r->ep;
+    int sh = is_luma ? 2 : 1;
+    int tx0 = is_luma ? e->tile_x0 : (e->tile_x0 >> 1);
+    int ty0 = is_luma ? e->tile_y0 : (e->tile_y0 >> 1);
+    int ux = (x0 - tx0) >> sh, uy = (y0 - ty0) >> sh;
+    int nw = imax(1, (1 << l2w) >> sh), nh = imax(1, (1 << l2h) >> sh);
+    for (int j = 0; j < nh && uy + j < lh; j++) {
+        uint16_t *row = lvl + (int64_t)(uy + j) * lw + ux;
+        for (int k = 0; k < imin(nw, lw - ux); k++)
+            row[k] = (uint16_t)level;
+    }
+}
+
+static int ir_emit_job(IrOut *o, int is_luma, int x0, int y0, int l2w,
+                       int l2h, int mode, int level, int corner, int above,
+                       int left, int nava, int navl)
+{
+    int w = 1 << l2w, h = 1 << l2h;
+    for (int oy = 0; oy < h; oy += IR_TILE)
+        for (int ox = 0; ox < w; ox += IR_TILE) {
+            int32_t *j;
+            if (is_luma) {
+                if (o->njl >= o->cap_l)
+                    return -1;
+                j = o->jobs_l + (o->njl++) * J_NFIELDS;
+            } else {
+                if (o->njc >= o->cap_c)
+                    return -1;
+                j = o->jobs_c + (o->njc++) * J_NFIELDS;
+            }
+            j[J_X0] = x0; j[J_Y0] = y0; j[J_L2W] = l2w; j[J_L2H] = l2h;
+            j[J_OX] = ox; j[J_OY] = oy; j[J_MODE] = mode;
+            j[J_CORNER] = corner; j[J_ABOVE] = above; j[J_LEFT] = left;
+            j[J_NAVA] = nava; j[J_NAVL] = navl; j[J_LEVEL] = level;
+            j[J_KIND] = JOB_KIND_INTRA; j[J_AUX0] = 0; j[J_AUX1] = 0;
+        }
+    return 0;
+}
+
+static int ir_intra_cu(const Rc *r, IrOut *o, const int32_t *cu)
+{
+    const EntryParams *e = r->ep;
+    int x0 = cu[CU_F_X0], y0 = cu[CU_F_Y0];
+    int l2w = cu[CU_F_LOG2W], l2h = cu[CU_F_LOG2H];
+    int32_t res[64 * 64];
+    TuUnit units[16];
+
+    int nu = tu_units(x0, y0, l2w, l2h, e->l_max_tb, units, 0);
+    for (int u = 0; u < nu; u++) {
+        TuUnit *tu = &units[u];
+        int corner, above, left, nava, navl;
+        ir_avail(r, tu->x, tu->y, tu->l2w, tu->l2h, 1, &corner, &above,
+                 &left, &nava, &navl);
+        int lvl = ir_level(r, o->lvl_l, r->al_w, r->al_h, tu->x, tu->y,
+                           above ? nava : 0, left ? navl : 0, 1);
+        if (lvl > o->max_lvl_l) o->max_lvl_l = lvl;
+        if (ir_emit_job(o, 1, tu->x, tu->y, tu->l2w, tu->l2h,
+                        cu[CU_F_INTRA_L], lvl, corner, above, left, nava,
+                        navl) < 0)
+            return -1;
+        const int32_t *t = find_tu_c(r, cu, 0, tu->x, tu->y);
+        if (t) {
+            recon_tu_residual_c(r, t, 1, res);
+            ir_write_res(o->res_y, o->ry_stride, res, tu->x, tu->y,
+                         1 << tu->l2w, 1 << tu->l2h);
+        }
+        ir_set_level(r, o->lvl_l, r->al_w, r->al_h, tu->x, tu->y, tu->l2w,
+                     tu->l2h, 1, lvl);
+        mark_luma((Rc *)r, tu->x, tu->y, tu->l2w, tu->l2h);
+    }
+
+    if (!e->chroma_enabled)
+        return 0;
+
+    int cx0 = x0 >> 1, cy0 = y0 >> 1;
+    int mode = cu[CU_F_INTRA_C];
+    int csign = r->rp->csign;
+    int32_t rc2[32 * 32];
+
+    nu = tu_units(cx0, cy0, l2w - 1, l2h - 1, e->l_max_tb - 1, units, 0);
+    for (int u = 0; u < nu; u++) {
+        TuUnit *tu = &units[u];
+        int w = 1 << tu->l2w, h = 1 << tu->l2h;
+        int corner, above, left, nava, navl;
+        ir_avail(r, tu->x, tu->y, tu->l2w, tu->l2h, 0, &corner, &above,
+                 &left, &nava, &navl);
+        int lvl = ir_level(r, o->lvl_c, r->ac_w, r->ac_h, tu->x, tu->y,
+                           above ? nava : 0, left ? navl : 0, 0);
+        if (lvl > o->max_lvl_c) o->max_lvl_c = lvl;
+        if (ir_emit_job(o, 0, tu->x, tu->y, tu->l2w, tu->l2h, mode, lvl,
+                        corner, above, left, nava, navl) < 0)
+            return -1;
+        const int32_t *jt = find_tu_c(r, cu, 3, tu->x, tu->y);
+        if (jt) {
+            recon_tu_residual_c(r, jt, 1, res);
+            int jc = jt[TU_F_JCBCR];
+            for (int i = 0; i < w * h; i++) {
+                int v = res[i];
+                if (jc == 3) rc2[i] = csign * v;
+                else rc2[i] = (csign * v) >> 1;
+            }
+            if (jc >= 2) {
+                ir_write_res(o->res_cb, o->rc_stride, res, tu->x, tu->y, w, h);
+                ir_write_res(o->res_cr, o->rc_stride, rc2, tu->x, tu->y, w, h);
+            } else {
+                ir_write_res(o->res_cr, o->rc_stride, res, tu->x, tu->y, w, h);
+                ir_write_res(o->res_cb, o->rc_stride, rc2, tu->x, tu->y, w, h);
+            }
+        } else {
+            const int32_t *tb = find_tu_c(r, cu, 1, tu->x, tu->y);
+            const int32_t *tr = find_tu_c(r, cu, 2, tu->x, tu->y);
+            if (tb) {
+                recon_tu_residual_c(r, tb, 1, res);
+                ir_write_res(o->res_cb, o->rc_stride, res, tu->x, tu->y, w, h);
+            }
+            if (tr) {
+                recon_tu_residual_c(r, tr, 1, res);
+                ir_write_res(o->res_cr, o->rc_stride, res, tu->x, tu->y, w, h);
+            }
+        }
+        ir_set_level(r, o->lvl_c, r->ac_w, r->ac_h, tu->x, tu->y, tu->l2w,
+                     tu->l2h, 0, lvl);
+        mark_chroma((Rc *)r, tu->x, tu->y, tu->l2w, tu->l2h);
+    }
+    return 0;
+}
+
+static const int8_t IR_BCW_W1[5] = {-2, 3, 4, 5, 10};
+
+static void ir_inter_cu(const Rc *r, IrOut *o, const int32_t *cu)
+{
+    const EntryParams *e = r->ep;
+    int x0 = cu[CU_F_X0], y0 = cu[CU_F_Y0];
+    int l2w = cu[CU_F_LOG2W], l2h = cu[CU_F_LOG2H];
+    int w = 1 << l2w, h = 1 << l2h;
+    int dir = cu[CU_F_MV1REF] >= 0 ? cu[CU_F_INTER_DIR] : 1;
+    int hpel = cu[CU_F_PREC_EFF] == PREC_HALF;
+
+    int m0x = 0, m0y = 0, m1x = 0, m1y = 0;
+    if (dir & 1)
+        clip_mv_c(x0, y0, e->pic_w, e->pic_h, w, h, cu[CU_F_MV0X],
+                  cu[CU_F_MV0Y], &m0x, &m0y);
+    if (dir & 2)
+        clip_mv_c(x0, y0, e->pic_w, e->pic_h, w, h, cu[CU_F_MV1X],
+                  cu[CU_F_MV1Y], &m1x, &m1y);
+
+    int w0 = 8, w1 = 0;
+    if (dir == 2) { w0 = 0; w1 = 8; }
+    else if (dir == 3) {
+        int bcw = cu[CU_F_MV0BCW];
+        w1 = (bcw == 0 || bcw == 3) ? 4 : IR_BCW_W1[bcw - 1];
+        w0 = 8 - w1;
+    }
+    int ref0 = (dir & 1) ? cu[CU_F_MV0REF] : -1;
+    int ref1 = (dir & 2) ? cu[CU_F_MV1REF] : -1;
+
+    int ux0 = x0 >> 2, uy0 = y0 >> 2;
+    int nuw = w >> 2, nuh = h >> 2;
+    for (int j = 0; j < nuh; j++) {
+        int64_t row = (int64_t)(uy0 + j) * o->g_stride;
+        for (int k = 0; k < nuw; k++) {
+            int64_t u = row + ux0 + k;
+            o->gmask[u] = 1;
+            int32_t *mv = o->gmv + u * 4;
+            mv[0] = m0x; mv[1] = m0y; mv[2] = m1x; mv[3] = m1y;
+            o->gref[u * 2] = (int8_t)ref0;
+            o->gref[u * 2 + 1] = (int8_t)ref1;
+            o->gw[u * 2] = (int8_t)w0;
+            o->gw[u * 2 + 1] = (int8_t)w1;
+            o->ghpel[u] = (uint8_t)hpel;
+        }
+    }
+
+    /* residuals */
+    int32_t res[64 * 64], rc2[32 * 32];
+    int tu0 = cu[CU_F_TU0], ntu = cu[CU_F_NTU];
+    int csign = r->rp->csign;
+    for (int i = 0; i < ntu; i++) {
+        const int32_t *t = r->tu_buf + (int64_t)(tu0 + i) * TU_NFIELDS;
+        int comp = t[TU_F_COMP];
+        int tw = 1 << t[TU_F_LOG2W], th = 1 << t[TU_F_LOG2H];
+        recon_tu_residual_c(r, t, 0, res);
+        if (comp == 0) {
+            ir_write_res(o->res_y, o->ry_stride, res, t[TU_F_X0], t[TU_F_Y0],
+                         tw, th);
+        } else if (comp == 3) {
+            int jc = t[TU_F_JCBCR];
+            for (int k = 0; k < tw * th; k++) {
+                int v = res[k];
+                rc2[k] = jc == 3 ? csign * v : (csign * v) >> 1;
+            }
+            if (jc >= 2) {
+                ir_write_res(o->res_cb, o->rc_stride, res, t[TU_F_X0],
+                             t[TU_F_Y0], tw, th);
+                ir_write_res(o->res_cr, o->rc_stride, rc2, t[TU_F_X0],
+                             t[TU_F_Y0], tw, th);
+            } else {
+                ir_write_res(o->res_cr, o->rc_stride, res, t[TU_F_X0],
+                             t[TU_F_Y0], tw, th);
+                ir_write_res(o->res_cb, o->rc_stride, rc2, t[TU_F_X0],
+                             t[TU_F_Y0], tw, th);
+            }
+        } else {
+            ir_write_res(comp == 1 ? o->res_cb : o->res_cr, o->rc_stride,
+                         res, t[TU_F_X0], t[TU_F_Y0], tw, th);
+        }
+    }
+    mark_luma((Rc *)r, x0, y0, l2w, l2h);
+    if (e->chroma_enabled)
+        mark_chroma((Rc *)r, x0 >> 1, y0 >> 1, l2w - 1, l2h - 1);
+}
+
+int64_t ov_build_ir(const EntryParams *ep, const ReconParams *rp,
+                    const int32_t *cu_buf, int64_t ncu,
+                    const int32_t *tu_buf, int64_t ntu,
+                    const int32_t *coef_buf, const int8_t *cqp_tab,
+                    int16_t *res_y, int16_t *res_cb, int16_t *res_cr,
+                    int32_t ry_stride, int32_t rc_stride,
+                    uint8_t *gmask, int32_t *gmv, int8_t *gref, int8_t *gw,
+                    uint8_t *ghpel, int32_t g_stride,
+                    int32_t *jobs_l, int64_t cap_l,
+                    int32_t *jobs_c, int64_t cap_c,
+                    const int32_t *dist0, const int32_t *dist1,
+                    const DbfBufs *dbf, int64_t *out_counts)
+{
+    /* support scan: same set as ov_recon_entry except BCW bi weights,
+     * which the device weighted-combine handles exactly */
+    for (int64_t i = 0; i < ncu; i++) {
+        const int32_t *c = cu_buf + i * CU_NFIELDS;
+        if (c[CU_F_TREE] != TREE_SINGLE || c[CU_F_MIP_FLAG] || c[CU_F_MRL] ||
+            c[CU_F_LFNST] || c[CU_F_PRED] > MODE_INTER ||
+            (c[CU_F_INTRA_C] >= INTRA_LT_CCLM &&
+             c[CU_F_INTRA_C] <= INTRA_T_CCLM))
+            return -1;
+        if (c[CU_F_PRED] == MODE_INTER) {
+            int dir = c[CU_F_MV1REF] >= 0 ? c[CU_F_INTER_DIR] : 1;
+            if ((dir & 1) &&
+                (c[CU_F_MV0REF] < 0 || c[CU_F_MV0REF] >= rp->nb_refs))
+                return -1;
+            if ((dir & 2) &&
+                (c[CU_F_MV1REF] < 0 || c[CU_F_MV1REF] >= rp->nb_refs1))
+                return -1;
+        }
+    }
+    for (int64_t i = 0; i < ntu; i++) {
+        const int32_t *t = tu_buf + i * TU_NFIELDS;
+        if (t[TU_F_LFNST] || t[TU_F_TS] || t[TU_F_BDPCM] || t[TU_F_COEF] < 0)
+            return -1;
+    }
+
+    Rc rc;
+    memset(&rc, 0, sizeof(rc));
+    rc.ep = ep;
+    rc.rp = rp;
+    rc.tu_buf = tu_buf;
+    rc.coef_buf = coef_buf;
+    rc.cqp_tab = cqp_tab;
+    rc.dist0 = dist0;
+    rc.dist1 = dist1;
+    rc.dbf = dbf;
+    rc.uw = (ep->pic_w + 3) >> 2;
+    rc.uh = (ep->pic_h + 3) >> 2;
+    rc.bd_max = (1 << ep->bitdepth) - 1;
+    rc.al_w = (ep->tile_w + 3) / 4;
+    rc.al_h = (ep->tile_h + 3) / 4;
+    rc.ac_w = (ep->tile_w / 2 + 1) / 2 + 1;
+    rc.ac_h = (ep->tile_h / 2 + 1) / 2 + 1;
+    rc.avail_l = calloc((size_t)rc.al_w * rc.al_h, 1);
+    rc.avail_c = calloc((size_t)rc.ac_w * rc.ac_h, 1);
+
+    IrOut o;
+    memset(&o, 0, sizeof(o));
+    o.res_y = res_y; o.res_cb = res_cb; o.res_cr = res_cr;
+    o.ry_stride = ry_stride; o.rc_stride = rc_stride;
+    o.gmask = gmask; o.gmv = gmv; o.gref = gref; o.gw = gw;
+    o.ghpel = ghpel; o.g_stride = g_stride;
+    o.jobs_l = jobs_l; o.jobs_c = jobs_c;
+    o.cap_l = cap_l; o.cap_c = cap_c;
+    o.lvl_l = calloc((size_t)rc.al_w * rc.al_h, 2);
+    o.lvl_c = calloc((size_t)rc.ac_w * rc.ac_h, 2);
+    if (!rc.avail_l || !rc.avail_c || !o.lvl_l || !o.lvl_c) {
+        free(rc.avail_l); free(rc.avail_c);
+        free(o.lvl_l); free(o.lvl_c);
+        return -2;
+    }
+
+    int dbf_on = rp->dbf_enabled && dbf;
+    int64_t rcode = 0;
+    for (int64_t i = 0; i < ncu && rcode == 0; i++) {
+        const int32_t *c = cu_buf + i * CU_NFIELDS;
+        int64_t pt0 = prof_now();
+        if (dbf_on)
+            fill_dbf_cu(&rc, c);
+        prof_add(PROF_DBFMAP, pt0);
+        if (c[CU_F_PRED] == MODE_INTRA)
+            rcode = ir_intra_cu(&rc, &o, c);
+        else
+            ir_inter_cu(&rc, &o, c);
+    }
+
+    out_counts[0] = o.njl;
+    out_counts[1] = o.njc;
+    out_counts[2] = o.max_lvl_l;
+    out_counts[3] = o.max_lvl_c;
+    free(rc.avail_l); free(rc.avail_c);
+    free(o.lvl_l); free(o.lvl_c);
+    return rcode;
 }

@@ -1,0 +1,302 @@
+"""Branchless on-device intra prediction for wave-scheduled job batches.
+
+One "job" is an intra TU unit (or a 32x32 sub-tile of a larger one): the
+host IR builder (native/recon.c ov_build_ir) emits per-job geometry, the
+intra mode, and availability extents captured at decode order; jobs are
+grouped into dependency waves. The kernel below predicts a whole batch of
+jobs from the in-progress reconstruction plane — reference construction
+(availability substitution + padding), [1 2 1] smoothing, negative-mode
+projection, planar/DC/angular cores, and every PDPC variant — as masked
+integer math with no per-job control flow, then adds the residual plane
+and scatters the clipped samples back. Bit-exact vs rcn/ref_intra.py
+(itself oracle-validated against /root/reference/libovvc/rcn_intra.c:484,
+rcn_fill_ref.c:71-592, rcn_intra_angular.c, rcn_intra_dc_planar.c).
+
+Why this shape: intra has a serial neighbour dependency, so the frame
+program runs lax.scan over waves with the picture plane as carry; each
+scan step calls predict_wave_step on a fixed-size job batch. All shapes
+are static; per-job sizes/modes are data.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# job record layout (must match ov_build_ir in native/recon.c)
+(J_X0, J_Y0, J_L2W, J_L2H, J_OX, J_OY, J_MODE, J_CORNER, J_ABOVE, J_LEFT,
+ J_NAVA, J_NAVL, J_LEVEL, J_KIND, J_AUX0, J_AUX1) = range(16)
+J_NFIELDS = 16
+
+KIND_INTRA = 0
+KIND_IBC = 1
+KIND_CIIP = 2
+
+# lane budgets: luma TUs are <= 64 wide so the reference line holds
+# indices 0..2*64+8 (=136) plus 3 tap lookahead; negative projections
+# reach -(n_proj) >= -64. Chroma TBs are <= 32.
+LT_L, NEG_L = 140, 72
+LT_C, NEG_C = 76, 40
+TILE = 32
+
+_THR = (24, 24, 24, 14, 2, 0, 0, 0)
+
+
+def _tables(jnp):
+    from openvvc_tpu.rcn.data_angular import (ANGLE_TABLE, CUBIC_FILTER,
+                                              INVERSE_ANGLE_TABLE)
+
+    return (jnp.asarray(np.asarray(ANGLE_TABLE, np.int32)),
+            jnp.asarray(np.asarray(INVERSE_ANGLE_TABLE, np.int32)),
+            jnp.asarray(np.asarray(CUBIC_FILTER, np.int32)),
+            jnp.asarray(np.asarray(_THR, np.int32)))
+
+
+def _gat(plane, y, x):
+    """plane[y, x] with edge clamp (values of clamped lanes are masked)."""
+    H, W = plane.shape
+    import jax.numpy as jnp
+
+    return plane[jnp.clip(y, 0, H - 1), jnp.clip(x, 0, W - 1)].astype(jnp.int32)
+
+
+def _fill_sides(jnp, plane, x0, y0, corner_ok, above_ok, left_ok,
+                nava, navl, avg, LT):
+    """(ref_above, ref_left) lanes [B, LT]; lane k == ref[k] of RefArrays.
+
+    Mirrors ref_intra.fill_side_refs: available run copied, clamped-index
+    gather reproduces the trailing pad (pad value == ref[n_avail]) and the
+    +8 wide-angle extension in one expression.
+    """
+    k = jnp.arange(LT, dtype=jnp.int32)[None, :]
+    c = lambda v: v[:, None]
+
+    corner_a = jnp.where(c(corner_ok) > 0,
+                         _gat(plane, c(y0 - 1), c(x0 - 1)),
+                         _gat(plane, c(y0 - 1), c(x0)))
+    kk_a = jnp.clip(k, 1, jnp.maximum(c(nava), 1))
+    run_a = _gat(plane, c(y0 - 1), c(x0 - 1) + kk_a)
+    ok_a = jnp.where(k == 0, corner_a, run_a)
+    fb_a = jnp.where(c(left_ok) > 0, _gat(plane, c(y0), c(x0 - 1)), avg)
+    ra = jnp.where(c(above_ok) > 0, ok_a, fb_a)
+
+    corner_l = jnp.where(c(corner_ok) > 0,
+                         _gat(plane, c(y0 - 1), c(x0 - 1)),
+                         _gat(plane, c(y0), c(x0 - 1)))
+    kk_l = jnp.clip(k, 1, jnp.maximum(c(navl), 1))
+    run_l = _gat(plane, c(y0 - 1) + kk_l, c(x0 - 1))
+    ok_l = jnp.where(k == 0, corner_l, run_l)
+    fb_l = jnp.where(c(above_ok) > 0, _gat(plane, c(y0 - 1), c(x0)), avg)
+    rl = jnp.where(c(left_ok) > 0, ok_l, fb_l)
+    return ra, rl
+
+
+def _smooth(jnp, ref, other, length):
+    """[1 2 1] smoothing (ref_intra.filter_ref_array parity), length per job."""
+    k = jnp.arange(ref.shape[1], dtype=jnp.int32)[None, :]
+    r_m1 = jnp.concatenate([ref[:, :1], ref[:, :-1]], axis=1)
+    r_p1 = jnp.concatenate([ref[:, 1:], ref[:, -1:]], axis=1)
+    mid = (r_m1 + 2 * ref + r_p1 + 2) >> 2
+    at0 = (other[:, 1:2] + 2 * ref[:, 0:1] + ref[:, 1:2] + 2) >> 2
+    out = jnp.where(k == 0, at0, jnp.where(k < length[:, None], mid, ref))
+    return out
+
+
+def _pdpc_w(jnp, scale, pos):
+    sh = jnp.minimum(31, (pos << 1) >> scale)
+    return jnp.where(sh < 6, 32 >> jnp.minimum(sh, 5), 0)
+
+
+def _floor_log2(jnp, v):
+    import jax
+
+    return 31 - jax.lax.clz(jnp.maximum(v, 1).astype(jnp.int32))
+
+
+def predict_wave_step(jnp, plane, resid, jf, bitdepth, luma, tile=TILE):
+    """Predict + residual-add + scatter one wave batch into `plane`.
+
+    plane/resid: [H, W] int16/int32 (plane is the scan carry). jf: job
+    fields [J_NFIELDS, B] int32 (mode < 0 lanes are no-ops). Returns the
+    updated plane. All reference math in int32.
+    """
+    LT = LT_L if luma else LT_C
+    NEG = NEG_L if luma else NEG_C
+    ANGLE, INV, CUBIC, THR = _tables(jnp)
+    bd_max = (1 << bitdepth) - 1
+    avg = 1 << (bitdepth - 1)
+
+    x0, y0 = jf[J_X0], jf[J_Y0]
+    l2w, l2h = jf[J_L2W], jf[J_L2H]
+    ox, oy = jf[J_OX], jf[J_OY]
+    mode = jf[J_MODE]
+    valid = mode >= 0
+    mode = jnp.maximum(mode, 0)
+    w, h = 1 << l2w, 1 << l2h
+
+    ra, rl = _fill_sides(jnp, plane, x0, y0, jf[J_CORNER], jf[J_ABOVE],
+                         jf[J_LEFT], jf[J_NAVA], jf[J_NAVL], avg, LT)
+
+    # ---- mode geometry -------------------------------------------------
+    shift_tab = jnp.asarray(np.asarray([0, 6, 10, 12, 14, 15], np.int32))
+    wshift = shift_tab[jnp.abs(l2w - l2h)]
+    pm = jnp.where((l2w > l2h) & (mode < 2 + wshift) & (mode >= 2),
+                   mode + 65,
+                   jnp.where((l2h > l2w) & (mode > 66 - wshift),
+                             mode - 65, mode))
+    vert = pm >= 34
+    mode_idx = jnp.where(vert, pm - 50, -(pm - 18))
+    n_lines = jnp.where(vert, h, w)
+    line_len = jnp.where(vert, w, h)
+    side_l2 = jnp.where(vert, l2h, l2w)
+
+    aa = ANGLE[jnp.clip(jnp.abs(mode_idx), 0, 31)]
+    inv = INV[jnp.clip(jnp.abs(mode_idx), 0, 31)]
+    req_frac = (aa & 0x1F) != 0
+    sum_l2 = l2w + l2h
+    use_gauss = (bool(luma) & (sum_l2 > 5)
+                 & (jnp.abs(mode_idx) > THR[jnp.clip(sum_l2 >> 1, 0, 7)]))
+    is_flat = mode < 2
+    use_filt = use_gauss & ~req_frac & ~is_flat
+
+    rm = jnp.where(vert[:, None], ra, rl)
+    rs = jnp.where(vert[:, None], rl, ra)
+    frm = _smooth(jnp, rm, rs, 2 * line_len)
+    frs = _smooth(jnp, rs, rm, 2 * n_lines)
+    rm_eff = jnp.where(use_filt[:, None], frm, rm)
+    rs_eff = jnp.where(use_filt[:, None], frs, rs)
+
+    # negative projection lanes (ref_intra._project_negative): lane i of the
+    # assembled main line holds index i - NEG
+    n_proj = 1 << side_l2
+    i_neg = jnp.arange(NEG, dtype=jnp.int32)[None, :]
+    k_neg = NEG - i_neg                       # 1..NEG
+    s = 256 + inv[:, None] * k_neg
+    proj_idx = jnp.minimum(s >> 9, n_proj[:, None])
+    proj = jnp.take_along_axis(rs_eff, jnp.clip(proj_idx, 0, LT - 1), axis=1)
+    main = jnp.concatenate([proj, rm_eff], axis=1)   # [B, NEG+LT]
+
+    # ---- angular core over the tile ------------------------------------
+    r = jnp.arange(tile, dtype=jnp.int32)
+    rg = r[None, :, None]                      # tile row
+    cg = r[None, None, :]                      # tile col
+    # oriented (line, pos): vertical lines follow rows, horizontal follow cols
+    lgrid = jnp.where(vert[:, None, None], oy[:, None, None] + rg,
+                      ox[:, None, None] + cg)
+    xgrid = jnp.where(vert[:, None, None], ox[:, None, None] + cg,
+                      oy[:, None, None] + rg)
+
+    angle = jnp.where(mode_idx < 0, -aa, aa)
+    delta = angle[:, None, None] * (lgrid + 1)
+    d_int = delta >> 5
+    d_frac = delta & 0x1F
+
+    # unified 4-tap row: copy=(0,64,0,0), linear=(0,64-2f,2f,0), cubic table,
+    # gauss from frac — (acc+32)>>6 then clip reproduces each scalar variant
+    f = d_frac
+    t_copy = (jnp.zeros_like(f), jnp.full_like(f, 64), jnp.zeros_like(f),
+              jnp.zeros_like(f))
+    t_lin = (jnp.zeros_like(f), 64 - 2 * f, 2 * f, jnp.zeros_like(f))
+    half = f >> 1
+    t_gauss = (16 - half, 32 - half, 16 + half, half)
+    cub = CUBIC[f]
+    t_cub = (cub[..., 0], cub[..., 1], cub[..., 2], cub[..., 3])
+    gauss_m = (use_gauss & req_frac)[:, None, None]
+    frac_m = req_frac[:, None, None]
+    taps = []
+    for i in range(4):
+        frac_t = jnp.where(gauss_m, t_gauss[i],
+                           t_cub[i] if luma else t_lin[i])
+        taps.append(jnp.where(frac_m, frac_t, t_copy[i]))
+
+    base = NEG + d_int + xgrid
+    B = main.shape[0]
+    idx = jnp.clip(base, 0, NEG + LT - 4).reshape(B, -1)
+    g0 = jnp.take_along_axis(main, idx, axis=1).reshape(base.shape)
+    g1 = jnp.take_along_axis(main, idx + 1, axis=1).reshape(base.shape)
+    g2 = jnp.take_along_axis(main, idx + 2, axis=1).reshape(base.shape)
+    g3 = jnp.take_along_axis(main, idx + 3, axis=1).reshape(base.shape)
+    acc = taps[0] * g0 + taps[1] * g1 + taps[2] * g2 + taps[3] * g3
+    ang = jnp.clip((acc + 32) >> 6, 0, bd_max)
+
+    # ---- PDPC for positive angular modes -------------------------------
+    pdpc_dim_ok = (l2h > 1) if luma else ((l2h > 1) & (l2w > 1))
+    pdpc_scale = jnp.minimum(
+        2, side_l2 - (_floor_log2(jnp, 3 * inv - 2) - 8))
+    lim = jnp.minimum(3 << jnp.maximum(pdpc_scale, 0), line_len)
+    pdpc_pos = ((mode_idx > 0) & (pdpc_scale >= 0)
+                & (use_gauss | pdpc_dim_ok))
+    side_pdpc = jnp.where(use_filt[:, None], frs, rs)
+    inv_sum = 256 + (xgrid + 1) * inv[:, None, None]
+    sidx = jnp.clip(lgrid + (inv_sum >> 9) + 1, 0, LT - 1)
+    p_s = jnp.take_along_axis(side_pdpc, sidx.reshape(B, -1),
+                              axis=1).reshape(sidx.shape)
+    w_l = _pdpc_w(jnp, jnp.maximum(pdpc_scale, 0)[:, None, None], xgrid)
+    ang_p = jnp.clip(ang + ((w_l * (p_s - ang) + 32) >> 6), 0, bd_max)
+    ang = jnp.where(pdpc_pos[:, None, None] & (xgrid < lim[:, None, None]),
+                    ang_p, ang)
+
+    # ---- pure horizontal/vertical PDPC ---------------------------------
+    scale_f = (sum_l2 - 2) >> 2
+    tl = ra[:, 0][:, None, None]
+    rm_1l = jnp.take_along_axis(rm, jnp.clip(1 + xgrid, 0, LT - 1).reshape(B, -1),
+                                axis=1).reshape(xgrid.shape)
+    rs_1j = jnp.take_along_axis(rs, jnp.clip(1 + lgrid, 0, LT - 1).reshape(B, -1),
+                                axis=1).reshape(lgrid.shape)
+    pw = _pdpc_w(jnp, scale_f[:, None, None], xgrid)
+    pure_val = jnp.clip((pw * (rs_1j - tl) + (rm_1l << 6) + 32) >> 6, 0, bd_max)
+    pure_m = (mode_idx == 0) & pdpc_dim_ok & ~is_flat
+    ang = jnp.where(pure_m[:, None, None], pure_val, ang)
+
+    # ---- planar / DC ----------------------------------------------------
+    ty = oy[:, None, None] + rg
+    tx = ox[:, None, None] + cg
+    pl_filt = is_flat & (mode == 0) & bool(luma) & (sum_l2 > 5)
+    fa_p = _smooth(jnp, ra, rl, w + 4)
+    fl_p = _smooth(jnp, rl, ra, h + 4)
+    pa = jnp.where(pl_filt[:, None], fa_p, ra)
+    pl = jnp.where(pl_filt[:, None], fl_p, rl)
+    topv = jnp.take_along_axis(pa, jnp.clip(1 + tx, 0, LT - 1).reshape(B, -1),
+                               axis=1).reshape(tx.shape)
+    leftv = jnp.take_along_axis(pl, jnp.clip(1 + ty, 0, LT - 1).reshape(B, -1),
+                                axis=1).reshape(ty.shape)
+    tr = jnp.take_along_axis(pa, jnp.clip(w + 1, 0, LT - 1)[:, None],
+                             axis=1)[:, :, None]
+    bl = jnp.take_along_axis(pl, jnp.clip(h + 1, 0, LT - 1)[:, None],
+                             axis=1)[:, :, None]
+    l2w3, l2h3 = l2w[:, None, None], l2h[:, None, None]
+    hor = (leftv << l2w3) + (tx + 1) * (tr - leftv)
+    ver = (topv << l2h3) + (ty + 1) * (bl - topv)
+    planar = ((hor << l2h3) + (ver << l2w3) + (1 << (l2w3 + l2h3))) \
+        >> (1 + l2w3 + l2h3)
+
+    kk = jnp.arange(LT, dtype=jnp.int32)[None, :]
+    sum_a = jnp.sum(jnp.where((kk >= 1) & (kk <= w[:, None]), pa, 0), axis=1)
+    sum_l = jnp.sum(jnp.where((kk >= 1) & (kk <= h[:, None]), pl, 0), axis=1)
+    dc_shift = jnp.maximum(l2w, l2h) + jnp.where(l2w == l2h, 1, 0)
+    dc_acc = (jnp.where(l2w >= l2h, sum_a, 0)
+              + jnp.where(l2w <= l2h, sum_l, 0))
+    dc = ((dc_acc + ((1 << dc_shift) >> 1)) >> dc_shift)[:, None, None]
+
+    flat = jnp.where((mode == 0)[:, None, None], planar, dc)
+    # PDPC for planar/DC
+    w_x = _pdpc_w(jnp, scale_f[:, None, None], tx)
+    w_y = _pdpc_w(jnp, scale_f[:, None, None], ty)
+    flat_p = jnp.clip(
+        (w_x * leftv + w_y * topv + (64 - w_x - w_y) * flat + 32) >> 6,
+        0, bd_max)
+    pdpc_flat_ok = bool(luma) | ((l2w > 1) & (l2h > 1))
+    flat = jnp.where(pdpc_flat_ok[:, None, None], flat_p, flat)
+
+    pred = jnp.where(is_flat[:, None, None], flat, ang)
+
+    # ---- residual add + masked scatter ----------------------------------
+    py = y0[:, None, None] + ty
+    px = x0[:, None, None] + tx
+    H, W = plane.shape
+    rv = resid[jnp.clip(py, 0, H - 1), jnp.clip(px, 0, W - 1)].astype(jnp.int32)
+    out = jnp.clip(pred + rv, 0, bd_max)
+    msk = (valid[:, None, None] & (ty < h[:, None, None])
+           & (tx < w[:, None, None]))
+    big = jnp.int32(1 << 28)
+    py_s = jnp.where(msk, py, big)
+    return plane.at[py_s, px].set(out.astype(plane.dtype), mode="drop")
