@@ -52,10 +52,23 @@ class Frame:
 
     def to_yuv_bytes(self) -> bytes:
         """Raw planar YUV as the reference dectest writes it."""
+        self.sync_host()
         planes = [self.y] + ([self.cb, self.cr] if self.cb is not None else [])
         if self.bitdepth == 8:
             return b"".join(p.astype(np.uint8).tobytes() for p in planes)
         return b"".join(p.astype("<u2").tobytes() for p in planes)
+
+    def sync_host(self) -> None:
+        """Fetch device-resident output planes (TPU frame path) to host."""
+        dev = getattr(self, "_dev_out", None)
+        if dev is None:
+            return
+        oy, ocb, ocr = dev
+        self.y = np.asarray(oy).astype(np.int32)
+        if ocb is not None:
+            self.cb = np.asarray(ocb).astype(np.int32)
+            self.cr = np.asarray(ocr).astype(np.int32)
+        self._dev_out = None
 
 
 class ReconCtx:
@@ -1237,7 +1250,7 @@ class _PicCtx:
     __slots__ = ("params", "frame", "poc", "refs0", "refs1", "dist0",
                  "dist1", "tools", "lmcs", "dbf", "csign", "native_recon",
                  "dmvr_overrides", "futures", "results", "ectxs",
-                 "recon_futures", "native_items")
+                 "recon_futures", "native_items", "tpu_state")
 
     def __init__(self):
         self.futures = None
@@ -1245,6 +1258,7 @@ class _PicCtx:
         self.ectxs = None
         self.recon_futures = None
         self.native_items = None
+        self.tpu_state = None
 
 
 class Decoder:
@@ -1262,13 +1276,20 @@ class Decoder:
         # RPR output upscale to the SPS max size (dectest -u /
         # OVDEC_RPR_UPSCALE, ovdec.c:557-562)
         self.upscale = upscale
-        self.use_tpu_residuals = use_tpu_residuals or use_tpu
+        # use_tpu: the device-resident frame pipeline (tpu/frame_program.py)
+        # — host C parse + IR build, ONE fused jitted program per picture
+        # (MC + intra waves + DBF + SAO) with the DPB in HBM. Falls back to
+        # the host path per picture outside the device toolset.
+        self.tpu_frames = use_tpu
+        self.use_tpu_residuals = use_tpu_residuals
+        self._ddpb = None
+        self.stats: dict = {}
         # full C entry path: parse + reconstruction both native, Python
         # only sees the SAO/TMVP side tables (falls back per entry when a
         # tool outside the C toolset appears)
         self.use_native_recon = use_native_recon and not bool(
             int(os.environ.get("OPENVVC_NO_NATIVE_RECON", "0")))
-        if self.use_tpu_residuals:
+        if self.use_tpu_residuals or self.tpu_frames:
             # per-shape XLA compiles dominate a cold run on this target
             # (0.5-20 s each through the device tunnel); persist them so
             # repeat invocations hit the cache instead of recompiling
@@ -1339,6 +1360,11 @@ class Decoder:
                 # at _start_picture. No pipeline flush needed.
                 self.nvcl.decode_nalu(nal)
         flush()
+        if self.tpu_frames:
+            # materialize device outputs: decode() returns host-complete
+            # frames (and timing of this call covers all device work)
+            for f in frames:
+                f.sync_host()
         return frames
 
     def _can_pipeline(self, ctx) -> bool:
@@ -1355,6 +1381,8 @@ class Decoder:
         in _start_picture) — a later SEI must not retro-apply under the
         frame pipeline."""
         fg = getattr(frame, "_fg_sei", None)
+        if fg is not None or self.upscale:
+            frame.sync_host()
         out = frame
         if fg is not None:
             from openvvc_tpu.rcn.ref_fg import apply_film_grain
@@ -1587,6 +1615,138 @@ class Decoder:
                                        ctx.dmvr_overrides)
 
     def _start_recon(self, ctx) -> None:
+        """Queue reconstruction: device frame program in TPU mode (falls
+        back to host C on unsupported tools), host C entries otherwise."""
+        if self.tpu_frames:
+            self._start_recon_tpu(ctx)
+            if ctx.tpu_state == "done":
+                return
+            for f in (ctx.refs0 or []) + (ctx.refs1 or []):
+                f.sync_host()
+        self._start_recon_host(ctx)
+
+    def _get_ddpb(self, pic_w, pic_h, chroma):
+        from openvvc_tpu.tpu.device_dpb import DeviceDpb
+
+        d = self._ddpb
+        if d is None or d.pic_w != pic_w or d.pic_h != pic_h \
+                or d.chroma != chroma:
+            d = self._ddpb = DeviceDpb(pic_w, pic_h, chroma)
+        return d
+
+    def _start_recon_tpu(self, ctx) -> None:
+        """Build the dense frame IR in C and dispatch the fused device
+        program asynchronously (SURVEY §7.1: parse/IR on host, all sample
+        math on chip). Sets ctx.tpu_state to "done" or "failed"."""
+        if ctx.tpu_state is not None:
+            return
+        ctx.tpu_state = "failed"
+        params, frame = ctx.params, ctx.frame
+        sps, pps = params.sps, params.pps
+        if ctx.lmcs is not None or getattr(self, "_pre_dbf_hook", None):
+            return
+        sc = getattr(params, "_rpr_scales", None)
+        if sc is not None:
+            from openvvc_tpu.rcn.ref_rpr import NO_SCALE
+            if any(s != (NO_SCALE, NO_SCALE) for sl in sc for s in sl):
+                return
+        raws = []
+        for entry, raw, _ectx in ctx.results:
+            if raw is None:
+                return  # Python-parsed entry: outside the native toolset
+            raws.append((entry, raw))
+
+        from openvvc_tpu.native import FrameIR, build_ir_entry_native
+        from openvvc_tpu.tpu import sao_dense
+        from openvvc_tpu.tpu.frame_program import (Cfg, build_dbf_params,
+                                                   pack_jobs, run_frame)
+
+        chroma = sps.sps_chroma_format_idc != 0
+        bd = sps.bitdepth
+        ir = FrameIR(pps.pic_w, pps.pic_h, chroma)
+        nb0 = len(ctx.refs0) if ctx.refs0 else 0
+        nb1 = len(ctx.refs1) if ctx.refs1 else 0
+
+        def _bir(raw):
+            with trace.span("build_ir_c"):
+                return build_ir_entry_native(raw, ir, ctx.dbf, ctx.csign,
+                                             nb0, nb1, ctx.dist0, ctx.dist1)
+
+        if len(raws) > 1 and self.nb_entry_threads > 1:
+            oks = list(self._get_pool().map(lambda it: _bir(it[1]), raws))
+        else:
+            oks = [_bir(raw) for _, raw in raws]
+        if not all(oks):
+            ir.release()
+            return
+
+        with trace.span("bundle_build"):
+            entries_bounds = [(e.ctu_x, e.ctu_y, e.nb_ctu_w, e.nb_ctu_h)
+                              for e, _ in raws]
+            sao_tabs = None
+            if any(r.ep.sao_luma or r.ep.sao_chroma for _, r in raws):
+                from openvvc_tpu.native import _SAO_NFIELDS as _SNF
+                recs = [(r.ctu_meta[:int(r.counts[3]) * 3].reshape(-1, 3),
+                         r.sao_buf[:int(r.counts[3]) * _SNF]
+                         .reshape(-1, _SNF)) for _, r in raws]
+                sao_tabs = sao_dense.build_sao_tables_recs(
+                    recs, entries_bounds, sps.ctb_log2, pps.pic_w, pps.pic_h,
+                    chroma)
+
+            dbf_params = None
+            if ctx.dbf is not None:
+                from openvvc_tpu.rcn.ref_dbf import _beta_tc_offsets
+                no_x, no_y = [], []
+                ti = params.tile_info
+                if (ti.nb_tiles > 1 and not
+                        pps.pps_loop_filter_across_tiles_enabled_flag):
+                    no_x = [x << sps.ctb_log2 for x in ti.col_x()[1:-1]]
+                    no_y = [y << sps.ctb_log2 for y in ti.row_y()[1:-1]]
+                offs = (_beta_tc_offsets(params, "luma")
+                        + _beta_tc_offsets(params, "cb")
+                        + _beta_tc_offsets(params, "cr"))
+                dbf_params = build_dbf_params(
+                    ctx.dbf, offs, bd, pps.pic_w, pps.pic_h, sps.ctb_log2,
+                    chroma, no_x, no_y)
+
+            has_inter = ctx.refs0 is not None
+            arrs = {"res_y": ir.res_y, "jobs_l": pack_jobs(ir.jobs_l)}
+            if chroma:
+                arrs["res_cb"] = ir.res_cb
+                arrs["res_cr"] = ir.res_cr
+                arrs["jobs_c"] = pack_jobs(ir.jobs_c)
+            if has_inter:
+                lut0 = np.zeros(16, np.int32)
+                lut1 = np.zeros(16, np.int32)
+                ddpb = self._get_ddpb(pps.pic_w, pps.pic_h, chroma)
+                refs_all = (ctx.refs0 or []) + (ctx.refs1 or [])
+                pinned = refs_all + [frame]
+                ddpb.ensure_refs(refs_all, pinned)
+                for i, f in enumerate(ctx.refs0 or []):
+                    lut0[i] = ddpb.slot_of(f)
+                for i, f in enumerate(ctx.refs1 or []):
+                    lut1[i] = ddpb.slot_of(f)
+                arrs.update(gmask=ir.gmask, gmv=ir.gmv, gref=ir.gref,
+                            gw=ir.gw, ghpel=ir.ghpel, lut0=lut0, lut1=lut1)
+            else:
+                ddpb = self._get_ddpb(pps.pic_w, pps.pic_h, chroma)
+            if dbf_params is not None:
+                arrs["dbf"] = dbf_params
+            if sao_tabs is not None:
+                arrs["sao"] = sao_tabs
+            slot = ddpb.alloc(frame, (ctx.refs0 or []) + (ctx.refs1 or [])
+                              + [frame])
+            cfg = Cfg(pps.pic_w, pps.pic_h, ir.uw, ir.uh, bd, chroma,
+                      has_inter, dbf_params is not None,
+                      sao_tabs is not None, sps.ctb_log2)
+        with trace.span("device_dispatch"):
+            frame._dev_out = run_frame(ddpb, slot, arrs, cfg)
+        for _e, raw in raws:
+            raw.release()
+        self.stats["tpu_frames"] = self.stats.get("tpu_frames", 0) + 1
+        ctx.tpu_state = "done"
+
+    def _start_recon_host(self, ctx) -> None:
         """Queue native entry reconstruction on the pool. Caller must
         guarantee the reference pictures are pixel-complete (the decode
         loop only reaches here after finishing every earlier picture)."""
@@ -1615,6 +1775,13 @@ class Decoder:
             ctx.recon_futures = []
 
     def _finish_picture(self, ctx) -> Frame:
+        if self.tpu_frames:
+            self._start_recon_tpu(ctx)
+            if ctx.tpu_state == "done":
+                return ctx.frame
+            # host fallback needs reference pixels on host
+            for f in (ctx.refs0 or []) + (ctx.refs1 or []):
+                f.sync_host()
         params, frame, poc = ctx.params, ctx.frame, ctx.poc
         sps, pps = params.sps, params.pps
         bd = sps.bitdepth

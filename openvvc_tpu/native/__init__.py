@@ -1053,7 +1053,7 @@ def build_ir_entry_native(raw, ir: FrameIR, dbf, csign, nb_refs0, nb_refs1,
         vp(jobs_l.ctypes.data), cap_l,
         vp(jobs_c.ctypes.data), cap_c,
         vp(d0.ctypes.data), vp(d1.ctypes.data),
-        ctypes.byref(db), vp(counts))
+        ctypes.byref(db), ctypes.cast(counts, ctypes.c_void_p))
     if rc != 0:
         return False
     ir.jobs_l.append(jobs_l[:int(counts[0])].copy())

@@ -359,7 +359,8 @@ def _apply_pass(xp, plane, params, bd_max, horizontal):
     """Gather -> filter -> masked scatter for one direction."""
     if len(params["xs"]) == 0:
         return plane
-    params, _n = _pad_pow2(params)
+    if not params.get("_padded"):
+        params, _n = _pad_pow2(params)
     xs = xp.asarray(params["xs"])
     ys = xp.asarray(params["ys"])
     H, W = plane.shape
@@ -543,7 +544,8 @@ def _chroma_core(xp, win, beta, tc, bs2, large, ctb_b, bd_max):
 def _apply_pass_chroma(xp, plane, params, bd_max, horizontal):
     if len(params["xs"]) == 0:
         return plane
-    params, _n = _pad_pow2(params)
+    if not params.get("_padded"):
+        params, _n = _pad_pow2(params)
     xs = xp.asarray(params["xs"])
     ys = xp.asarray(params["ys"])
     H, W = plane.shape

@@ -1,0 +1,215 @@
+"""The fused per-frame device program: inter MC -> residual add -> intra
+wave scans -> deblocking -> SAO -> DPB update, as ONE jitted computation
+per picture with no intermediate host transfers.
+
+Host side (build_bundle) packs the dense IR produced by ov_build_ir plus
+deblocking segment tables and SAO CTU tables into fixed-shape (pow2-
+bucketed) arrays so the whole stream reuses a handful of compiled
+programs. Device side (frame_step) is pure functional: takes the DPB
+stacks, returns the updated stacks and the output planes. This is the
+"one fused jitted program per stage group, output transfers once per
+displayed frame" design of SURVEY.md §7.1 (vs the reference's per-CU
+dispatch, rcn.c:147-300).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+
+from openvvc_tpu.tpu import intra_wave as iw
+from openvvc_tpu.tpu import sao_dense
+from openvvc_tpu.tpu.mc_dense import PAD_C, PAD_L, mc_dense
+
+WAVE_B = 32  # jobs per scan step
+
+
+class Cfg(NamedTuple):
+    pic_w: int
+    pic_h: int
+    uw: int
+    uh: int
+    bd: int
+    chroma: bool
+    has_inter: bool
+    dbf_on: bool
+    sao_on: bool
+    ctb_log2: int
+
+
+def _bucket_pow2(n, lo=0):
+    if n <= lo:
+        return max(n, lo)
+    return 1 << (n - 1).bit_length()
+
+
+def pack_jobs(arrays, B=WAVE_B):
+    """Wave-ordered job tensor (nsteps, J_NFIELDS, B); each wave padded to
+    a multiple of B with no-op jobs (mode -1), steps bucketed to pow2."""
+    arrays = [a for a in (arrays or []) if a is not None and len(a)]
+    if not arrays:
+        return np.zeros((0, iw.J_NFIELDS, B), np.int32)
+    jobs = np.concatenate(arrays)
+    order = np.argsort(jobs[:, iw.J_LEVEL], kind="stable")
+    jobs = jobs[order]
+    lv = jobs[:, iw.J_LEVEL]
+    counts = np.bincount(lv, minlength=int(lv[-1]) + 1)[1:]
+    caps = ((counts + B - 1) // B) * B
+    total = int(caps.sum())
+    nsteps = _bucket_pow2((total + B - 1) // B)
+    out = np.zeros((nsteps * B, iw.J_NFIELDS), np.int32)
+    out[:, iw.J_MODE] = -1
+    offs = np.concatenate([[0], np.cumsum(caps)[:-1]])
+    src = 0
+    for i, c in enumerate(counts):
+        c = int(c)
+        if c == 0:
+            continue
+        out[int(offs[i]):int(offs[i]) + c] = jobs[src:src + c]
+        src += c
+    return out.reshape(nsteps, B, iw.J_NFIELDS).transpose(0, 2, 1).copy()
+
+
+def _pad_segments(params):
+    from openvvc_tpu.rcn.jax_dbf import _pad_pow2
+
+    p, _ = _pad_pow2(params)
+    return dict(p)
+
+
+def build_dbf_params(maps, offsets, bd, pic_w, pic_h, log2_ctb, chroma,
+                     no_x=(), no_y=()):
+    """Host: finalized + padded segment tables for all six DBF passes."""
+    from openvvc_tpu.rcn.jax_dbf import (chroma_segment_params,
+                                         luma_segment_params)
+
+    maps.finalize_inter_bs()
+    b_l, t_l, b_cb, t_cb, b_cr, t_cr = offsets
+    vp, hp = luma_segment_params(maps, b_l, t_l, bd, pic_w, pic_h, no_x, no_y)
+    out = {"lv": _pad_segments(vp), "lh": _pad_segments(hp)}
+    if chroma:
+        for sel, bo, to in (("cb", b_cb, t_cb), ("cr", b_cr, t_cr)):
+            vpc, hpc = chroma_segment_params(maps, sel, bo, to, bd, pic_w,
+                                             pic_h, log2_ctb, no_x, no_y)
+            out[f"{sel}v"] = _pad_segments(vpc)
+            out[f"{sel}h"] = _pad_segments(hpc)
+    return out
+
+
+def frame_step(dpb_y, dpb_cb, dpb_cr, slot, arrs, cfg: Cfg):
+    """One picture on device. arrs: dict of device arrays (see build_bundle).
+    Returns (dpb_y', dpb_cb', dpb_cr', out_y, out_cb, out_cr)."""
+    import jax
+    import jax.numpy as jnp
+
+    H, W = cfg.pic_h, cfg.pic_w
+    uh, uw = cfg.uh, cfg.uw
+    H4, W4 = uh * 4, uw * 4
+    bd = cfg.bd
+    bd_max = (1 << bd) - 1
+
+    if cfg.has_inter:
+        pred_y, pred_cb, pred_cr = mc_dense(
+            jnp, dpb_y, dpb_cb, dpb_cr, arrs["gmv"], arrs["gref"],
+            arrs["gw"], arrs["ghpel"], arrs["lut0"], arrs["lut1"], bd,
+            uw, uh, cfg.chroma)
+        m = arrs["gmask"] != 0
+        m4 = jnp.repeat(jnp.repeat(m, 4, axis=0), 4, axis=1)
+        rec_y = jnp.where(
+            m4, jnp.clip(pred_y + arrs["res_y"], 0, bd_max), 0
+        ).astype(jnp.int16)
+        if cfg.chroma:
+            m2 = jnp.repeat(jnp.repeat(m, 2, axis=0), 2, axis=1)
+            rec_cb = jnp.where(
+                m2, jnp.clip(pred_cb + arrs["res_cb"], 0, bd_max), 0
+            ).astype(jnp.int16)
+            rec_cr = jnp.where(
+                m2, jnp.clip(pred_cr + arrs["res_cr"], 0, bd_max), 0
+            ).astype(jnp.int16)
+    else:
+        rec_y = jnp.zeros((H4, W4), jnp.int16)
+        if cfg.chroma:
+            rec_cb = jnp.zeros((uh * 2, uw * 2), jnp.int16)
+            rec_cr = jnp.zeros((uh * 2, uw * 2), jnp.int16)
+
+    # intra waves (luma then chroma; chroma depends on chroma only — no
+    # CCLM in the device set)
+    jobs_l = arrs["jobs_l"]
+    if jobs_l.shape[0]:
+        res_y = arrs["res_y"]
+
+        def lbody(plane, jf):
+            return iw.predict_wave_step(jnp, plane, res_y, jf, bd, True), None
+
+        rec_y, _ = jax.lax.scan(lbody, rec_y, jobs_l)
+    if cfg.chroma:
+        jobs_c = arrs["jobs_c"]
+        if jobs_c.shape[0]:
+            res_cb, res_cr = arrs["res_cb"], arrs["res_cr"]
+
+            def cbody(carry, jf):
+                cb, cr = carry
+                cb = iw.predict_wave_step(jnp, cb, res_cb, jf, bd, False)
+                cr = iw.predict_wave_step(jnp, cr, res_cr, jf, bd, False)
+                return (cb, cr), None
+
+            (rec_cb, rec_cr), _ = jax.lax.scan(cbody, (rec_cb, rec_cr),
+                                               jobs_c)
+
+    y = rec_y[:H, :W].astype(jnp.int32)
+    cb = rec_cb[:H >> 1, :W >> 1].astype(jnp.int32) if cfg.chroma else None
+    cr = rec_cr[:H >> 1, :W >> 1].astype(jnp.int32) if cfg.chroma else None
+
+    if cfg.dbf_on:
+        from openvvc_tpu.rcn.jax_dbf import _apply_pass, _apply_pass_chroma
+
+        d = {k: dict(v, _padded=True) for k, v in arrs["dbf"].items()}
+        y = _apply_pass(jnp, y, d["lv"], bd_max, horizontal=False)
+        y = _apply_pass(jnp, y, d["lh"], bd_max, horizontal=True)
+        if cfg.chroma:
+            cb = _apply_pass_chroma(jnp, cb, d["cbv"], bd_max, False)
+            cb = _apply_pass_chroma(jnp, cb, d["cbh"], bd_max, True)
+            cr = _apply_pass_chroma(jnp, cr, d["crv"], bd_max, False)
+            cr = _apply_pass_chroma(jnp, cr, d["crh"], bd_max, True)
+
+    if cfg.sao_on:
+        tabs = arrs["sao"]
+        y = sao_dense.sao_plane(jnp, y, 0, tabs, cfg.ctb_log2, bd)
+        if cfg.chroma:
+            cb = sao_dense.sao_plane(jnp, cb, 1, tabs, cfg.ctb_log2, bd)
+            cr = sao_dense.sao_plane(jnp, cr, 2, tabs, cfg.ctb_log2, bd)
+
+    out_y = y.astype(jnp.int16)
+    pad_y = jnp.pad(out_y, ((PAD_L, PAD_L + H4 - H), (PAD_L, PAD_L + W4 - W)),
+                    mode="edge")
+    dpb_y = jax.lax.dynamic_update_slice(dpb_y, pad_y[None], (slot, 0, 0))
+    out_cb = out_cr = None
+    if cfg.chroma:
+        out_cb = cb.astype(jnp.int16)
+        out_cr = cr.astype(jnp.int16)
+        H2, W2 = H >> 1, W >> 1
+        padc = ((PAD_C, PAD_C + uh * 2 - H2), (PAD_C, PAD_C + uw * 2 - W2))
+        dpb_cb = jax.lax.dynamic_update_slice(
+            dpb_cb, jnp.pad(out_cb, padc, mode="edge")[None], (slot, 0, 0))
+        dpb_cr = jax.lax.dynamic_update_slice(
+            dpb_cr, jnp.pad(out_cr, padc, mode="edge")[None], (slot, 0, 0))
+    return dpb_y, dpb_cb, dpb_cr, out_y, out_cb, out_cr
+
+
+_JITTED = None
+
+
+def run_frame(ddpb, slot, arrs, cfg: Cfg):
+    """Dispatch one frame asynchronously; updates ddpb stacks in place.
+    Returns (out_y, out_cb, out_cr) device arrays."""
+    import jax
+
+    global _JITTED
+    if _JITTED is None:
+        _JITTED = jax.jit(frame_step, static_argnames=("cfg",),
+                          donate_argnums=(0, 1, 2))
+    ny, ncb, ncr, oy, ocb, ocr = _JITTED(ddpb.y, ddpb.cb, ddpb.cr, slot,
+                                         arrs, cfg)
+    ddpb.y, ddpb.cb, ddpb.cr = ny, ncb, ncr
+    return oy, ocb, ocr
