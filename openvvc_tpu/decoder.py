@@ -59,15 +59,23 @@ class Frame:
         return b"".join(p.astype("<u2").tobytes() for p in planes)
 
     def sync_host(self) -> None:
-        """Fetch device-resident output planes (TPU frame path) to host."""
+        """Fetch device-resident output planes (TPU frame path) to host.
+        The packed buffer is fetched once (or taken from the prefetch
+        thread's future) and split into the three planes."""
         dev = getattr(self, "_dev_out", None)
         if dev is None:
             return
-        oy, ocb, ocr = dev
-        self.y = np.asarray(oy).astype(np.int32)
-        if ocb is not None:
-            self.cb = np.asarray(ocb).astype(np.int32)
-            self.cr = np.asarray(ocr).astype(np.int32)
+        fut = getattr(self, "_fetch_future", None)
+        packed = fut.result() if fut is not None else np.asarray(dev)
+        self._fetch_future = None
+        H, W = self.y.shape
+        n = H * W
+        self.y = packed[:n].astype(np.int32).reshape(H, W)
+        if self.cb is not None:
+            m = (H // 2) * (W // 2)
+            self.cb = packed[n:n + m].astype(np.int32).reshape(H // 2, W // 2)
+            self.cr = packed[n + m:n + 2 * m].astype(np.int32).reshape(
+                H // 2, W // 2)
         self._dev_out = None
 
 
@@ -1430,6 +1438,13 @@ class Decoder:
             self._pool = ThreadPoolExecutor(max(2, self.nb_entry_threads))
         return self._pool
 
+    def _get_fetch_pool(self):
+        from concurrent.futures import ThreadPoolExecutor
+
+        if getattr(self, "_fetch_pool", None) is None:
+            self._fetch_pool = ThreadPoolExecutor(1)
+        return self._fetch_pool
+
     def _start_picture(self, nal) -> "_PicCtx":
         with trace.span("start_picture"):
             return self._start_picture_inner(nal)
@@ -1741,6 +1756,11 @@ class Decoder:
                       sao_tabs is not None, sps.ctb_log2)
         with trace.span("device_dispatch"):
             frame._dev_out = run_frame(ddpb, slot, arrs, cfg)
+        # D2H through the device tunnel is high-latency and does not
+        # overlap with other fetches: prefetch on a dedicated thread so the
+        # copy rides alongside the next picture's parse
+        frame._fetch_future = self._get_fetch_pool().submit(
+            np.asarray, frame._dev_out)
         for _e, raw in raws:
             raw.release()
         self.stats["tpu_frames"] = self.stats.get("tpu_frames", 0) + 1

@@ -184,7 +184,9 @@ def frame_step(dpb_y, dpb_cb, dpb_cr, slot, arrs, cfg: Cfg):
     pad_y = jnp.pad(out_y, ((PAD_L, PAD_L + H4 - H), (PAD_L, PAD_L + W4 - W)),
                     mode="edge")
     dpb_y = jax.lax.dynamic_update_slice(dpb_y, pad_y[None], (slot, 0, 0))
-    out_cb = out_cr = None
+    # 8-bit output halves the per-frame D2H fetch
+    out_t = jnp.uint8 if bd == 8 else jnp.int16
+    parts = [out_y.astype(out_t).reshape(-1)]
     if cfg.chroma:
         out_cb = cb.astype(jnp.int16)
         out_cr = cr.astype(jnp.int16)
@@ -194,7 +196,10 @@ def frame_step(dpb_y, dpb_cb, dpb_cr, slot, arrs, cfg: Cfg):
             dpb_cb, jnp.pad(out_cb, padc, mode="edge")[None], (slot, 0, 0))
         dpb_cr = jax.lax.dynamic_update_slice(
             dpb_cr, jnp.pad(out_cr, padc, mode="edge")[None], (slot, 0, 0))
-    return dpb_y, dpb_cb, dpb_cr, out_y, out_cb, out_cr
+        parts += [out_cb.astype(out_t).reshape(-1),
+                  out_cr.astype(out_t).reshape(-1)]
+    # one packed output buffer -> ONE device-to-host fetch per picture
+    return dpb_y, dpb_cb, dpb_cr, jnp.concatenate(parts)
 
 
 _JITTED = None
@@ -209,7 +214,6 @@ def run_frame(ddpb, slot, arrs, cfg: Cfg):
     if _JITTED is None:
         _JITTED = jax.jit(frame_step, static_argnames=("cfg",),
                           donate_argnums=(0, 1, 2))
-    ny, ncb, ncr, oy, ocb, ocr = _JITTED(ddpb.y, ddpb.cb, ddpb.cr, slot,
-                                         arrs, cfg)
+    ny, ncb, ncr, packed = _JITTED(ddpb.y, ddpb.cb, ddpb.cr, slot, arrs, cfg)
     ddpb.y, ddpb.cb, ddpb.cr = ny, ncb, ncr
-    return oy, ocb, ocr
+    return packed
