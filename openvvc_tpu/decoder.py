@@ -1731,6 +1731,8 @@ class Decoder:
                 arrs["res_cr"] = ir.res_cr
                 arrs["jobs_c"] = pack_jobs(ir.jobs_c)
             if has_inter:
+                from openvvc_tpu.tpu.mc_dense import prepare_mc_args
+
                 lut0 = np.zeros(16, np.int32)
                 lut1 = np.zeros(16, np.int32)
                 ddpb = self._get_ddpb(pps.pic_w, pps.pic_h, chroma)
@@ -1741,8 +1743,10 @@ class Decoder:
                     lut0[i] = ddpb.slot_of(f)
                 for i, f in enumerate(ctx.refs1 or []):
                     lut1[i] = ddpb.slot_of(f)
-                arrs.update(gmask=ir.gmask, gmv=ir.gmv, gref=ir.gref,
-                            gw=ir.gw, ghpel=ir.ghpel, lut0=lut0, lut1=lut1)
+                arrs["gmask"] = ir.gmask
+                arrs["margs"] = prepare_mc_args(ir.gmv, ir.gref, ir.gw,
+                                                ir.ghpel, lut0, lut1,
+                                                ir.uw, ir.uh)
             else:
                 ddpb = self._get_ddpb(pps.pic_w, pps.pic_h, chroma)
             if dbf_params is not None:

@@ -355,6 +355,32 @@ def _fresh(xp, a):
     return a.copy() if xp is np else a
 
 
+_DBF_PAD = 16
+
+
+def _win_slice(plane, ys, xs, h, w):
+    """Slice-gather S windows of (h, w) — vmapped dynamic_slice lowers to
+    an XLA gather with slice sizes, which runs at memory speed on TPU
+    (element-indexed gathers do not)."""
+    import jax
+
+    def one(y, x):
+        return jax.lax.dynamic_slice(plane, (y, x), (h, w))
+
+    return jax.vmap(one)(ys, xs)
+
+
+def _win_scatter_add(plane, ys, xs, delta):
+    """Window scatter-add of (h, w) deltas at S origins (duplicate-safe)."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    dnums = lax.ScatterDimensionNumbers(
+        update_window_dims=(1, 2), inserted_window_dims=(),
+        scatter_dims_to_operand_dims=(0, 1))
+    return lax.scatter_add(plane, jnp.stack([ys, xs], axis=1), delta, dnums)
+
+
 def _apply_pass(xp, plane, params, bd_max, horizontal):
     """Gather -> filter -> masked scatter for one direction."""
     if len(params["xs"]) == 0:
@@ -364,12 +390,29 @@ def _apply_pass(xp, plane, params, bd_max, horizontal):
     xs = xp.asarray(params["xs"])
     ys = xp.asarray(params["ys"])
     H, W = plane.shape
-    if not horizontal:
-        rows = ys[:, None, None] + xp.arange(4)[None, :, None]      # lines
-        cols = xp.clip(xs[:, None, None] + (xp.arange(16) - 8)[None, None, :], 0, W - 1)
-    else:
-        rows = xp.clip(ys[:, None, None] + (xp.arange(16) - 8)[None, :, None], 0, H - 1)
-        cols = xs[:, None, None] + xp.arange(4)[None, None, :]
+    if xp is not np:
+        # device path: replicate-pad once, then pure slice windows (the
+        # edge replication reproduces the host path's index clipping)
+        P = _DBF_PAD
+        pp = xp.pad(plane, P, mode="edge")
+        if not horizontal:
+            oy, ox, wh, ww = ys + P, xs - 8 + P, 4, 16
+        else:
+            oy, ox, wh, ww = ys - 8 + P, xs + P, 16, 4
+        win = _win_slice(pp, oy, ox, wh, ww)
+        if horizontal:
+            win = xp.swapaxes(win, 1, 2)
+        new, wmask = _luma_core(xp, win, params["beta"], params["tc"],
+                                params["mlp"], params["mlq"], bd_max)
+        delta = (new - win) * wmask
+        if horizontal:
+            delta = xp.swapaxes(delta, 1, 2)
+        pp = _win_scatter_add(pp, oy, ox, delta)
+        return pp[P:P + H, P:P + W]
+    rows = ys[:, None, None] + xp.arange(4)[None, :, None] if not horizontal \
+        else xp.clip(ys[:, None, None] + (xp.arange(16) - 8)[None, :, None], 0, H - 1)
+    cols = xp.clip(xs[:, None, None] + (xp.arange(16) - 8)[None, None, :], 0, W - 1) \
+        if not horizontal else xs[:, None, None] + xp.arange(4)[None, None, :]
     rows_b, cols_b = xp.broadcast_arrays(rows, cols)
     win = plane[rows_b, cols_b]
     if horizontal:
@@ -381,11 +424,9 @@ def _apply_pass(xp, plane, params, bd_max, horizontal):
     delta = (new - win) * wmask
     if horizontal:
         delta = xp.swapaxes(delta, 1, 2)
-    if xp is np:
-        out = plane.copy()
-        np.add.at(out, (rows_b, cols_b), delta)
-        return out
-    return plane.at[rows_b, cols_b].add(delta)
+    out = plane.copy()
+    np.add.at(out, (rows_b, cols_b), delta)
+    return out
 
 
 def deblock_luma_batched(xp, plane, maps: DbfMaps, beta_off, tc_off, bitdepth,
@@ -549,6 +590,24 @@ def _apply_pass_chroma(xp, plane, params, bd_max, horizontal):
     xs = xp.asarray(params["xs"])
     ys = xp.asarray(params["ys"])
     H, W = plane.shape
+    if xp is not np:
+        P = _DBF_PAD
+        pp = xp.pad(plane, P, mode="edge")
+        if not horizontal:
+            oy, ox, wh, ww = ys + P, xs - 4 + P, 2, 8
+        else:
+            oy, ox, wh, ww = ys - 4 + P, xs + P, 8, 2
+        win = _win_slice(pp, oy, ox, wh, ww)
+        if horizontal:
+            win = xp.swapaxes(win, 1, 2)
+        new, wmask = _chroma_core(xp, win, params["beta"], params["tc"],
+                                  params["bs2"], params["large"],
+                                  params["ctb_b"], bd_max)
+        delta = (new - win) * wmask
+        if horizontal:
+            delta = xp.swapaxes(delta, 1, 2)
+        pp = _win_scatter_add(pp, oy, ox, delta)
+        return pp[P:P + H, P:P + W]
     if not horizontal:
         rows = ys[:, None, None] + xp.arange(2)[None, :, None]
         cols = xp.clip(xs[:, None, None] + (xp.arange(8) - 4)[None, None, :], 0, W - 1)
@@ -566,11 +625,9 @@ def _apply_pass_chroma(xp, plane, params, bd_max, horizontal):
     delta = (new - win) * wmask
     if horizontal:
         delta = xp.swapaxes(delta, 1, 2)
-    if xp is np:
-        out = plane.copy()
-        np.add.at(out, (rows_b, cols_b), delta)
-        return out
-    return plane.at[rows_b, cols_b].add(delta)
+    out = plane.copy()
+    np.add.at(out, (rows_b, cols_b), delta)
+    return out
 
 
 def deblock_chroma_batched(xp, cb, cr, maps: DbfMaps, params, bitdepth,

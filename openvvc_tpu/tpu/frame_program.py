@@ -111,9 +111,8 @@ def frame_step(dpb_y, dpb_cb, dpb_cr, slot, arrs, cfg: Cfg):
 
     if cfg.has_inter:
         pred_y, pred_cb, pred_cr = mc_dense(
-            jnp, dpb_y, dpb_cb, dpb_cr, arrs["gmv"], arrs["gref"],
-            arrs["gw"], arrs["ghpel"], arrs["lut0"], arrs["lut1"], bd,
-            uw, uh, cfg.chroma)
+            jnp, dpb_y, dpb_cb, dpb_cr, arrs["margs"], bd, uw, uh,
+            cfg.chroma)
         m = arrs["gmask"] != 0
         m4 = jnp.repeat(jnp.repeat(m, 4, axis=0), 4, axis=1)
         rec_y = jnp.where(

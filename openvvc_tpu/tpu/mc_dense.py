@@ -2,15 +2,19 @@
 
 Every 4x4 luma unit (and its collocated 2x2 chroma unit) carries the
 PU-clipped MV, reference indices, and BCW/uni/bi weights emitted by
-ov_build_ir. Prediction is two fixed-shape gathers (one per list) from the
-edge-padded reference stack in HBM followed by separable 8/4-tap FIRs and
-one weighted combine — no per-block control flow, every MV class served by
-one compiled kernel (put_vvc_qpel/epel_* parity via rcn/ref_mc.py; ref
-anchor /root/reference/libovvc/rcn_mc.c:448-720, rcn_inter.c:521-760).
+ov_build_ir. The host turns the grid into flat per-unit window origins +
+fraction codes (prepare_mc_args, cheap numpy); the device side is pure
+slice-gathers — jax.vmap(lax.dynamic_slice) windows from the edge-padded
+reference stack in HBM — separable 8/4-tap FIRs with inline tap selection,
+and one weighted combine. No element-indexed gathers anywhere: XLA TPU
+lowers element gathers at ~80 Melem/s while slice gathers run at memory
+speed (measured on chip), which is why indices are host-side args and the
+windows are dynamic-slices.
 
-The unified weight form is exact: uni == (8,0) under shift 17-bd, plain
-bi == (4,4), BCW == (8-w, w) — each reduces to the reference's own
-rounding (see rcn/pipeline.py round-2 derivation, kept here).
+Parity: put_vvc_qpel/epel_* via rcn/ref_mc.py (ref anchor
+/root/reference/libovvc/rcn_mc.c:448-720, rcn_inter.c:521-760). The
+unified weight form is exact: uni == (8,0) under shift 17-bd, plain
+bi == (4,4), BCW == (8-w, w) — each reduces to the reference's rounding.
 """
 
 from __future__ import annotations
@@ -26,85 +30,112 @@ PAD_L = 144
 PAD_C = 80
 
 
-def _grid(xp, n, m):
-    uy = xp.repeat(xp.arange(n, dtype=xp.int32), m)
-    ux = xp.tile(xp.arange(m, dtype=xp.int32), n)
-    return uy, ux
+def prepare_mc_args(gmv, gref, gw, ghpel, lut0, lut1, uw, uh):
+    """Host: dense grids -> flat per-unit slice origins and fraction codes.
 
-
-def _interp_list(xp, flat, Hp, Wp, xb, yb, fx, fy, bw, taps, before, bd,
-                 filt_tab):
-    """14-bit separable FIR for N fixed-size blocks from a flattened stack.
-
-    flat: (S*Hp, Wp); xb/yb: padded-plane window origins incl. the -before
-    shift; fx/fy: fractional parts (0 = identity row). Returns (N, bw, bw)
-    int32 in the 14-bit domain.
+    Returns dict of numpy arrays (all length N = uh*uw):
+      sl{l}, yb{l}, xb{l} (int32/int16): luma window origin per list l;
+      f{l} (uint8): fx | fy<<4 luma fraction code (after hpel remap 8->16
+          is NOT applied here — code 16 needs 5 bits, so hpel rides bit 7
+          of fx/fy nibbles... instead fractions are sent as two uint8);
+      plus chroma origins/fractions. Weights w0/w1 int8.
     """
+    N = uh * uw
+    uy, ux = np.divmod(np.arange(N, dtype=np.int32), uw)
+    hp = ghpel.reshape(N).astype(np.int32)
+    out = {"w0": gw[:, :, 0].reshape(N).astype(np.int8),
+           "w1": gw[:, :, 1].reshape(N).astype(np.int8)}
+    for lst, lut in ((0, lut0), (1, lut1)):
+        mvx = gmv[:, :, lst, 0].reshape(N).astype(np.int32)
+        mvy = gmv[:, :, lst, 1].reshape(N).astype(np.int32)
+        ref = gref[:, :, lst].reshape(N).astype(np.int32)
+        slot = lut[np.clip(ref, 0, 15)]
+        fx = mvx & 15
+        fy = mvy & 15
+        fx = np.where((hp != 0) & (fx == 8), 16, fx)
+        fy = np.where((hp != 0) & (fy == 8), 16, fy)
+        out[f"sl{lst}"] = slot.astype(np.int16)
+        out[f"yb{lst}"] = (uy * 4 + (mvy >> 4) - 3 + PAD_L).astype(np.int16)
+        out[f"xb{lst}"] = (ux * 4 + (mvx >> 4) - 3 + PAD_L).astype(np.int16)
+        out[f"fx{lst}"] = fx.astype(np.uint8)
+        out[f"fy{lst}"] = fy.astype(np.uint8)
+        out[f"cyb{lst}"] = (uy * 2 + (mvy >> 5) - 1 + PAD_C).astype(np.int16)
+        out[f"cxb{lst}"] = (ux * 2 + (mvx >> 5) - 1 + PAD_C).astype(np.int16)
+        out[f"cfx{lst}"] = (mvx & 31).astype(np.uint8)
+        out[f"cfy{lst}"] = (mvy & 31).astype(np.uint8)
+    return out
+
+
+def _taps(xp, table, frac, k):
+    """Tap k for each unit: select-sum over the (nfrac, ntap) table —
+    avoids an element gather; nfrac * N compares on the VPU."""
+    acc = xp.zeros(frac.shape, xp.int32)
+    for j in range(table.shape[0]):
+        t = int(table[j, k])
+        if t:
+            acc = acc + xp.where(frac == j, t, 0)
+    return acc
+
+
+def _interp_list(xp, stack, sl, yb, xb, fx, fy, bw, taps, bd, table):
+    """14-bit separable FIR for N bw x bw blocks via slice-gather windows."""
     ext = bw + taps - 1
-    rr = xp.arange(ext, dtype=xp.int32)
-    yy = xp.clip(yb[:, None] + rr[None, :], 0, Hp - 1)
-    xx = xp.clip(xb[:, None] + rr[None, :], 0, Wp - 1)
-    patch = flat[yy[:, :, None], xx[:, None, :]].astype(xp.int32)
-    fh = filt_tab[fx]
-    fv = filt_tab[fy]
+    if xp is np:
+        S, Hp, Wp = stack.shape
+        rr = np.arange(ext)
+        yy = np.clip(yb.astype(np.int32)[:, None] + rr[None, :], 0, Hp - 1)
+        xx = np.clip(xb.astype(np.int32)[:, None] + rr[None, :], 0, Wp - 1)
+        patch = stack[sl.astype(np.int32)[:, None, None], yy[:, :, None],
+                      xx[:, None, :]].astype(np.int32)
+    else:
+        import jax
+
+        def one(s, y, x):
+            return jax.lax.dynamic_slice(
+                stack, (s.astype(xp.int32), y.astype(xp.int32),
+                        x.astype(xp.int32)), (1, ext, ext))
+
+        patch = jax.vmap(one)(sl, yb, xb)[:, 0].astype(xp.int32)
+    fx = fx.astype(xp.int32)
+    fy = fy.astype(xp.int32)
     sh1 = bd - 8
-    tmp = fh[:, 0, None, None] * patch[:, :, 0:bw]
+    tmp = _taps(xp, table, fx, 0)[:, None, None] * patch[:, :, 0:bw]
     for k in range(1, taps):
-        tmp = tmp + fh[:, k, None, None] * patch[:, :, k:k + bw]
+        tmp = tmp + _taps(xp, table, fx, k)[:, None, None] \
+            * patch[:, :, k:k + bw]
     tmp = (tmp >> sh1).astype(xp.int16).astype(xp.int32)
-    out = fv[:, 0, None, None] * tmp[:, 0:bw, :]
+    out = _taps(xp, table, fy, 0)[:, None, None] * tmp[:, 0:bw, :]
     for k in range(1, taps):
-        out = out + fv[:, k, None, None] * tmp[:, k:k + bw, :]
+        out = out + _taps(xp, table, fy, k)[:, None, None] \
+            * tmp[:, k:k + bw, :]
     return out >> 6
 
 
-def mc_dense(xp, stack_y, stack_cb, stack_cr, gmv, gref, gw, ghpel,
-             lut0, lut1, bd, uw, uh, chroma=True):
-    """Whole-frame prediction planes from the dense motion grid.
+def mc_dense(xp, stack_y, stack_cb, stack_cr, margs, bd, uw, uh,
+             chroma=True):
+    """Whole-frame prediction planes from host-prepared MC args.
 
-    stack_*: (S, Hp, Wp) int16 edge-padded reference stacks (PAD_L/PAD_C).
-    gmv (uh,uw,2,2) clipped 1/16-luma MVs; gref (uh,uw,2) ref idx (<0 none);
-    gw (uh,uw,2) weights; ghpel (uh,uw); lut0/lut1 (16,) ref idx -> slot.
-    Returns (pred_y (uh*4, uw*4), pred_cb, pred_cr (uh*2, uw*2)) int32,
-    valid where the unit is inter-coded (garbage elsewhere; caller masks).
+    stack_*: (S, Hp, Wp) int16 edge-padded reference stacks. margs: output
+    of prepare_mc_args (device arrays under jit). Returns (pred_y, pred_cb,
+    pred_cr) int32, valid where the unit is inter-coded.
     """
-    S, Hp, Wp = stack_y.shape
-    N = uh * uw
-    uy, ux = _grid(xp, uh, uw)
-    flat_y = stack_y.reshape(S * Hp, Wp)
-    filt_l = xp.asarray(_NP_FILT_L)
-    filt_c = xp.asarray(_NP_FILT_C)
-    hp = ghpel.reshape(N).astype(xp.int32)
-    w0 = gw[:, :, 0].reshape(N).astype(xp.int32)
-    w1 = gw[:, :, 1].reshape(N).astype(xp.int32)
+    w0 = margs["w0"].astype(xp.int32)
+    w1 = margs["w1"].astype(xp.int32)
 
     p14 = []
     pc14 = []
-    for lst, lut in ((0, lut0), (1, lut1)):
-        mvx = gmv[:, :, lst, 0].reshape(N)
-        mvy = gmv[:, :, lst, 1].reshape(N)
-        ref = gref[:, :, lst].reshape(N).astype(xp.int32)
-        slot = lut[xp.clip(ref, 0, 15)]
-        fx = mvx & 15
-        fy = mvy & 15
-        fx = xp.where((hp != 0) & (fx == 8), 16, fx)
-        fy = xp.where((hp != 0) & (fy == 8), 16, fy)
-        xb = ux * 4 + (mvx >> 4) - 3 + PAD_L
-        yb = uy * 4 + (mvy >> 4) - 3 + PAD_L + slot * Hp
-        p14.append(_interp_list(xp, flat_y, Hp * S, Wp, xb, yb, fx, fy, 4,
-                                8, 3, bd, filt_l))
+    for lst in (0, 1):
+        p14.append(_interp_list(
+            xp, stack_y, margs[f"sl{lst}"], margs[f"yb{lst}"],
+            margs[f"xb{lst}"], margs[f"fx{lst}"], margs[f"fy{lst}"],
+            4, 8, bd, _NP_FILT_L))
         if chroma:
-            Sc, Hcp, Wcp = stack_cb.shape
-            cxb = ux * 2 + (mvx >> 5) - 1 + PAD_C
-            cyb = uy * 2 + (mvy >> 5) - 1 + PAD_C
-            cfx = mvx & 31
-            cfy = mvy & 31
             pcs = []
             for st in (stack_cb, stack_cr):
-                fc = st.reshape(Sc * Hcp, Wcp)
-                pcs.append(_interp_list(xp, fc, Hcp * Sc, Wcp,
-                                        cxb, cyb + slot * Hcp, cfx, cfy, 2,
-                                        4, 1, bd, filt_c))
+                pcs.append(_interp_list(
+                    xp, st, margs[f"sl{lst}"], margs[f"cyb{lst}"],
+                    margs[f"cxb{lst}"], margs[f"cfx{lst}"],
+                    margs[f"cfy{lst}"], 2, 4, bd, _NP_FILT_C))
             pc14.append(pcs)
 
     shift = 17 - bd

@@ -33,7 +33,8 @@ def build_sao_tables(sao_maps, entries, ctb_log2, pic_w, pic_h, chroma):
     nch = (pic_h + (1 << ctb_log2) - 1) >> ctb_log2
     ncomp = 3 if chroma else 1
     typ = np.zeros((ncomp, nch, ncw), np.int32)
-    band = np.zeros((ncomp, nch, ncw, 32), np.int32)
+    band4 = np.zeros((ncomp, nch, ncw, 4), np.int32)
+    bandpos = np.zeros((ncomp, nch, ncw), np.int32)
     edge = np.zeros((ncomp, nch, ncw, 5), np.int32)
     eo = np.zeros((ncomp, nch, ncw), np.int32)
     any_on = False
@@ -45,15 +46,15 @@ def build_sao_tables(sao_maps, entries, ctb_log2, pic_w, pic_h, chroma):
             any_on = True
             typ[c, cy, cx] = t
             if t == SAO_BAND:
-                for k in range(4):
-                    band[c, cy, cx, (k + sao.band_position[c]) & 31] = \
-                        sao.offset_val[c][k]
+                band4[c, cy, cx] = sao.offset_val[c][:4]
+                bandpos[c, cy, cx] = sao.band_position[c]
             else:
                 edge[c, cy, cx] = sao.offset_val[c][:5]
                 eo[c, cy, cx] = sao.eo_class[c]
     if not any_on:
         return None
-    out = {"typ": typ, "band": band, "edge": edge, "eo": eo}
+    out = {"typ": typ, "band4": band4, "bandpos": bandpos, "edge": edge,
+           "eo": eo}
     _add_border_masks(out, entries, ctb_log2, pic_w, pic_h, ncomp)
     return out
 
@@ -66,7 +67,8 @@ def build_sao_tables_recs(recs_list, entries, ctb_log2, pic_w, pic_h,
     nch = (pic_h + (1 << ctb_log2) - 1) >> ctb_log2
     ncomp = 3 if chroma else 1
     typ = np.zeros((ncomp, nch, ncw), np.int32)
-    band = np.zeros((ncomp, nch, ncw, 32), np.int32)
+    band4 = np.zeros((ncomp, nch, ncw, 4), np.int32)
+    bandpos = np.zeros((ncomp, nch, ncw), np.int32)
     edge = np.zeros((ncomp, nch, ncw, 5), np.int32)
     eo = np.zeros((ncomp, nch, ncw), np.int32)
     any_on = False
@@ -79,14 +81,14 @@ def build_sao_tables_recs(recs_list, entries, ctb_log2, pic_w, pic_h,
             any_on = any_on or bool((t != 0).any())
             typ[c, cy, cx] = t
             off = sao[:, 3 + 5 * c:8 + 5 * c]
-            bp = sao[:, 18 + c]
-            for k in range(4):
-                band[c, cy, cx, (bp + k) & 31] = off[:, k]
+            band4[c, cy, cx] = off[:, :4]
+            bandpos[c, cy, cx] = sao[:, 18 + c]
             edge[c, cy, cx, :] = off
             eo[c, cy, cx] = sao[:, 21 + c]
     if not any_on:
         return None
-    out = {"typ": typ, "band": band, "edge": edge, "eo": eo}
+    out = {"typ": typ, "band4": band4, "bandpos": bandpos, "edge": edge,
+           "eo": eo}
     _add_border_masks(out, entries, ctb_log2, pic_w, pic_h, ncomp)
     return out
 
@@ -121,36 +123,53 @@ def _add_border_masks(out, entries, ctb_log2, pic_w, pic_h, ncomp):
 
 
 def sao_plane(xp, plane, c, tabs, ctb_log2, bitdepth):
-    """Apply SAO to one plane (int32 in, int32 out)."""
+    """Apply SAO to one plane (int32 in, int32 out).
+
+    Gather-free formulation for the TPU: per-CTU tables are upsampled to
+    per-sample planes by broadcast (repeat), data-dependent table lookups
+    become compare/select sums, and neighbour reads are static pad+slice
+    shifts — XLA element gathers run ~1000x below memory speed on TPU."""
     sh = 0 if c == 0 else 1
     H, W = plane.shape
     lg = ctb_log2 - sh
-    ys = xp.arange(H, dtype=xp.int32)
-    xs = xp.arange(W, dtype=xp.int32)
-    cty = (ys >> lg)[:, None]
-    ctx = (xs >> lg)[None, :]
-    typ = tabs["typ"][c][cty, ctx]
     bd_max = (1 << bitdepth) - 1
 
-    # band
+    def up(tab):
+        # (nch, ncw) per-CTU -> (H, W) per-sample
+        t = xp.repeat(xp.repeat(tab, 1 << lg, axis=0), 1 << lg, axis=1)
+        return t[:H, :W]
+
+    typ = up(tabs["typ"][c])
+
+    # band: offset = sum_k off_k * (bidx == (band_pos + k) & 31)
     bidx = plane >> (bitdepth - 5)
-    boff = tabs["band"][c][cty, ctx, bidx]
+    boff = xp.zeros_like(plane)
+    bp = tabs["bandpos"][c]
+    for k in range(4):
+        boff = boff + up(tabs["band4"][c][:, :, k]) \
+            * (bidx == up((bp + k) & 31))
 
-    # edge: all four neighbour pairs, select by class
+    # edge: neighbours by static shifts of a 1-padded plane, class select
+    if xp is np:
+        padded = np.pad(plane, 1, mode="edge")
+    else:
+        import jax.numpy as jnp
+
+        padded = jnp.pad(plane, 1, mode="edge")
+
     def shifted(dy, dx):
-        # out-of-plane neighbours only occur on trimmed rows/cols (masked)
-        yy = xp.clip(ys + dy, 0, H - 1)[:, None]
-        xx = xp.clip(xs + dx, 0, W - 1)[None, :]
-        return plane[yy, xx]
+        return padded[1 + dy:1 + dy + H, 1 + dx:1 + dx + W]
 
-    eocl = tabs["eo"][c][cty, ctx]
+    eocl = up(tabs["eo"][c])
     na = xp.zeros_like(plane)
     nb = xp.zeros_like(plane)
     for k, ((ax, ay), (bx, by)) in enumerate(_EO_POS):
-        na = xp.where(eocl == k, shifted(ay, ax), na)
-        nb = xp.where(eocl == k, shifted(by, bx), nb)
+        na = na + xp.where(eocl == k, shifted(ay, ax), 0)
+        nb = nb + xp.where(eocl == k, shifted(by, bx), 0)
     eidx = 2 + xp.sign(plane - na) + xp.sign(plane - nb)
-    eoff = tabs["edge"][c][cty, ctx, eidx]
+    eoff = xp.zeros_like(plane)
+    for j in range(5):
+        eoff = eoff + up(tabs["edge"][c][:, :, j]) * (eidx == j)
     colm = tabs[f"colm{c}"]
     rowm = tabs[f"rowm{c}"]
     trim = (colm[None, :] & (eocl != 1)) | (rowm[:, None] & (eocl != 0))
