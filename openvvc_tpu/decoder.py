@@ -1640,6 +1640,18 @@ class Decoder:
                 f.sync_host()
         self._start_recon_host(ctx)
 
+    @staticmethod
+    def _mc_pallas_ok():
+        """Pallas MC needs a real TPU backend (CPU tests/dryrun use the
+        gather formulation); OPENVVC_NO_PALLAS=1 forces it off."""
+        import os
+
+        if os.environ.get("OPENVVC_NO_PALLAS"):
+            return False
+        import jax
+
+        return jax.default_backend() not in ("cpu",)
+
     def _get_ddpb(self, pic_w, pic_h, chroma):
         from openvvc_tpu.tpu.device_dpb import DeviceDpb
 
@@ -1700,13 +1712,47 @@ class Decoder:
                               for e, _ in raws]
             sao_tabs = None
             if any(r.ep.sao_luma or r.ep.sao_chroma for _, r in raws):
+                from openvvc_tpu.native import _CTU_NFIELDS as _CNF
                 from openvvc_tpu.native import _SAO_NFIELDS as _SNF
                 recs = [(r.ctu_meta[:int(r.counts[3]) * 3].reshape(-1, 3),
-                         r.sao_buf[:int(r.counts[3]) * _SNF]
-                         .reshape(-1, _SNF)) for _, r in raws]
+                         r.sao_buf[:int(r.counts[3]) * _CNF]
+                         .reshape(-1, _CNF)[:, :_SNF]) for _, r in raws]
                 sao_tabs = sao_dense.build_sao_tables_recs(
                     recs, entries_bounds, sps.ctb_log2, pps.pic_w, pps.pic_h,
                     chroma)
+
+            alf_tabs = None
+            entries_t = tuple(entries_bounds)
+            gs = lambda n: int(getattr(params.sh, n, 0) or 0)
+            if any(gs(n) for n in ("sh_alf_enabled_flag",
+                                   "sh_alf_cb_enabled_flag",
+                                   "sh_alf_cr_enabled_flag",
+                                   "sh_alf_cc_cb_enabled_flag",
+                                   "sh_alf_cc_cr_enabled_flag")):
+                from openvvc_tpu.native import _alf_params_from_raw
+                from openvvc_tpu.tpu import alf_dense
+
+                alf_params = {}
+                for _e, r in raws:
+                    nctu = int(r.counts[3])
+                    meta = r.ctu_meta[:nctu * 3].reshape(nctu, 3)
+                    alf_params.update(_alf_params_from_raw(
+                        r.ep, r.sao_buf, meta, nctu))
+                aps_luma = [a.alf_data for a in
+                            getattr(params, "alf_aps_luma", [])
+                            if a is not None]
+                aps_c = getattr(params, "alf_aps_chroma", None)
+                filters = AlfFilters(
+                    aps_luma, aps_c.alf_data if aps_c is not None else None,
+                    bd)
+                cc = getattr(params, "alf_aps_cc", (None, None))
+                cc_data = (cc[0].alf_data if cc[0] is not None else None,
+                           cc[1].alf_data if cc[1] is not None else None)
+                full = alf_dense.build_alf_tables(
+                    alf_params, filters, cc_data, sps.ctb_log2, pps.pic_w,
+                    pps.pic_h, chroma)
+                if full is not None:
+                    alf_tabs = {k: full[k] for k in alf_dense.TRACED_KEYS}
 
             dbf_params = None
             if ctx.dbf is not None:
@@ -1730,6 +1776,8 @@ class Decoder:
                 arrs["res_cb"] = ir.res_cb
                 arrs["res_cr"] = ir.res_cr
                 arrs["jobs_c"] = pack_jobs(ir.jobs_c)
+            mc_dims = ()
+            use_pallas_mc = False
             if has_inter:
                 from openvvc_tpu.tpu.mc_dense import prepare_mc_args
 
@@ -1744,20 +1792,33 @@ class Decoder:
                 for i, f in enumerate(ctx.refs1 or []):
                     lut1[i] = ddpb.slot_of(f)
                 arrs["gmask"] = ir.gmask
-                arrs["margs"] = prepare_mc_args(ir.gmv, ir.gref, ir.gw,
-                                                ir.ghpel, lut0, lut1,
-                                                ir.uw, ir.uh)
+                margs = prepare_mc_args(ir.gmv, ir.gref, ir.gw,
+                                        ir.ghpel, lut0, lut1,
+                                        ir.uw, ir.uh)
+                use_pallas_mc = self._mc_pallas_ok()
+                if use_pallas_mc:
+                    from openvvc_tpu.tpu.mc_pallas_dense import \
+                        build_mc_bundle
+
+                    arrs["mc"], mc_dims = build_mc_bundle(
+                        margs, ir.gmask, ir.uw, ir.uh)
+                else:
+                    arrs["margs"] = margs
             else:
                 ddpb = self._get_ddpb(pps.pic_w, pps.pic_h, chroma)
             if dbf_params is not None:
                 arrs["dbf"] = dbf_params
             if sao_tabs is not None:
                 arrs["sao"] = sao_tabs
+            if alf_tabs is not None:
+                arrs["alf"] = alf_tabs
             slot = ddpb.alloc(frame, (ctx.refs0 or []) + (ctx.refs1 or [])
                               + [frame])
             cfg = Cfg(pps.pic_w, pps.pic_h, ir.uw, ir.uh, bd, chroma,
                       has_inter, dbf_params is not None,
-                      sao_tabs is not None, sps.ctb_log2)
+                      sao_tabs is not None, sps.ctb_log2,
+                      alf_tabs is not None, entries_t,
+                      use_pallas_mc, mc_dims)
         with trace.span("device_dispatch"):
             frame._dev_out = run_frame(ddpb, slot, arrs, cfg)
         # D2H through the device tunnel is high-latency and does not

@@ -197,12 +197,18 @@ class _EntryParamsC(ctypes.Structure):
           "tmvp_enabled", "tmvp_ldc", "col_ref_l0", "col_uw", "col_uh",
           "col_uw8", "col_uh8",
       )] + [(n, ctypes.c_int32 * 16) for n in (
-          "dist_ref0", "dist_ref1", "dist_col0", "dist_col1")]
+          "dist_ref0", "dist_ref1", "dist_col0", "dist_col1")] \
+      + [(n, ctypes.c_int32) for n in (
+          "alf_luma", "alf_cb", "alf_cr",
+          "num_alf_aps_luma", "alf_chroma_num_alts",
+          "cc_cb_enabled", "cc_cr_enabled", "cc_nb_cb", "cc_nb_cr")]
 
 
 _CU_NFIELDS = 32
 _TU_NFIELDS = 17
 _SAO_NFIELDS = 24
+_ALF_NFIELDS = 6
+_CTU_NFIELDS = _SAO_NFIELDS + _ALF_NFIELDS
 
 _parse_proto_done = False
 
@@ -253,11 +259,6 @@ def native_parse_supported(params) -> bool:
         "sps_smvd_enabled_flag",
     )
     if any(g(sps, n) for n in bad_sps):
-        return False
-    if any(g(sh, n) for n in ("sh_alf_enabled_flag", "sh_alf_cb_enabled_flag",
-                              "sh_alf_cc_cb_enabled_flag",
-                              "sh_alf_cc_cr_enabled_flag",
-                              "sh_alf_cr_enabled_flag")):
         return False
     return True
 
@@ -387,6 +388,22 @@ def parse_entry_native_raw(params, entry):
     ep.sign_hiding = g(sh, "sh_sign_data_hiding_used_flag")
     ep.sao_luma = g(sh, "sh_sao_luma_used_flag")
     ep.sao_chroma = g(sh, "sh_sao_chroma_used_flag")
+    ep.alf_luma = g(sh, "sh_alf_enabled_flag")
+    ep.alf_cb = g(sh, "sh_alf_cb_enabled_flag")
+    ep.alf_cr = g(sh, "sh_alf_cr_enabled_flag")
+    ep.num_alf_aps_luma = g(sh, "sh_num_alf_aps_ids_luma")
+    ep.alf_chroma_num_alts = 1
+    _aps_c = getattr(params, "alf_aps_chroma", None)
+    if _aps_c is not None:
+        ep.alf_chroma_num_alts = \
+            _aps_c.alf_data.alf_chroma_num_alt_filters_minus1 + 1
+    ep.cc_cb_enabled = g(sh, "sh_alf_cc_cb_enabled_flag")
+    ep.cc_cr_enabled = g(sh, "sh_alf_cc_cr_enabled_flag")
+    _cc = getattr(params, "alf_aps_cc", (None, None))
+    ep.cc_nb_cb = (_cc[0].alf_data.alf_cc_cb_filters_signalled_minus1 + 1
+                   if _cc[0] is not None else 0)
+    ep.cc_nb_cr = (_cc[1].alf_data.alf_cc_cr_filters_signalled_minus1 + 1
+                   if _cc[1] is not None else 0)
     ep.joint_cbcr = g(sps, "sps_joint_cbcr_enabled_flag")
     ep.lfnst = g(sps, "sps_lfnst_enabled_flag")
     ep.mts = g(sps, "sps_mts_enabled_flag")
@@ -477,7 +494,7 @@ def parse_entry_native_raw(params, entry):
     cu_buf = _pool.take(max_cu * _CU_NFIELDS, np.int32)
     tu_buf = _pool.take(max_tu * _TU_NFIELDS, np.int32)
     coef_buf = _pool.take(max_coef, np.int32)
-    sao_buf = _pool.take_zeroed(nb_ctu * _SAO_NFIELDS, np.int32)
+    sao_buf = _pool.take_zeroed(nb_ctu * _CTU_NFIELDS, np.int32)
     ctu_meta = _pool.take_zeroed(nb_ctu * 3, np.int32)
     # TMVP exports escape into the DPB (collocated field of later
     # pictures) — never pooled
@@ -628,7 +645,8 @@ def _convert_native_entry(params, entry, raw):
 
     sao_params = {}
     if ep.sao_luma or ep.sao_chroma:
-        sao_t = sao_buf[:nctu * _SAO_NFIELDS].reshape(nctu, _SAO_NFIELDS)
+        sao_t = sao_buf[:nctu * _CTU_NFIELDS] \
+            .reshape(nctu, _CTU_NFIELDS)[:, :_SAO_NFIELDS]
         for i, m in enumerate(meta):
             rec = sao_t[i]
             sp = SaoParams()
@@ -648,7 +666,28 @@ def _convert_native_entry(params, entry, raw):
 
     ectx = NativeEntryCtx(entry, ctus, sao_params, inter_ctx,
                           ep.tile_x0, ep.tile_y0)
+    ectx.alf_params = _alf_params_from_raw(ep, sao_buf, meta, nctu)
     return ectx, None, _NoOverread()
+
+
+def _alf_params_from_raw(ep, sao_buf, meta, nctu):
+    """Per-CTU AlfCtuParams dict from the parse records (rec[24:30])."""
+    if not (ep.alf_luma or ep.alf_cb or ep.alf_cr
+            or ep.cc_cb_enabled or ep.cc_cr_enabled):
+        return {}
+    from openvvc_tpu.vcl.alf import AlfCtuParams
+
+    alf_t = sao_buf[:nctu * _CTU_NFIELDS].reshape(nctu, _CTU_NFIELDS)
+    out = {}
+    for i in range(nctu):
+        r = alf_t[i, _SAO_NFIELDS:]
+        if not r.any():
+            continue
+        out[(int(meta[i, 0]), int(meta[i, 1]))] = AlfCtuParams(
+            ctb_alf_flag=int(r[0]), ctb_alf_idx=int(r[1]),
+            cb_alternative=int(r[2]), cr_alternative=int(r[3]),
+            cc_alf_idx=(int(r[4]), int(r[5])))
+    return out
 
 
 class _CuF:
@@ -909,7 +948,8 @@ def native_entry_ctx_from_raw(raw):
     sao_params = {}
     sao_recs = None
     if ep.sao_luma or ep.sao_chroma:
-        sao_t = raw.sao_buf[:nctu * _SAO_NFIELDS].reshape(nctu, _SAO_NFIELDS)
+        sao_t = raw.sao_buf[:nctu * _CTU_NFIELDS] \
+            .reshape(nctu, _CTU_NFIELDS)[:, :_SAO_NFIELDS]
         sao_recs = np.concatenate([meta[:, :2], sao_t], axis=1)
 
     inter_ctx = None
@@ -924,6 +964,7 @@ def native_entry_ctx_from_raw(raw):
     ectx = NativeEntryCtx(entry, [], sao_params, inter_ctx,
                           ep.tile_x0, ep.tile_y0)
     ectx.sao_recs = sao_recs
+    ectx.alf_params = _alf_params_from_raw(ep, raw.sao_buf, meta, nctu)
     return ectx
 
 

@@ -62,6 +62,8 @@ enum {
     TU_NFIELDS
 };
 #define SAO_NFIELDS 24 /* type[3], val[3][5], band_pos[3], eo_class[3] */
+#define ALF_NFIELDS 6  /* ctb_alf_flag, idx, cb_alt, cr_alt, cc_cb, cc_cr */
+#define CTU_REC_NFIELDS (SAO_NFIELDS + ALF_NFIELDS)
 
 /* ---- device-IR records (tpu/intra_wave.py + tpu/frame_program.py) ---- */
 enum {
@@ -99,6 +101,10 @@ typedef struct {
     int32_t col_uw8, col_uh8; /* picture 8x8 MV grid dims */
     int32_t dist_ref0[16], dist_ref1[16]; /* current-slice ref distances */
     int32_t dist_col0[16], dist_col1[16]; /* collocated pic ref distances */
+    /* ALF / CC-ALF slice context (vcl/ctu.py CTUParseCtx ALF state) */
+    int32_t alf_luma, alf_cb, alf_cr;
+    int32_t num_alf_aps_luma, alf_chroma_num_alts;
+    int32_t cc_cb_enabled, cc_cr_enabled, cc_nb_cb, cc_nb_cr;
 } EntryParams;
 
 /* ---- deblocking maps handed over from Python (rcn/ref_dbf.py DbfMaps;

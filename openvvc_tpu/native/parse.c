@@ -79,6 +79,10 @@ enum {
     MTS_IDX = 316,
     SBT_FLAG = 322,
     IMV_FLAG = 341,
+    CTB_ALF_FLAG = 346,
+    CTB_ALF_ALTERNATIVE = 355,
+    ALF_USE_TEMPORAL_FILT = 357,
+    CC_ALF_FILTER_CONTROL_FLAG = 358,
     CIIP_FLAG = 364,
     IBC_FLAG = 365,
     JOINT_CB_CR_FLAG = 368,
@@ -124,6 +128,12 @@ typedef struct {
 
     /* per-CU scratch */
     int cur_ctu;
+
+    /* ALF / CC-ALF neighbour-flag state (vcl/alf.py parity) */
+    int alf_left_flag;
+    int cc_left[2];
+    uint8_t *alf_line;      /* [nb_ctu_w] */
+    uint8_t *cc_line[2];    /* [nb_ctu_w] each */
 
     /* outputs */
     int32_t *cu_buf; int64_t cu_cap, ncu;
@@ -2028,7 +2038,7 @@ static void code_sao_ctu(Pc *p, int ctb_col, int ctb_row)
     const EntryParams *e = p->ep;
     if (!(e->sao_luma || e->sao_chroma))
         return;
-    int32_t *rec = p->sao_buf + p->cur_ctu * SAO_NFIELDS;
+    int32_t *rec = p->sao_buf + p->cur_ctu * CTU_REC_NFIELDS;
     int left_ok = ctb_col > 0;
     int up_ok = ctb_row > 0;
 
@@ -2039,13 +2049,13 @@ static void code_sao_ctu(Pc *p, int ctb_col, int ctb_row)
         merge = cabac_decode_bin(p->cab, SAO_MERGE_FLAG) << 1;
 
     if (merge == 1) {
-        memcpy(rec, p->sao_buf + (p->cur_ctu - 1) * SAO_NFIELDS,
+        memcpy(rec, p->sao_buf + (p->cur_ctu - 1) * CTU_REC_NFIELDS,
                SAO_NFIELDS * sizeof(int32_t));
         return;
     }
     if (merge == 2) {
         /* the CTU one row up: rows are dense within the entry grid */
-        memcpy(rec, p->sao_buf + (p->cur_ctu - e->nb_ctu_w) * SAO_NFIELDS,
+        memcpy(rec, p->sao_buf + (p->cur_ctu - e->nb_ctu_w) * CTU_REC_NFIELDS,
                SAO_NFIELDS * sizeof(int32_t));
         return;
     }
@@ -2067,6 +2077,103 @@ static void code_sao_ctu(Pc *p, int ctb_col, int ctb_row)
             rec[1] = SAO_NONE;
             rec[2] = SAO_NONE;
         }
+    }
+}
+
+
+/* ---- ALF / CC-ALF per-CTU syntax (vcl/alf.py parity) ----------------- */
+static int read_truncated(CabacDec *d, int max_symbol)
+{
+    /* vvc_get_cabac_truncated (cabac_internal.h:164) */
+    int threshold = 0, v = max_symbol;
+    while (v > 1) { v >>= 1; threshold += 1; }
+    int val = 1 << threshold;
+    int b = max_symbol - val;
+    int sym = 0;
+    for (int i = 0; i < threshold; i++)
+        sym = (sym << 1) | cabac_decode_bypass(d);
+    if (sym >= val - b) {
+        sym = (sym << 1) | cabac_decode_bypass(d);
+        sym -= val - b;
+    }
+    return sym;
+}
+
+static void code_alf_ctu(Pc *p, int col, int row)
+{
+    const EntryParams *e = p->ep;
+    if (!(e->alf_luma || e->alf_cb || e->alf_cr))
+        return;
+    int left_ok = col > 0, up_ok = row > 0;
+    int left = left_ok ? p->alf_left_flag : 0;
+    int up = up_ok ? p->alf_line[col] : 0;
+    int ret_luma = 0, ret_cb = 0, ret_cr = 0;
+    int alf_idx = 0, cb_alt = 0, cr_alt = 0;
+    if (e->alf_luma) {
+        int c = (left_ok ? ((left >> 2) & 1) : 0)
+              + (up_ok ? ((up >> 2) & 1) : 0);
+        ret_luma = cabac_decode_bin(p->cab, CTB_ALF_FLAG + c);
+        if (ret_luma) {
+            int n_aps = e->num_alf_aps_luma;
+            if (n_aps && cabac_decode_bin(p->cab, ALF_USE_TEMPORAL_FILT)) {
+                alf_idx = n_aps > 1 ? read_truncated(p->cab, n_aps) : 0;
+                alf_idx += 16; /* NUM_FIXED_FILTER_SETS */
+            } else {
+                alf_idx = read_truncated(p->cab, 16);
+            }
+        }
+    }
+    if (e->alf_cb) {
+        int c = (left_ok ? ((left >> 1) & 1) : 0)
+              + (up_ok ? ((up >> 1) & 1) : 0);
+        ret_cb = cabac_decode_bin(p->cab, CTB_ALF_FLAG + 3 + c);
+        while (ret_cb && cb_alt < e->alf_chroma_num_alts - 1 &&
+               cabac_decode_bin(p->cab, CTB_ALF_ALTERNATIVE))
+            cb_alt += 1;
+    }
+    if (e->alf_cr) {
+        int c = (left_ok ? (left & 1) : 0) + (up_ok ? (up & 1) : 0);
+        ret_cr = cabac_decode_bin(p->cab, CTB_ALF_FLAG + 6 + c);
+        while (ret_cr && cr_alt < e->alf_chroma_num_alts - 1 &&
+               cabac_decode_bin(p->cab, CTB_ALF_ALTERNATIVE + 1))
+            cr_alt += 1;
+    }
+    int ret = (ret_luma << 2) | (ret_cb << 1) | ret_cr;
+    p->alf_left_flag = ret;
+    p->alf_line[col] = (uint8_t)ret;
+    int32_t *rec = p->sao_buf + p->cur_ctu * CTU_REC_NFIELDS + SAO_NFIELDS;
+    rec[0] = ret;
+    rec[1] = alf_idx;
+    rec[2] = cb_alt;
+    rec[3] = cr_alt;
+}
+
+static void code_cc_alf_ctu(Pc *p, int col, int row)
+{
+    const EntryParams *e = p->ep;
+    if (!(e->cc_cb_enabled || e->cc_cr_enabled))
+        return;
+    int left_ok = col > 0, up_ok = row > 0;
+    int32_t *rec = p->sao_buf + p->cur_ctu * CTU_REC_NFIELDS + SAO_NFIELDS;
+    const int flags[2] = { e->cc_cb_enabled, e->cc_cr_enabled };
+    const int nf[2] = { e->cc_nb_cb, e->cc_nb_cr };
+    for (int comp = 0; comp < 2; comp++) {
+        if (!flags[comp]) {
+            rec[4 + comp] = 0;
+            continue;
+        }
+        int lf = left_ok ? p->cc_left[comp] : 0;
+        int uf = up_ok ? p->cc_line[comp][col] : 0;
+        int c = ((left_ok && lf) ? 1 : 0) + ((up_ok && uf) ? 1 : 0)
+              + (comp == 1 ? 3 : 0);
+        int v = cabac_decode_bin(p->cab, CC_ALF_FILTER_CONTROL_FLAG + c);
+        if (v) {
+            while (v != nf[comp] && cabac_decode_bypass(p->cab))
+                v += 1;
+        }
+        rec[4 + comp] = v;
+        p->cc_left[comp] = v;
+        p->cc_line[comp][col] = (uint8_t)v;
     }
 }
 
@@ -2109,6 +2216,9 @@ int64_t ov_parse_entry(const uint8_t *data, int64_t nbytes,
     p->dir1 = tmvp_dir1;
     p->mv0 = calloc(un, sizeof(MVc)); /* zero: mi_at reads unset cells */
     p->mv1 = calloc(un, sizeof(MVc));
+    p->alf_line = calloc((size_t)ep->nb_ctu_w, 1);
+    p->cc_line[0] = calloc((size_t)ep->nb_ctu_w, 1);
+    p->cc_line[1] = calloc((size_t)ep->nb_ctu_w, 1);
     p->tmv0 = tmvp_mv0;
     p->tmv1 = tmvp_mv1;
     p->col_dir0 = col_dir0;
@@ -2117,7 +2227,8 @@ int64_t ov_parse_entry(const uint8_t *data, int64_t nbytes,
     p->col_mv1 = col_mv1;
     int alloc_fail = !(p->m_log2w && p->m_log2h && p->m_qtd && p->m_imode &&
                        p->m_pmode && p->m_ctype && p->cm_log2w &&
-                       p->cm_log2h && p->cm_qtd && p->mv0 && p->mv1);
+                       p->cm_log2h && p->cm_qtd && p->mv0 && p->mv1 &&
+                       p->alf_line && p->cc_line[0] && p->cc_line[1]);
 
     p->cu_buf = cu_buf; p->cu_cap = cu_cap;
     p->tu_buf = tu_buf; p->tu_cap = tu_cap;
@@ -2174,6 +2285,8 @@ int64_t ov_parse_entry(const uint8_t *data, int64_t nbytes,
                     p->ctu_ncu[nctu * 3 + 1] = ep->ctu_y + row;
                     p->ctu_ncu[nctu * 3 + 2] = 0;
                     code_sao_ctu(p, col, row);
+                    code_alf_ctu(p, col, row);
+                    code_cc_alf_ctu(p, col, row);
                     coding_quadtree(p, x0, y0, log2_ctb, 0);
                     nctu += 1;
                     if (col == 0)
@@ -2199,5 +2312,8 @@ int64_t ov_parse_entry(const uint8_t *data, int64_t nbytes,
     free(p->cm_log2w); free(p->cm_log2h); free(p->cm_qtd);
     free(p->mv0);
     free(p->mv1);
+    free(p->alf_line);
+    free(p->cc_line[0]);
+    free(p->cc_line[1]);
     return ret;
 }

@@ -146,6 +146,31 @@ def block_row_tabs(pic_h, ctu_s):
 # ----------------------------------------------------------------------
 
 
+# keys that vary per frame (traced device args in the frame program); the
+# row/block tables depend only on (pic_h, ctu_s) and stay static constants
+TRACED_KEYS = ("luma_on", "slot", "sets", "c_on", "c_coef", "cc_coef")
+
+_ROW_CACHE: dict = {}
+
+
+def static_row_tabs(pic_h, ctu_s, chroma):
+    """Cached per-sequence row/block tables (VB geometry)."""
+    key = (pic_h, ctu_s, bool(chroma))
+    hit = _ROW_CACHE.get(key)
+    if hit is None:
+        roff, near, cls_up, cls_dn = luma_row_tabs(pic_h, ctu_s)
+        hit = dict(roff_l=roff, near_l=near.astype(np.int32),
+                   cls_up=cls_up, cls_dn=cls_dn)
+        var, isvb = block_row_tabs(pic_h, ctu_s)
+        hit.update(blk_var=var, blk_isvb=isvb.astype(np.int32))
+        if chroma:
+            roff_c, near_c = chroma_row_tabs(pic_h, ctu_s)
+            hit.update(roff_c=roff_c, near_c=near_c.astype(np.int32),
+                       cc_off=cc_row_tabs(pic_h, ctu_s))
+        _ROW_CACHE[key] = hit
+    return hit
+
+
 def build_alf_tables(alf_params, filters, cc_data, ctb_log2, pic_w, pic_h,
                      chroma):
     """Per-CTU maps + stacked filter tables for the dense kernel.
@@ -198,15 +223,7 @@ def build_alf_tables(alf_params, filters, cc_data, ctb_log2, pic_w, pic_h,
         sets[si, :, 13:] = filters.clip[fs].reshape(100, 13)
     tabs = {"luma_on": luma_on, "slot": slot, "sets": sets,
             "c_on": con, "c_coef": ccoef, "cc_coef": cccoef}
-    roff, near, cls_up, cls_dn = luma_row_tabs(pic_h, ctu_s)
-    tabs.update(roff_l=roff, near_l=near.astype(np.int32),
-                cls_up=cls_up, cls_dn=cls_dn)
-    var, isvb = block_row_tabs(pic_h, ctu_s)
-    tabs.update(blk_var=var, blk_isvb=isvb.astype(np.int32))
-    if chroma:
-        roff_c, near_c = chroma_row_tabs(pic_h, ctu_s)
-        tabs.update(roff_c=roff_c, near_c=near_c.astype(np.int32),
-                    cc_off=cc_row_tabs(pic_h, ctu_s))
+    tabs.update(static_row_tabs(pic_h, ctu_s, chroma))
     return tabs
 
 

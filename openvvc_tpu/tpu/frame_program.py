@@ -36,6 +36,10 @@ class Cfg(NamedTuple):
     dbf_on: bool
     sao_on: bool
     ctb_log2: int
+    alf_on: bool = False
+    entries: tuple = ()   # ((ctu_x, ctu_y, nb_w, nb_h), ...) for ALF
+    mc_pallas: bool = False
+    mc_dims: tuple = ()   # padded unit-grid dims for the Pallas MC classes
 
 
 def _bucket_pow2(n, lo=0):
@@ -110,9 +114,16 @@ def frame_step(dpb_y, dpb_cb, dpb_cr, slot, arrs, cfg: Cfg):
     bd_max = (1 << bd) - 1
 
     if cfg.has_inter:
-        pred_y, pred_cb, pred_cr = mc_dense(
-            jnp, dpb_y, dpb_cb, dpb_cr, arrs["margs"], bd, uw, uh,
-            cfg.chroma)
+        if cfg.mc_pallas:
+            from openvvc_tpu.tpu.mc_pallas_dense import mc_pallas
+
+            pred_y, pred_cb, pred_cr = mc_pallas(
+                jnp, dpb_y, dpb_cb, dpb_cr, arrs["mc"], cfg.mc_dims, bd,
+                uw, uh, cfg.chroma)
+        else:
+            pred_y, pred_cb, pred_cr = mc_dense(
+                jnp, dpb_y, dpb_cb, dpb_cr, arrs["margs"], bd, uw, uh,
+                cfg.chroma)
         m = arrs["gmask"] != 0
         m4 = jnp.repeat(jnp.repeat(m, 4, axis=0), 4, axis=1)
         rec_y = jnp.where(
@@ -178,6 +189,15 @@ def frame_step(dpb_y, dpb_cb, dpb_cr, slot, arrs, cfg: Cfg):
         if cfg.chroma:
             cb = sao_dense.sao_plane(jnp, cb, 1, tabs, cfg.ctb_log2, bd)
             cr = sao_dense.sao_plane(jnp, cr, 2, tabs, cfg.ctb_log2, bd)
+
+    if cfg.alf_on:
+        from openvvc_tpu.tpu import alf_dense
+
+        atabs = dict(alf_dense.static_row_tabs(H, 1 << cfg.ctb_log2,
+                                               cfg.chroma))
+        atabs.update(arrs["alf"])
+        y, cb, cr = alf_dense.alf_frame(jnp, y, cb, cr, atabs,
+                                        cfg.entries, cfg.ctb_log2, bd, W, H)
 
     out_y = y.astype(jnp.int16)
     pad_y = jnp.pad(out_y, ((PAD_L, PAD_L + H4 - H), (PAD_L, PAD_L + W4 - W)),

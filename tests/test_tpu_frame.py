@@ -18,7 +18,7 @@ def _gen(path, **kw):
     args = [sys.executable, os.path.join(REPO, "tools/gen_bench_stream.py"),
             "--out", path]
     for k, v in kw.items():
-        args += [f"--{k}", str(v)]
+        args += [f"--{k}"] if v is None else [f"--{k}", str(v)]
     subprocess.run(args, check=True, capture_output=True, timeout=600)
 
 
@@ -27,14 +27,19 @@ def _yuv(dec, stream):
     return b"".join(f.to_yuv_bytes() for f in dec.output_order(frames))
 
 
-@pytest.mark.parametrize("gop,tiles", [("lowdelay", 1), ("lowdelay", 2),
-                                       ("ra", 2)])
-def test_tpu_frame_bit_exact(gop, tiles):
+@pytest.mark.parametrize("gop,tiles,alf", [("lowdelay", 1, False),
+                                           ("lowdelay", 2, False),
+                                           ("ra", 2, False),
+                                           ("lowdelay", 1, True),
+                                           ("ra", 2, True)])
+def test_tpu_frame_bit_exact(gop, tiles, alf):
     from openvvc_tpu.decoder import Decoder
 
-    path = f"/tmp/tpu_e2e_{gop}_{tiles}.266"
-    _gen(path, width=256, height=192, frames=5, tiles=tiles, gop=gop,
-         **{"leaf-intra": 4, "leaf-inter": 4})
+    path = f"/tmp/tpu_e2e_{gop}_{tiles}_{int(alf)}.266"
+    kw = {"leaf-intra": 4, "leaf-inter": 4}
+    if alf:
+        kw["alf"] = None  # boolean flag
+    _gen(path, width=256, height=192, frames=5, tiles=tiles, gop=gop, **kw)
     with open(path, "rb") as f:
         stream = f.read()
 

@@ -139,6 +139,31 @@ def _qt_tree(cu_factory, leaf_log2):
     return tb
 
 
+def _with_alf(tb, rng):
+    """Wrap a tree builder: attach random per-CTU ALF/CC-ALF params
+    (1 luma APS set + fixed sets, 2 chroma alternatives, 1 CC filter)."""
+    from openvvc_tpu.vcl.alf import AlfCtuParams
+
+    def tb2(params, entry):
+        trees = tb(params, entry)
+        for node in trees.values():
+            p = AlfCtuParams()
+            luma_on = rng.rand() < 0.9
+            p.ctb_alf_flag = int(luma_on) << 2
+            if luma_on:
+                p.ctb_alf_idx = int(rng.randint(0, 17))
+            cbf, crf = rng.rand() < 0.7, rng.rand() < 0.7
+            p.ctb_alf_flag |= (int(cbf) << 1) | int(crf)
+            if cbf:
+                p.cb_alternative = int(rng.randint(0, 2))
+            if crf:
+                p.cr_alternative = int(rng.randint(0, 2))
+            p.cc_alf_idx = (int(rng.randint(0, 2)), int(rng.randint(0, 2)))
+            node.alf = p
+        return trees
+    return tb2
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--width", type=int, default=1920)
@@ -151,6 +176,8 @@ def main():
     ap.add_argument("--seed", type=int, default=7)
     ap.add_argument("--gop", choices=["lowdelay", "ra"], default="lowdelay",
                     help="ra = GOP-4 B pyramid with TMVP + AMVR")
+    ap.add_argument("--alf", action="store_true",
+                    help="enable ALF + CC-ALF with per-CTU random params")
     ap.add_argument("--out", default="/tmp/bench_1080p.266")
     args = ap.parse_args()
 
@@ -165,6 +192,7 @@ def main():
         tile_cols = [per] * (args.tiles - 1) + [nctu_w - per * (args.tiles - 1)]
     cfg = StreamConfig(width=w, height=h, deblocking=True, sao=True,
                        tile_cols=tile_cols,
+                       alf=args.alf, alf_chroma=args.alf, cc_alf=args.alf,
                        tmvp=args.gop == "ra", amvr=args.gop == "ra")
 
     frames = [{"tree_builder": _qt_tree(lambda x, y, l: _intra_cu(rng, x, y, l),
@@ -179,6 +207,9 @@ def main():
                 "slice_type": 1,
                 "ref_deltas": [1],
             })
+    if args.alf:
+        for spec in frames:
+            spec["tree_builder"] = _with_alf(spec["tree_builder"], rng)
     stream = build_stream_frames(cfg, frames)
     with open(args.out, "wb") as f:
         f.write(stream)
