@@ -78,11 +78,13 @@ def _window_any(edge, lo_off, hi_off, axis):
 
 
 def luma_segment_params(maps: DbfMaps, beta_off, tc_off, bitdepth,
-                        pic_w, pic_h, no_x=(), no_y=()):
+                        pic_w, pic_h, no_x=(), no_y=(), dense=False):
     """(vertical, horizontal) segment param dicts from the edge maps.
 
     Mirrors ref_dbf.deblock_plane_luma's per-segment derivation, vectorized.
     Each dict: xs, ys (sample coords of the edge), beta, tc, mlp, mlq.
+    With dense=True, returns full boundary-grid param arrays instead
+    (beta/tc zeroed where inactive) for the gather-free device pass.
     """
     uw, uh = pic_w // 4, pic_h // 4
     out = []
@@ -166,6 +168,13 @@ def luma_segment_params(maps: DbfMaps, beta_off, tc_off, bitdepth,
                                 np.where(long_q, np.where(aff_q, 5, 7), 3))
                        ).astype(np.int32)
 
+        if dense:
+            out.append({
+                "beta": np.where(active, beta, 0).astype(np.int32),
+                "tc": np.where(active, tc, 0).astype(np.int32),
+                "mlp": mlp, "mlq": mlq,
+            })
+            continue
         yy, xx = np.nonzero(active)
         out.append({
             "xs": (xx * 4).astype(np.int32),
@@ -248,22 +257,41 @@ def _luma_core(xp, win, beta, tc, mlp, mlq, bd_max):
                 & strong_l0(0) & strong_l0(3) & filt_any)  # [S, 1]
 
     # ---- long filter ---------------------------------------------------
+    # all per-segment table rows resolve by select-sum over the few
+    # possible filter lengths — element gathers run ~1000x below memory
+    # speed on TPU, selects are free
     mlp_f = xp.maximum(mlp, 3)
     mlq_f = xp.maximum(mlq, 3)
     combo = ((mlp_f - 3) >> 1) * 3 + ((mlq_f - 3) >> 1)  # [S, 1]
-    midw = xp.asarray(_MIDW)[combo[:, 0]]  # [S, 16]
-    mid = (xp.einsum("slc,sc->sl", w32, midw) + 8) >> 4  # [S, 4]
-    idx_rp = xp.clip(7 - (mlp_f - 1), 0, 15)
-    ref_p = (xp.take_along_axis(w32, idx_rp[:, :, None].repeat(4, 1), 2)[:, :, 0]
-             + xp.take_along_axis(w32, xp.clip(7 - mlp_f, 0, 15)[:, :, None].repeat(4, 1), 2)[:, :, 0] + 1) >> 1
-    idx_rq = xp.clip(8 + (mlq_f - 1), 0, 15)
-    ref_q = (xp.take_along_axis(w32, idx_rq[:, :, None].repeat(4, 1), 2)[:, :, 0]
-             + xp.take_along_axis(w32, xp.clip(8 + mlq_f, 0, 15)[:, :, None].repeat(4, 1), 2)[:, :, 0] + 1) >> 1
+    midw = xp.zeros(w32.shape[:1] + (16,), xp.int32)
+    for j in range(9):
+        if _MIDW[j].any():
+            midw = midw + xp.where(combo == j, _MIDW[j][None, :], 0)
+    mid = (xp.sum(w32 * midw[:, None, :], axis=2) + 8) >> 4  # [S, 4]
 
-    wp = xp.asarray(_WPL)[(mlp_f[:, 0] - 3) >> 1]  # [S, 7]
-    tp = xp.asarray(_TPL)[(mlp_f[:, 0] - 3) >> 1]
-    wq = xp.asarray(_WPL)[(mlq_f[:, 0] - 3) >> 1]
-    tq = xp.asarray(_TPL)[(mlq_f[:, 0] - 3) >> 1]
+    def _refsel(side_len, base, sign):
+        # (w[base + sign*(m-1)] + w[base + sign*m] + 1) >> 1, m in {3,5,7}
+        acc = xp.zeros_like(w32[:, :, 0])
+        for m in (3, 5, 7):
+            v = (w32[:, :, base + sign * (m - 1)]
+                 + w32[:, :, min(max(base + sign * m, 0), 15)] + 1) >> 1
+            acc = acc + xp.where(side_len == m, v, 0)
+        return acc
+
+    ref_p = _refsel(mlp_f, 7, -1)
+    ref_q = _refsel(mlq_f, 8, 1)
+
+    def _rowsel3(table, side_len):
+        acc = xp.zeros(w32.shape[:1] + (7,), xp.int32)
+        for j in range(3):
+            acc = acc + xp.where(((side_len - 3) >> 1) == j,
+                                 table[j][None, :], 0)
+        return acc
+
+    wp = _rowsel3(_WPL, mlp_f)
+    tp = _rowsel3(_TPL, mlp_f)
+    wq = _rowsel3(_WPL, mlq_f)
+    tq = _rowsel3(_TPL, mlq_f)
     new_long = _fresh(xp, w32)
     mask_long = xp.zeros(win.shape, bool)
     for k in range(7):
@@ -379,6 +407,48 @@ def _win_scatter_add(plane, ys, xs, delta):
         update_window_dims=(1, 2), inserted_window_dims=(),
         scatter_dims_to_operand_dims=(0, 1))
     return lax.scatter_add(plane, jnp.stack([ys, xs], axis=1), delta, dnums)
+
+
+def _apply_pass_dense(xp, plane, dp, bd_max, horizontal):
+    """Gather-free luma pass over the full boundary grid.
+
+    dp: dense param grids from luma_segment_params(dense=True) — ver
+    (uh, uw+1), hor (uh+1, uw); inactive boundaries carry beta=tc=0 so
+    _luma_core filters nothing there.  Windows are built by reshape +
+    static shifts and deltas written back the same way: zero gathers or
+    scatters, all traffic at memory speed."""
+    if horizontal:
+        dpt = {k: v.T for k, v in dp.items()}
+        return _apply_pass_dense(xp, plane.T, dpt, bd_max, False).T
+
+    H, W = plane.shape
+    uh, nbx = dp["beta"].shape          # nbx == uw + 1
+    if xp is np:
+        pp = np.pad(plane, ((0, 0), (8, 4 * (nbx + 3) - W - 8 + 4)),
+                    mode="edge")
+    else:
+        pp = xp.pad(plane, ((0, 0), (8, 4 * (nbx + 3) - W - 8 + 4)),
+                    mode="edge")
+    Wp = pp.shape[1]
+    R = pp.reshape(H, Wp // 4, 4)
+    parts = [R[:, c:c + nbx, :] for c in range(4)]
+    win = xp.concatenate(parts, axis=2)                 # (H, nbx, 16)
+    win = win.reshape(uh, 4, nbx, 16).transpose(0, 2, 1, 3) \
+        .reshape(uh * nbx, 4, 16)
+    flat = lambda k: dp[k].reshape(uh * nbx)
+    new, wmask = _luma_core(xp, win, flat("beta"), flat("tc"),
+                            flat("mlp"), flat("mlq"), bd_max)
+    delta = ((new - win) * wmask).reshape(uh, nbx, 4, 16) \
+        .transpose(0, 2, 1, 3).reshape(H, nbx, 16)
+    accR = xp.zeros((H, Wp // 4, 4), xp.int32)
+    for c in range(4):
+        chunk = delta[:, :, 4 * c:4 * c + 4]
+        if xp is np:
+            accR[:, c:c + nbx, :] += chunk
+        else:
+            accR = accR.at[:, c:c + nbx, :].add(chunk)
+    pp = pp + accR.reshape(H, Wp)
+    return pp[:, 8:8 + W]
 
 
 def _apply_pass(xp, plane, params, bd_max, horizontal):

@@ -90,8 +90,9 @@ def build_dbf_params(maps, offsets, bd, pic_w, pic_h, log2_ctb, chroma,
 
     maps.finalize_inter_bs()
     b_l, t_l, b_cb, t_cb, b_cr, t_cr = offsets
-    vp, hp = luma_segment_params(maps, b_l, t_l, bd, pic_w, pic_h, no_x, no_y)
-    out = {"lv": _pad_segments(vp), "lh": _pad_segments(hp)}
+    vp, hp = luma_segment_params(maps, b_l, t_l, bd, pic_w, pic_h, no_x,
+                                 no_y, dense=True)
+    out = {"lv": vp, "lh": hp}
     if chroma:
         for sel, bo, to in (("cb", b_cb, t_cb), ("cr", b_cr, t_cr)):
             vpc, hpc = chroma_segment_params(maps, sel, bo, to, bd, pic_w,
@@ -172,11 +173,13 @@ def frame_step(dpb_y, dpb_cb, dpb_cr, slot, arrs, cfg: Cfg):
     cr = rec_cr[:H >> 1, :W >> 1].astype(jnp.int32) if cfg.chroma else None
 
     if cfg.dbf_on:
-        from openvvc_tpu.rcn.jax_dbf import _apply_pass, _apply_pass_chroma
+        from openvvc_tpu.rcn.jax_dbf import (_apply_pass_chroma,
+                                             _apply_pass_dense)
 
-        d = {k: dict(v, _padded=True) for k, v in arrs["dbf"].items()}
-        y = _apply_pass(jnp, y, d["lv"], bd_max, horizontal=False)
-        y = _apply_pass(jnp, y, d["lh"], bd_max, horizontal=True)
+        d = {k: (dict(v, _padded=True) if "xs" in v else v)
+             for k, v in arrs["dbf"].items()}
+        y = _apply_pass_dense(jnp, y, d["lv"], bd_max, horizontal=False)
+        y = _apply_pass_dense(jnp, y, d["lh"], bd_max, horizontal=True)
         if cfg.chroma:
             cb = _apply_pass_chroma(jnp, cb, d["cbv"], bd_max, False)
             cb = _apply_pass_chroma(jnp, cb, d["cbh"], bd_max, True)
