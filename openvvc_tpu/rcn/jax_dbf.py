@@ -170,9 +170,9 @@ def luma_segment_params(maps: DbfMaps, beta_off, tc_off, bitdepth,
 
         if dense:
             out.append({
-                "beta": np.where(active, beta, 0).astype(np.int32),
-                "tc": np.where(active, tc, 0).astype(np.int32),
-                "mlp": mlp, "mlq": mlq,
+                "beta": np.where(active, beta, 0).astype(np.int16),
+                "tc": np.where(active, tc, 0).astype(np.int16),
+                "mlp": mlp.astype(np.int8), "mlq": mlq.astype(np.int8),
             })
             continue
         yy, xx = np.nonzero(active)
@@ -435,7 +435,7 @@ def _apply_pass_dense(xp, plane, dp, bd_max, horizontal):
     win = xp.concatenate(parts, axis=2)                 # (H, nbx, 16)
     win = win.reshape(uh, 4, nbx, 16).transpose(0, 2, 1, 3) \
         .reshape(uh * nbx, 4, 16)
-    flat = lambda k: dp[k].reshape(uh * nbx)
+    flat = lambda k: dp[k].reshape(uh * nbx).astype(xp.int32)
     new, wmask = _luma_core(xp, win, flat("beta"), flat("tc"),
                             flat("mlp"), flat("mlq"), bd_max)
     delta = ((new - win) * wmask).reshape(uh, nbx, 4, 16) \

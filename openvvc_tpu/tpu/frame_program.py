@@ -145,19 +145,22 @@ def frame_step(dpb_y, dpb_cb, dpb_cr, slot, arrs, cfg: Cfg):
             rec_cr = jnp.zeros((uh * 2, uw * 2), jnp.int16)
 
     # intra waves (luma then chroma; chroma depends on chroma only — no
-    # CCLM in the device set)
+    # CCLM in the device set).  Carries/residuals get a TILE margin so the
+    # wave kernel's window fetch/scatter never clamps at the frame edge.
+    T = iw.TILE
+    mpad = lambda a: jnp.pad(a, ((0, T), (0, T)))
     jobs_l = arrs["jobs_l"]
     if jobs_l.shape[0]:
-        res_y = arrs["res_y"]
+        res_y = mpad(arrs["res_y"])
 
         def lbody(plane, jf):
             return iw.predict_wave_step(jnp, plane, res_y, jf, bd, True), None
 
-        rec_y, _ = jax.lax.scan(lbody, rec_y, jobs_l)
+        rec_y, _ = jax.lax.scan(lbody, mpad(rec_y), jobs_l)
     if cfg.chroma:
         jobs_c = arrs["jobs_c"]
         if jobs_c.shape[0]:
-            res_cb, res_cr = arrs["res_cb"], arrs["res_cr"]
+            res_cb, res_cr = mpad(arrs["res_cb"]), mpad(arrs["res_cr"])
 
             def cbody(carry, jf):
                 cb, cr = carry
@@ -165,7 +168,8 @@ def frame_step(dpb_y, dpb_cb, dpb_cr, slot, arrs, cfg: Cfg):
                 cr = iw.predict_wave_step(jnp, cr, res_cr, jf, bd, False)
                 return (cb, cr), None
 
-            (rec_cb, rec_cr), _ = jax.lax.scan(cbody, (rec_cb, rec_cr),
+            (rec_cb, rec_cr), _ = jax.lax.scan(cbody,
+                                               (mpad(rec_cb), mpad(rec_cr)),
                                                jobs_c)
 
     y = rec_y[:H, :W].astype(jnp.int32)

@@ -112,18 +112,44 @@ def _floor_log2(jnp, v):
     return 31 - jax.lax.clz(jnp.maximum(v, 1).astype(jnp.int32))
 
 
+def _slice1(jnp, arr, starts, n):
+    """vmap 1-D dynamic_slice: out[b] = arr[b, starts[b] : starts[b]+n]."""
+    import jax
+
+    def one(a, s):
+        return jax.lax.dynamic_slice(a, (s,), (n,))
+
+    return jax.vmap(one)(arr, starts.astype(jnp.int32))
+
+
 def predict_wave_step(jnp, plane, resid, jf, bitdepth, luma, tile=TILE):
     """Predict + residual-add + scatter one wave batch into `plane`.
 
-    plane/resid: [H, W] int16/int32 (plane is the scan carry). jf: job
-    fields [J_NFIELDS, B] int32 (mode < 0 lanes are no-ops). Returns the
-    updated plane. All reference math in int32.
+    plane/resid: [H, W] int16/int32 (plane is the scan carry); BOTH must
+    extend at least `tile` beyond the bottom/right of any job's tile
+    origin (the window fetch/scatter must never clamp).  jf: job fields
+    [J_NFIELDS, B] int32 (mode < 0 lanes are no-ops). Returns the updated
+    plane. All reference math in int32.
+
+    Formulation notes (TPU): in "oriented" space (line L along the
+    prediction direction, position P across it) the angular read index is
+    main[s(L) + P] — slope exactly 1 in P — so the 2-D gather becomes a
+    one-hot (B,T,K) matmul against a Hankel stack of the main line (built
+    from static shifts); same for the positive-PDPC side read (slope 1 in
+    L).  Every other per-tile reference read is a contiguous window =
+    vmapped dynamic_slice.  The tile write is a masked-delta window
+    scatter-add.  Element gathers never touch the big planes: XLA TPU
+    lowers them ~1000x below memory speed.
     """
+    import jax
+    from jax import lax
+
     LT = LT_L if luma else LT_C
     NEG = NEG_L if luma else NEG_C
     ANGLE, INV, CUBIC, THR = _tables(jnp)
     bd_max = (1 << bitdepth) - 1
     avg = 1 << (bitdepth - 1)
+    T = tile
 
     x0, y0 = jf[J_X0], jf[J_Y0]
     l2w, l2h = jf[J_L2W], jf[J_L2H]
@@ -174,24 +200,21 @@ def predict_wave_step(jnp, plane, resid, jf, bitdepth, luma, tile=TILE):
     proj_idx = jnp.minimum(s >> 9, n_proj[:, None])
     proj = jnp.take_along_axis(rs_eff, jnp.clip(proj_idx, 0, LT - 1), axis=1)
     main = jnp.concatenate([proj, rm_eff], axis=1)   # [B, NEG+LT]
+    B = main.shape[0]
+    K = NEG + LT
 
-    # ---- angular core over the tile ------------------------------------
-    r = jnp.arange(tile, dtype=jnp.int32)
-    rg = r[None, :, None]                      # tile row
-    cg = r[None, None, :]                      # tile col
-    # oriented (line, pos): vertical lines follow rows, horizontal follow cols
-    lgrid = jnp.where(vert[:, None, None], oy[:, None, None] + rg,
-                      ox[:, None, None] + cg)
-    xgrid = jnp.where(vert[:, None, None], ox[:, None, None] + cg,
-                      oy[:, None, None] + rg)
+    # ---- oriented angular core: L = line, P = position ------------------
+    r = jnp.arange(T, dtype=jnp.int32)
+    l_origin = jnp.where(vert, oy, ox)
+    p_origin = jnp.where(vert, ox, oy)
+    Lg = l_origin[:, None] + r[None, :]       # (B, T) line coords
+    Pg = p_origin[:, None] + r[None, :]       # (B, T) position coords
 
     angle = jnp.where(mode_idx < 0, -aa, aa)
-    delta = angle[:, None, None] * (lgrid + 1)
+    delta = angle[:, None] * (Lg + 1)         # (B, T)
     d_int = delta >> 5
     d_frac = delta & 0x1F
 
-    # unified 4-tap row: copy=(0,64,0,0), linear=(0,64-2f,2f,0), cubic table,
-    # gauss from frac — (acc+32)>>6 then clip reproduces each scalar variant
     f = d_frac
     t_copy = (jnp.zeros_like(f), jnp.full_like(f, 64), jnp.zeros_like(f),
               jnp.zeros_like(f))
@@ -200,25 +223,32 @@ def predict_wave_step(jnp, plane, resid, jf, bitdepth, luma, tile=TILE):
     t_gauss = (16 - half, 32 - half, 16 + half, half)
     cub = CUBIC[f]
     t_cub = (cub[..., 0], cub[..., 1], cub[..., 2], cub[..., 3])
-    gauss_m = (use_gauss & req_frac)[:, None, None]
-    frac_m = req_frac[:, None, None]
+    gauss_m = (use_gauss & req_frac)[:, None]
+    frac_m = req_frac[:, None]
     taps = []
     for i in range(4):
         frac_t = jnp.where(gauss_m, t_gauss[i],
                            t_cub[i] if luma else t_lin[i])
-        taps.append(jnp.where(frac_m, frac_t, t_copy[i]))
+        taps.append(jnp.where(frac_m, frac_t, t_copy[i])[:, :, None])
 
-    base = NEG + d_int + xgrid
-    B = main.shape[0]
-    idx = jnp.clip(base, 0, NEG + LT - 4).reshape(B, -1)
-    g0 = jnp.take_along_axis(main, idx, axis=1).reshape(base.shape)
-    g1 = jnp.take_along_axis(main, idx + 1, axis=1).reshape(base.shape)
-    g2 = jnp.take_along_axis(main, idx + 2, axis=1).reshape(base.shape)
-    g3 = jnp.take_along_axis(main, idx + 3, axis=1).reshape(base.shape)
+    # O[b, L, j] = main[b, s(L) + j] via one-hot matmul x Hankel stack
+    sL = jnp.clip(NEG + d_int + p_origin[:, None], 0, K - 4)   # (B, T)
+    kk = jnp.arange(K, dtype=jnp.int32)
+    S1 = (sL[:, :, None] == kk[None, None, :]).astype(jnp.float32)
+    mainp = jnp.concatenate(
+        [main, jnp.zeros((B, T + 4), jnp.int32)], axis=1)
+    Hk = jnp.stack([mainp[:, j:j + K] for j in range(T + 3)],
+                   axis=2).astype(jnp.float32)                  # (B, K, T+3)
+    import jax as _jax
+
+    O = jnp.einsum("btk,bkj->btj", S1, Hk,
+                   precision=_jax.lax.Precision.HIGHEST).astype(jnp.int32)
+    g0, g1 = O[:, :, 0:T], O[:, :, 1:T + 1]
+    g2, g3 = O[:, :, 2:T + 2], O[:, :, 3:T + 3]
     acc = taps[0] * g0 + taps[1] * g1 + taps[2] * g2 + taps[3] * g3
-    ang = jnp.clip((acc + 32) >> 6, 0, bd_max)
+    ang = jnp.clip((acc + 32) >> 6, 0, bd_max)    # (B, L, P)
 
-    # ---- PDPC for positive angular modes -------------------------------
+    # ---- PDPC for positive angular modes (oriented) ---------------------
     pdpc_dim_ok = (l2h > 1) if luma else ((l2h > 1) & (l2w > 1))
     pdpc_scale = jnp.minimum(
         2, side_l2 - (_floor_log2(jnp, 3 * inv - 2) - 8))
@@ -226,28 +256,40 @@ def predict_wave_step(jnp, plane, resid, jf, bitdepth, luma, tile=TILE):
     pdpc_pos = ((mode_idx > 0) & (pdpc_scale >= 0)
                 & (use_gauss | pdpc_dim_ok))
     side_pdpc = jnp.where(use_filt[:, None], frs, rs)
-    inv_sum = 256 + (xgrid + 1) * inv[:, None, None]
-    sidx = jnp.clip(lgrid + (inv_sum >> 9) + 1, 0, LT - 1)
-    p_s = jnp.take_along_axis(side_pdpc, sidx.reshape(B, -1),
-                              axis=1).reshape(sidx.shape)
-    w_l = _pdpc_w(jnp, jnp.maximum(pdpc_scale, 0)[:, None, None], xgrid)
+    # p_s[b, L, P] = side[clip(l_origin + L + (inv_sum(P) >> 9) + 1)]:
+    # slope 1 in L; upper clip via replicate-padded side line
+    inv_sum = 256 + (Pg + 1) * inv[:, None]
+    s2 = jnp.clip(l_origin[:, None] + (inv_sum >> 9) + 1, 0, LT - 1)
+    kk2 = jnp.arange(LT, dtype=jnp.int32)
+    S2 = (s2[:, :, None] == kk2[None, None, :]).astype(jnp.float32)
+    sidep = jnp.concatenate(
+        [side_pdpc, jnp.repeat(side_pdpc[:, -1:], T, axis=1)], axis=1)
+    H2 = jnp.stack([sidep[:, j:j + LT] for j in range(T)],
+                   axis=2).astype(jnp.float32)                  # (B, LT, T)
+    p_s = jnp.einsum("bpk,bkl->blp", S2, H2,
+                     precision=_jax.lax.Precision.HIGHEST).astype(jnp.int32)
+    w_l = _pdpc_w(jnp, jnp.maximum(pdpc_scale, 0)[:, None], Pg)[:, None, :]
     ang_p = jnp.clip(ang + ((w_l * (p_s - ang) + 32) >> 6), 0, bd_max)
-    ang = jnp.where(pdpc_pos[:, None, None] & (xgrid < lim[:, None, None]),
-                    ang_p, ang)
+    ang = jnp.where(pdpc_pos[:, None, None]
+                    & (Pg[:, None, :] < lim[:, None, None]), ang_p, ang)
 
-    # ---- pure horizontal/vertical PDPC ---------------------------------
+    # ---- pure horizontal/vertical PDPC (oriented) -----------------------
     scale_f = (sum_l2 - 2) >> 2
     tl = ra[:, 0][:, None, None]
-    rm_1l = jnp.take_along_axis(rm, jnp.clip(1 + xgrid, 0, LT - 1).reshape(B, -1),
-                                axis=1).reshape(xgrid.shape)
-    rs_1j = jnp.take_along_axis(rs, jnp.clip(1 + lgrid, 0, LT - 1).reshape(B, -1),
-                                axis=1).reshape(lgrid.shape)
-    pw = _pdpc_w(jnp, scale_f[:, None, None], xgrid)
-    pure_val = jnp.clip((pw * (rs_1j - tl) + (rm_1l << 6) + 32) >> 6, 0, bd_max)
+    rm_1l = _slice1(jnp, rm, 1 + p_origin, T)[:, None, :]     # over P
+    rs_1j = _slice1(jnp, rs, 1 + l_origin, T)[:, :, None]     # over L
+    pw = _pdpc_w(jnp, scale_f[:, None], Pg)[:, None, :]
+    pure_val = jnp.clip((pw * (rs_1j - tl) + (rm_1l << 6) + 32) >> 6,
+                        0, bd_max)
     pure_m = (mode_idx == 0) & pdpc_dim_ok & ~is_flat
     ang = jnp.where(pure_m[:, None, None], pure_val, ang)
 
-    # ---- planar / DC ----------------------------------------------------
+    # reorient (L, P) -> tile (row, col)
+    ang = jnp.where(vert[:, None, None], ang, ang.transpose(0, 2, 1))
+
+    # ---- planar / DC (tile coords) --------------------------------------
+    rg = r[None, :, None]
+    cg = r[None, None, :]
     ty = oy[:, None, None] + rg
     tx = ox[:, None, None] + cg
     pl_filt = is_flat & (mode == 0) & bool(luma) & (sum_l2 > 5)
@@ -255,10 +297,8 @@ def predict_wave_step(jnp, plane, resid, jf, bitdepth, luma, tile=TILE):
     fl_p = _smooth(jnp, rl, ra, h + 4)
     pa = jnp.where(pl_filt[:, None], fa_p, ra)
     pl = jnp.where(pl_filt[:, None], fl_p, rl)
-    topv = jnp.take_along_axis(pa, jnp.clip(1 + tx, 0, LT - 1).reshape(B, -1),
-                               axis=1).reshape(tx.shape)
-    leftv = jnp.take_along_axis(pl, jnp.clip(1 + ty, 0, LT - 1).reshape(B, -1),
-                                axis=1).reshape(ty.shape)
+    topv = _slice1(jnp, pa, 1 + ox, T)[:, None, :]            # (B, 1, P)
+    leftv = _slice1(jnp, pl, 1 + oy, T)[:, :, None]           # (B, L, 1)
     tr = jnp.take_along_axis(pa, jnp.clip(w + 1, 0, LT - 1)[:, None],
                              axis=1)[:, :, None]
     bl = jnp.take_along_axis(pl, jnp.clip(h + 1, 0, LT - 1)[:, None],
@@ -289,14 +329,20 @@ def predict_wave_step(jnp, plane, resid, jf, bitdepth, luma, tile=TILE):
 
     pred = jnp.where(is_flat[:, None, None], flat, ang)
 
-    # ---- residual add + masked scatter ----------------------------------
-    py = y0[:, None, None] + ty
-    px = x0[:, None, None] + tx
-    H, W = plane.shape
-    rv = resid[jnp.clip(py, 0, H - 1), jnp.clip(px, 0, W - 1)].astype(jnp.int32)
+    # ---- residual add + masked window scatter-add -----------------------
+    wy = (y0 + oy).astype(jnp.int32)
+    wx = (x0 + ox).astype(jnp.int32)
+
+    def win(a, oy_, ox_):
+        return lax.dynamic_slice(a, (oy_, ox_), (T, T))
+
+    old = jax.vmap(win, in_axes=(None, 0, 0))(plane, wy, wx).astype(jnp.int32)
+    rv = jax.vmap(win, in_axes=(None, 0, 0))(resid, wy, wx).astype(jnp.int32)
     out = jnp.clip(pred + rv, 0, bd_max)
     msk = (valid[:, None, None] & (ty < h[:, None, None])
            & (tx < w[:, None, None]))
-    big = jnp.int32(1 << 28)
-    py_s = jnp.where(msk, py, big)
-    return plane.at[py_s, px].set(out.astype(plane.dtype), mode="drop")
+    delta = ((out - old) * msk).astype(plane.dtype)
+    dnums = lax.ScatterDimensionNumbers(
+        update_window_dims=(1, 2), inserted_window_dims=(),
+        scatter_dims_to_operand_dims=(0, 1))
+    return lax.scatter_add(plane, jnp.stack([wy, wx], axis=1), delta, dnums)

@@ -121,7 +121,7 @@ def build_mc_bundle(margs, gmask, uw, uh):
     """Host packing: per-class job arrays (pow2-bucketed counts) plus the
     class map.  Returns (arrays_dict, dims) — dims is static."""
     jobs, cmap, dims = extract_jobs(margs, gmask, uw, uh)
-    out = {"cmap": cmap}
+    out = {"cmap": cmap.astype(np.int8)}
     for L, d in jobs.items():
         d = _pad_jobs(d, _bucket(len(d["cy"])))
         out[f"j{L}l"] = {
@@ -136,7 +136,7 @@ def build_mc_bundle(margs, gmask, uw, uh):
             "taps": np.stack([
                 np.stack([_NP_FILT_L[d["fx0"]], _NP_FILT_L[d["fy0"]]], 1),
                 np.stack([_NP_FILT_L[d["fx1"]], _NP_FILT_L[d["fy1"]]], 1),
-            ], 1).astype(np.int32),
+            ], 1).astype(np.int16),
         }
         out[f"j{L}c"] = {
             "cy": d["cy"], "cx": d["cx"],
@@ -151,7 +151,7 @@ def build_mc_bundle(margs, gmask, uw, uh):
             "taps": np.stack([
                 np.stack([_NP_FILT_C[d["cfx0"]], _NP_FILT_C[d["cfy0"]]], 1),
                 np.stack([_NP_FILT_C[d["cfx1"]], _NP_FILT_C[d["cfy1"]]], 1),
-            ], 1).astype(np.int32),
+            ], 1).astype(np.int16),
         }
     return out, dims
 
