@@ -1640,13 +1640,17 @@ class Decoder:
                 f.sync_host()
         self._start_recon_host(ctx)
 
-    @staticmethod
-    def _mc_pallas_ok():
+    # set once if Pallas lowering fails on this backend; all later frames
+    # use the XLA dense MC (slow-but-correct) instead of crashing
+    _pallas_broken = False
+
+    @classmethod
+    def _mc_pallas_ok(cls):
         """Pallas MC needs a real TPU backend (CPU tests/dryrun use the
         gather formulation); OPENVVC_NO_PALLAS=1 forces it off."""
         import os
 
-        if os.environ.get("OPENVVC_NO_PALLAS"):
+        if os.environ.get("OPENVVC_NO_PALLAS") or cls._pallas_broken:
             return False
         import jax
 
@@ -1820,7 +1824,24 @@ class Decoder:
                       alf_tabs is not None, entries_t,
                       use_pallas_mc, mc_dims)
         with trace.span("device_dispatch"):
-            frame._dev_out = run_frame(ddpb, slot, arrs, cfg)
+            try:
+                frame._dev_out = run_frame(ddpb, slot, arrs, cfg)
+            except Exception:
+                if not use_pallas_mc:
+                    raise
+                # Mosaic lowering/compile failed on this backend: degrade
+                # once to the XLA dense MC for the whole session (slow but
+                # correct) rather than killing every inter frame
+                from openvvc_tpu.utils.log import ov_log
+
+                ov_log("warning",
+                       "pallas MC lowering failed; falling back to XLA "
+                       "dense MC for the session")
+                type(self)._pallas_broken = True
+                arrs.pop("mc", None)
+                arrs["margs"] = margs
+                cfg = cfg._replace(mc_pallas=False, mc_dims=())
+                frame._dev_out = run_frame(ddpb, slot, arrs, cfg)
         # D2H through the device tunnel is high-latency and does not
         # overlap with other fetches: prefetch on a dedicated thread so the
         # copy rides alongside the next picture's parse

@@ -136,7 +136,8 @@ def build_mc_bundle(margs, gmask, uw, uh):
             "taps": np.stack([
                 np.stack([_NP_FILT_L[d["fx0"]], _NP_FILT_L[d["fy0"]]], 1),
                 np.stack([_NP_FILT_L[d["fx1"]], _NP_FILT_L[d["fy1"]]], 1),
-            ], 1).astype(np.int16),
+            ], 1).astype(np.int32),  # int32: Mosaic only permits 32-bit
+            # scalar extraction inside the kernel (fh[k]/fv[k])
         }
         out[f"j{L}c"] = {
             "cy": d["cy"], "cx": d["cx"],
@@ -151,7 +152,7 @@ def build_mc_bundle(margs, gmask, uw, uh):
             "taps": np.stack([
                 np.stack([_NP_FILT_C[d["cfx0"]], _NP_FILT_C[d["cfy0"]]], 1),
                 np.stack([_NP_FILT_C[d["cfx1"]], _NP_FILT_C[d["cfy1"]]], 1),
-            ], 1).astype(np.int16),
+            ], 1).astype(np.int32),
         }
     return out, dims
 
