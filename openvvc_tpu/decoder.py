@@ -55,13 +55,17 @@ class Frame:
         self.sync_host()
         planes = [self.y] + ([self.cb, self.cr] if self.cb is not None else [])
         if self.bitdepth == 8:
-            return b"".join(p.astype(np.uint8).tobytes() for p in planes)
+            return b"".join(
+                (p if p.dtype == np.uint8 else p.astype(np.uint8)).tobytes()
+                for p in planes)
         return b"".join(p.astype("<u2").tobytes() for p in planes)
 
     def sync_host(self) -> None:
         """Fetch device-resident output planes (TPU frame path) to host.
         The packed buffer is fetched once (or taken from the prefetch
-        thread's future) and split into the three planes."""
+        thread's future) and split into the three planes. Planes keep the
+        packed dtype (uint8/int16) — cheap for YUV output; host/native
+        consumers that need int32 call ensure_int32()."""
         dev = getattr(self, "_dev_out", None)
         if dev is None:
             return
@@ -70,13 +74,22 @@ class Frame:
         self._fetch_future = None
         H, W = self.y.shape
         n = H * W
-        self.y = packed[:n].astype(np.int32).reshape(H, W)
+        self.y = packed[:n].reshape(H, W)
         if self.cb is not None:
             m = (H // 2) * (W // 2)
-            self.cb = packed[n:n + m].astype(np.int32).reshape(H // 2, W // 2)
-            self.cr = packed[n + m:n + 2 * m].astype(np.int32).reshape(
-                H // 2, W // 2)
+            self.cb = packed[n:n + m].reshape(H // 2, W // 2)
+            self.cr = packed[n + m:n + 2 * m].reshape(H // 2, W // 2)
         self._dev_out = None
+
+    def ensure_int32(self) -> None:
+        """Host-path contract: C recon and the numpy kernels read planes
+        as contiguous int32."""
+        self.sync_host()
+        if self.y.dtype != np.int32:
+            self.y = np.ascontiguousarray(self.y, np.int32)
+            if self.cb is not None:
+                self.cb = np.ascontiguousarray(self.cb, np.int32)
+                self.cr = np.ascontiguousarray(self.cr, np.int32)
 
 
 class ReconCtx:
@@ -1390,7 +1403,7 @@ class Decoder:
         frame pipeline."""
         fg = getattr(frame, "_fg_sei", None)
         if fg is not None or self.upscale:
-            frame.sync_host()
+            frame.ensure_int32()
         out = frame
         if fg is not None:
             from openvvc_tpu.rcn.ref_fg import apply_film_grain
@@ -1637,7 +1650,7 @@ class Decoder:
             if ctx.tpu_state == "done":
                 return
             for f in (ctx.refs0 or []) + (ctx.refs1 or []):
-                f.sync_host()
+                f.ensure_int32()
         self._start_recon_host(ctx)
 
     # set once if Pallas lowering fails on this backend; all later frames
@@ -1796,18 +1809,24 @@ class Decoder:
                 for i, f in enumerate(ctx.refs1 or []):
                     lut1[i] = ddpb.slot_of(f)
                 arrs["gmask"] = ir.gmask
-                margs = prepare_mc_args(ir.gmv, ir.gref, ir.gw,
-                                        ir.ghpel, lut0, lut1,
-                                        ir.uw, ir.uh)
+
+                def _margs():
+                    return prepare_mc_args(ir.gmv, ir.gref, ir.gw,
+                                           ir.ghpel, lut0, lut1,
+                                           ir.uw, ir.uh)
+
                 use_pallas_mc = self._mc_pallas_ok()
                 if use_pallas_mc:
-                    from openvvc_tpu.tpu.mc_pallas_dense import \
-                        build_mc_bundle
+                    from openvvc_tpu.tpu.mc_pallas_dense import (
+                        build_mc_bundle, build_mc_bundle_native)
 
-                    arrs["mc"], mc_dims = build_mc_bundle(
-                        margs, ir.gmask, ir.uw, ir.uh)
+                    built = build_mc_bundle_native(ir, lut0, lut1)
+                    if built is None:
+                        built = build_mc_bundle(_margs(), ir.gmask,
+                                                ir.uw, ir.uh)
+                    arrs["mc"], mc_dims = built
                 else:
-                    arrs["margs"] = margs
+                    arrs["margs"] = _margs()
             else:
                 ddpb = self._get_ddpb(pps.pic_w, pps.pic_h, chroma)
             if dbf_params is not None:
@@ -1839,7 +1858,7 @@ class Decoder:
                        "dense MC for the session")
                 type(self)._pallas_broken = True
                 arrs.pop("mc", None)
-                arrs["margs"] = margs
+                arrs["margs"] = _margs()
                 cfg = cfg._replace(mc_pallas=False, mc_dims=())
                 frame._dev_out = run_frame(ddpb, slot, arrs, cfg)
         # D2H through the device tunnel is high-latency and does not
@@ -1887,7 +1906,7 @@ class Decoder:
                 return ctx.frame
             # host fallback needs reference pixels on host
             for f in (ctx.refs0 or []) + (ctx.refs1 or []):
-                f.sync_host()
+                f.ensure_int32()
         params, frame, poc = ctx.params, ctx.frame, ctx.poc
         sps, pps = params.sps, params.pps
         bd = sps.bitdepth

@@ -28,6 +28,8 @@ _SRC_DBF = os.path.join(_DIR, "dbf.c")
 
 _SRC_SAO = os.path.join(_DIR, "sao.c")
 
+_SRC_MCPACK = os.path.join(_DIR, "mcpack.c")
+
 _HDRS = (os.path.join(_DIR, "ov_shared.h"), os.path.join(_DIR, "tables.h"),
          os.path.join(_DIR, "cabac_inl.h"))
 
@@ -36,7 +38,7 @@ def _build():
     subprocess.run(
         ["gcc", "-O3", "-march=native", "-fno-math-errno", "-shared",
          "-fPIC", "-o", _LIB, _SRC, _SRC_RES,
-         _SRC_PARSE, _SRC_RECON, _SRC_DBF, _SRC_SAO],
+         _SRC_PARSE, _SRC_RECON, _SRC_DBF, _SRC_SAO, _SRC_MCPACK],
         check=True,
         capture_output=True,
     )
@@ -61,7 +63,7 @@ def load_cabac_lib():
         return _LIB_HANDLE
     try:
         srcs = (_SRC, _SRC_RES, _SRC_PARSE, _SRC_RECON, _SRC_DBF,
-                _SRC_SAO) + _HDRS
+                _SRC_SAO, _SRC_MCPACK) + _HDRS
         if (not os.path.exists(_LIB)
                 or any(os.path.getmtime(_LIB) < os.path.getmtime(s)
                        for s in srcs)):
@@ -91,6 +93,12 @@ def load_cabac_lib():
     lib.cabac_overread.argtypes = [ctypes.c_void_p]
     lib.cabac_bitpos.restype = ctypes.c_int64
     lib.cabac_bitpos.argtypes = [ctypes.c_void_p]
+    lib.ov_mc_jobs.restype = ctypes.c_int
+    vp_ = ctypes.c_void_p
+    lib.ov_mc_jobs.argtypes = [vp_, vp_, vp_, vp_, vp_, vp_, vp_,
+                               ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                               ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                               vp_, vp_, vp_]
     lib.rc_decode_tb.restype = ctypes.c_int64
     lib.rc_decode_tb.argtypes = [
         ctypes.c_void_p,
@@ -1100,3 +1108,39 @@ def build_ir_entry_native(raw, ir: FrameIR, dbf, csign, nb_refs0, nb_refs1,
     ir.jobs_l.append(jobs_l[:int(counts[0])].copy())
     ir.jobs_c.append(jobs_c[:int(counts[1])].copy())
     return True
+
+
+def mc_jobs_native(ir, lut0, lut1, uhp, uwp, pad_l, pad_c):
+    """C quadtree job extraction (mcpack.c ov_mc_jobs): returns
+    (jobs_by_class, cmap) with jobs_by_class[L] an (n, 22) int32 array in
+    the same row order and field layout as the numpy extract_jobs path.
+    Returns None when the native library is unavailable."""
+    import numpy as np
+
+    lib = load_cabac_lib()
+    if lib is None:
+        return None
+    vp = ctypes.c_void_p
+    cmap = np.empty((uhp, uwp), np.int8)
+    cap = ir.uh * ir.uw
+    jobs = np.empty((cap, 22), np.int32)
+    counts = np.zeros(5, np.int32)
+    lut0 = np.ascontiguousarray(lut0, np.int32)
+    lut1 = np.ascontiguousarray(lut1, np.int32)
+    rc = lib.ov_mc_jobs(
+        vp(ir.gmask.ctypes.data), vp(ir.gmv.ctypes.data),
+        vp(ir.gref.ctypes.data), vp(ir.gw.ctypes.data),
+        vp(ir.ghpel.ctypes.data), vp(lut0.ctypes.data),
+        vp(lut1.ctypes.data), ir.uw, ir.uh, uhp, uwp, pad_l, pad_c,
+        vp(cmap.ctypes.data), vp(jobs.ctypes.data),
+        vp(counts.ctypes.data))
+    if rc != 0:
+        return None
+    out = {}
+    off = 0
+    for ci, L in enumerate((16, 8, 4, 2, 1)):
+        n = int(counts[ci])
+        if n:
+            out[L] = jobs[off:off + n].copy()
+        off += n
+    return out, cmap

@@ -198,22 +198,67 @@ class DbfMaps:
             return True
         return True
 
+    def _mv_edge_bs_vec(self, py, px, qy, qx):
+        """Vectorized _mv_edge_bs over K edge pairs (same decision table,
+        rcn_df.c:1527)."""
+        dp = self.mv_dir[py, px].astype(np.int32)
+        dq = self.mv_dir[qy, qx].astype(np.int32)
+        mvp = self.mv_vals[py, px]  # (K, 2, 2) int32
+        mvq = self.mv_vals[qy, qx]
+        rp = self.mv_dist[py, px]   # (K, 2)
+        rq = self.mv_dist[qy, qx]
+
+        def thr(a, b):  # (K,2),(K,2) -> (K,) bool
+            return ((np.abs(a[:, 0] - b[:, 0]) >= 8)
+                    | (np.abs(a[:, 1] - b[:, 1]) >= 8))
+
+        t00 = thr(mvq[:, 0], mvp[:, 0])
+        t11 = thr(mvq[:, 1], mvp[:, 1])
+        t10 = thr(mvq[:, 1], mvp[:, 0])
+        t01 = thr(mvq[:, 0], mvp[:, 1])
+        paired = (rp[:, 0] == rq[:, 0]) & (rp[:, 1] == rq[:, 1])
+        swapped = (rp[:, 0] == rq[:, 1]) & (rp[:, 1] == rq[:, 0])
+        coupled = rp[:, 0] == rp[:, 1]
+        case1 = coupled & paired
+        case2 = paired & ~case1
+        case3 = swapped & ~paired
+        bs33 = np.where(case1, (t00 | t11) & (t10 | t01),
+                        np.where(case2, t00 | t11,
+                                 np.where(case3, t10 | t01, True)))
+        # both uni-pred (1/2): compare the used list's MV when same POC dist
+        k = np.arange(len(dp))
+        lp = np.clip(dp - 1, 0, 1)
+        lq = np.clip(dq - 1, 0, 1)
+        mvpl, mvql = mvp[k, lp], mvq[k, lq]
+        same = rp[k, lp] == rq[k, lq]
+        bs12 = np.where(same, ((np.abs(mvql[:, 0] - mvpl[:, 0]) >= 8)
+                               | (np.abs(mvql[:, 1] - mvpl[:, 1]) >= 8)),
+                        True)
+        res = np.ones(len(dp), bool)
+        m33 = (dp == 3) & (dq == 3)
+        res[m33] = bs33[m33]
+        m12 = (dp >= 1) & (dp <= 2) & (dq >= 1) & (dq <= 2)
+        res[m12] = bs12[m12]
+        return res
+
     def finalize_inter_bs(self):
         """MV-based bs1 on CU (and sub-block) edges not already bs1/bs2
         (dbf_ctu_preproc_v/h parity :1822-1875)."""
         uh, uw = self.qp_l.shape
         ev = self.cu_edge_ver | self.sb_edge_ver
         cv = ev & ~(self.bs2_ver | self.bs1_ver)
-        for yu, xu in zip(*np.nonzero(cv[:uh, 1:uw])):
-            xu = xu + 1
-            if self._mv_edge_bs((yu, xu - 1), (yu, xu)):
-                self.bs1_ver[yu, xu] = True
+        ys, xs = np.nonzero(cv[:uh, 1:uw])
+        if len(ys):
+            xs = xs + 1
+            bs = self._mv_edge_bs_vec(ys, xs - 1, ys, xs)
+            self.bs1_ver[ys[bs], xs[bs]] = True
         eh = self.cu_edge_hor | self.sb_edge_hor
         ch = eh & ~(self.bs2_hor | self.bs1_hor)
-        for yu, xu in zip(*np.nonzero(ch[1:uh, :uw])):
-            yu = yu + 1
-            if self._mv_edge_bs((yu - 1, xu), (yu, xu)):
-                self.bs1_hor[yu, xu] = True
+        ys, xs = np.nonzero(ch[1:uh, :uw])
+        if len(ys):
+            ys = ys + 1
+            bs = self._mv_edge_bs_vec(ys - 1, xs, ys, xs)
+            self.bs1_hor[ys[bs], xs[bs]] = True
 
     def add_tb_chroma(self, comp, cx0, cy0, cw, ch):
         xu, yu = cx0 >> 1, cy0 >> 1

@@ -2,15 +2,22 @@
 
 The gather formulation (tpu/mc_dense.py) costs ~3 us per gather index on
 TPU (measured: 122k 11x11 windows = 370 ms/frame/list); the same work as
-per-block Pallas DMA jobs runs ~50x faster (8040 16x16 jobs = 1.16 ms).
-So the unit-MV grid is decomposed on the host into square jobs of uniform
-(MV, slot, weights) — a quadtree coarsening, biggest blocks first — and
+per-block Pallas DMA jobs runs far faster.  The unit-MV grid is decomposed
+on the host into square jobs of uniform (MV, slot, weights) — a quadtree
+coarsening, biggest blocks first (host side in C, native/mcpack.c) — and
 one pallas_call per size class streams each job's reference windows
 HBM->VMEM (both lists), runs the separable 8/4-tap FIR, applies the
 unified weighted combine (uni == (8,0), bi == (4,4), BCW == (8-w, w); each
 reduces to the reference's rounding, rcn_mc.c:448-720, rcn_inter.c), and
 writes the clipped block into its cell of a class plane.  Class planes
 reassemble into the frame prediction with masked selects.
+
+Kernel schedule: windows are fetched straight from the job's (y, x)
+origin (the device DPB stacks carry >=(128, 256) far-side slack so the
+rows x 128 window never leaves the array) and the fetch for job i+1 is
+issued before computing job i — a two-slot double buffer that hides the
+HBM->VMEM latency behind the FIR math.  Chroma runs cb and cr in ONE
+kernel per class (shared job scalars, two window sets, two outputs).
 
 Parity: bit-exact vs tpu/mc_dense.mc_dense (itself oracle-validated)."""
 
@@ -117,108 +124,172 @@ def _pad_jobs(d, n_to):
             for k, v in d.items()}
 
 
+def _job_dicts(j, out, L):
+    """Split padded (n, 22) job rows into the luma/chroma device dicts
+    (row layout: cy cx sl0 yb0 xb0 sl1 yb1 xb1 w0 w1 fx0 fy0 fx1 fy1
+    cyb0 cxb0 cfx0 cfy0 cyb1 cxb1 cfx1 cfy1)."""
+    out[f"j{L}l"] = {
+        "cy": j[:, 0].copy(), "cx": j[:, 1].copy(),
+        "sl": j[:, 2].copy(), "yb": j[:, 3].copy(),
+        "xb": j[:, 4].copy(), "sl1": j[:, 5].copy(),
+        "yb1": j[:, 6].copy(), "xb1": j[:, 7].copy(),
+        "w0s": j[:, 8].copy(), "w1s": j[:, 9].copy(),
+        "taps": np.stack([
+            np.stack([_NP_FILT_L[j[:, 10]], _NP_FILT_L[j[:, 11]]], 1),
+            np.stack([_NP_FILT_L[j[:, 12]], _NP_FILT_L[j[:, 13]]], 1),
+        ], 1).astype(np.int32),  # int32: Mosaic only permits 32-bit
+        # scalar extraction inside the kernel (fh[k]/fv[k])
+    }
+    out[f"j{L}c"] = {
+        "cy": j[:, 0].copy(), "cx": j[:, 1].copy(),
+        "sl": j[:, 2].copy(), "yb": j[:, 14].copy(),
+        "xb": j[:, 15].copy(), "sl1": j[:, 5].copy(),
+        "yb1": j[:, 18].copy(), "xb1": j[:, 19].copy(),
+        "w0s": j[:, 8].copy(), "w1s": j[:, 9].copy(),
+        "taps": np.stack([
+            np.stack([_NP_FILT_C[j[:, 16]], _NP_FILT_C[j[:, 17]]], 1),
+            np.stack([_NP_FILT_C[j[:, 20]], _NP_FILT_C[j[:, 21]]], 1),
+        ], 1).astype(np.int32),
+    }
+
+
+def build_mc_bundle_native(ir, lut0, lut1):
+    """C-path bundle build: ov_mc_jobs (native/mcpack.c) emits the same
+    per-class job rows as extract_jobs; only the FIR tap materialization
+    stays numpy (tiny: one gather per emitted job).  Returns (arrays,
+    dims) like build_mc_bundle, or None when the native lib is missing."""
+    from openvvc_tpu.native import mc_jobs_native
+    from openvvc_tpu.tpu.mc_dense import PAD_C, PAD_L
+
+    G = max(CLASSES)
+    uh, uw = ir.uh, ir.uw
+    uhp, uwp = -(-uh // G) * G, -(-uw // G) * G
+    r = mc_jobs_native(ir, lut0, lut1, uhp, uwp, PAD_L, PAD_C)
+    if r is None:
+        return None
+    jobs, cmap = r
+    out = {"cmap": cmap}
+    for L, j in jobs.items():
+        n = len(j)
+        cap = _bucket(n)
+        if cap != n:
+            j = np.concatenate([np.zeros((cap - n, j.shape[1]), j.dtype), j])
+        _job_dicts(j, out, L)
+    return out, (uhp, uwp)
+
+
 def build_mc_bundle(margs, gmask, uw, uh):
     """Host packing: per-class job arrays (pow2-bucketed counts) plus the
     class map.  Returns (arrays_dict, dims) — dims is static."""
     jobs, cmap, dims = extract_jobs(margs, gmask, uw, uh)
     out = {"cmap": cmap.astype(np.int8)}
+    key_order = ("cy", "cx", "sl0", "yb0", "xb0", "sl1", "yb1", "xb1",
+                 "w0", "w1", "fx0", "fy0", "fx1", "fy1",
+                 "cyb0", "cxb0", "cfx0", "cfy0", "cyb1", "cxb1",
+                 "cfx1", "cfy1")
     for L, d in jobs.items():
         d = _pad_jobs(d, _bucket(len(d["cy"])))
-        out[f"j{L}l"] = {
-            "cy": d["cy"], "cx": d["cx"],
-            "sl": d["sl0"].astype(np.int32), "yb": d["yb0"].astype(np.int32),
-            "xb": d["xb0"].astype(np.int32),
-            "sl1": d["sl1"].astype(np.int32),
-            "yb1": d["yb1"].astype(np.int32),
-            "xb1": d["xb1"].astype(np.int32),
-            "w0s": d["w0"].astype(np.int32),
-            "w1s": d["w1"].astype(np.int32),
-            "taps": np.stack([
-                np.stack([_NP_FILT_L[d["fx0"]], _NP_FILT_L[d["fy0"]]], 1),
-                np.stack([_NP_FILT_L[d["fx1"]], _NP_FILT_L[d["fy1"]]], 1),
-            ], 1).astype(np.int32),  # int32: Mosaic only permits 32-bit
-            # scalar extraction inside the kernel (fh[k]/fv[k])
-        }
-        out[f"j{L}c"] = {
-            "cy": d["cy"], "cx": d["cx"],
-            "sl": d["sl0"].astype(np.int32),
-            "yb": d["cyb0"].astype(np.int32),
-            "xb": d["cxb0"].astype(np.int32),
-            "sl1": d["sl1"].astype(np.int32),
-            "yb1": d["cyb1"].astype(np.int32),
-            "xb1": d["cxb1"].astype(np.int32),
-            "w0s": d["w0"].astype(np.int32),
-            "w1s": d["w1"].astype(np.int32),
-            "taps": np.stack([
-                np.stack([_NP_FILT_C[d["cfx0"]], _NP_FILT_C[d["cfy0"]]], 1),
-                np.stack([_NP_FILT_C[d["cfx1"]], _NP_FILT_C[d["cfy1"]]], 1),
-            ], 1).astype(np.int32),
-        }
+        j = np.stack([d[f].astype(np.int32) for f in key_order], axis=1)
+        _job_dicts(j, out, L)
     return out, dims
 
 
 # ----------------------------------------------------------------------
-# device: the per-class kernel
+# device: the per-class kernels
 # ----------------------------------------------------------------------
 
 
-def _mc_job_kernel(s, taps, bd, rows, cols,
+def _round16(v):
+    return -(-v // 16) * 16
+
+
+def _win_dims(ext):
+    """Aligned window geometry: DMA origins must be (16, 128)-aligned
+    (unaligned dynamic DMA offsets crash the Mosaic compiler on this
+    target), so the window carries up to 15 rows / 127 cols of slack that
+    the in-kernel roll removes.  Rows must be a power of two: dynamic
+    pltpu.roll over a non-pow2 sublane extent miscompiles silently
+    (measured: (48, 256) windows roll wrong, (32,)/(64,) roll right)."""
+    rows = 16
+    while rows < ext + 15:
+        rows *= 2
+    return rows, 128 * (-(-(ext + 127) // 128))
+
+
+def _fir(jnp, pltpu, win, yo, xo, s, taps, bd, fh, fv):
+    """Separable 14-bit FIR on a VMEM window ref; (yo, xo) is the
+    sub-alignment offset of the patch inside the window."""
+    ext = s + taps - 1
+    sh1 = bd - 8
+    w = pltpu.roll(win[...].astype(jnp.int32), -yo, axis=0)
+    w = pltpu.roll(w, -xo, axis=1)
+    p = w[:ext, :ext]
+    tmp = p[:, 0:s] * fh[0]
+    for k in range(1, taps):
+        tmp = tmp + p[:, k:k + s] * fh[k]
+    tmp = (tmp >> sh1).astype(jnp.int16).astype(jnp.int32)
+    acc = tmp[0:s, :] * fv[0]
+    for k in range(1, taps):
+        acc = acc + tmp[k:k + s, :] * fv[k]
+    return acc >> 6
+
+
+def _mc_job_kernel(s, taps, bd, rows, cols, n,
                    cy_ref, cx_ref, sl0_ref, yb0_ref, xb0_ref,
                    sl1_ref, yb1_ref, xb1_ref, w0s_ref, w1s_ref,
-                   taps_ref, stack_ref, out_ref,
+                   taps_ref, stack_ref, carry_ref, out_ref,
                    win0, win1, sem0, sem1):
+    import jax
     import jax.numpy as jnp
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     i = pl.program_id(0)
-    ext = s + taps - 1
-    sh1 = bd - 8
 
-    y0 = yb0_ref[i]
-    x0 = xb0_ref[i]
-    ya0 = (y0 // 16) * 16
-    xa0 = (x0 // 128) * 128
-    dma0 = pltpu.make_async_copy(
-        stack_ref.at[sl0_ref[i], pl.ds(ya0, rows), pl.ds(xa0, cols)],
-        win0, sem0)
-    dma0.start()
+    def dma0(j, slot):
+        return pltpu.make_async_copy(
+            stack_ref.at[sl0_ref[j], pl.ds((yb0_ref[j] // 16) * 16, rows),
+                         pl.ds((xb0_ref[j] // 128) * 128, cols)],
+            win0.at[slot], sem0.at[slot])
+
+    def dma1(j, slot):
+        return pltpu.make_async_copy(
+            stack_ref.at[sl1_ref[j], pl.ds((yb1_ref[j] // 16) * 16, rows),
+                         pl.ds((xb1_ref[j] // 128) * 128, cols)],
+            win1.at[slot], sem1.at[slot])
+
+    def issue(j, slot):
+        dma0(j, slot).start()
+
+        @pl.when(w1s_ref[j] != 0)
+        def _():
+            dma1(j, slot).start()
+
+    cur = jax.lax.rem(i, 2)
+    nxt = jax.lax.rem(i + 1, 2)
+
+    @pl.when(i == 0)
+    def _():
+        issue(0, 0)
+
+    @pl.when(i + 1 < n)
+    def _():
+        issue(i + 1, nxt)
+
     bi = w1s_ref[i] != 0
-    y1 = yb1_ref[i]
-    x1 = xb1_ref[i]
-    ya1 = (y1 // 16) * 16
-    xa1 = (x1 // 128) * 128
+    dma0(i, cur).wait()
+    p0 = _fir(jnp, pltpu, win0.at[cur], jax.lax.rem(yb0_ref[i], 16),
+              jax.lax.rem(xb0_ref[i], 128), s, taps, bd,
+              taps_ref[0, 0, 0], taps_ref[0, 0, 1])
 
     @pl.when(bi)
     def _():
-        pltpu.make_async_copy(
-            stack_ref.at[sl1_ref[i], pl.ds(ya1, rows), pl.ds(xa1, cols)],
-            win1, sem1).start()
+        dma1(i, cur).wait()
 
-    def fir(win, yo, xo, fh, fv):
-        w = pltpu.roll(win[:].astype(jnp.int32), -yo, axis=0)
-        w = pltpu.roll(w, -xo, axis=1)
-        p = w[:ext, :ext]
-        tmp = p[:, 0:s] * fh[0]
-        for k in range(1, taps):
-            tmp = tmp + p[:, k:k + s] * fh[k]
-        tmp = (tmp >> sh1).astype(jnp.int16).astype(jnp.int32)
-        acc = tmp[0:s, :] * fv[0]
-        for k in range(1, taps):
-            acc = acc + tmp[k:k + s, :] * fv[k]
-        return acc >> 6
-
-    dma0.wait()
-    p0 = fir(win0, y0 - ya0, x0 - xa0, taps_ref[0, 0, 0], taps_ref[0, 0, 1])
-
-    @pl.when(bi)
-    def _():
-        pltpu.make_async_copy(
-            stack_ref.at[sl1_ref[i], pl.ds(ya1, rows), pl.ds(xa1, cols)],
-            win1, sem1).wait()
-
-    p1 = jnp.where(bi, fir(win1, y1 - ya1, x1 - xa1,
-                           taps_ref[0, 1, 0], taps_ref[0, 1, 1]), 0)
+    p1 = jnp.where(bi, _fir(jnp, pltpu, win1.at[cur],
+                            jax.lax.rem(yb1_ref[i], 16),
+                            jax.lax.rem(xb1_ref[i], 128), s, taps, bd,
+                            taps_ref[0, 1, 0], taps_ref[0, 1, 1]), 0)
 
     w0 = w0s_ref[i]
     w1 = w1s_ref[i]
@@ -228,8 +299,21 @@ def _mc_job_kernel(s, taps, bd, rows, cols,
     out_ref[0, 0] = jnp.clip(v, 0, (1 << bd) - 1).astype(jnp.int16)
 
 
+# jobs per pallas_call: the 10 scalar-prefetch arrays live in SMEM (1 MB);
+# 8192 jobs x 10 x 4B = 320 KB.  Larger classes run as chained chunks with
+# the class plane threaded through input_output_aliases.
+CHUNK = 8192
+
+_SCALARS = ("cy", "cx", "sl", "yb", "xb", "sl1", "yb1", "xb1", "w0s", "w1s")
+
+
+def _chunks(d, n):
+    for c0 in range(0, n, CHUNK):
+        yield {k: v[c0:c0 + CHUNK] for k, v in d.items()}
+
+
 def mc_class_call(stack, d, s_px, taps, bd, n_cy, n_cx):
-    """One class: jobs d (device arrays, pow2 count N) -> class plane
+    """One luma class: jobs d (device arrays, pow2 count N) -> class plane
     (n_cy, n_cx, s_px, s_px) int16."""
     import jax
     import jax.numpy as jnp
@@ -237,39 +321,174 @@ def mc_class_call(stack, d, s_px, taps, bd, n_cy, n_cx):
     from jax.experimental.pallas import tpu as pltpu
 
     ext = s_px + taps - 1
-    rows = 32
-    while rows < ext + 16:
-        rows *= 2
-    cols = 256
+    rows, cols = _win_dims(ext)
     n = d["cy"].shape[0]
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=10,
-        grid=(n,),
-        in_specs=[
-            pl.BlockSpec((1, 2, 2, taps), lambda i, *s: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),  # stack stays in HBM
-        ],
-        out_specs=pl.BlockSpec(
-            (1, 1, s_px, s_px),
-            lambda i, cy, cx, *s: (cy[i], cx[i], 0, 0),
-            memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((rows, cols), stack.dtype),
-            pltpu.VMEM((rows, cols), stack.dtype),
-            pltpu.SemaphoreType.DMA(()),
-            pltpu.SemaphoreType.DMA(()),
-        ],
-    )
-    kern = functools.partial(_mc_job_kernel, s_px, taps, bd, rows, cols)
-    return pl.pallas_call(
-        kern,
-        out_shape=jax.ShapeDtypeStruct((n_cy, n_cx, s_px, s_px), jnp.int16),
-        grid_spec=grid_spec,
-    )(d["cy"], d["cx"], d["sl"], d["yb"], d["xb"],
-      d["sl1"], d["yb1"], d["xb1"], d["w0s"], d["w1s"],
-      d["taps"], stack)
+    def one(dc, carry):
+        nc = dc["cy"].shape[0]
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=10,
+            grid=(nc,),
+            in_specs=[
+                pl.BlockSpec((1, 2, 2, taps), lambda i, *s: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.ANY),  # stack stays in HBM
+                pl.BlockSpec(memory_space=pltpu.ANY),  # carried class plane
+            ],
+            out_specs=pl.BlockSpec(
+                (1, 1, s_px, s_px),
+                lambda i, cy, cx, *s: (cy[i], cx[i], 0, 0),
+                memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((2, rows, cols), stack.dtype),
+                pltpu.VMEM((2, rows, cols), stack.dtype),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        )
+        kern = functools.partial(_mc_job_kernel, s_px, taps, bd, rows,
+                                 cols, nc)
+        return pl.pallas_call(
+            kern,
+            out_shape=jax.ShapeDtypeStruct((n_cy, n_cx, s_px, s_px),
+                                           jnp.int16),
+            grid_spec=grid_spec,
+            input_output_aliases={12: 0},
+        )(*(dc[k] for k in _SCALARS), dc["taps"], stack, carry)
+
+    carry = jnp.zeros((n_cy, n_cx, s_px, s_px), jnp.int16)
+    for dc in _chunks(d, n):
+        carry = one(dc, carry)
+    return carry
+
+
+def _mc_job_kernel_c(s, taps, bd, rows, cols, n,
+                     cy_ref, cx_ref, sl0_ref, yb0_ref, xb0_ref,
+                     sl1_ref, yb1_ref, xb1_ref, w0s_ref, w1s_ref,
+                     taps_ref, stack_cb_ref, stack_cr_ref,
+                     carryb_ref, carryr_ref,
+                     outb_ref, outr_ref,
+                     winb0, winb1, winr0, winr1, semb0, semb1,
+                     semr0, semr1):
+    import jax
+    import jax.numpy as jnp
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    i = pl.program_id(0)
+
+    def dmas(j, slot):
+        def one(stack_ref, win, sem, sl, yb, xb):
+            return pltpu.make_async_copy(
+                stack_ref.at[sl[j], pl.ds((yb[j] // 16) * 16, rows),
+                             pl.ds((xb[j] // 128) * 128, cols)],
+                win.at[slot], sem.at[slot])
+        return (one(stack_cb_ref, winb0, semb0, sl0_ref, yb0_ref, xb0_ref),
+                one(stack_cr_ref, winr0, semr0, sl0_ref, yb0_ref, xb0_ref),
+                one(stack_cb_ref, winb1, semb1, sl1_ref, yb1_ref, xb1_ref),
+                one(stack_cr_ref, winr1, semr1, sl1_ref, yb1_ref, xb1_ref))
+
+    def issue(j, slot):
+        d = dmas(j, slot)
+        d[0].start()
+        d[1].start()
+
+        @pl.when(w1s_ref[j] != 0)
+        def _():
+            d[2].start()
+            d[3].start()
+
+    cur = jax.lax.rem(i, 2)
+    nxt = jax.lax.rem(i + 1, 2)
+
+    @pl.when(i == 0)
+    def _():
+        issue(0, 0)
+
+    @pl.when(i + 1 < n)
+    def _():
+        issue(i + 1, nxt)
+
+    bi = w1s_ref[i] != 0
+    d = dmas(i, cur)
+    d[0].wait()
+    d[1].wait()
+
+    @pl.when(bi)
+    def _():
+        d[2].wait()
+        d[3].wait()
+
+    yo0 = jax.lax.rem(yb0_ref[i], 16)
+    xo0 = jax.lax.rem(xb0_ref[i], 128)
+    yo1 = jax.lax.rem(yb1_ref[i], 16)
+    xo1 = jax.lax.rem(xb1_ref[i], 128)
+    w0 = w0s_ref[i]
+    w1 = w1s_ref[i]
+    shift = 17 - bd
+    off = 1 << (shift - 1)
+    bd_max = (1 << bd) - 1
+    for win0, win1, out_ref in ((winb0, winb1, outb_ref),
+                                (winr0, winr1, outr_ref)):
+        p0 = _fir(jnp, pltpu, win0.at[cur], yo0, xo0, s, taps, bd,
+                  taps_ref[0, 0, 0], taps_ref[0, 0, 1])
+        p1 = jnp.where(bi, _fir(jnp, pltpu, win1.at[cur], yo1, xo1, s,
+                                taps, bd,
+                                taps_ref[0, 1, 0], taps_ref[0, 1, 1]), 0)
+        v = (p0 * w0 + p1 * w1 + off) >> shift
+        out_ref[0, 0] = jnp.clip(v, 0, bd_max).astype(jnp.int16)
+
+
+def mc_class_call_chroma(stack_cb, stack_cr, d, s_px, taps, bd, n_cy, n_cx):
+    """One chroma class, cb and cr fused: -> two class planes
+    (n_cy, n_cx, s_px, s_px) int16."""
+    import jax
+    import jax.numpy as jnp
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    ext = s_px + taps - 1
+    rows, cols = _win_dims(ext)
+    n = d["cy"].shape[0]
+
+    def one(dc, carry_b, carry_r):
+        nc = dc["cy"].shape[0]
+        out_spec = pl.BlockSpec((1, 1, s_px, s_px),
+                                lambda i, cy, cx, *s: (cy[i], cx[i], 0, 0),
+                                memory_space=pltpu.VMEM)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=10,
+            grid=(nc,),
+            in_specs=[
+                pl.BlockSpec((1, 2, 2, taps), lambda i, *s: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+            ],
+            out_specs=[out_spec, out_spec],
+            scratch_shapes=(
+                [pltpu.VMEM((2, rows, cols), stack_cb.dtype)
+                 for _ in range(4)]
+                + [pltpu.SemaphoreType.DMA((2,)) for _ in range(4)]),
+        )
+        kern = functools.partial(_mc_job_kernel_c, s_px, taps, bd, rows,
+                                 cols, nc)
+        shp = jax.ShapeDtypeStruct((n_cy, n_cx, s_px, s_px), jnp.int16)
+        return pl.pallas_call(
+            kern,
+            out_shape=[shp, shp],
+            grid_spec=grid_spec,
+            input_output_aliases={13: 0, 14: 1},
+        )(*(dc[k] for k in _SCALARS), dc["taps"], stack_cb, stack_cr,
+          carry_b, carry_r)
+
+    carry_b = jnp.zeros((n_cy, n_cx, s_px, s_px), jnp.int16)
+    carry_r = jnp.zeros((n_cy, n_cx, s_px, s_px), jnp.int16)
+    for dc in _chunks(d, n):
+        carry_b, carry_r = one(dc, carry_b, carry_r)
+    return carry_b, carry_r
 
 
 def mc_pallas(jnp, stack_y, stack_cb, stack_cr, bundle, dims, bd, uw, uh,
@@ -298,8 +517,8 @@ def mc_pallas(jnp, stack_y, stack_cb, stack_cr, bundle, dims, bd, uw, uh,
         if chroma:
             dc = bundle[f"j{L}c"]
             sc = s_px // 2
-            pcb = mc_class_call(stack_cb, dc, sc, 4, bd, n_cy, n_cx)
-            pcr = mc_class_call(stack_cr, dc, sc, 4, bd, n_cy, n_cx)
+            pcb, pcr = mc_class_call_chroma(stack_cb, stack_cr, dc, sc, 4,
+                                            bd, n_cy, n_cx)
             pcb = pcb.transpose(0, 2, 1, 3).reshape(n_cy * sc, n_cx * sc)
             pcr = pcr.transpose(0, 2, 1, 3).reshape(n_cy * sc, n_cx * sc)
             m2 = jnp.repeat(jnp.repeat(m, 2, axis=0), 2,
