@@ -1384,8 +1384,9 @@ class Decoder:
         if self.tpu_frames:
             # materialize device outputs: decode() returns host-complete
             # frames (and timing of this call covers all device work)
-            for f in frames:
-                f.sync_host()
+            with trace.span("final_sync"):
+                for f in frames:
+                    f.sync_host()
         return frames
 
     def _can_pipeline(self, ctx) -> bool:
@@ -1783,9 +1784,10 @@ class Decoder:
                 offs = (_beta_tc_offsets(params, "luma")
                         + _beta_tc_offsets(params, "cb")
                         + _beta_tc_offsets(params, "cr"))
-                dbf_params = build_dbf_params(
-                    ctx.dbf, offs, bd, pps.pic_w, pps.pic_h, sps.ctb_log2,
-                    chroma, no_x, no_y)
+                with trace.span("dbf_params"):
+                    dbf_params = build_dbf_params(
+                        ctx.dbf, offs, bd, pps.pic_w, pps.pic_h,
+                        sps.ctb_log2, chroma, no_x, no_y)
 
             has_inter = ctx.refs0 is not None
             arrs = {"res_y": ir.res_y, "jobs_l": pack_jobs(ir.jobs_l)}
@@ -1820,10 +1822,11 @@ class Decoder:
                     from openvvc_tpu.tpu.mc_pallas_dense import (
                         build_mc_bundle, build_mc_bundle_native)
 
-                    built = build_mc_bundle_native(ir, lut0, lut1)
-                    if built is None:
-                        built = build_mc_bundle(_margs(), ir.gmask,
-                                                ir.uw, ir.uh)
+                    with trace.span("mc_bundle"):
+                        built = build_mc_bundle_native(ir, lut0, lut1)
+                        if built is None:
+                            built = build_mc_bundle(_margs(), ir.gmask,
+                                                    ir.uw, ir.uh)
                     arrs["mc"], mc_dims = built
                 else:
                     arrs["margs"] = _margs()
@@ -1864,8 +1867,10 @@ class Decoder:
         # D2H through the device tunnel is high-latency and does not
         # overlap with other fetches: prefetch on a dedicated thread so the
         # copy rides alongside the next picture's parse
-        frame._fetch_future = self._get_fetch_pool().submit(
-            np.asarray, frame._dev_out)
+        def _fetch(a=frame._dev_out):
+            with trace.span("d2h_fetch"):
+                return np.asarray(a)
+        frame._fetch_future = self._get_fetch_pool().submit(_fetch)
         for _e, raw in raws:
             raw.release()
         self.stats["tpu_frames"] = self.stats.get("tpu_frames", 0) + 1
