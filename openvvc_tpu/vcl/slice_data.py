@@ -66,9 +66,14 @@ def coding_unit_dispatch(ctx, io, node, x0, y0, log2_w, log2_h):
     tree = ctx.tree_type
 
     if ctx.slice_type != SLICE_I:
-        if tree != TREE_SINGLE or ctx.share == 1:
-            raise NotImplementedError("P/B dual-tree / SCIPU share not yet implemented")
-        return coding_unit_inter_st(ctx, io, node, x0, y0, log2_w, log2_h)
+        if tree == TREE_SINGLE and ctx.share != 1:
+            return coding_unit_inter_st(ctx, io, node, x0, y0, log2_w,
+                                        log2_h)
+        # SCIPU local dual tree (share == 1): the luma subtree's leaves are
+        # intra CUs and the chroma subtree follows — same flow as the
+        # I-slice dual tree (the reference swaps coding_unit to
+        # &coding_unit_intra under sep_tree == 1, vcl_coding_tree.c:326-346,
+        # :994-997)
 
     if io.is_reader:
         cu = CU(x0, y0, log2_w, log2_h, tree_type=tree)
@@ -220,8 +225,9 @@ def coding_unit_inter_st(ctx, io, node, x0, y0, log2_w, log2_h):
 
     if skip:
         cu.merge_flag = 1
-        # IBC skip (coding_unit_inter_st :1033-1070)
-        if ctx.ibc_enabled and ctx.share != 1 and log2_w < 7 and log2_h < 7:
+        # IBC skip (coding_unit_inter_st :1033-1070; gated off inside any
+        # SCIPU region, `!ctu_dec->share`)
+        if ctx.ibc_enabled and not ctx.share and log2_w < 7 and log2_h < 7:
             from openvvc_tpu.vcl.inter_pu import (CU_IBC_SKIP, code_ibc_flag,
                                                   ibc_pu)
 
@@ -241,9 +247,19 @@ def coding_unit_inter_st(ctx, io, node, x0, y0, log2_w, log2_h):
         return cu
 
     if log2_w == 2 and log2_h == 2:
+        # 4x4 leaves only arise inside an intra SCIPU region, which the
+        # tree routes to the dual-tree intra flow — reaching here means a
+        # non-conformant stream
         raise NotImplementedError("4x4 in inter slice implies SCIPU share")
 
-    pred_mode_flag = read_pred_mode_flag(ctx, io, cu, abv, lft)
+    if ctx.share == 2:
+        # inter SCIPU region: pred_mode_flag not signaled, all CUs inter
+        # (coding_unit_inter_st :1087-1092, `else if (!ctu_dec->share)`)
+        pred_mode_flag = 0
+        if not io.is_reader:
+            pass  # nothing written
+    else:
+        pred_mode_flag = read_pred_mode_flag(ctx, io, cu, abv, lft)
     if io.is_reader:
         cu.pred_mode = MODE_INTRA if pred_mode_flag else MODE_INTER
 
