@@ -1317,10 +1317,14 @@ class Decoder:
             import jax
 
             try:
+                # respect an externally-pinned cache dir: the CPU-mesh
+                # test subprocesses isolate theirs because entries
+                # compiled under other machine-feature sets mis-execute
                 jax.config.update(
                     "jax_compilation_cache_dir",
-                    os.environ.get("OPENVVC_JAX_CACHE",
-                                   "/tmp/openvvc_jax_cache"))
+                    os.environ.get("JAX_COMPILATION_CACHE_DIR")
+                    or os.environ.get("OPENVVC_JAX_CACHE",
+                                      "/tmp/openvvc_jax_cache"))
                 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
                 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
             except Exception:

@@ -1,12 +1,16 @@
-"""Multi-chip dryrun: sharded tile-per-device DBF with real halo exchange.
+"""Multi-chip frame pipeline: the full fused reconstruction (MC + intra
+waves + DBF + SAO + ALF) sharded tile-per-device over the virtual CPU mesh
+must produce BITWISE the same frames as the single-device program, across
+a multi-frame inter GOP (openvvc_tpu/parallel/frame_shard.py).
 
-Runs in a subprocess with the axon plugin disabled so the virtual 8-device
-CPU mesh actually materializes (the axon sitecustomize forces the TPU
-platform regardless of JAX_PLATFORMS)."""
+Runs in a subprocess with the axon plugin disabled so the virtual
+8-device CPU mesh actually materializes."""
 
 import os
 import subprocess
 import sys
+
+import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -29,7 +33,7 @@ def _cpumesh_cache_dir():
     return f"/tmp/jax_comp_cache_cpumesh_{h}"
 
 
-def _run(code: str) -> str:
+def _run(code: str, timeout=560) -> str:
     env = dict(os.environ)
     env["PYTHONPATH"] = ""
     env["JAX_PLATFORMS"] = "cpu"
@@ -39,26 +43,32 @@ def _run(code: str) -> str:
     # SIGILL risk) — give the CPU-mesh subprocess its own cache
     env["JAX_COMPILATION_CACHE_DIR"] = _cpumesh_cache_dir()
     r = subprocess.run([sys.executable, "-c", code], capture_output=True,
-                       text=True, cwd=REPO, timeout=560, env=env)
-    assert r.returncode == 0, r.stderr[-2000:]
+                       text=True, cwd=REPO, timeout=timeout, env=env)
+    assert r.returncode == 0, (r.stderr[-3000:], r.stdout[-500:])
     return r.stdout
 
 
-def test_dryrun_8_devices():
-    out = _run("from __graft_entry__ import dryrun_multichip;"
-               "dryrun_multichip(8); print('OK')")
+@pytest.mark.parametrize("gop,alf,n", [("lowdelay", False, 2),
+                                       ("ra", True, 2)])
+def test_sharded_frame_bitwise(gop, alf, n):
+    out = _run(
+        "from openvvc_tpu.parallel.dryrun import dryrun_frame_pipeline\n"
+        f"nf = dryrun_frame_pipeline({n}, gop={gop!r}, alf={alf})\n"
+        "print('OK', nf)\n")
     assert "OK" in out
 
 
-def test_dryrun_fails_without_halo():
-    """The parity assert must fail if the ppermute halo exchange is
-    dropped — proving the exchanged data feeds the computation."""
+def test_sharded_halo_matters():
+    """Cross-boundary deblocking (loop filters across tiles): the sharded
+    vertical pass with ppermute halos must match the single-device dense
+    pass bitwise on content whose edges straddle the band boundary — and
+    must diverge when the halo exchange is nulled."""
     out = _run(
         "from openvvc_tpu.parallel.dryrun import halo_selftest\n"
-        "halo_selftest(8, kill_halo=False)\n"
+        "halo_selftest(4, kill_halo=False)\n"
         "try:\n"
-        "    halo_selftest(8, kill_halo=True)\n"
+        "    halo_selftest(4, kill_halo=True)\n"
         "    print('BAD-PASS')\n"
         "except AssertionError:\n"
-        "    print('GOOD-FAIL')\n")
-    assert "GOOD-FAIL" in out
+        "    print('HALO-REQUIRED')\n")
+    assert "HALO-REQUIRED" in out
