@@ -1716,15 +1716,23 @@ class Decoder:
         nb0 = len(ctx.refs0) if ctx.refs0 else 0
         nb1 = len(ctx.refs1) if ctx.refs1 else 0
 
-        def _bir(raw):
+        # pre-size the per-entry job lists: entries build concurrently and
+        # the multichip banding indexes them by tile position
+        ir.jobs_l = [None] * len(raws)
+        ir.jobs_c = [None] * len(raws)
+
+        def _bir(idx_raw):
+            idx, raw = idx_raw
             with trace.span("build_ir_c"):
                 return build_ir_entry_native(raw, ir, ctx.dbf, ctx.csign,
-                                             nb0, nb1, ctx.dist0, ctx.dist1)
+                                             nb0, nb1, ctx.dist0, ctx.dist1,
+                                             entry_idx=idx)
 
+        items = [(i, raw) for i, (_, raw) in enumerate(raws)]
         if len(raws) > 1 and self.nb_entry_threads > 1:
-            oks = list(self._get_pool().map(lambda it: _bir(it[1]), raws))
+            oks = list(self._get_pool().map(_bir, items))
         else:
-            oks = [_bir(raw) for _, raw in raws]
+            oks = [_bir(it) for it in items]
         if not all(oks):
             ir.release()
             return

@@ -1047,7 +1047,7 @@ _J_NFIELDS = 16
 
 
 def build_ir_entry_native(raw, ir: FrameIR, dbf, csign, nb_refs0, nb_refs1,
-                          dist0, dist1) -> bool:
+                          dist0, dist1, entry_idx=None) -> bool:
     """Run ov_build_ir for one parsed entry into the shared FrameIR.
 
     Returns True on success; False = unsupported tool (caller falls back to
@@ -1105,8 +1105,20 @@ def build_ir_entry_native(raw, ir: FrameIR, dbf, csign, nb_refs0, nb_refs1,
         ctypes.byref(db), ctypes.cast(counts, ctypes.c_void_p))
     if rc != 0:
         return False
-    ir.jobs_l.append(jobs_l[:int(counts[0])].copy())
-    ir.jobs_c.append(jobs_c[:int(counts[1])].copy())
+    jl = jobs_l[:int(counts[0])].copy()
+    jc = jobs_c[:int(counts[1])].copy()
+    if entry_idx is None:
+        ir.jobs_l.append(jl)
+        ir.jobs_c.append(jc)
+    else:
+        # slot-indexed: entries build concurrently on the pool, so append
+        # order is completion order — the per-tile multichip banding needs
+        # jobs_l[i] == entry i
+        while len(ir.jobs_l) <= entry_idx:
+            ir.jobs_l.append(None)
+            ir.jobs_c.append(None)
+        ir.jobs_l[entry_idx] = jl
+        ir.jobs_c[entry_idx] = jc
     return True
 
 
