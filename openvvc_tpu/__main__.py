@@ -57,14 +57,50 @@ def main(argv=None):
     ap.add_argument("-u", "--upscale", action="store_true",
                     help="RPR: upscale output frames to the SPS max size "
                          "(dectest -u 1)")
+    ap.add_argument("-t", "--nb-frame-threads", type=int, default=0,
+                    help="frame threads (dectest -t; the frame pipeline "
+                         "depth — 0 derives it)")
+    ap.add_argument("-e", "--nb-entry-threads", type=int, default=0,
+                    help="entry (tile) threads (dectest -e; 0 = #cores)")
+    ap.add_argument("--streaming", action="store_true",
+                    help="constant-memory decode: 64 KiB chunked demux, "
+                         "incremental reorder-gated output "
+                         "(ovdec_receive_picture semantics)")
     args = ap.parse_args(argv)
 
     from openvvc_tpu.decoder import Decoder
 
+    dec = Decoder(use_tpu=args.tpu, upscale=args.upscale,
+                  nb_entry_threads=args.nb_entry_threads)
+
+    if args.streaming:
+        from openvvc_tpu.io import FileIO
+
+        md5 = hashlib.md5()
+        outf = (open(args.outfile, "wb")
+                if args.outfile and args.outfile != "/dev/null" else None)
+        n = 0
+        t0 = time.monotonic()
+        for frame in dec.decode_stream(FileIO(args.infile)):
+            b = crop_frame_bytes(frame, dec.last_pps)
+            if outf:
+                outf.write(b)
+            md5.update(b)
+            n += 1
+        dt = time.monotonic() - t0
+        if outf:
+            outf.close()
+        if args.md5:
+            print(md5.hexdigest())
+        if args.fps:
+            print(f"{n} frames in {dt:.2f}s = {n / dt:.3f} fps",
+                  file=sys.stderr)
+        print(f"Decoded {n} pictures", file=sys.stderr)
+        return 0
+
     with open(args.infile, "rb") as f:
         stream = f.read()
 
-    dec = Decoder(use_tpu=args.tpu, upscale=args.upscale)
     t0 = time.monotonic()
     frames = dec.decode(stream)
     dt = time.monotonic() - t0

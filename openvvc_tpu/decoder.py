@@ -1339,6 +1339,10 @@ class Decoder:
         if nb_entry_threads <= 0:
             nb_entry_threads = os.cpu_count() or 1
         self.nb_entry_threads = nb_entry_threads
+        # streaming state (submit_nal / receive_frame / drain)
+        self._pending = None
+        self._out_ready: list[Frame] = []
+        self.last_sps = None
 
     def decode(self, stream: bytes) -> list[Frame]:
         """Decode all pictures. Frame-pipelined (the reference's frame
@@ -1349,42 +1353,9 @@ class Decoder:
         Gated off for tools whose TMVP export depends on reconstruction
         (DMVR refined-MV overrides, prediction_unit_inter_b :2610)."""
         frames = []
-        pending = None
-
-        def flush():
-            nonlocal pending
-            if pending is not None:
-                self._join_parse(pending)
-                frames.append(
-                    self._post_process(self._finish_picture(pending)))
-                pending = None
-
         for nal in demux_annexb(stream):
-            if is_vcl(nal.type):
-                if pending is not None:
-                    # previous picture: parse done (its TMVP export must
-                    # exist before the next picture's parse), then queue
-                    # its reconstruction AHEAD of the next parse jobs so
-                    # the pool drains in dependency order
-                    self._join_parse(pending)
-                    self._start_recon(pending)
-                ctx = self._start_picture(nal)
-                pipe = self._can_pipeline(ctx)
-                self._submit_parse(ctx, async_=pipe or pending is not None)
-                flush()  # filters of N on this thread while N+1 parses
-                if pipe:
-                    pending = ctx
-                else:
-                    self._join_parse(ctx)
-                    frames.append(
-                        self._post_process(self._finish_picture(ctx)))
-            else:
-                # NVCL readers REPLACE parameter-set objects (never mutate,
-                # params.py decode_nalu), so a pending picture's captured
-                # params stay valid; finish-time SEI state is snapshotted
-                # at _start_picture. No pipeline flush needed.
-                self.nvcl.decode_nalu(nal)
-        flush()
+            self.submit_nal(nal, frames.append)
+        self.flush_pending(frames.append)
         if self.tpu_frames:
             # materialize device outputs: decode() returns host-complete
             # frames (and timing of this call covers all device work)
@@ -1392,6 +1363,119 @@ class Decoder:
                 for f in frames:
                     f.sync_host()
         return frames
+
+    def submit_nal(self, nal, emit=None) -> None:
+        """Feed one NAL unit (the reference's ovdec_submit_picture_unit /
+        decode_nal_unit path, ovdec.c:358-455).  Completed pictures go to
+        `emit` (default: the streaming output queue read by
+        receive_frame)."""
+        if emit is None:
+            emit = self._emit_output
+        if is_vcl(nal.type):
+            pending = self._pending
+            if pending is not None:
+                # previous picture: parse done (its TMVP export must exist
+                # before the next picture's parse), then queue its
+                # reconstruction AHEAD of the next parse jobs so the pool
+                # drains in dependency order
+                self._join_parse(pending)
+                self._start_recon(pending)
+            ctx = self._start_picture(nal)
+            pipe = self._can_pipeline(ctx)
+            self._submit_parse(ctx, async_=pipe or pending is not None)
+            self.flush_pending(emit)  # filters of N while N+1 parses
+            if pipe:
+                self._pending = ctx
+            else:
+                self._join_parse(ctx)
+                emit(self._post_process(self._finish_picture(ctx)))
+        else:
+            # NVCL readers REPLACE parameter-set objects (never mutate,
+            # params.py decode_nalu), so a pending picture's captured
+            # params stay valid; finish-time SEI state is snapshotted
+            # at _start_picture. No pipeline flush needed.
+            self.nvcl.decode_nalu(nal)
+
+    def flush_pending(self, emit=None) -> None:
+        if emit is None:
+            emit = self._emit_output
+        pending = self._pending
+        if pending is not None:
+            self._pending = None
+            self._join_parse(pending)
+            emit(self._post_process(self._finish_picture(pending)))
+
+    # -- incremental output (ovdec_receive_picture / ovdpb_output_pic,
+    #    dpb.c:691-824) ---------------------------------------------------
+
+    def _emit_output(self, frame: Frame) -> None:
+        self._out_ready.append(frame)
+
+    def _max_reorder(self) -> int:
+        """max_nb_reorder_pic from the active SPS dpb_parameters (highest
+        sublayer), dpb.c:745."""
+        sps = self.last_sps
+        if sps is None:
+            lst = getattr(self.nvcl, "sps_list", {})
+            sps = next(iter(lst.values()), None)
+        dpb = getattr(sps, "dpb", None) if sps is not None else None
+        vals = getattr(dpb, "dpb_max_num_reorder_pics", None) \
+            if dpb is not None else None
+        if isinstance(vals, (list, tuple, dict)) and len(vals):
+            if isinstance(vals, dict):
+                return int(vals[max(vals)])
+            return int(vals[-1])
+        if isinstance(vals, int):
+            return vals
+        return 7  # conservative default when dpb params are absent
+
+    def receive_frame(self) -> Frame | None:
+        """One display-ready picture, or None while the reorder rules hold
+        pictures back.
+
+        ovdpb_output_pic parity (dpb.c:691-767): the min-POC candidate of
+        the oldest CVS is withheld while (a) no more than max_nb_reorder
+        pictures wait, or (b) a smaller-POC picture of the same CVS is
+        still in the decode pipeline (the reference's
+        OV_IN_DECODING_PIC_FLAG check at :732-739 — there the race with
+        the frame threads, here the pipelined pending picture)."""
+        if len(self._out_ready) <= self._max_reorder():
+            return None
+        f = min(self._out_ready, key=lambda f: (getattr(f, "cvs_id", 0),
+                                                f.poc))
+        p = self._pending
+        if p is not None and getattr(p, "poc", None) is not None \
+                and p.poc <= f.poc:
+            return None  # a smaller-POC picture is still decoding
+        self._out_ready.remove(f)
+        f.sync_host()
+        return f
+
+    def drain(self):
+        """Finish the pipeline and yield every remaining picture in display
+        order (ovdec_drain_picture + ovdpb_drain_frame, dpb.c:620)."""
+        self.flush_pending()
+        while self._out_ready:
+            f = min(self._out_ready, key=lambda f: (getattr(f, "cvs_id", 0),
+                                                    f.poc))
+            self._out_ready.remove(f)
+            f.sync_host()
+            yield f
+
+    def decode_stream(self, io_obj, chunk=None):
+        """Constant-memory streaming decode: read Annex-B chunks from an
+        OVIO source, yield pictures in display order as soon as the
+        reorder rule allows, dropping them from decoder memory."""
+        from openvvc_tpu.io import CHUNK, demux_nals
+
+        for nal in demux_nals(io_obj, chunk or CHUNK):
+            self.submit_nal(nal)
+            while True:
+                f = self.receive_frame()
+                if f is None:
+                    break
+                yield f
+        yield from self.drain()
 
     def _can_pipeline(self, ctx) -> bool:
         return (ctx.native_recon and not ctx.tools["dmvr"]
@@ -1471,6 +1555,7 @@ class Decoder:
         params = self.nvcl.parse_slice(nal)
         sps, pps = params.sps, params.pps
         self.last_pps = pps
+        self.last_sps = sps
         bd = sps.bitdepth
         chroma = sps.sps_chroma_format_idc != 0
         # plane pool: faulting fresh pages costs ~10x a warm re-zero here;
