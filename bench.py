@@ -25,6 +25,8 @@ STREAM = "/tmp/bench_1080p_r2.266"
 REF_YUV = "/tmp/bench_1080p_r2.yuv"
 STREAM_RA = "/tmp/bench_1080p_ra.266"
 REF_YUV_RA = "/tmp/bench_1080p_ra.yuv"
+STREAM_AT = "/tmp/bench_1080p_alltools.266"
+REF_YUV_AT = "/tmp/bench_1080p_alltools.yuv"
 NB_FRAMES = 9
 PERF_BIN = "/tmp/refperf/dectest"
 
@@ -47,6 +49,15 @@ def ensure_assets():
                        check=True, capture_output=True, timeout=1200)
     if not os.path.exists(REF_YUV_RA):
         subprocess.run([PERF_BIN, "-i", STREAM_RA, "-o", REF_YUV_RA,
+                        "-t", "1", "-e", "1"],
+                       check=True, capture_output=True)
+    if not os.path.exists(STREAM_AT):
+        subprocess.run([sys.executable, os.path.join(REPO, "tools/gen_bench_stream.py"),
+                        "--frames", str(NB_FRAMES), "--tiles", "2",
+                        "--all-tools", "--out", STREAM_AT],
+                       check=True, capture_output=True, timeout=1200)
+    if not os.path.exists(REF_YUV_AT):
+        subprocess.run([PERF_BIN, "-i", STREAM_AT, "-o", REF_YUV_AT,
                         "-t", "1", "-e", "1"],
                        check=True, capture_output=True)
 
@@ -176,6 +187,13 @@ def main():
         extra["tpu_ra_fps"] = round(bench_tpu(STREAM_RA, REF_YUV_RA), 3)
     except Exception as e:  # pragma: no cover - device-dependent
         extra["tpu_error"] = str(e)[:160]
+    try:
+        # hostile profile: ALF + CC-ALF + LFNST intra mix; a fallback
+        # frame fails the lane (bench_tpu asserts tpu_frames == n)
+        extra["tpu_alltools_fps"] = round(bench_tpu(STREAM_AT, REF_YUV_AT),
+                                          3)
+    except Exception as e:  # pragma: no cover - device-dependent
+        extra["tpu_alltools_error"] = str(e)[:160]
     try:
         extra.update(bench_ra())
     except Exception as e:

@@ -691,7 +691,8 @@ def _alf_params_from_raw(ep, sao_buf, meta, nctu):
         r = alf_t[i, _SAO_NFIELDS:]
         if not r.any():
             continue
-        out[(int(meta[i, 0]), int(meta[i, 1]))] = AlfCtuParams(
+        m = meta[i]
+        out[(int(m[0]), int(m[1]))] = AlfCtuParams(
             ctb_alf_flag=int(r[0]), ctb_alf_idx=int(r[1]),
             cb_alternative=int(r[2]), cr_alternative=int(r[3]),
             cc_alf_idx=(int(r[4]), int(r[5])))

@@ -441,7 +441,10 @@ static void deblock_luma_hor(const DbfFrameParams *fp, const DbfBufs *m,
             } else {
                 mlp = mlq = 3;
                 if ((yu & 3) == 0 && !pure_sb) {
-                    if (yu >= 7) {
+                    /* long-P suppressed in the first 7 unit rows of each
+                     * CTU (rcn_df.c:2146 `i % 4 || i < 7`, i CTU-local) */
+                    int ucb = (1 << fp->log2_ctb) >> 2;
+                    if ((yu % ucb) >= 7) {
                         int any = 0;
                         for (int k = yu - 7; k < yu; k++)
                             any |= eh[k * mw + xu];

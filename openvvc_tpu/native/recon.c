@@ -621,7 +621,80 @@ static void inv_transform_2d(const int32_t *d, int l2w, int l2h, int tr_h,
         out[i] = iclamp((acc2[i] + add2) >> shift2, -32768, 32767);
 }
 
-static void recon_tu_residual_c(const Rc *r, const int32_t *t, int intra,
+
+/* ---- LFNST (rcn/ref_transform.py apply_lfnst parity; reference
+ * rcn_lfnst.c:41-163 + drv_lfnst.c mode map) ------------------------- */
+
+static const uint8_t g_lfnst_diag4[16][2] = {
+    /* (x, y) of the top-left 4x4 in up-right diagonal scan order */
+    {0,0},{0,1},{1,0},{0,2},{1,1},{2,0},{0,3},{1,2},
+    {2,1},{3,0},{1,3},{2,2},{3,1},{2,3},{3,2},{3,3}
+};
+
+static int lfnst_intra_mode_c(int l2w, int l2h, int mode)
+{
+    static const int shift_lut[6] = {0, 6, 10, 12, 14, 15};
+    if (mode > 1) {
+        int shift = shift_lut[l2w > l2h ? l2w - l2h : l2h - l2w];
+        if (l2w > l2h && mode < 2 + shift)
+            mode += 66 - 1;
+        else if (l2h > l2w && mode > 66 - shift)
+            mode -= 66 + 1;
+    }
+    if (mode < 0)
+        mode += 14 + 67;
+    else if (mode >= 67)
+        mode += 14;
+    return mode;
+}
+
+static void apply_lfnst_c(int32_t *dq, int l2w, int l2h, int lfnst_idx,
+                          int mode_l)
+{
+    int w = 1 << l2w, h = 1 << l2h;
+    int transpose = (mode_l > 34 && mode_l < 67) || mode_l >= 67 + 14;
+    int mode_set = g_lfnst_mode_map[mode_l];
+    int is_8x8 = l2w >= 3 && l2h >= 3;
+    int64_t tmp[16];
+    for (int i = 0; i < 16; i++)
+        tmp[i] = dq[g_lfnst_diag4[i][1] * w + g_lfnst_diag4[i][0]];
+    int32_t out[64 * 64];
+    memset(out, 0, (size_t)w * h * sizeof(*out));
+    if (!is_8x8) {
+        const int8_t *mat = g_lfnst_4[mode_set][lfnst_idx - 1];
+        int n_in = (l2w == l2h) ? 8 : 16;
+        for (int i = 0; i < 16; i++) {
+            int64_t acc = 0;
+            for (int k = 0; k < n_in; k++)
+                acc += tmp[k] * mat[i + 16 * k];
+            int32_t v = (int32_t)((acc + 64) >> 7);
+            if (v < -(1 << 15)) v = -(1 << 15);
+            if (v > (1 << 15)) v = 1 << 15;
+            int x = transpose ? (i >> 2) : (i & 3);
+            int y = transpose ? (i & 3) : (i >> 2);
+            out[y * w + x] = v;
+        }
+    } else {
+        const int8_t *mat = g_lfnst_8[mode_set][lfnst_idx - 1];
+        for (int i = 0; i < 48; i++) {
+            int64_t acc = 0;
+            for (int k = 0; k < 16; k++)
+                acc += tmp[k] * mat[i + 48 * k];
+            int32_t v = (int32_t)((acc + 64) >> 7);
+            if (v < -(1 << 15)) v = -(1 << 15);
+            if (v > (1 << 15)) v = 1 << 15;
+            int x, y;
+            if (i < 32) { x = i & 7; y = i >> 3; }
+            else { x = i & 3; y = 4 + ((i - 32) >> 2); }
+            if (transpose) { int t_ = x; x = y; y = t_; }
+            out[y * w + x] = v;
+        }
+    }
+    memcpy(dq, out, (size_t)w * h * sizeof(*dq));
+}
+
+static void recon_tu_residual_c(const Rc *r, const int32_t *t,
+                                const int32_t *cu, int intra,
                                 int32_t *res)
 {
     int l2w = t[TU_F_LOG2W], l2h = t[TU_F_LOG2H];
@@ -631,9 +704,27 @@ static void recon_tu_residual_c(const Rc *r, const int32_t *t, int intra,
     dequant_c(r->coef_buf + t[TU_F_COEF], n, t[TU_F_QP], l2w, l2h,
               r->ep->dep_quant, r->ep->bitdepth, dq);
     int tr_h, tr_v;
-    transform_pair_c(r->ep, t, intra, &tr_h, &tr_v);
     uint64_t sig = ((uint64_t)(uint32_t)t[TU_F_SIGHI] << 32)
                    | (uint32_t)t[TU_F_SIGLO];
+    if (t[TU_F_LFNST]) {
+        /* secondary transform before DCT2/DCT2; after it coefficients
+         * occupy the top-left 4x4 (or 8x8) region regardless of sig */
+        int base;
+        if (t[TU_F_COMP] == 0)
+            base = cu[CU_F_MIP_FLAG] ? 0 : cu[CU_F_INTRA_L];
+        else {
+            base = cu[CU_F_INTRA_C];
+            if (base >= 81 && base <= 83) /* CCLM -> collocated luma */
+                base = cu[CU_F_COL_MODE];
+        }
+        int cl2w = imin(5, l2w), cl2h = imin(5, l2h);
+        int ml = lfnst_intra_mode_c(cl2w, cl2h, base);
+        apply_lfnst_c(dq, cl2w, cl2h, t[TU_F_LFNST], ml);
+        sig = (l2w >= 3 && l2h >= 3) ? 0x303u : 0x1u;
+        tr_h = tr_v = 0; /* DCT2 */
+    } else {
+        transform_pair_c(r->ep, t, intra, &tr_h, &tr_v);
+    }
     inv_transform_2d(dq, l2w, l2h, tr_h, tr_v, r->ep->bitdepth, sig, res);
     prof_add(PROF_RESID, pt0);
 }
@@ -1178,7 +1269,7 @@ static void recon_intra_cu(Rc *r, const int32_t *cu)
                         cu[CU_F_INTRA_L], 1, pred);
         const int32_t *t = find_tu_c(r, cu, 0, tu->x, tu->y);
         if (t) {
-            recon_tu_residual_c(r, t, 1, res);
+            recon_tu_residual_c(r, t, cu, 1, res);
             for (int i = 0; i < w * h; i++)
                 pred[i] += res[i];
         }
@@ -1206,7 +1297,7 @@ static void recon_intra_cu(Rc *r, const int32_t *cu)
         int have_cb = 0, have_cr = 0;
         const int32_t *jt = find_tu_c(r, cu, 3, tu->x, tu->y);
         if (jt) {
-            recon_tu_residual_c(r, jt, 1, res);
+            recon_tu_residual_c(r, jt, cu, 1, res);
             int jc = jt[TU_F_JCBCR];
             for (int i = 0; i < w * h; i++) {
                 int v = res[i];
@@ -1218,8 +1309,8 @@ static void recon_intra_cu(Rc *r, const int32_t *cu)
         } else {
             const int32_t *tb = find_tu_c(r, cu, 1, tu->x, tu->y);
             const int32_t *tr = find_tu_c(r, cu, 2, tu->x, tu->y);
-            if (tb) { recon_tu_residual_c(r, tb, 1, rcb); have_cb = 1; }
-            if (tr) { recon_tu_residual_c(r, tr, 1, rcr); have_cr = 1; }
+            if (tb) { recon_tu_residual_c(r, tb, cu, 1, rcb); have_cb = 1; }
+            if (tr) { recon_tu_residual_c(r, tr, cu, 1, rcr); have_cr = 1; }
         }
         for (int comp = 1; comp <= 2; comp++) {
             int32_t *plane = comp == 1 ? r->fcb : r->fcr;
@@ -1311,7 +1402,7 @@ static void recon_inter_cu(Rc *r, const int32_t *cu)
         const int32_t *t = r->tu_buf + (int64_t)(tu0 + i) * TU_NFIELDS;
         if (t[TU_F_COMP] != 0)
             continue;
-        recon_tu_residual_c(r, t, 0, res);
+        recon_tu_residual_c(r, t, cu, 0, res);
         int tw = 1 << t[TU_F_LOG2W], th = 1 << t[TU_F_LOG2H];
         int tx = t[TU_F_X0], ty = t[TU_F_Y0];
         for (int j = 0; j < th; j++)
@@ -1358,7 +1449,7 @@ static void recon_inter_cu(Rc *r, const int32_t *cu)
         int comp = t[TU_F_COMP];
         if (comp == 0)
             continue;
-        recon_tu_residual_c(r, t, 0, res);
+        recon_tu_residual_c(r, t, cu, 0, res);
         int tw = 1 << t[TU_F_LOG2W], th = 1 << t[TU_F_LOG2H];
         int tx = t[TU_F_X0], ty = t[TU_F_Y0];
         int n = tw * th;
@@ -1417,7 +1508,7 @@ int64_t ov_recon_entry(const EntryParams *ep, const ReconParams *rp,
     for (int64_t i = 0; i < ncu; i++) {
         const int32_t *c = cu_buf + i * CU_NFIELDS;
         if (c[CU_F_TREE] != TREE_SINGLE || c[CU_F_MIP_FLAG] || c[CU_F_MRL] ||
-            c[CU_F_LFNST] || c[CU_F_PRED] > MODE_INTER ||
+            c[CU_F_PRED] > MODE_INTER ||
             (c[CU_F_INTRA_C] >= INTRA_LT_CCLM &&
              c[CU_F_INTRA_C] <= INTRA_T_CCLM))
             return -1;
@@ -1437,7 +1528,7 @@ int64_t ov_recon_entry(const EntryParams *ep, const ReconParams *rp,
     }
     for (int64_t i = 0; i < ntu; i++) {
         const int32_t *t = tu_buf + i * TU_NFIELDS;
-        if (t[TU_F_LFNST] || t[TU_F_TS] || t[TU_F_BDPCM] || t[TU_F_COEF] < 0)
+        if (t[TU_F_TS] || t[TU_F_BDPCM] || t[TU_F_COEF] < 0)
             return -1;
     }
 
@@ -1655,7 +1746,7 @@ static int ir_intra_cu(const Rc *r, IrOut *o, const int32_t *cu)
             return -1;
         const int32_t *t = find_tu_c(r, cu, 0, tu->x, tu->y);
         if (t) {
-            recon_tu_residual_c(r, t, 1, res);
+            recon_tu_residual_c(r, t, cu, 1, res);
             ir_write_res(o->res_y, o->ry_stride, res, tu->x, tu->y,
                          1 << tu->l2w, 1 << tu->l2h);
         }
@@ -1687,7 +1778,7 @@ static int ir_intra_cu(const Rc *r, IrOut *o, const int32_t *cu)
             return -1;
         const int32_t *jt = find_tu_c(r, cu, 3, tu->x, tu->y);
         if (jt) {
-            recon_tu_residual_c(r, jt, 1, res);
+            recon_tu_residual_c(r, jt, cu, 1, res);
             int jc = jt[TU_F_JCBCR];
             for (int i = 0; i < w * h; i++) {
                 int v = res[i];
@@ -1705,11 +1796,11 @@ static int ir_intra_cu(const Rc *r, IrOut *o, const int32_t *cu)
             const int32_t *tb = find_tu_c(r, cu, 1, tu->x, tu->y);
             const int32_t *tr = find_tu_c(r, cu, 2, tu->x, tu->y);
             if (tb) {
-                recon_tu_residual_c(r, tb, 1, res);
+                recon_tu_residual_c(r, tb, cu, 1, res);
                 ir_write_res(o->res_cb, o->rc_stride, res, tu->x, tu->y, w, h);
             }
             if (tr) {
-                recon_tu_residual_c(r, tr, 1, res);
+                recon_tu_residual_c(r, tr, cu, 1, res);
                 ir_write_res(o->res_cr, o->rc_stride, res, tu->x, tu->y, w, h);
             }
         }
@@ -1774,7 +1865,7 @@ static void ir_inter_cu(const Rc *r, IrOut *o, const int32_t *cu)
         const int32_t *t = r->tu_buf + (int64_t)(tu0 + i) * TU_NFIELDS;
         int comp = t[TU_F_COMP];
         int tw = 1 << t[TU_F_LOG2W], th = 1 << t[TU_F_LOG2H];
-        recon_tu_residual_c(r, t, 0, res);
+        recon_tu_residual_c(r, t, cu, 0, res);
         if (comp == 0) {
             ir_write_res(o->res_y, o->ry_stride, res, t[TU_F_X0], t[TU_F_Y0],
                          tw, th);
@@ -1823,7 +1914,7 @@ int64_t ov_build_ir(const EntryParams *ep, const ReconParams *rp,
     for (int64_t i = 0; i < ncu; i++) {
         const int32_t *c = cu_buf + i * CU_NFIELDS;
         if (c[CU_F_TREE] != TREE_SINGLE || c[CU_F_MIP_FLAG] || c[CU_F_MRL] ||
-            c[CU_F_LFNST] || c[CU_F_PRED] > MODE_INTER ||
+            c[CU_F_PRED] > MODE_INTER ||
             (c[CU_F_INTRA_C] >= INTRA_LT_CCLM &&
              c[CU_F_INTRA_C] <= INTRA_T_CCLM))
             return -1;
@@ -1839,7 +1930,7 @@ int64_t ov_build_ir(const EntryParams *ep, const ReconParams *rp,
     }
     for (int64_t i = 0; i < ntu; i++) {
         const int32_t *t = tu_buf + i * TU_NFIELDS;
-        if (t[TU_F_LFNST] || t[TU_F_TS] || t[TU_F_BDPCM] || t[TU_F_COEF] < 0)
+        if (t[TU_F_TS] || t[TU_F_BDPCM] || t[TU_F_COEF] < 0)
             return -1;
     }
 

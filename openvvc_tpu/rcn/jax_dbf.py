@@ -78,7 +78,8 @@ def _window_any(edge, lo_off, hi_off, axis):
 
 
 def luma_segment_params(maps: DbfMaps, beta_off, tc_off, bitdepth,
-                        pic_w, pic_h, no_x=(), no_y=(), dense=False):
+                        pic_w, pic_h, no_x=(), no_y=(), dense=False,
+                        log2_ctb=6):
     """(vertical, horizontal) segment param dicts from the edge maps.
 
     Mirrors ref_dbf.deblock_plane_luma's per-segment derivation, vectorized.
@@ -137,9 +138,12 @@ def luma_segment_params(maps: DbfMaps, beta_off, tc_off, bitdepth,
             aff_q = np.zeros_like(edge)
             aff_q[:uh, :] = maps.aff_unit[:uh, :uw]
             pos = np.arange(uh + 1)[:, None]
-            # p side (above) carries the CTU line-buffer restriction (yu >= 7);
-            # the q side does not (ref_dbf horizontal mlq derivation)
-            on4_p = ((pos % 4) == 0) & (pos >= 7)
+            # p side (above) carries the CTU line-buffer restriction —
+            # long-P suppressed in the first 7 unit rows of each CTU
+            # (rcn_df.c:2146 `i % 4 || i < 7`, i CTU-local); the q side
+            # does not (ref_dbf horizontal mlq derivation)
+            ucb = (1 << log2_ctb) >> 2
+            on4_p = ((pos % 4) == 0) & ((pos % ucb) >= 7)
             on4_q = (pos % 4) == 0
             active = comb & (bs2 | bs1)
             active[0, :] = False
@@ -500,10 +504,11 @@ def _apply_pass(xp, plane, params, bd_max, horizontal):
 
 
 def deblock_luma_batched(xp, plane, maps: DbfMaps, beta_off, tc_off, bitdepth,
-                         pic_w, pic_h, no_x=(), no_y=()):
+                         pic_w, pic_h, no_x=(), no_y=(), log2_ctb=6):
     """Both passes over one luma plane; xp is np (host) or jnp (device)."""
     vp, hp = luma_segment_params(maps, beta_off, tc_off, bitdepth,
-                                 pic_w, pic_h, no_x, no_y)
+                                 pic_w, pic_h, no_x, no_y,
+                                 log2_ctb=log2_ctb)
     bd_max = (1 << bitdepth) - 1
     plane = _apply_pass(xp, plane, vp, bd_max, horizontal=False)
     plane = _apply_pass(xp, plane, hp, bd_max, horizontal=True)

@@ -454,7 +454,7 @@ def _filter_luma_segment(lines, beta, tc, max_l_p, max_l_q, bd_max):
             _weak(lines, tc, extend_p, extend_q, bd_max)
 
 
-def deblock_plane_luma(plane, maps: DbfMaps, beta_off, tc_off, bitdepth, pic_w, pic_h,
+def deblock_plane_luma(plane, maps: DbfMaps, beta_off, tc_off, bitdepth, pic_w, pic_h, log2_ctb=6,
                        no_filter_x=(), no_filter_y=()):
     bd_max = (1 << bitdepth) - 1
     uw, uh = pic_w // 4, pic_h // 4
@@ -533,7 +533,10 @@ def deblock_plane_luma(plane, maps: DbfMaps, beta_off, tc_off, bitdepth, pic_w, 
                 mlp = mlq = 2
             else:
                 mlp = mlq = 3
-                if yu % 4 == 0 and yu >= 7 and not pure_sb and not eh[yu - 7 : yu, xu].any():
+                # long-P suppressed in the first 7 unit rows of each CTU
+                # (line-buffer rule, rcn_df.c:2146 `i % 4 || i < 7`)
+                if yu % 4 == 0 and (yu % ((1 << log2_ctb) >> 2)) >= 7 \
+                        and not pure_sb and not eh[yu - 7 : yu, xu].any():
                     mlp = 5 if maps.aff_unit[yu - 1, xu] else 7
                 if yu % 4 == 0 and not pure_sb and not eh[yu + 1 : yu + 8, xu].any():
                     mlq = 5 if maps.aff_unit[yu, xu] else 7
@@ -686,6 +689,6 @@ def deblock_frame(frame, maps: DbfMaps, params, log2_ctb):
         no_x = [x << log2_ctb for x in ti.col_x()[1:-1]]
         no_y = [y << log2_ctb for y in ti.row_y()[1:-1]]
     b_l, t_l = _beta_tc_offsets(params, "luma")
-    deblock_plane_luma(frame.y, maps, b_l, t_l, bitdepth, pic_w, pic_h, no_x, no_y)
+    deblock_plane_luma(frame.y, maps, b_l, t_l, bitdepth, pic_w, pic_h, log2_ctb, no_x, no_y)
     if frame.cb is not None:
         deblock_chroma(frame.cb, frame.cr, maps, params, bitdepth, pic_w, pic_h, log2_ctb, no_x, no_y)

@@ -91,7 +91,7 @@ def build_dbf_params(maps, offsets, bd, pic_w, pic_h, log2_ctb, chroma,
     maps.finalize_inter_bs()
     b_l, t_l, b_cb, t_cb, b_cr, t_cr = offsets
     vp, hp = luma_segment_params(maps, b_l, t_l, bd, pic_w, pic_h, no_x,
-                                 no_y, dense=True)
+                                 no_y, dense=True, log2_ctb=log2_ctb)
     out = {"lv": vp, "lh": hp}
     if chroma:
         for sel, bo, to in (("cb", b_cb, t_cb), ("cr", b_cr, t_cr)):

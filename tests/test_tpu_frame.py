@@ -31,13 +31,18 @@ def _yuv(dec, stream):
                                            ("lowdelay", 2, False),
                                            ("ra", 2, False),
                                            ("lowdelay", 1, True),
-                                           ("ra", 2, True)])
+                                           ("ra", 2, True),
+                                           ("lowdelay", 1, "all-tools"),
+                                           ("ra", 2, "all-tools")])
 def test_tpu_frame_bit_exact(gop, tiles, alf):
     from openvvc_tpu.decoder import Decoder
 
-    path = f"/tmp/tpu_e2e_{gop}_{tiles}_{int(alf)}.266"
+    path = f"/tmp/tpu_e2e_{gop}_{tiles}_{alf}.266"
     kw = {"leaf-intra": 4, "leaf-inter": 4}
-    if alf:
+    if alf == "all-tools":
+        kw["all-tools"] = None  # ALF + LFNST hostile profile
+        kw["leaf-intra"] = 5
+    elif alf:
         kw["alf"] = None  # boolean flag
     _gen(path, width=256, height=192, frames=5, tiles=tiles, gop=gop, **kw)
     with open(path, "rb") as f:

@@ -42,11 +42,35 @@ def _find_last(levels, log2_w, log2_h):
     return _find_last_pos_diag(levels, log2_w, log2_h)
 
 
-def _intra_cu(rng, x, y, log2):
+def _lfnst_levels(rng, log2_w, log2_h):
+    """Levels valid for LFNST: confined to the first 8/16 diagonal
+    positions of the top-left 4x4 sub-block, not DC-only."""
+    from openvvc_tpu.vcl.residual import diag_scan
+
+    lv = np.zeros((1 << log2_h, 1 << log2_w), np.int32)
+    nmax = 8 if (log2_w == log2_h and log2_w in (2, 3)) else 16
+    for i in range(rng.randint(2, nmax + 1)):
+        x, y = diag_scan(4, 4)[i]
+        lv[y, x] = rng.randint(-20, 21)
+    if abs(lv).sum() == abs(lv[0, 0]):
+        lv[1, 0] = 4
+    return lv
+
+
+def _intra_cu(rng, x, y, log2, lfnst=False):
     from openvvc_tpu.vcl.ctu import TU
 
     cu = CU(x, y, log2, log2, intra_mode_l=int(rng.randint(0, 67)),
             intra_mode_c=int(rng.randint(0, 2)))
+    if lfnst and rng.rand() < 0.6:
+        idx = int(rng.randint(1, 3))
+        lv = _lfnst_levels(rng, log2, log2)
+        tu = TU(x, y, log2, log2, 0, cbf=1, levels=lv,
+                last_pos=_find_last(lv, log2, log2))
+        tu.lfnst_idx = idx
+        cu.tus.append(tu)
+        cu.lfnst_idx = idx
+        return cu
     lv = _sparse(rng, log2, log2, p=0.10, mag=10)
     if lv.any():
         cu.tus.append(TU(x, y, log2, log2, 0, cbf=1, levels=lv,
@@ -178,10 +202,15 @@ def main():
                     help="ra = GOP-4 B pyramid with TMVP + AMVR")
     ap.add_argument("--alf", action="store_true",
                     help="enable ALF + CC-ALF with per-CTU random params")
+    ap.add_argument("--all-tools", action="store_true",
+                    help="hostile profile: ALF + LFNST intra mix (grows as "
+                         "more tools land in the device set)")
     ap.add_argument("--out", default="/tmp/bench_1080p.266")
     args = ap.parse_args()
 
     rng = np.random.RandomState(args.seed)
+    if args.all_tools:
+        args.alf = True
     # round picture to whole CTUs so uniform trees tile it exactly
     w = (args.width // 64) * 64
     h = (args.height // 64) * 64
@@ -193,10 +222,13 @@ def main():
     cfg = StreamConfig(width=w, height=h, deblocking=True, sao=True,
                        tile_cols=tile_cols,
                        alf=args.alf, alf_chroma=args.alf, cc_alf=args.alf,
+                       lfnst=args.all_tools,
                        tmvp=args.gop == "ra", amvr=args.gop == "ra")
 
-    frames = [{"tree_builder": _qt_tree(lambda x, y, l: _intra_cu(rng, x, y, l),
-                                        args.leaf_intra)}]
+    lf = args.all_tools
+    frames = [{"tree_builder": _qt_tree(
+        lambda x, y, l: _intra_cu(rng, x, y, l, lfnst=lf),
+        args.leaf_intra)}]
     if args.gop == "ra":
         frames += ra_frame_specs(args.frames, rng, args.leaf_inter, _qt_tree)
     else:
