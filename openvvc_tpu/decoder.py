@@ -1937,11 +1937,16 @@ class Decoder:
                 arrs["alf"] = alf_tabs
             slot = ddpb.alloc(frame, (ctx.refs0 or []) + (ctx.refs1 or [])
                               + [frame])
+            from openvvc_tpu.tpu import intra_wave as _iw
+
+            jl = arrs["jobs_l"]
+            mip_on = bool(jl.size) and bool(
+                (jl[:, _iw.J_KIND, :] == _iw.KIND_MIP).any())
             cfg = Cfg(pps.pic_w, pps.pic_h, ir.uw, ir.uh, bd, chroma,
                       has_inter, dbf_params is not None,
                       sao_tabs is not None, sps.ctb_log2,
                       alf_tabs is not None, entries_t,
-                      use_pallas_mc, mc_dims)
+                      use_pallas_mc, mc_dims, mip_on)
         with trace.span("device_dispatch"):
             try:
                 frame._dev_out = run_frame(ddpb, slot, arrs, cfg)

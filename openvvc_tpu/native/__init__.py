@@ -192,7 +192,7 @@ class _EntryParamsC(ctypes.Structure):
         "slice_type", "slice_qp", "qp_bd_offset", "bitdepth",
         "l_min_qt", "l_max_bt", "l_max_tt", "l_mtt_depth", "l_min_cb", "l_max_tb",
         "c_min_qt", "c_max_bt", "c_max_tt", "c_mtt_depth", "c_min_cb", "c_max_tb",
-        "chroma_enabled", "cclm", "mip", "mrl", "amvr",
+        "chroma_enabled", "cclm", "cclm_colloc", "mip", "mrl", "amvr",
         "dep_quant", "sign_hiding", "sao_luma", "sao_chroma",
         "joint_cbcr", "lfnst", "mts", "mts_implicit",
         "expl_mts_intra", "expl_mts_inter",
@@ -389,6 +389,7 @@ def parse_entry_native_raw(params, entry):
     ep.c_mtt_depth, ep.c_min_cb, ep.c_max_tb = pc.max_mtt_depth, pc.log2_min_cb_s, pc.log2_max_tb_s
     ep.chroma_enabled = int(sps.sps_chroma_format_idc != 0)
     ep.cclm = g(sps, "sps_cclm_enabled_flag")
+    ep.cclm_colloc = g(sps, "sps_chroma_vertical_collocated_flag")
     ep.mip = g(sps, "sps_mip_enabled_flag")
     ep.mrl = g(sps, "sps_mrl_enabled_flag")
     ep.amvr = g(sps, "sps_amvr_enabled_flag")

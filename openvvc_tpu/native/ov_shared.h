@@ -71,6 +71,7 @@ enum {
     J_LEFT, J_NAVA, J_NAVL, J_LEVEL, J_KIND, J_AUX0, J_AUX1, J_NFIELDS
 };
 #define JOB_KIND_INTRA 0
+#define JOB_KIND_MIP 3
 #define IR_TILE 32 /* intra job sub-tile (intra_wave.TILE) */
 
 /* ---- parameters handed over from Python (ctypes.Structure) ---------- */
@@ -83,7 +84,7 @@ typedef struct {
     int32_t l_min_qt, l_max_bt, l_max_tt, l_mtt_depth, l_min_cb, l_max_tb;
     int32_t c_min_qt, c_max_bt, c_max_tt, c_mtt_depth, c_min_cb, c_max_tb;
     /* tools */
-    int32_t chroma_enabled, cclm, mip, mrl, amvr;
+    int32_t chroma_enabled, cclm, cclm_colloc, mip, mrl, amvr;
     int32_t dep_quant, sign_hiding, sao_luma, sao_chroma;
     int32_t joint_cbcr, lfnst, mts, mts_implicit, expl_mts_intra, expl_mts_inter;
     int32_t cu_qp_delta_enabled, cu_qp_delta_subdiv;

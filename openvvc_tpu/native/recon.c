@@ -317,6 +317,308 @@ static void pdpc_angular(int32_t *pred, const RefArr *rs, int inv_angle,
 }
 
 /* predict_intra parity: writes pred [h][w] (already oriented). */
+
+
+/* ---- CCLM / MDLM (rcn/ref_cclm.py parity; rcn_intra_cclm.c:71-520) -- */
+
+static const int8_t g_cclm_div[16] = {0,7,6,5,5,4,4,3,3,2,2,1,1,1,1,0};
+
+static int flog2_c(int v) { return 31 - __builtin_clz(v > 0 ? v : 1); }
+
+static void cclm_lm_params(int avg_min_l, int avg_min_c, int avg_max_c,
+                           int v, int log2_rng_l, int *pa, int *pb,
+                           int *psh)
+{
+    int range_c = avg_max_c - avg_min_c;
+    int lr = range_c ? flog2_c(range_c < 0 ? -range_c : range_c) + 1 : 0;
+    int add = (1 << lr) >> 1;
+    int a = (range_c * v + add) >> lr;
+    int shift = 3 + log2_rng_l - lr;
+    if (shift < 1) {
+        shift = 1;
+        a = a == 0 ? 0 : (a < 0 ? -15 : 15);
+    }
+    *pa = a;
+    *pb = avg_min_c - ((a * avg_min_l) >> shift);
+    *psh = shift;
+}
+
+/* one chroma plane (comp 1 or 2) of a CCLM PB */
+static void predict_cclm_c(const Rc *r, const int32_t *cplane, int cs,
+                           int cx0, int cy0, int l2w, int l2h, int mode,
+                           int32_t *pred)
+{
+    const EntryParams *e = r->ep;
+    const int32_t *luma = r->fy;
+    int ls = e->pic_w;
+    int pb_w = 1 << l2w, pb_h = 1 << l2h;
+    int bd_max = r->bd_max;
+    int colloc = e->cclm_colloc;
+    int abv_avail = chroma_avail(r, cx0, cy0 - 1);
+    int lft_avail = chroma_avail(r, cx0 - 1, cy0);
+    int first_line = ((cy0 << 1) % (1 << e->log2_ctb)) == 0;
+    int avg = 1 << (e->bitdepth - 1);
+
+#define LY(lx, ly) luma[(2 * cy0 + (ly)) * ls + 2 * cx0 + (lx)]
+#define CV(cx, cy) cplane[(cy0 + (cy)) * cs + cx0 + (cx)]
+
+    int smp_y[4], smp_c[4], nsmp = 0;
+
+    /* boundary subsample helpers (above row 0 / above / left) */
+#define SUB_ABV0(step, n) do { \
+    int start = (step) >> 1; \
+    for (int i = 0; i < (n) && nsmp < 4; i++) { \
+        int lx = (start + i * (step)) << 1; \
+        int pl = (start == 0 && i == 0 && !lft_avail) ? 0 : 1; \
+        smp_y[nsmp] = (2 + LY(lx - pl, -1) + 2 * LY(lx, -1) \
+                       + LY(lx + 1, -1)) >> 2; \
+        smp_c[nsmp] = CV(start + i * (step), -1); \
+        nsmp++; } } while (0)
+#define SUB_ABV(step, n) do { \
+    int start = (step) >> 1; \
+    for (int i = 0; i < (n) && nsmp < 4; i++) { \
+        int lx = (start + i * (step)) << 1; \
+        int pl = (start == 0 && i == 0 && !lft_avail) ? 0 : 1; \
+        int s; \
+        if (colloc) \
+            s = 4 + LY(lx, -3) + LY(lx - pl, -2) + 4 * LY(lx, -2) \
+                + LY(lx + 1, -2) + LY(lx, -1); \
+        else \
+            s = 4 + LY(lx - pl, -2) + 2 * LY(lx, -2) + LY(lx + 1, -2) \
+                + LY(lx - pl, -1) + 2 * LY(lx, -1) + LY(lx + 1, -1); \
+        smp_y[nsmp] = s >> 3; \
+        smp_c[nsmp] = CV(start + i * (step), -1); \
+        nsmp++; } } while (0)
+#define SUB_LFT(step, n) do { \
+    int start = (step) >> 1; \
+    for (int i = 0; i < (n) && nsmp < 4; i++) { \
+        int ly = (start + i * (step)) << 1; \
+        int s; \
+        if (colloc) { \
+            int pa = (start == 0 && i == 0 && !abv_avail) ? 0 : 1; \
+            s = 4 + LY(-2, ly - pa) + 4 * LY(-2, ly) + LY(-3, ly) \
+                + LY(-1, ly) + LY(-2, ly + 1); \
+        } else \
+            s = 4 + 2 * LY(-2, ly) + LY(-1, ly) + LY(-3, ly) \
+                + 2 * LY(-2, ly + 1) + LY(-1, ly + 1) + LY(-3, ly + 1); \
+        smp_y[nsmp] = s >> 3; \
+        smp_c[nsmp] = CV(-1, start + i * (step)); \
+        nsmp++; } } while (0)
+
+    if (mode == INTRA_LT_CCLM) {
+        if (abv_avail || lft_avail) {
+            int l2_abv = (abv_avail ? 1 : 0) + (lft_avail ? 0 : 1);
+            int l2_lft = (lft_avail ? 1 : 0) + (abv_avail ? 0 : 1);
+            if (abv_avail) {
+                int n_abv = imin(pb_w, l2_abv << 1);
+                int step = imax(1, pb_w >> l2_abv);
+                if (first_line) SUB_ABV0(step, n_abv);
+                else SUB_ABV(step, n_abv);
+            }
+            if (lft_avail) {
+                int n_lft = imin(pb_h, l2_lft << 1);
+                int step = imax(1, pb_h >> l2_lft);
+                SUB_LFT(step, n_lft);
+            }
+        }
+    } else if (mode == INTRA_T_CCLM) {
+        if (abv_avail) {
+            int nb_ref = (pb_w + imin(pb_w, pb_h)) >> 1;
+            int nav = 0;
+            while (nav < nb_ref && chroma_avail(r, cx0 + 2 * nav, cy0 - 1))
+                nav++;
+            int alen = nav << 1;
+            int n_abv = imin(alen, 4);
+            int step = imax(1, alen >> 2);
+            if (first_line) SUB_ABV0(step, n_abv);
+            else SUB_ABV(step, n_abv);
+        }
+    } else { /* INTRA_L_CCLM */
+        if (lft_avail) {
+            int nb_ref = (pb_h + imin(pb_w, pb_h)) >> 1;
+            int nav = 0;
+            while (nav < nb_ref && chroma_avail(r, cx0 - 1, cy0 + 2 * nav))
+                nav++;
+            int alen = nav << 1;
+            int n_lft = imin(alen, 4);
+            int step = imax(1, alen >> 2);
+            SUB_LFT(step, n_lft);
+        }
+    }
+
+    int a = 0, b = avg, sh = 0;
+    if (nsmp) {
+        int mn_l, mx_l, mn_c, mx_c;
+        if (nsmp == 2) {
+            int mi = smp_y[0] >= smp_y[1];
+            mn_l = smp_y[mi]; mx_l = smp_y[1 - mi];
+            mn_c = smp_c[mi]; mx_c = smp_c[1 - mi];
+        } else {
+            int lo[2] = {0, 2}, hi[2] = {1, 3}, t;
+            if (smp_y[0] > smp_y[2]) { lo[0] = 2; lo[1] = 0; }
+            if (smp_y[1] > smp_y[3]) { hi[0] = 3; hi[1] = 1; }
+            if (smp_y[lo[0]] > smp_y[hi[1]]) {
+                t = lo[0]; lo[0] = hi[0]; hi[0] = t;
+                t = lo[1]; lo[1] = hi[1]; hi[1] = t;
+            }
+            if (smp_y[lo[1]] > smp_y[hi[0]]) {
+                t = lo[1]; lo[1] = hi[0]; hi[0] = t;
+            }
+            mn_l = (smp_y[lo[0]] + smp_y[lo[1]] + 1) >> 1;
+            mx_l = (smp_y[hi[0]] + smp_y[hi[1]] + 1) >> 1;
+            mn_c = (smp_c[lo[0]] + smp_c[lo[1]] + 1) >> 1;
+            mx_c = (smp_c[hi[0]] + smp_c[hi[1]] + 1) >> 1;
+        }
+        int range_l = mx_l - mn_l;
+        if (range_l) {
+            int lrl = flog2_c(range_l);
+            int norm = ((range_l << 4) >> lrl) & 0xF;
+            int v = g_cclm_div[norm] | 8;
+            lrl += norm != 0;
+            cclm_lm_params(mn_l, mn_c, mx_c, v, lrl, &a, &b, &sh);
+        } else {
+            a = 0; b = mn_c; sh = 0;
+        }
+    }
+
+    for (int j = 0; j < pb_h; j++)
+        for (int i = 0; i < pb_w; i++) {
+            int pl = (i == 0 && !lft_avail) ? 0 : 1;
+            int v;
+            if (colloc) {
+                int pa = (j == 0 && !abv_avail) ? 0 : 1;
+                v = (4 + LY(2 * i, 2 * j - pa) + 4 * LY(2 * i, 2 * j)
+                     + LY(2 * i - pl, 2 * j) + LY(2 * i + 1, 2 * j)
+                     + LY(2 * i, 2 * j + 1)) >> 3;
+            } else {
+                v = (4 + LY(2 * i + 1, 2 * j) + LY(2 * i - pl, 2 * j)
+                     + 2 * LY(2 * i, 2 * j) + 2 * LY(2 * i, 2 * j + 1)
+                     + LY(2 * i + 1, 2 * j + 1)
+                     + LY(2 * i - pl, 2 * j + 1)) >> 3;
+            }
+            pred[j * pb_w + i] = bdclip(((v * a) >> sh) + b, bd_max);
+        }
+#undef LY
+#undef CV
+#undef SUB_ABV0
+#undef SUB_ABV
+#undef SUB_LFT
+}
+
+/* ---- MIP (rcn/ref_mip.py parity; reference rcn_intra_mip.c:63-330) --- */
+
+static void predict_mip_c(const Rc *r, const int32_t *plane, int stride,
+                          int x0, int y0, int l2w, int l2h, int mode,
+                          int transpose, int32_t *pred)
+{
+    int w = 1 << l2w, h = 1 << l2h;
+    int bd = r->ep->bitdepth, bd_max = r->bd_max;
+    RefArr ra, rl;
+    fill_side_refs(r, plane, stride, x0, y0, l2w, l2h, 1, &ra, &rl);
+
+    int log2_bndy = (l2w > 2 || l2h > 2) ? 2 : 1;
+    int n_bndy = 1 << log2_bndy;
+    int64_t a_avg[4], l_avg[4];
+    int seg_a = w / n_bndy, sh_a = 0;
+    while ((1 << (sh_a + 1)) <= seg_a) sh_a++;
+    int seg_l = h / n_bndy, sh_l = 0;
+    while ((1 << (sh_l + 1)) <= seg_l) sh_l++;
+    for (int i = 0; i < n_bndy; i++) {
+        int64_t s = 0;
+        for (int k = 0; k < seg_a; k++)
+            s += ra.b[ROFF + 1 + i * seg_a + k];
+        a_avg[i] = (s + (seg_a >> 1)) >> sh_a;
+        s = 0;
+        for (int k = 0; k < seg_l; k++)
+            s += rl.b[ROFF + 1 + i * seg_l + k];
+        l_avg[i] = (s + (seg_l >> 1)) >> sh_l;
+    }
+
+    int64_t bndy[8];
+    for (int i = 0; i < n_bndy; i++) {
+        bndy[i] = transpose ? l_avg[i] : a_avg[i];
+        bndy[n_bndy + i] = transpose ? a_avg[i] : l_avg[i];
+    }
+    int n_in = 2 * n_bndy;
+    int64_t input_offset = bndy[0];
+    int size_cls = (l2w == 2 && l2h == 2) ? 0
+        : ((l2w == 2 || l2h == 2 || (l2w <= 3 && l2h <= 3)) ? 1 : 2);
+    if (size_cls < 2)
+        bndy[0] = 1 << (bd - 1);
+    int64_t bsum = 0;
+    for (int i = 0; i < n_in; i++) {
+        bndy[i] -= input_offset;
+        bsum += bndy[i];
+    }
+    int64_t rnd_mip = 32 - 32 * bsum;
+
+    int log2_red = size_cls < 2 ? 2 : 3;
+    int n_red = 1 << log2_red;
+    int n_out = n_red * n_red;
+    int32_t red[64];
+    for (int i = 0; i < n_out; i++) {
+        int64_t acc = 0;
+        for (int k = 0; k < n_in; k++) {
+            int wgt = size_cls == 0 ? g_mip_w4[mode][i][k]
+                : size_cls == 1 ? g_mip_w8[mode][i][k]
+                : g_mip_w16[mode][i][k];
+            acc += (int64_t)wgt * bndy[k];
+        }
+        int v = (int)(((acc + rnd_mip) >> 6) + input_offset);
+        red[i] = bdclip(v, bd_max);
+    }
+    int32_t redm[64];
+    for (int j = 0; j < n_red; j++)
+        for (int i = 0; i < n_red; i++)
+            redm[j * n_red + i] = transpose ? red[i * n_red + j]
+                                            : red[j * n_red + i];
+
+    int scale_x = l2w - log2_red;
+    int scale_y = l2h - log2_red;
+    if (!scale_x && !scale_y) {
+        for (int i = 0; i < w * h; i++)
+            pred[i] = redm[i];
+        return;
+    }
+
+    /* horizontal upsample of each reduced row against the left sample of
+     * the final row that reduced row lands on */
+    int32_t rows[8 * 64];
+    int rw = n_red << scale_x;
+    for (int j = 0; j < n_red; j++) {
+        int64_t before = rl.b[ROFF + ((j + 1) << scale_y)];
+        if (!scale_x) {
+            for (int i = 0; i < n_red; i++)
+                rows[j * rw + i] = redm[j * n_red + i];
+            continue;
+        }
+        int s = scale_x, n = 1 << s;
+        for (int i = 0; i < n_red; i++) {
+            int64_t cur = redm[j * n_red + i];
+            for (int p = 1; p <= n; p++)
+                rows[j * rw + (i << s) + p - 1] =
+                    (int32_t)((before * (n - p) + cur * p + (n >> 1)) >> s);
+            before = cur;
+        }
+    }
+    if (!scale_y) {
+        for (int i = 0; i < w * h; i++)
+            pred[i] = rows[i];
+        return;
+    }
+    int s = scale_y, n = 1 << s;
+    for (int c = 0; c < rw; c++) {
+        int64_t before = ra.b[ROFF + 1 + c];
+        for (int j = 0; j < n_red; j++) {
+            int64_t cur = rows[j * rw + c];
+            for (int p = 1; p <= n; p++)
+                pred[((j << s) + p - 1) * w + c] =
+                    (int32_t)((before * (n - p) + cur * p + (n >> 1)) >> s);
+            before = cur;
+        }
+    }
+}
+
 static void predict_intra_c(const Rc *r, const int32_t *plane, int stride,
                             int x0, int y0, int l2w, int l2h, int mode,
                             int is_luma, int32_t *pred)
@@ -1265,8 +1567,12 @@ static void recon_intra_cu(Rc *r, const int32_t *cu)
     for (int u = 0; u < nu; u++) {
         TuUnit *tu = &units[u];
         int w = 1 << tu->l2w, h = 1 << tu->l2h;
-        predict_intra_c(r, r->fy, e->pic_w, tu->x, tu->y, tu->l2w, tu->l2h,
-                        cu[CU_F_INTRA_L], 1, pred);
+        if (cu[CU_F_MIP_FLAG])
+            predict_mip_c(r, r->fy, e->pic_w, tu->x, tu->y, tu->l2w,
+                          tu->l2h, cu[CU_F_MIP_MODE], cu[CU_F_MIP_T], pred);
+        else
+            predict_intra_c(r, r->fy, e->pic_w, tu->x, tu->y, tu->l2w,
+                            tu->l2h, cu[CU_F_INTRA_L], 1, pred);
         const int32_t *t = find_tu_c(r, cu, 0, tu->x, tu->y);
         if (t) {
             recon_tu_residual_c(r, t, cu, 1, res);
@@ -1316,8 +1622,13 @@ static void recon_intra_cu(Rc *r, const int32_t *cu)
             int32_t *plane = comp == 1 ? r->fcb : r->fcr;
             const int32_t *rr = comp == 1 ? rcb : rcr;
             int have = comp == 1 ? have_cb : have_cr;
-            predict_intra_c(r, plane, cs, tu->x, tu->y, tu->l2w, tu->l2h,
-                            mode, 0, pred);
+            if (mode >= INTRA_LT_CCLM && mode <= INTRA_T_CCLM)
+                predict_cclm_c(r, plane, cs, tu->x, tu->y, tu->l2w,
+                               tu->l2h, mode == INTRA_L_CCLM
+                               ? INTRA_L_CCLM : mode, pred);
+            else
+                predict_intra_c(r, plane, cs, tu->x, tu->y, tu->l2w,
+                                tu->l2h, mode, 0, pred);
             for (int j = 0; j < h; j++)
                 for (int i = 0; i < w; i++) {
                     int v = pred[j * w + i] + (have ? rr[j * w + i] : 0);
@@ -1507,11 +1818,12 @@ int64_t ov_recon_entry(const EntryParams *ep, const ReconParams *rp,
     /* support scan first: leave all outputs untouched on -1 */
     for (int64_t i = 0; i < ncu; i++) {
         const int32_t *c = cu_buf + i * CU_NFIELDS;
-        if (c[CU_F_TREE] != TREE_SINGLE || c[CU_F_MIP_FLAG] || c[CU_F_MRL] ||
-            c[CU_F_PRED] > MODE_INTER ||
-            (c[CU_F_INTRA_C] >= INTRA_LT_CCLM &&
-             c[CU_F_INTRA_C] <= INTRA_T_CCLM))
+        if (c[CU_F_TREE] != TREE_SINGLE || c[CU_F_MRL] ||
+            c[CU_F_PRED] > MODE_INTER)
             return -1;
+        if (c[CU_F_MIP_FLAG] && (c[CU_F_LOG2W] > ep->l_max_tb ||
+                                 c[CU_F_LOG2H] > ep->l_max_tb))
+            return -1; /* MIP across a TU split: host fallback */
         if (c[CU_F_PRED] == MODE_INTER) {
             int dir = c[CU_F_MV1REF] >= 0 ? c[CU_F_INTER_DIR] : 1;
             if (dir & 1) {
@@ -1697,9 +2009,10 @@ static void ir_set_level(const Rc *r, uint16_t *lvl, int lw, int lh,
     }
 }
 
-static int ir_emit_job(IrOut *o, int is_luma, int x0, int y0, int l2w,
-                       int l2h, int mode, int level, int corner, int above,
-                       int left, int nava, int navl)
+static int ir_emit_job_kind(IrOut *o, int is_luma, int x0, int y0, int l2w,
+                            int l2h, int mode, int level, int corner,
+                            int above, int left, int nava, int navl,
+                            int kind, int aux0, int aux1)
 {
     int w = 1 << l2w, h = 1 << l2h;
     for (int oy = 0; oy < h; oy += IR_TILE)
@@ -1718,9 +2031,18 @@ static int ir_emit_job(IrOut *o, int is_luma, int x0, int y0, int l2w,
             j[J_OX] = ox; j[J_OY] = oy; j[J_MODE] = mode;
             j[J_CORNER] = corner; j[J_ABOVE] = above; j[J_LEFT] = left;
             j[J_NAVA] = nava; j[J_NAVL] = navl; j[J_LEVEL] = level;
-            j[J_KIND] = JOB_KIND_INTRA; j[J_AUX0] = 0; j[J_AUX1] = 0;
+            j[J_KIND] = kind; j[J_AUX0] = aux0; j[J_AUX1] = aux1;
         }
     return 0;
+}
+
+static int ir_emit_job(IrOut *o, int is_luma, int x0, int y0, int l2w,
+                       int l2h, int mode, int level, int corner, int above,
+                       int left, int nava, int navl)
+{
+    return ir_emit_job_kind(o, is_luma, x0, y0, l2w, l2h, mode, level,
+                            corner, above, left, nava, navl,
+                            JOB_KIND_INTRA, 0, 0);
 }
 
 static int ir_intra_cu(const Rc *r, IrOut *o, const int32_t *cu)
@@ -1740,9 +2062,19 @@ static int ir_intra_cu(const Rc *r, IrOut *o, const int32_t *cu)
         int lvl = ir_level(r, o->lvl_l, r->al_w, r->al_h, tu->x, tu->y,
                            above ? nava : 0, left ? navl : 0, 1);
         if (lvl > o->max_lvl_l) o->max_lvl_l = lvl;
-        if (ir_emit_job(o, 1, tu->x, tu->y, tu->l2w, tu->l2h,
-                        cu[CU_F_INTRA_L], lvl, corner, above, left, nava,
-                        navl) < 0)
+        int erc;
+        if (cu[CU_F_MIP_FLAG])
+            /* MIP predicts the whole CU (<= 32x32, scan-gated): one job,
+             * mode 0 placeholder, aux = (mip_mode, transpose) */
+            erc = ir_emit_job_kind(o, 1, tu->x, tu->y, tu->l2w, tu->l2h,
+                                   0, lvl, corner, above, left, nava, navl,
+                                   JOB_KIND_MIP, cu[CU_F_MIP_MODE],
+                                   cu[CU_F_MIP_T]);
+        else
+            erc = ir_emit_job(o, 1, tu->x, tu->y, tu->l2w, tu->l2h,
+                              cu[CU_F_INTRA_L], lvl, corner, above, left,
+                              nava, navl);
+        if (erc < 0)
             return -1;
         const int32_t *t = find_tu_c(r, cu, 0, tu->x, tu->y);
         if (t) {
@@ -1913,7 +2245,11 @@ int64_t ov_build_ir(const EntryParams *ep, const ReconParams *rp,
      * which the device weighted-combine handles exactly */
     for (int64_t i = 0; i < ncu; i++) {
         const int32_t *c = cu_buf + i * CU_NFIELDS;
-        if (c[CU_F_TREE] != TREE_SINGLE || c[CU_F_MIP_FLAG] || c[CU_F_MRL] ||
+        if (c[CU_F_MIP_FLAG] && (c[CU_F_LOG2W] > 5 || c[CU_F_LOG2H] > 5 ||
+                                 c[CU_F_LOG2W] > ep->l_max_tb ||
+                                 c[CU_F_LOG2H] > ep->l_max_tb))
+            return -1; /* MIP beyond one wave tile / TU split */
+        if (c[CU_F_TREE] != TREE_SINGLE || c[CU_F_MRL] ||
             c[CU_F_PRED] > MODE_INTER ||
             (c[CU_F_INTRA_C] >= INTRA_LT_CCLM &&
              c[CU_F_INTRA_C] <= INTRA_T_CCLM))

@@ -244,8 +244,9 @@ def band_frame_step(dpb_y, dpb_cb, dpb_cr, slot, arrs, jobs_l, jobs_c,
         res_yp = mpad(res_y)
 
         def lbody(plane, jf):
-            return iw.predict_wave_step(jnp, plane, res_yp, jf, bd,
-                                        True), None
+            return iw.predict_wave_step(jnp, plane, res_yp, jf, bd, True,
+                                        with_mip=getattr(cfg, "mip_on",
+                                                         False)), None
 
         rec_y, _ = lax.scan(lbody, mpad(rec_y), jobs_l)
         rec_y = rec_y[:uh * 4, :Wb]

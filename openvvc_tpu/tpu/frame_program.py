@@ -40,6 +40,7 @@ class Cfg(NamedTuple):
     entries: tuple = ()   # ((ctu_x, ctu_y, nb_w, nb_h), ...) for ALF
     mc_pallas: bool = False
     mc_dims: tuple = ()   # padded unit-grid dims for the Pallas MC classes
+    mip_on: bool = False  # any KIND_MIP job in this picture
 
 
 def _bucket_pow2(n, lo=0):
@@ -154,7 +155,8 @@ def frame_step(dpb_y, dpb_cb, dpb_cr, slot, arrs, cfg: Cfg):
         res_y = mpad(arrs["res_y"])
 
         def lbody(plane, jf):
-            return iw.predict_wave_step(jnp, plane, res_y, jf, bd, True), None
+            return iw.predict_wave_step(jnp, plane, res_y, jf, bd, True,
+                                        with_mip=cfg.mip_on), None
 
         rec_y, _ = jax.lax.scan(lbody, mpad(rec_y), jobs_l)
     if cfg.chroma:

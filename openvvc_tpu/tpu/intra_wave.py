@@ -30,6 +30,7 @@ J_NFIELDS = 16
 KIND_INTRA = 0
 KIND_IBC = 1
 KIND_CIIP = 2
+KIND_MIP = 3
 
 # lane budgets: luma TUs are <= 64 wide so the reference line holds
 # indices 0..2*64+8 (=136) plus 3 tap lookahead; negative projections
@@ -101,6 +102,135 @@ def _smooth(jnp, ref, other, length):
     return out
 
 
+_MIP_ROM = None
+
+
+def _mip_rom():
+    """Stacked zero-padded MIP weight ROM (30, 64, 8) int32: rows 0-15 =
+    4x4 class, 16-23 = small class, 24-29 = large class."""
+    global _MIP_ROM
+    if _MIP_ROM is None:
+        from openvvc_tpu.rcn.data_mip import MIP_W4, MIP_W8, MIP_W16
+
+        rom = np.zeros((30, 64, 8), np.int32)
+        w4 = np.frombuffer(MIP_W4, np.uint8).reshape(16, 16, 4)
+        w8 = np.frombuffer(MIP_W8, np.uint8).reshape(8, 16, 8)
+        w16 = np.frombuffer(MIP_W16, np.uint8).reshape(6, 64, 8)
+        rom[0:16, :16, :4] = w4
+        rom[16:24, :16, :] = w8
+        rom[24:30, :, :] = w16
+        _MIP_ROM = rom
+    return _MIP_ROM
+
+
+def _predict_mip_batch(jnp, ra, rl, l2w, l2h, mip_mode, transpose, w, h,
+                       bitdepth, bd_max, T):
+    """Batched MIP prediction (ref_mip.predict_mip parity) over (B, T, T)
+    tiles; rcn_intra_mip.c:63-330.  ra/rl: the UNFILTERED reference lanes
+    from _fill_sides (lane k == ref[k])."""
+    B = ra.shape[0]
+    rom = jnp.asarray(_mip_rom())
+    kk = jnp.arange(ra.shape[1], dtype=jnp.int32)[None, :]
+
+    # boundary segment averages via masked cumsum + 2 gathers per slot
+    log2_bndy = 1 + ((l2w > 2) | (l2h > 2)).astype(jnp.int32)
+    n_bndy = 1 << log2_bndy
+    sh_a = l2w - log2_bndy          # log2 segment length (above)
+    sh_l = l2h - log2_bndy
+    cs_a = jnp.cumsum(jnp.where((kk >= 1) & (kk <= w[:, None]), ra, 0),
+                      axis=1)
+    cs_l = jnp.cumsum(jnp.where((kk >= 1) & (kk <= h[:, None]), rl, 0),
+                      axis=1)
+    i4 = jnp.arange(4, dtype=jnp.int32)[None, :]
+    seg_a = (w >> jnp.maximum(log2_bndy, 0))[:, None]
+    seg_l = (h >> jnp.maximum(log2_bndy, 0))[:, None]
+    hi_a = jnp.clip((i4 + 1) * seg_a, 0, ra.shape[1] - 1)
+    lo_a = jnp.clip(i4 * seg_a, 0, ra.shape[1] - 1)
+    sum_a = (jnp.take_along_axis(cs_a, hi_a, 1)
+             - jnp.take_along_axis(cs_a, lo_a, 1))
+    a_avg = (sum_a + (seg_a >> 1)) >> jnp.maximum(sh_a, 0)[:, None]
+    hi_l = jnp.clip((i4 + 1) * seg_l, 0, rl.shape[1] - 1)
+    lo_l = jnp.clip(i4 * seg_l, 0, rl.shape[1] - 1)
+    sum_l = (jnp.take_along_axis(cs_l, hi_l, 1)
+             - jnp.take_along_axis(cs_l, lo_l, 1))
+    l_avg = (sum_l + (seg_l >> 1)) >> jnp.maximum(sh_l, 0)[:, None]
+
+    first = jnp.where(transpose[:, None] > 0, l_avg, a_avg)   # (B, 4)
+    second = jnp.where(transpose[:, None] > 0, a_avg, l_avg)
+    # layout [first(n_bndy), second(n_bndy)] in an 8-lane vector
+    i8 = jnp.arange(8, dtype=jnp.int32)[None, :]
+    nb = n_bndy[:, None]
+    from_first = i8 < nb
+    idx_f = jnp.clip(i8, 0, 3)
+    idx_s = jnp.clip(i8 - nb, 0, 3)
+    bndy = jnp.where(from_first,
+                     jnp.take_along_axis(first, idx_f, 1),
+                     jnp.take_along_axis(second, idx_s, 1))
+    lane_ok = i8 < 2 * nb
+    bndy = jnp.where(lane_ok, bndy, 0)
+
+    size_cls = jnp.where((l2w == 2) & (l2h == 2), 0,
+                         jnp.where((l2w == 2) | (l2h == 2)
+                                   | ((l2w <= 3) & (l2h <= 3)), 1, 2))
+    input_offset = bndy[:, 0:1]
+    bndy = jnp.where((i8 == 0) & (size_cls[:, None] < 2),
+                     1 << (bitdepth - 1), bndy)
+    bndy = jnp.where(lane_ok, bndy - input_offset, 0)
+    rnd_mip = 32 - 32 * jnp.sum(bndy, axis=1)                 # (B,)
+
+    cls_off = jnp.asarray(np.asarray([0, 16, 24], np.int32))[size_cls]
+    mat = jnp.take(rom, cls_off + mip_mode, axis=0)           # (B, 64, 8)
+    acc = jnp.sum(mat * bndy[:, None, :], axis=2)             # (B, 64)
+    vals = jnp.clip(((acc + rnd_mip[:, None]) >> 6)
+                    + input_offset, 0, bd_max)
+
+    log2_red = jnp.where(size_cls < 2, 2, 3)
+    n_red = 1 << log2_red
+    r8 = jnp.arange(8, dtype=jnp.int32)
+    rr = r8[None, :, None]
+    cc = r8[None, None, :]
+    ridx = (rr * n_red[:, None, None] + cc).reshape(B, 64)
+    red = jnp.take_along_axis(vals, jnp.clip(ridx, 0, 63), 1) \
+        .reshape(B, 8, 8)
+    red = jnp.where(transpose[:, None, None] > 0,
+                    red.transpose(0, 2, 1), red)
+
+    # upsampling (up_sample parity); scale 0 reduces to a copy
+    sx = jnp.maximum(l2w - log2_red, 0)
+    sy = jnp.maximum(l2h - log2_red, 0)
+    xg = jnp.arange(T, dtype=jnp.int32)[None, None, :]        # (1, 1, T)
+    n_x = (1 << sx)[:, None, None]
+    i_x = xg >> sx[:, None, None]
+    p_x = (xg & (n_x - 1)) + 1
+    cur_x = jnp.take_along_axis(
+        red, jnp.broadcast_to(jnp.clip(i_x, 0, 7), (B, 8, T)), 2)
+    prev_x = jnp.take_along_axis(
+        red, jnp.broadcast_to(jnp.clip(i_x - 1, 0, 7), (B, 8, T)), 2)
+    # before for i==0: left sample of the FINAL row of reduced row j
+    j8 = jnp.arange(8, dtype=jnp.int32)[None, :]
+    lidx = jnp.clip((j8 + 1) << sy[:, None], 0, rl.shape[1] - 1)
+    before_row = jnp.take_along_axis(rl, lidx, 1)[:, :, None]  # (B, 8, 1)
+    before_x = jnp.where(i_x == 0, before_row, prev_x)
+    rows = (before_x * (n_x - p_x) + cur_x * p_x
+            + (n_x >> 1)) >> sx[:, None, None]                # (B, 8, T)
+
+    yg = jnp.arange(T, dtype=jnp.int32)[None, :, None]        # (1, T, 1)
+    n_y = (1 << sy)[:, None, None]
+    j_y = yg >> sy[:, None, None]
+    p_y = (yg & (n_y - 1)) + 1
+    cur_y = jnp.take_along_axis(
+        rows, jnp.broadcast_to(jnp.clip(j_y, 0, 7), (B, T, T)), 1)
+    prev_y = jnp.take_along_axis(
+        rows, jnp.broadcast_to(jnp.clip(j_y - 1, 0, 7), (B, T, T)), 1)
+    aidx = jnp.clip(1 + jnp.arange(T, dtype=jnp.int32)[None, :], 0,
+                    ra.shape[1] - 1)
+    before_col = jnp.take_along_axis(ra, aidx, 1)[:, None, :]  # (B, 1, T)
+    before_y = jnp.where(j_y == 0, before_col, prev_y)
+    out = (before_y * (n_y - p_y) + cur_y * p_y
+           + (n_y >> 1)) >> sy[:, None, None]                 # (B, T, T)
+    return out
+
+
 def _pdpc_w(jnp, scale, pos):
     sh = jnp.minimum(31, (pos << 1) >> scale)
     return jnp.where(sh < 6, 32 >> jnp.minimum(sh, 5), 0)
@@ -122,7 +252,8 @@ def _slice1(jnp, arr, starts, n):
     return jax.vmap(one)(arr, starts.astype(jnp.int32))
 
 
-def predict_wave_step(jnp, plane, resid, jf, bitdepth, luma, tile=TILE):
+def predict_wave_step(jnp, plane, resid, jf, bitdepth, luma, tile=TILE,
+                      with_mip=False):
     """Predict + residual-add + scatter one wave batch into `plane`.
 
     plane/resid: [H, W] int16/int32 (plane is the scan carry); BOTH must
@@ -328,6 +459,15 @@ def predict_wave_step(jnp, plane, resid, jf, bitdepth, luma, tile=TILE):
     flat = jnp.where(pdpc_flat_ok[:, None, None], flat_p, flat)
 
     pred = jnp.where(is_flat[:, None, None], flat, ang)
+
+    # ---- MIP jobs (KIND_MIP; whole-CU, so ox == oy == 0) ----------------
+    # statically gated: the MIP math compiles into the wave step only for
+    # pictures that actually carry MIP jobs (Cfg.mip_on)
+    if luma and with_mip:
+        is_mip = jf[J_KIND] == KIND_MIP
+        mip = _predict_mip_batch(jnp, ra, rl, l2w, l2h, jf[J_AUX0],
+                                 jf[J_AUX1], w, h, bitdepth, bd_max, T)
+        pred = jnp.where(is_mip[:, None, None], mip, pred)
 
     # ---- residual add + masked window scatter-add -----------------------
     wy = (y0 + oy).astype(jnp.int32)

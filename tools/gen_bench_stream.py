@@ -57,11 +57,23 @@ def _lfnst_levels(rng, log2_w, log2_h):
     return lv
 
 
-def _intra_cu(rng, x, y, log2, lfnst=False):
+def _intra_cu(rng, x, y, log2, lfnst=False, mip=False):
     from openvvc_tpu.vcl.ctu import TU
 
     cu = CU(x, y, log2, log2, intra_mode_l=int(rng.randint(0, 67)),
             intra_mode_c=int(rng.randint(0, 2)))
+    if mip and rng.rand() < 0.4:
+        from openvvc_tpu.rcn.ref_mip import nb_mip_modes
+
+        cu.mip_flag = 1
+        cu.mip_transpose = int(rng.randint(0, 2))
+        cu.mip_mode = int(rng.randint(0, nb_mip_modes(log2, log2)))
+        cu.intra_mode_l = 0
+        lv = _sparse(rng, log2, log2, p=0.10, mag=10)
+        if lv.any():
+            cu.tus.append(TU(x, y, log2, log2, 0, cbf=1, levels=lv,
+                             last_pos=_find_last(lv, log2, log2)))
+        return cu
     if lfnst and rng.rand() < 0.6:
         idx = int(rng.randint(1, 3))
         lv = _lfnst_levels(rng, log2, log2)
@@ -203,8 +215,8 @@ def main():
     ap.add_argument("--alf", action="store_true",
                     help="enable ALF + CC-ALF with per-CTU random params")
     ap.add_argument("--all-tools", action="store_true",
-                    help="hostile profile: ALF + LFNST intra mix (grows as "
-                         "more tools land in the device set)")
+                    help="hostile profile: ALF + CC-ALF + LFNST + MIP mix "
+                         "(grows as more tools land in the device set)")
     ap.add_argument("--out", default="/tmp/bench_1080p.266")
     args = ap.parse_args()
 
@@ -222,12 +234,12 @@ def main():
     cfg = StreamConfig(width=w, height=h, deblocking=True, sao=True,
                        tile_cols=tile_cols,
                        alf=args.alf, alf_chroma=args.alf, cc_alf=args.alf,
-                       lfnst=args.all_tools,
+                       lfnst=args.all_tools, mip=args.all_tools,
                        tmvp=args.gop == "ra", amvr=args.gop == "ra")
 
     lf = args.all_tools
     frames = [{"tree_builder": _qt_tree(
-        lambda x, y, l: _intra_cu(rng, x, y, l, lfnst=lf),
+        lambda x, y, l: _intra_cu(rng, x, y, l, lfnst=lf, mip=lf),
         args.leaf_intra)}]
     if args.gop == "ra":
         frames += ra_frame_specs(args.frames, rng, args.leaf_inter, _qt_tree)
