@@ -71,7 +71,8 @@ def main(argv=None):
     from openvvc_tpu.decoder import Decoder
 
     dec = Decoder(use_tpu=args.tpu, upscale=args.upscale,
-                  nb_entry_threads=args.nb_entry_threads)
+                  nb_entry_threads=args.nb_entry_threads,
+                  nb_frame_threads=args.nb_frame_threads or 4)
 
     if args.streaming:
         from openvvc_tpu.io import FileIO

@@ -1292,8 +1292,21 @@ class Decoder:
 
     def __init__(self, use_tpu_residuals: bool = False, use_tpu: bool = False,
                  nb_entry_threads: int = 0, use_native_recon: bool = True,
-                 upscale: bool = False):
+                 upscale: bool = False, nb_frame_threads: int = 4):
         self.nvcl = NvclContext()
+        # Frame pipeline depth (the reference's -t frame threads,
+        # ovdec.c:189-248).  The TPU path pipelines pictures by
+        # construction: every frame program is dispatched asynchronously
+        # and CHAINS on the donated HBM DPB stacks, so cross-frame
+        # reference dependencies are enforced by XLA data flow — the
+        # tensor-native equivalent of the reference's decoded-CTU-line
+        # watermark bitmask (dpb.c:1222-1361; our whole-frame fused
+        # filters make the frame the natural sync granule).  This knob
+        # bounds how many dispatched-but-unfetched pictures may be in
+        # flight (host output backlog / HBM working set), like the
+        # reference's sub-decoder count bounds its frame lookahead.
+        self.nb_frame_threads = max(1, nb_frame_threads)
+        self._inflight = []  # frames dispatched, fetch not yet awaited
         # RPR output upscale to the SPS max size (dectest -u /
         # OVDEC_RPR_UPSCALE, ovdec.c:557-562)
         self.upscale = upscale
@@ -1973,6 +1986,12 @@ class Decoder:
             with trace.span("d2h_fetch"):
                 return np.asarray(a)
         frame._fetch_future = self._get_fetch_pool().submit(_fetch)
+        # frame-pipeline backpressure (-t): allow nb_frame_threads
+        # pictures in flight (dispatched, fetch pending) before blocking
+        # on the oldest — bounds the output backlog and HBM working set
+        self._inflight.append(frame)
+        while len(self._inflight) > self.nb_frame_threads:
+            self._inflight.pop(0).sync_host()
         for _e, raw in raws:
             raw.release()
         self.stats["tpu_frames"] = self.stats.get("tpu_frames", 0) + 1
