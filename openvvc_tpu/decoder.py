@@ -1270,8 +1270,8 @@ class _PicCtx:
 
     __slots__ = ("params", "frame", "poc", "refs0", "refs1", "dist0",
                  "dist1", "tools", "lmcs", "dbf", "csign", "native_recon",
-                 "dmvr_overrides", "futures", "results", "ectxs",
-                 "recon_futures", "native_items", "tpu_state")
+                 "native_parse", "dmvr_overrides", "futures", "results",
+                 "ectxs", "recon_futures", "native_items", "tpu_state")
 
     def __init__(self):
         self.futures = None
@@ -1676,6 +1676,10 @@ class Decoder:
         # hits a tool outside its set (returns with outputs untouched).
         native_recon = (self.use_native_recon and lmcs is None
                         and not self.use_tpu_residuals)
+        # the device path needs the raw native parse even when the host C
+        # recon can't take the stream (e.g. LMCS, reconstructed on device)
+        native_parse = native_recon or (self.tpu_frames
+                                        and self.use_native_recon)
         csign = -1 if params.ph.ph_joint_cbcr_sign_flag else 1
 
         ctx = _PicCtx()
@@ -1684,6 +1688,7 @@ class Decoder:
         ctx.dist0, ctx.dist1 = dist0, dist1
         ctx.tools, ctx.lmcs, ctx.dbf, ctx.csign = tools, lmcs, dbf, csign
         ctx.native_recon = native_recon
+        ctx.native_parse = native_parse
         ctx.dmvr_overrides = []
         # register in the DPB now: later pictures resolve their RPLs (and
         # read the parse-level TMVP export) before this one reconstructs
@@ -1695,7 +1700,7 @@ class Decoder:
         Returns (entry, raw, ectx): raw for natively-parsed entries,
         ectx for Python-parsed ones."""
         with trace.span("parse_entry"):
-            if ctx.native_recon:
+            if ctx.native_parse:
                 from openvvc_tpu.native import parse_entry_native_raw
 
                 raw = parse_entry_native_raw(ctx.params, entry)
@@ -1790,8 +1795,10 @@ class Decoder:
         ctx.tpu_state = "failed"
         params, frame = ctx.params, ctx.frame
         sps, pps = params.sps, params.pps
-        if ctx.lmcs is not None or getattr(self, "_pre_dbf_hook", None):
+        if getattr(self, "_pre_dbf_hook", None):
             return
+        if ctx.lmcs is not None and sps.ctb_log2 != 6:
+            return  # device chroma-scale granule assumes 64-px CTUs
         sc = getattr(params, "_rpr_scales", None)
         if sc is not None:
             from openvvc_tpu.rcn.ref_rpr import NO_SCALE
@@ -1948,6 +1955,17 @@ class Decoder:
                 arrs["sao"] = sao_tabs
             if alf_tabs is not None:
                 arrs["alf"] = alf_tabs
+            lmcs_on = ctx.lmcs is not None
+            if lmcs_on:
+                from openvvc_tpu.tpu.lmcs_dense import build_lmcs_tables
+
+                tu_bufs = [(r.tu_buf, int(r.counts[1])) for _, r in raws]
+                arrs["lmcs"] = build_lmcs_tables(
+                    ctx.lmcs, params.tile_info, sps.ctb_log2, pps.pic_w,
+                    pps.pic_h, tu_bufs, chroma)
+                if chroma and not ctx.tools.get("scale_c", False):
+                    # ph_chroma_residual_scale_flag off: no scaling
+                    arrs["lmcs"]["csc"][:] = 0
             slot = ddpb.alloc(frame, (ctx.refs0 or []) + (ctx.refs1 or [])
                               + [frame])
             from openvvc_tpu.tpu import intra_wave as _iw
@@ -1959,7 +1977,7 @@ class Decoder:
                       has_inter, dbf_params is not None,
                       sao_tabs is not None, sps.ctb_log2,
                       alf_tabs is not None, entries_t,
-                      use_pallas_mc, mc_dims, mip_on)
+                      use_pallas_mc, mc_dims, mip_on, lmcs_on)
         with trace.span("device_dispatch"):
             try:
                 frame._dev_out = run_frame(ddpb, slot, arrs, cfg)
@@ -2017,7 +2035,7 @@ class Decoder:
                 return None if ok else item
 
         items = [(e, raw) for (e, raw, _ectx) in ctx.results
-                 if raw is not None]
+                 if raw is not None] if ctx.native_recon else []
         ctx.native_items = items
         if items:
             pool = self._get_pool()

@@ -41,6 +41,7 @@ class Cfg(NamedTuple):
     mc_pallas: bool = False
     mc_dims: tuple = ()   # padded unit-grid dims for the Pallas MC classes
     mip_on: bool = False  # any KIND_MIP job in this picture
+    lmcs_on: bool = False
 
 
 def _bucket_pow2(n, lo=0):
@@ -115,6 +116,9 @@ def frame_step(dpb_y, dpb_cb, dpb_cr, slot, arrs, cfg: Cfg):
     bd = cfg.bd
     bd_max = (1 << bd) - 1
 
+    lmcs = arrs.get("lmcs") if cfg.lmcs_on else None
+    pred_cb_d = pred_cr_d = None  # LMCS: chroma residual add deferred
+    m2 = None
     if cfg.has_inter:
         if cfg.mc_pallas:
             from openvvc_tpu.tpu.mc_pallas_dense import mc_pallas
@@ -126,6 +130,12 @@ def frame_step(dpb_y, dpb_cb, dpb_cr, slot, arrs, cfg: Cfg):
             pred_y, pred_cb, pred_cr = mc_dense(
                 jnp, dpb_y, dpb_cb, dpb_cr, arrs["margs"], bd, uw, uh,
                 cfg.chroma)
+        if lmcs is not None:
+            # inter luma prediction is forward-reshaped before the
+            # residual add (rcn_lmcs.c:173; refs live unmapped in the DPB)
+            from openvvc_tpu.tpu import lmcs_dense
+
+            pred_y = lmcs_dense.fwd_map(jnp, pred_y, lmcs, bd)
         m = arrs["gmask"] != 0
         m4 = jnp.repeat(jnp.repeat(m, 4, axis=0), 4, axis=1)
         rec_y = jnp.where(
@@ -133,12 +143,21 @@ def frame_step(dpb_y, dpb_cb, dpb_cr, slot, arrs, cfg: Cfg):
         ).astype(jnp.int16)
         if cfg.chroma:
             m2 = jnp.repeat(jnp.repeat(m, 2, axis=0), 2, axis=1)
-            rec_cb = jnp.where(
-                m2, jnp.clip(pred_cb + arrs["res_cb"], 0, bd_max), 0
-            ).astype(jnp.int16)
-            rec_cr = jnp.where(
-                m2, jnp.clip(pred_cr + arrs["res_cr"], 0, bd_max), 0
-            ).astype(jnp.int16)
+            if lmcs is not None:
+                # chroma residual scaling needs the completed mapped luma:
+                # keep the prediction, add after the luma waves
+                pred_cb_d, pred_cr_d = pred_cb, pred_cr
+                rec_cb = jnp.where(m2, jnp.clip(pred_cb, 0, bd_max), 0) \
+                    .astype(jnp.int16)
+                rec_cr = jnp.where(m2, jnp.clip(pred_cr, 0, bd_max), 0) \
+                    .astype(jnp.int16)
+            else:
+                rec_cb = jnp.where(
+                    m2, jnp.clip(pred_cb + arrs["res_cb"], 0, bd_max), 0
+                ).astype(jnp.int16)
+                rec_cr = jnp.where(
+                    m2, jnp.clip(pred_cr + arrs["res_cr"], 0, bd_max), 0
+                ).astype(jnp.int16)
     else:
         rec_y = jnp.zeros((H4, W4), jnp.int16)
         if cfg.chroma:
@@ -159,10 +178,31 @@ def frame_step(dpb_y, dpb_cb, dpb_cr, slot, arrs, cfg: Cfg):
                                         with_mip=cfg.mip_on), None
 
         rec_y, _ = jax.lax.scan(lbody, mpad(rec_y), jobs_l)
+    res_cb_eff, res_cr_eff = None, None
     if cfg.chroma:
+        res_cb_eff, res_cr_eff = arrs["res_cb"], arrs["res_cr"]
+        if lmcs is not None:
+            # derive the per-64-block chroma scale from the completed
+            # mapped luma, scale the chroma residual planes, and apply
+            # the deferred inter residual add
+            from openvvc_tpu.tpu import lmcs_dense
+
+            su = lmcs_dense.chroma_scale_units(
+                jnp, rec_y[:H, :W].astype(jnp.int32), lmcs, uh, uw, bd)
+            res_cb_eff = lmcs_dense.scale_chroma_res(
+                jnp, res_cb_eff, su, lmcs["csc"], bd).astype(jnp.int32)
+            res_cr_eff = lmcs_dense.scale_chroma_res(
+                jnp, res_cr_eff, su, lmcs["csc"], bd).astype(jnp.int32)
+            if pred_cb_d is not None:
+                rec_cb = jnp.where(
+                    m2, jnp.clip(pred_cb_d + res_cb_eff, 0, bd_max), 0
+                ).astype(jnp.int16)
+                rec_cr = jnp.where(
+                    m2, jnp.clip(pred_cr_d + res_cr_eff, 0, bd_max), 0
+                ).astype(jnp.int16)
         jobs_c = arrs["jobs_c"]
         if jobs_c.shape[0]:
-            res_cb, res_cr = mpad(arrs["res_cb"]), mpad(arrs["res_cr"])
+            res_cb, res_cr = mpad(res_cb_eff), mpad(res_cr_eff)
 
             def cbody(carry, jf):
                 cb, cr = carry
@@ -177,6 +217,12 @@ def frame_step(dpb_y, dpb_cb, dpb_cr, slot, arrs, cfg: Cfg):
     y = rec_y[:H, :W].astype(jnp.int32)
     cb = rec_cb[:H >> 1, :W >> 1].astype(jnp.int32) if cfg.chroma else None
     cr = rec_cr[:H >> 1, :W >> 1].astype(jnp.int32) if cfg.chroma else None
+
+    if lmcs is not None:
+        # backward reshape before the loop filters (slicedec.c:745-750)
+        from openvvc_tpu.tpu import lmcs_dense
+
+        y = lmcs_dense.bwd_map(jnp, y, lmcs, bd)
 
     if cfg.dbf_on:
         from openvvc_tpu.rcn.jax_dbf import (_apply_pass_chroma,
@@ -253,6 +299,8 @@ def pack_arrs(arrs):
     off = 0
     for leaf in leaves:
         leaf = np.ascontiguousarray(leaf)
+        if leaf.dtype == np.int64:
+            leaf = leaf.astype(np.int32)  # jax x64 is disabled
         if leaf.nbytes >= _BIG:
             metas.append(("big", len(bigs), leaf.shape, leaf.dtype.name))
             bigs.append(leaf)
