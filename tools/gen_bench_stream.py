@@ -215,8 +215,8 @@ def main():
     ap.add_argument("--alf", action="store_true",
                     help="enable ALF + CC-ALF with per-CTU random params")
     ap.add_argument("--all-tools", action="store_true",
-                    help="hostile profile: ALF + CC-ALF + LFNST + MIP mix "
-                         "(grows as more tools land in the device set)")
+                    help="hostile profile: ALF + CC-ALF + LFNST + MIP + "
+                         "LMCS (reshaper + chroma scaling) mix")
     ap.add_argument("--out", default="/tmp/bench_1080p.266")
     args = ap.parse_args()
 
@@ -235,6 +235,11 @@ def main():
                        tile_cols=tile_cols,
                        alf=args.alf, alf_chroma=args.alf, cc_alf=args.alf,
                        lfnst=args.all_tools, mip=args.all_tools,
+                       lmcs=args.all_tools,
+                       lmcs_params=(dict(cw_deltas={2: 10, 8: -8, 12: 12},
+                                         crs=2)
+                                    if args.all_tools else None),
+                       lmcs_chroma_scaling=args.all_tools,
                        tmvp=args.gop == "ra", amvr=args.gop == "ra")
 
     lf = args.all_tools
