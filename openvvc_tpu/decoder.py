@@ -1973,11 +1973,17 @@ class Decoder:
             jl = arrs["jobs_l"]
             mip_on = bool(jl.size) and bool(
                 (jl[:, _iw.J_KIND, :] == _iw.KIND_MIP).any())
+            jc = arrs.get("jobs_c")
+            cclm_on = (jc is not None and bool(jc.size) and bool(
+                (jc[:, _iw.J_KIND, :] == _iw.KIND_CCLM).any()))
+            colloc = bool(getattr(
+                sps, "sps_chroma_vertical_collocated_flag", 0) or 0)
             cfg = Cfg(pps.pic_w, pps.pic_h, ir.uw, ir.uh, bd, chroma,
                       has_inter, dbf_params is not None,
                       sao_tabs is not None, sps.ctb_log2,
                       alf_tabs is not None, entries_t,
-                      use_pallas_mc, mc_dims, mip_on, lmcs_on)
+                      use_pallas_mc, mc_dims, mip_on, lmcs_on,
+                      cclm_on, colloc)
         with trace.span("device_dispatch"):
             try:
                 frame._dev_out = run_frame(ddpb, slot, arrs, cfg)

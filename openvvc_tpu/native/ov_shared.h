@@ -72,6 +72,7 @@ enum {
 };
 #define JOB_KIND_INTRA 0
 #define JOB_KIND_MIP 3
+#define JOB_KIND_CCLM 4
 #define IR_TILE 32 /* intra job sub-tile (intra_wave.TILE) */
 
 /* ---- parameters handed over from Python (ctypes.Structure) ---------- */

@@ -2105,8 +2105,31 @@ static int ir_intra_cu(const Rc *r, IrOut *o, const int32_t *cu)
         int lvl = ir_level(r, o->lvl_c, r->ac_w, r->ac_h, tu->x, tu->y,
                            above ? nava : 0, left ? navl : 0, 0);
         if (lvl > o->max_lvl_c) o->max_lvl_c = lvl;
-        if (ir_emit_job(o, 0, tu->x, tu->y, tu->l2w, tu->l2h, mode, lvl,
-                        corner, above, left, nava, navl) < 0)
+        int erc2;
+        if (mode >= INTRA_LT_CCLM && mode <= INTRA_T_CCLM) {
+            /* chroma-from-luma: aux0 = mode, aux1 = probed available run
+             * for the T/L variants (decode-order chroma availability) */
+            int nav = 0;
+            int pw = 1 << tu->l2w, ph_ = 1 << tu->l2h;
+            if (mode == INTRA_T_CCLM) {
+                int nb_ref = (pw + imin(pw, ph_)) >> 1;
+                while (nav < nb_ref
+                       && chroma_avail(r, tu->x + 2 * nav, tu->y - 1))
+                    nav++;
+            } else if (mode == INTRA_L_CCLM) {
+                int nb_ref = (ph_ + imin(pw, ph_)) >> 1;
+                while (nav < nb_ref
+                       && chroma_avail(r, tu->x - 1, tu->y + 2 * nav))
+                    nav++;
+            }
+            erc2 = ir_emit_job_kind(o, 0, tu->x, tu->y, tu->l2w, tu->l2h,
+                                    0, lvl, corner, above, left, nava,
+                                    navl, JOB_KIND_CCLM, mode, nav);
+        } else {
+            erc2 = ir_emit_job(o, 0, tu->x, tu->y, tu->l2w, tu->l2h, mode,
+                               lvl, corner, above, left, nava, navl);
+        }
+        if (erc2 < 0)
             return -1;
         const int32_t *jt = find_tu_c(r, cu, 3, tu->x, tu->y);
         if (jt) {
@@ -2250,9 +2273,7 @@ int64_t ov_build_ir(const EntryParams *ep, const ReconParams *rp,
                                  c[CU_F_LOG2H] > ep->l_max_tb))
             return -1; /* MIP beyond one wave tile / TU split */
         if (c[CU_F_TREE] != TREE_SINGLE || c[CU_F_MRL] ||
-            c[CU_F_PRED] > MODE_INTER ||
-            (c[CU_F_INTRA_C] >= INTRA_LT_CCLM &&
-             c[CU_F_INTRA_C] <= INTRA_T_CCLM))
+            c[CU_F_PRED] > MODE_INTER)
             return -1;
         if (c[CU_F_PRED] == MODE_INTER) {
             int dir = c[CU_F_MV1REF] >= 0 ? c[CU_F_INTER_DIR] : 1;

@@ -42,6 +42,8 @@ class Cfg(NamedTuple):
     mc_dims: tuple = ()   # padded unit-grid dims for the Pallas MC classes
     mip_on: bool = False  # any KIND_MIP job in this picture
     lmcs_on: bool = False
+    cclm_on: bool = False  # any KIND_CCLM chroma job
+    cclm_colloc: bool = False
 
 
 def _bucket_pow2(n, lo=0):
@@ -203,11 +205,26 @@ def frame_step(dpb_y, dpb_cb, dpb_cr, slot, arrs, cfg: Cfg):
         jobs_c = arrs["jobs_c"]
         if jobs_c.shape[0]:
             res_cb, res_cr = mpad(res_cb_eff), mpad(res_cr_eff)
+            luma4 = None
+            if cfg.cclm_on:
+                # chroma-from-luma reads the completed luma; +4 top/left
+                # margin, window-sized bottom/right margin
+                luma4 = jnp.pad(rec_y[:H, :W],
+                                ((4, 4 * iw.TILE + 16),
+                                 (4, 4 * iw.TILE + 16)))
 
             def cbody(carry, jf):
                 cb, cr = carry
-                cb = iw.predict_wave_step(jnp, cb, res_cb, jf, bd, False)
-                cr = iw.predict_wave_step(jnp, cr, res_cr, jf, bd, False)
+                cb = iw.predict_wave_step(jnp, cb, res_cb, jf, bd, False,
+                                          with_cclm=cfg.cclm_on,
+                                          luma4=luma4,
+                                          colloc=cfg.cclm_colloc,
+                                          ctb_log2=cfg.ctb_log2)
+                cr = iw.predict_wave_step(jnp, cr, res_cr, jf, bd, False,
+                                          with_cclm=cfg.cclm_on,
+                                          luma4=luma4,
+                                          colloc=cfg.cclm_colloc,
+                                          ctb_log2=cfg.ctb_log2)
                 return (cb, cr), None
 
             (rec_cb, rec_cr), _ = jax.lax.scan(cbody,

@@ -31,6 +31,7 @@ KIND_INTRA = 0
 KIND_IBC = 1
 KIND_CIIP = 2
 KIND_MIP = 3
+KIND_CCLM = 4
 
 # lane budgets: luma TUs are <= 64 wide so the reference line holds
 # indices 0..2*64+8 (=136) plus 3 tap lookahead; negative projections
@@ -231,6 +232,223 @@ def _predict_mip_batch(jnp, ra, rl, l2w, l2h, mip_mode, transpose, w, h,
     return out
 
 
+_CCLM_DIV = (0, 7, 6, 5, 5, 4, 4, 3, 3, 2, 2, 1, 1, 1, 1, 0)
+
+
+def _predict_cclm_batch(jnp, plane, luma4, jf, bitdepth, bd_max, T,
+                        colloc, ctb_log2):
+    """Batched CCLM/MDLM chroma prediction (ref_cclm.predict_cclm parity;
+    rcn_intra_cclm.c:71-520) over (B, T, T) tiles.
+
+    plane: the chroma carry (for boundary chroma samples).  luma4: the
+    COMPLETED luma plane padded by 4 on top/left (so luma coord (lx, ly)
+    relative to the block maps to luma4[2*cy0 + ly + 4, 2*cx0 + lx + 4])
+    and by >= 4*T + 8 on bottom/right.  Per-job fields: J_AUX0 = mode
+    (81..83), J_AUX1 = probed available run (T/L modes)."""
+    import jax
+    from jax import lax
+
+    B = jf.shape[1]
+    cx0, cy0 = jf[J_X0], jf[J_Y0]
+    l2w, l2h = jf[J_L2W], jf[J_L2H]
+    pw, ph = 1 << l2w, 1 << l2h
+    mode = jf[J_AUX0]
+    nav = jf[J_AUX1]
+    abv = jf[J_ABOVE] > 0
+    lft = jf[J_LEFT] > 0
+    avg = 1 << (bitdepth - 1)
+    first_line = ((cy0 << 1) & ((1 << ctb_log2) - 1)) == 0
+
+    # per-job windows: luma (2T+12, 4T+12) from (2*cy0-4, 2*cx0-4) in
+    # padded coords = (2*cy0, 2*cx0); chroma (T+6, 2T+6) from
+    # (cy0-4, cx0-4) on a 4-padded copy of the chroma plane
+    LWH, LWW = 2 * T + 12, 4 * T + 12
+    CWH, CWW = T + 6, 2 * T + 6
+
+    def lwin(y, x):
+        return lax.dynamic_slice(luma4, (y, x), (LWH, LWW))
+
+    LW = jax.vmap(lwin)(2 * cy0, 2 * cx0).astype(jnp.int32)
+    cpad = jnp.pad(plane, ((4, CWH), (4, CWW)))
+
+    def cwin(y, x):
+        return lax.dynamic_slice(cpad, (y, x), (CWH, CWW))
+
+    CW = jax.vmap(cwin)(cy0, cx0).astype(jnp.int32)
+
+    def ly(lx_, ly_):
+        # LW[b, 4 + ly, 4 + lx] with per-slot vectors (B, S)
+        idx = (4 + ly_) * LWW + (4 + lx_)
+        return jnp.take_along_axis(LW.reshape(B, -1),
+                                   jnp.clip(idx, 0, LWH * LWW - 1), 1)
+
+    def cv(cx_, cy_):
+        idx = (4 + cy_) * CWW + (4 + cx_)
+        return jnp.take_along_axis(CW.reshape(B, -1),
+                                   jnp.clip(idx, 0, CWH * CWW - 1), 1)
+
+    i4 = jnp.arange(4, dtype=jnp.int32)[None, :]
+
+    # ---- boundary candidate samples (4 above + 4 left slots) ------------
+    l2_abv = jnp.where(abv, 1, 0) + jnp.where(lft, 0, 1)
+    l2_lft = jnp.where(lft, 1, 0) + jnp.where(abv, 0, 1)
+    is_t = mode == 83
+    is_l = mode == 82
+    alen = nav << 1
+    n_abv = jnp.where(is_t, jnp.minimum(alen, 4),
+                      jnp.where(is_l, 0,
+                                jnp.where(abv, jnp.minimum(pw, l2_abv << 1),
+                                          0)))
+    n_lft = jnp.where(is_l, jnp.minimum(alen, 4),
+                      jnp.where(is_t, 0,
+                                jnp.where(lft, jnp.minimum(ph, l2_lft << 1),
+                                          0)))
+    step_a = jnp.where(is_t, jnp.maximum(1, alen >> 2),
+                       jnp.maximum(1, pw >> l2_abv))
+    step_l = jnp.where(is_l, jnp.maximum(1, alen >> 2),
+                       jnp.maximum(1, ph >> l2_lft))
+
+    sa = (step_a[:, None] >> 1) + i4 * step_a[:, None]   # chroma x slots
+    sl = (step_l[:, None] >> 1) + i4 * step_l[:, None]
+    lxa = sa << 1
+    lya = sl << 1
+    pad_a = jnp.where(((step_a[:, None] >> 1) == 0) & (i4 == 0)
+                      & ~lft[:, None], 0, 1)
+    pad_l0 = jnp.where(((step_l[:, None] >> 1) == 0) & (i4 == 0)
+                       & ~abv[:, None], 0, 1)
+
+    if colloc:
+        abv_y_in = (4 + ly(lxa, jnp.full_like(lxa, -3))
+                    + ly(lxa - pad_a, jnp.full_like(lxa, -2))
+                    + 4 * ly(lxa, jnp.full_like(lxa, -2))
+                    + ly(lxa + 1, jnp.full_like(lxa, -2))
+                    + ly(lxa, jnp.full_like(lxa, -1))) >> 3
+        lft_y = (4 + ly(jnp.full_like(lya, -2), lya - pad_l0)
+                 + 4 * ly(jnp.full_like(lya, -2), lya)
+                 + ly(jnp.full_like(lya, -3), lya)
+                 + ly(jnp.full_like(lya, -1), lya)
+                 + ly(jnp.full_like(lya, -2), lya + 1)) >> 3
+    else:
+        abv_y_in = (4 + ly(lxa - pad_a, jnp.full_like(lxa, -2))
+                    + 2 * ly(lxa, jnp.full_like(lxa, -2))
+                    + ly(lxa + 1, jnp.full_like(lxa, -2))
+                    + ly(lxa - pad_a, jnp.full_like(lxa, -1))
+                    + 2 * ly(lxa, jnp.full_like(lxa, -1))
+                    + ly(lxa + 1, jnp.full_like(lxa, -1))) >> 3
+        lft_y = (4 + 2 * ly(jnp.full_like(lya, -2), lya)
+                 + ly(jnp.full_like(lya, -1), lya)
+                 + ly(jnp.full_like(lya, -3), lya)
+                 + 2 * ly(jnp.full_like(lya, -2), lya + 1)
+                 + ly(jnp.full_like(lya, -1), lya + 1)
+                 + ly(jnp.full_like(lya, -3), lya + 1)) >> 3
+    # CTU first line above: single-row (1,2,1) filter
+    abv_y_fl = (2 + ly(lxa - pad_a, jnp.full_like(lxa, -1))
+                + 2 * ly(lxa, jnp.full_like(lxa, -1))
+                + ly(lxa + 1, jnp.full_like(lxa, -1))) >> 2
+    abv_y = jnp.where(first_line[:, None], abv_y_fl, abv_y_in)
+    abv_c = cv(sa, jnp.full_like(sa, -1))
+    lft_c = cv(jnp.full_like(sl, -1), sl)
+
+    # ---- pack into 4 lanes: above run then left run ---------------------
+    na = n_abv[:, None]
+    from_abv = i4 < na
+    idx_a = jnp.clip(i4, 0, 3)
+    idx_l = jnp.clip(i4 - na, 0, 3)
+    smp_y = jnp.where(from_abv,
+                      jnp.take_along_axis(abv_y, idx_a, 1),
+                      jnp.take_along_axis(lft_y, idx_l, 1))
+    smp_c = jnp.where(from_abv,
+                      jnp.take_along_axis(abv_c, idx_a, 1),
+                      jnp.take_along_axis(lft_c, idx_l, 1))
+    nsmp = n_abv + n_lft
+
+    # ---- min/max (2- or 4-sample forms, _sort_average parity) -----------
+    y0_, y1_, y2_, y3_ = (smp_y[:, k] for k in range(4))
+    c0_, c1_, c2_, c3_ = (smp_c[:, k] for k in range(4))
+    # n == 2
+    swap2 = y0_ >= y1_
+    mn_l2 = jnp.where(swap2, y1_, y0_)
+    mx_l2 = jnp.where(swap2, y0_, y1_)
+    mn_c2 = jnp.where(swap2, c1_, c0_)
+    mx_c2 = jnp.where(swap2, c0_, c1_)
+    # n == 4 sorting network on indices {0,2},{1,3} then cross
+    sw_a = y0_ > y2_
+    lo0 = jnp.where(sw_a, 2, 0)
+    lo1 = jnp.where(sw_a, 0, 2)
+    sw_b = y1_ > y3_
+    hi0 = jnp.where(sw_b, 3, 1)
+    hi1 = jnp.where(sw_b, 1, 3)
+    gy = lambda ii: jnp.take_along_axis(smp_y, ii[:, None], 1)[:, 0]
+    gc = lambda ii: jnp.take_along_axis(smp_c, ii[:, None], 1)[:, 0]
+    sw_c = gy(lo0) > gy(hi1)
+    lo0b = jnp.where(sw_c, hi0, lo0)
+    lo1b = jnp.where(sw_c, hi1, lo1)
+    hi0b = jnp.where(sw_c, lo0, hi0)
+    hi1b = jnp.where(sw_c, lo1, hi1)
+    sw_d = gy(lo1b) > gy(hi0b)
+    lo1c = jnp.where(sw_d, hi0b, lo1b)
+    hi0c = jnp.where(sw_d, lo1b, hi0b)
+    mn_l4 = (gy(lo0b) + gy(lo1c) + 1) >> 1
+    mx_l4 = (gy(hi0c) + gy(hi1b) + 1) >> 1
+    mn_c4 = (gc(lo0b) + gc(lo1c) + 1) >> 1
+    mx_c4 = (gc(hi0c) + gc(hi1b) + 1) >> 1
+    two = nsmp == 2
+    mn_l = jnp.where(two, mn_l2, mn_l4)
+    mx_l = jnp.where(two, mx_l2, mx_l4)
+    mn_c = jnp.where(two, mn_c2, mn_c4)
+    mx_c = jnp.where(two, mx_c2, mx_c4)
+
+    # ---- model (a, b, shift) --------------------------------------------
+    range_l = mx_l - mn_l
+    lrl0 = _floor_log2(jnp, range_l)
+    norm = ((range_l << 4) >> jnp.maximum(lrl0, 0)) & 0xF
+    div = jnp.asarray(np.asarray(_CCLM_DIV, np.int32))
+    v = jnp.zeros_like(norm)
+    for k in range(16):
+        v = v + jnp.where(norm == k, int(_CCLM_DIV[k]), 0)
+    v = v | 8
+    lrl = lrl0 + jnp.where(norm != 0, 1, 0)
+    range_c = mx_c - mn_c
+    lrc = jnp.where(range_c != 0,
+                    _floor_log2(jnp, jnp.abs(range_c)) + 1, 0)
+    add = (1 << lrc) >> 1
+    a = (range_c * v + add) >> lrc
+    shift = 3 + lrl - lrc
+    a = jnp.where(shift < 1, jnp.sign(a) * 15, a)
+    shift = jnp.maximum(shift, 1)
+    b = mn_c - ((a * mn_l) >> shift)
+    # degenerate cases: flat luma range, or no samples at all
+    a = jnp.where(range_l == 0, 0, a)
+    b = jnp.where(range_l == 0, mn_c, b)
+    shift = jnp.where(range_l == 0, 0, shift)
+    a = jnp.where(nsmp == 0, 0, a)
+    b = jnp.where(nsmp == 0, avg, b)
+    shift = jnp.where(nsmp == 0, 0, shift)
+
+    # ---- block luma downsample + model apply ----------------------------
+    r = jnp.arange(T, dtype=jnp.int32)
+    # strided views of the luma window: L(dx, dy)[b, j, i] =
+    # LW[b, 4 + 2j + dy, 4 + 2i + dx]
+    def L(dx, dy):
+        return LW[:, 4 + dy:4 + dy + 2 * T:2, 4 + dx:4 + dx + 2 * T:2]
+
+    if colloc:
+        pa = (abv[:, None, None] | (r[None, :, None] > 0)).astype(jnp.int32)
+        up = jnp.where(pa > 0, L(0, -1), L(0, 0))
+        v0 = (4 + up + 4 * L(0, 0) + L(-1, 0) + L(1, 0) + L(0, 1)) >> 3
+        v0_nl = (4 + up + 4 * L(0, 0) + L(0, 0) + L(1, 0) + L(0, 1)) >> 3
+    else:
+        v0 = (4 + L(1, 0) + L(-1, 0) + 2 * L(0, 0) + 2 * L(0, 1)
+              + L(1, 1) + L(-1, 1)) >> 3
+        v0_nl = (4 + L(1, 0) + L(0, 0) + 2 * L(0, 0) + 2 * L(0, 1)
+                 + L(1, 1) + L(0, 1)) >> 3
+    no_left0 = (~lft)[:, None, None] & (r[None, None, :] == 0)
+    vds = jnp.where(no_left0, v0_nl, v0)
+    pred = jnp.clip(((vds * a[:, None, None]) >> shift[:, None, None])
+                    + b[:, None, None], 0, bd_max)
+    return pred
+
+
 def _pdpc_w(jnp, scale, pos):
     sh = jnp.minimum(31, (pos << 1) >> scale)
     return jnp.where(sh < 6, 32 >> jnp.minimum(sh, 5), 0)
@@ -253,7 +471,8 @@ def _slice1(jnp, arr, starts, n):
 
 
 def predict_wave_step(jnp, plane, resid, jf, bitdepth, luma, tile=TILE,
-                      with_mip=False):
+                      with_mip=False, with_cclm=False, luma4=None,
+                      colloc=False, ctb_log2=6):
     """Predict + residual-add + scatter one wave batch into `plane`.
 
     plane/resid: [H, W] int16/int32 (plane is the scan carry); BOTH must
@@ -468,6 +687,13 @@ def predict_wave_step(jnp, plane, resid, jf, bitdepth, luma, tile=TILE,
         mip = _predict_mip_batch(jnp, ra, rl, l2w, l2h, jf[J_AUX0],
                                  jf[J_AUX1], w, h, bitdepth, bd_max, T)
         pred = jnp.where(is_mip[:, None, None], mip, pred)
+
+    # ---- CCLM jobs (KIND_CCLM; chroma pass only, luma plane complete) ---
+    if (not luma) and with_cclm:
+        is_cclm = jf[J_KIND] == KIND_CCLM
+        cclm = _predict_cclm_batch(jnp, plane, luma4, jf, bitdepth,
+                                   bd_max, T, colloc, ctb_log2)
+        pred = jnp.where(is_cclm[:, None, None], cclm, pred)
 
     # ---- residual add + masked window scatter-add -----------------------
     wy = (y0 + oy).astype(jnp.int32)
