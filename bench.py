@@ -27,6 +27,8 @@ STREAM_RA = "/tmp/bench_1080p_ra.266"
 REF_YUV_RA = "/tmp/bench_1080p_ra.yuv"
 STREAM_AT = "/tmp/bench_1080p_alltools.266"
 REF_YUV_AT = "/tmp/bench_1080p_alltools.yuv"
+STREAM_ATRA = "/tmp/bench_1080p_alltools_ra.266"
+REF_YUV_ATRA = "/tmp/bench_1080p_alltools_ra.yuv"
 NB_FRAMES = 9
 PERF_BIN = "/tmp/refperf/dectest"
 
@@ -58,6 +60,15 @@ def ensure_assets():
                        check=True, capture_output=True, timeout=1200)
     if not os.path.exists(REF_YUV_AT):
         subprocess.run([PERF_BIN, "-i", STREAM_AT, "-o", REF_YUV_AT,
+                        "-t", "1", "-e", "1"],
+                       check=True, capture_output=True)
+    if not os.path.exists(STREAM_ATRA):
+        subprocess.run([sys.executable, os.path.join(REPO, "tools/gen_bench_stream.py"),
+                        "--frames", str(NB_FRAMES), "--tiles", "2",
+                        "--all-tools", "--gop", "ra", "--out", STREAM_ATRA],
+                       check=True, capture_output=True, timeout=1200)
+    if not os.path.exists(REF_YUV_ATRA):
+        subprocess.run([PERF_BIN, "-i", STREAM_ATRA, "-o", REF_YUV_ATRA,
                         "-t", "1", "-e", "1"],
                        check=True, capture_output=True)
 
@@ -194,6 +205,13 @@ def main():
                                           3)
     except Exception as e:  # pragma: no cover - device-dependent
         extra["tpu_alltools_error"] = str(e)[:160]
+    try:
+        # the round-4 regression lane: RA GOP x 2 tiles x hostile intra
+        # toolset, device path required for every picture
+        extra["tpu_alltools_ra_fps"] = round(
+            bench_tpu(STREAM_ATRA, REF_YUV_ATRA), 3)
+    except Exception as e:  # pragma: no cover - device-dependent
+        extra["tpu_alltools_ra_error"] = str(e)[:160]
     try:
         extra.update(bench_ra())
     except Exception as e:

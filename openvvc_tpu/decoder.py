@@ -1786,6 +1786,17 @@ class Decoder:
             d = self._ddpb = DeviceDpb(pic_w, pic_h, chroma)
         return d
 
+    def _tpu_fallback(self, ctx, reason: str) -> None:
+        """Per-picture device-path rejection observability: one INFO line
+        naming the gate + a counter surfaced through Decoder.stats (the
+        reference logs tool activations via ov_log, ovutils.h)."""
+        from openvvc_tpu.utils.log import ov_log
+
+        poc = getattr(ctx.frame, "poc", "?")
+        ov_log("info", f"picture poc={poc} left the device path: {reason}")
+        fb = self.stats.setdefault("tpu_fallback_reasons", {})
+        fb[reason] = fb.get(reason, 0) + 1
+
     def _start_recon_tpu(self, ctx) -> None:
         """Build the dense frame IR in C and dispatch the fused device
         program asynchronously (SURVEY §7.1: parse/IR on host, all sample
@@ -1798,16 +1809,23 @@ class Decoder:
         if getattr(self, "_pre_dbf_hook", None):
             return
         if ctx.lmcs is not None and sps.ctb_log2 != 6:
+            self._tpu_fallback(ctx, "lmcs_ctb_not_64")
             return  # device chroma-scale granule assumes 64-px CTUs
         sc = getattr(params, "_rpr_scales", None)
         if sc is not None:
             from openvvc_tpu.rcn.ref_rpr import NO_SCALE
             if any(s != (NO_SCALE, NO_SCALE) for sl in sc for s in sl):
+                self._tpu_fallback(ctx, "rpr_scaled_ref")
                 return
         raws = []
         for entry, raw, _ectx in ctx.results:
             if raw is None:
-                return  # Python-parsed entry: outside the native toolset
+                # Python-parsed entry: outside the native toolset
+                from openvvc_tpu.native import native_parse_reject_reason
+
+                why = native_parse_reject_reason(params) or "parse_bail"
+                self._tpu_fallback(ctx, f"native_parse:{why}")
+                return
             raws.append((entry, raw))
 
         from openvvc_tpu.native import FrameIR, build_ir_entry_native
@@ -1839,6 +1857,7 @@ class Decoder:
         else:
             oks = [_bir(it) for it in items]
         if not all(oks):
+            self._tpu_fallback(ctx, "ir_unsupported_tool")
             ir.release()
             return
 
@@ -2108,7 +2127,19 @@ class Decoder:
         def _recon_one(item):
             entry, ectx = item
             rc = ReconCtx(frame, params, entry)
-            rc.tools = tools
+            etools = tools
+            if lmcs is not None:
+                # chroma_scale is running state mutated per 64-block in
+                # decode order; entries reconstruct concurrently on the
+                # pool, so each needs its own scale state (the reference
+                # keeps it in the per-entry ctudec, rcn_lmcs.c:321 —
+                # sharing one across tiles let a tile's TUs consume the
+                # other tile's most recent scale)
+                import copy as _copy
+
+                etools = dict(tools)
+                etools["lmcs"] = _copy.copy(lmcs)
+            rc.tools = etools
             rc.dmvr_overrides = dmvr_overrides
             erefs = (refs0, refs1, dist0, dist1) if refs0 is not None else None
             # Wavefront-batched intra: safe when every CU's cross-CU reads
@@ -2117,11 +2148,11 @@ class Decoder:
             if self.use_tpu_residuals and lmcs is None and all(
                     cu.tree_type == TREE_SINGLE and cu.pred_mode != 2
                     for ctu in ectx.ctus for cu in ctu.cus):
-                _recon_entry_waves(rc, ectx, params, tools, dbf, erefs)
+                _recon_entry_waves(rc, ectx, params, etools, dbf, erefs)
                 return
             for ctu in ectx.ctus:
                 for cu in ctu.cus:
-                    reconstruct_cu(rc, cu, params, tools, dbf, erefs)
+                    reconstruct_cu(rc, cu, params, etools, dbf, erefs)
 
         with trace.span("recon_py"):
             if min(len(pending), self.nb_entry_threads) > 1:

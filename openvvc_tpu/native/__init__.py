@@ -209,7 +209,9 @@ class _EntryParamsC(ctypes.Structure):
       + [(n, ctypes.c_int32) for n in (
           "alf_luma", "alf_cb", "alf_cr",
           "num_alf_aps_luma", "alf_chroma_num_alts",
-          "cc_cb_enabled", "cc_cr_enabled", "cc_nb_cb", "cc_nb_cr")]
+          "cc_cb_enabled", "cc_cr_enabled", "cc_nb_cb", "cc_nb_cr",
+          "mmvd_enabled", "mmvd_shift", "smvd_enabled",
+          "ref_smvd_idx0", "ref_smvd_idx1", "bcw_enabled", "ldc")]
 
 
 _CU_NFIELDS = 32
@@ -241,34 +243,40 @@ def _setup_parse_proto(lib):
     _parse_proto_done = True
 
 
-def native_parse_supported(params) -> bool:
-    """True when the active parameter set stays inside parse.c's toolset."""
+def native_parse_reject_reason(params) -> str | None:
+    """Name of the first gate that puts the active parameter set outside
+    parse.c's toolset, or None when the native parse supports it.  Feeds
+    the per-picture fallback observability (ov_log + Decoder.stats)."""
     sps, pps, ph, sh = params.sps, params.pps, params.ph, params.sh
     g = lambda o, n: int(getattr(o, n, 0) or 0)
     if params.slice_type == 0:
         # B slices: recon-side tools outside the C set
         if g(sps, "sps_bdof_enabled_flag") and not g(ph, "ph_bdof_disabled_flag"):
-            return False
+            return "bdof"
         if g(sps, "sps_dmvr_enabled_flag") and not g(ph, "ph_dmvr_disabled_flag"):
-            return False
+            return "dmvr"
     if params.slice_type == 2 and g(sps, "sps_qtbtt_dual_tree_intra_flag"):
-        return False
+        return "dual_tree_intra"
     if g(sps, "sps_chroma_format_idc") > 1:
-        return False
+        return "chroma_format_422_444"
     if g(sps, "sps_ref_pic_resampling_enabled_flag"):
-        return False  # scaled-ref MC not in C; refs may differ in size
+        return "rpr"  # scaled-ref MC not in C; refs may differ in size
     bad_sps = (
         "sps_isp_enabled_flag", "sps_bdpcm_enabled_flag",
         "sps_transform_skip_enabled_flag", "sps_sbt_enabled_flag",
         "sps_ibc_enabled_flag", "sps_palette_enabled_flag",
         "sps_affine_enabled_flag", "sps_sbtmvp_enabled_flag",
-        "sps_mmvd_enabled_flag", "sps_ciip_enabled_flag",
-        "sps_gpm_enabled_flag", "sps_bcw_enabled_flag",
-        "sps_smvd_enabled_flag",
+        "sps_ciip_enabled_flag", "sps_gpm_enabled_flag",
     )
-    if any(g(sps, n) for n in bad_sps):
-        return False
-    return True
+    for n in bad_sps:
+        if g(sps, n):
+            return n[4:-13]  # strip sps_ / _enabled_flag
+    return None
+
+
+def native_parse_supported(params) -> bool:
+    """True when the active parameter set stays inside parse.c's toolset."""
+    return native_parse_reject_reason(params) is None
 
 
 class _NativeInterCtx:
@@ -428,6 +436,13 @@ def parse_entry_native_raw(params, entry):
     ep.nb_active_ref0 = nra[0]
     ep.nb_active_ref1 = nra[1] if params.slice_type == 0 else 0
     ep.mvd1_zero = g(ph, "ph_mvd_l1_zero_flag")
+    ep.mmvd_enabled = g(sps, "sps_mmvd_enabled_flag")
+    ep.mmvd_shift = g(ph, "ph_mmvd_fullpel_only_flag") << 1
+    ep.bcw_enabled = g(sps, "sps_bcw_enabled_flag")
+    ep.ldc = 1  # InterCtx.ldc default; refined below when TMVP is on
+    ep.smvd_enabled = 0
+    ep.ref_smvd_idx0 = -1
+    ep.ref_smvd_idx1 = -1
     for i in range(16):
         ep.rpl0_opp[i] = 0xFF
         ep.rpl1_opp[i] = 0xFF
@@ -445,6 +460,24 @@ def parse_entry_native_raw(params, entry):
                 ep.rpl0_opp[i] = d1.index(d) if d in d1 else 0xFF
             for i, d in enumerate(d1):
                 ep.rpl1_opp[i] = d0.index(d) if d in d0 else 0xFF
+        # ref distances (InterCtx.dist_ref0/1, ctu.py :275-276): needed by
+        # MMVD offset scaling and TMVP regardless of the collocated field
+        for i, dd in enumerate(d0[:16]):
+            ep.dist_ref0[i] = -dd
+        for i, dd in enumerate(d1[:16]):
+            ep.dist_ref1[i] = -dd
+        # ldc + SMVD ref pair (vcl/ctu.py :279-286, slicedec_smvd_params)
+        ldc_all = not any(d > 0 for d in d0 + d1)
+        if g(ph, "ph_temporal_mvp_enabled_flag"):
+            ep.ldc = int(ldc_all)
+        if (params.slice_type == 0 and g(sps, "sps_smvd_enabled_flag")
+                and not ldc_all and not ep.mvd1_zero):
+            fw = [(d, i) for i, d in enumerate(d0) if d < 0]
+            bw = [(d, i) for i, d in enumerate(d1) if d > 0]
+            if fw and bw:
+                ep.ref_smvd_idx0 = max(fw)[1]
+                ep.ref_smvd_idx1 = min(bw)[1]
+                ep.smvd_enabled = 1
         # TMVP collocated field (ctu.py CTUParseCtx set_tmvp parity)
         col_obj = getattr(params, "_tmvp_col_obj", None)
         if (g(ph, "ph_temporal_mvp_enabled_flag") and col_obj is not None

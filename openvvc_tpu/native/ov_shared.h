@@ -107,6 +107,12 @@ typedef struct {
     int32_t alf_luma, alf_cb, alf_cr;
     int32_t num_alf_aps_luma, alf_chroma_num_alts;
     int32_t cc_cb_enabled, cc_cr_enabled, cc_nb_cb, cc_nb_cr;
+    /* MMVD / SMVD / BCW (vcl/ctu.py CTUParseCtx inter tool enables) */
+    int32_t mmvd_enabled, mmvd_shift;       /* ph_mmvd_fullpel_only << 1 */
+    int32_t smvd_enabled;                   /* slicedec_smvd_params resolved */
+    int32_t ref_smvd_idx0, ref_smvd_idx1;
+    int32_t bcw_enabled;
+    int32_t ldc;                            /* InterCtx.ldc (BCW idx bits) */
 } EntryParams;
 
 /* ---- deblocking maps handed over from Python (rcn/ref_dbf.py DbfMaps;

@@ -1416,6 +1416,117 @@ static int code_amvr_precision(Pc *p)
     return order[3];
 }
 
+/* ovcabac_read_ae_mmvd_merge_idx parity (vcl/inter_pu.py :209): base
+ * (ctx bin), step (TU: ctx bin + bypass run), direction (2 bypass) */
+static int code_mmvd_merge_idx(Pc *p, int max_nb_cand)
+{
+    int var0 = 0, var1 = 0, var2;
+    if (max_nb_cand > 1)
+        var0 = cabac_decode_bin(p->cab, MMVD_MERGE_IDX);
+    if (cabac_decode_bin(p->cab, MMVD_STEP_MVP_IDX)) {
+        var1 = 1;
+        while (var1 < 7 && cabac_decode_bypass(p->cab))
+            var1++;
+    }
+    var2 = cabac_decode_bypass(p->cab) ? 2 : 0;
+    var2 += cabac_decode_bypass(p->cab);
+    return var0 * 32 + var1 * 4 + var2;
+}
+
+/* ovcabac_read_ae_bcw_flag/_idx parity (vcl/inter_pu.py code_bcw_idx).
+ * Returns bcw_idx (2 = BCW_DEFAULT). */
+static int code_bcw_idx(Pc *p)
+{
+    static const int order[5] = {2, 3, 1, 4, 0}; /* parsing_order[BCW_NUM] */
+    int nb_bits = (p->ep->ldc ? 5 : 3) - 2;
+    if (!cabac_decode_bin(p->cab, BCW_IDX))
+        return 2;
+    int k = 1;
+    for (int i = 0; i < nb_bits; i++) {
+        if (!cabac_decode_bypass(p->cab))
+            break;
+        k++;
+    }
+    return order[k];
+}
+
+/* BCW idx read gate (read_bidir_mvp :2380): sps flag + size >= 256 */
+static int maybe_bcw(Pc *p, int l2w, int l2h)
+{
+    if (p->ep->bcw_enabled && l2w + l2h >= 8)
+        return code_bcw_idx(p);
+    return 2;
+}
+
+/* ---- MMVD offset derivation (drv/inter_mvp.py :705-770) ------------- */
+static void mmvd_offset_c(int idx, int shift, int *dx, int *dy)
+{
+    static const int steps[8] = {1, 2, 4, 8, 16, 32, 64, 128};
+    int off = (steps[idx >> 2] << 2) << shift;
+    int f = idx & 3;
+    *dx = f == 0 ? off : (f == 1 ? -off : 0);
+    *dy = f == 2 ? off : (f == 3 ? -off : 0);
+}
+
+/* drv_mmvd_merge_mvp_p parity (:722) */
+static MVc drv_mmvd_p(Pc *p, int ux, int uy, int nw, int nh, int merge_idx,
+                      int is_small)
+{
+    const EntryParams *e = p->ep;
+    int base = merge_idx / 32;
+    MVc mv = derive_merge_mvp(p, ux, uy, nw, nh, base, e->max_num_merge_cand,
+                              is_small);
+    int idx = merge_idx % 64 % 32;
+    int dx, dy;
+    mmvd_offset_c(idx, e->mmvd_shift, &dx, &dy);
+    mv.x += dx;
+    mv.y += dy;
+    update_mv_ctx(p, mv, ux, uy, nw, nh);
+    return mv;
+}
+
+/* drv_mmvd_merge_mvp_b parity (:736): the refinement offset rides the
+ * larger-|dist| list and is TMVP-scaled onto the other */
+static MIc drv_mmvd_b(Pc *p, int ux, int uy, int nw, int nh, int merge_idx,
+                      int is_small)
+{
+    const EntryParams *e = p->ep;
+    int base = merge_idx / 32;
+    MIc mi = derive_merge_mvp_b(p, ux, uy, nw, nh, base,
+                                e->max_num_merge_cand, is_small);
+    int idx = merge_idx - (merge_idx / 64) * 64 - base * 32;
+    int dx, dy;
+    mmvd_offset_c(idx, e->mmvd_shift, &dx, &dy);
+    int d0x = dx, d0y = dy, d1x = dx, d1y = dy;
+    if (mi.dir == 3) {
+        int d0 = e->dist_ref0[mi.mv0.ref];
+        int d1 = e->dist_ref1[mi.mv1.ref];
+        int a0 = d0 < 0 ? -d0 : d0, a1 = d1 < 0 ? -d1 : d1;
+        if (d0 == d1) {
+        } else if (a0 < a1) {
+            int scale = derive_tmvp_scale(d0, d1);
+            d0x = tmvp_scale_one(scale, d1x);
+            d0y = tmvp_scale_one(scale, d1y);
+        } else {
+            int scale = derive_tmvp_scale(d1, d0);
+            d1x = tmvp_scale_one(scale, d0x);
+            d1y = tmvp_scale_one(scale, d0y);
+        }
+    } else if (mi.dir == 2) {
+        d0x = d0y = 0;
+    } else {
+        d1x = d1y = 0;
+    }
+    mi.mv0.x += d0x;
+    mi.mv0.y += d0y;
+    mi.mv1.x += d1x;
+    mi.mv1.y += d1y;
+    if (is_small && mi.dir == 3)
+        mi.dir = 1;
+    update_mv_ctx_b(p, mi.mv0, mi.mv1, ux, uy, nw, nh, mi.dir);
+    return mi;
+}
+
 /* prediction_unit_inter_p parity (affine/sb-merge/mmvd/ciip/gpm gated) */
 static void pred_unit_inter_p(Pc *p, int32_t *c, int x0, int y0,
                               int l2w, int l2h, int skip, int merge)
@@ -1426,13 +1537,23 @@ static void pred_unit_inter_p(Pc *p, int32_t *c, int x0, int y0,
     p->prec_amvr = PREC_QUARTER;
     MVc mv0;
     if (merge) {
-        /* merge_data_p with all optional tools off -> plain merge idx */
-        int midx = code_merge_idx(p, e->max_num_merge_cand);
-        c[CU_F_MERGE_IDX] = midx;
-        mv0 = derive_merge_mvp(p, ux, uy, nw, nh, midx, e->max_num_merge_cand,
-                               l2w + l2h <= 5);
-        p->prec_amvr = mv0.prec;
-        update_mv_ctx(p, mv0, ux, uy, nw, nh);
+        /* merge_data_p (ciip/gpm/sb-merge gated; MMVD live) */
+        int mmvd = 0;
+        if (e->mmvd_enabled)
+            mmvd = cabac_decode_bin(p->cab, MMVD_FLAG);
+        if (mmvd) {
+            int midx = code_mmvd_merge_idx(p, e->max_num_merge_cand);
+            c[CU_F_MERGE_IDX] = midx;
+            mv0 = drv_mmvd_p(p, ux, uy, nw, nh, midx, l2w + l2h <= 5);
+            p->prec_amvr = mv0.prec;
+        } else {
+            int midx = code_merge_idx(p, e->max_num_merge_cand);
+            c[CU_F_MERGE_IDX] = midx;
+            mv0 = derive_merge_mvp(p, ux, uy, nw, nh, midx,
+                                   e->max_num_merge_cand, l2w + l2h <= 5);
+            p->prec_amvr = mv0.prec;
+            update_mv_ctx(p, mv0, ux, uy, nw, nh);
+        }
     } else {
         int nb_active = e->nb_active_ref0;
         int ref_idx = nb_active > 1 ? code_ref_idx(p, nb_active)
@@ -1494,15 +1615,54 @@ static void pred_unit_inter_b(Pc *p, int32_t *c, int x0, int y0,
     p->prec_amvr = PREC_QUARTER;
     MIc mi;
     if (merge) {
-        int midx = code_merge_idx(p, e->max_num_merge_cand);
-        c[CU_F_MERGE_IDX] = midx;
-        mi = derive_merge_mvp_b(p, ux, uy, nw, nh, midx,
-                                e->max_num_merge_cand, l2w + l2h <= 5);
-        update_mv_ctx_b(p, mi.mv0, mi.mv1, ux, uy, nw, nh, mi.dir);
+        int mmvd = 0;
+        if (e->mmvd_enabled)
+            mmvd = cabac_decode_bin(p->cab, MMVD_FLAG);
+        if (mmvd) {
+            int midx = code_mmvd_merge_idx(p, e->max_num_merge_cand);
+            c[CU_F_MERGE_IDX] = midx;
+            mi = drv_mmvd_b(p, ux, uy, nw, nh, midx, l2w + l2h <= 5);
+        } else {
+            int midx = code_merge_idx(p, e->max_num_merge_cand);
+            c[CU_F_MERGE_IDX] = midx;
+            mi = derive_merge_mvp_b(p, ux, uy, nw, nh, midx,
+                                    e->max_num_merge_cand, l2w + l2h <= 5);
+            update_mv_ctx_b(p, mi.mv0, mi.mv1, ux, uy, nw, nh, mi.dir);
+        }
         p->prec_amvr = (mi.dir & 1) ? mi.mv0.prec : mi.mv1.prec;
     } else {
         int inter_dir = code_inter_dir(p, l2w, l2h);
-        if (inter_dir == 3) {
+        int smvd = 0;
+        if (inter_dir == 3 && e->smvd_enabled)
+            smvd = cabac_decode_bin(p->cab, SMVD_FLAG);
+        if (smvd) {
+            /* symmetric MVD (prediction_unit_inter_b :689): one MVD,
+             * mirrored onto list 1; refs are the resolved smvd pair */
+            int m0x, m0y;
+            code_mvd(p, &m0x, &m0y);
+            int mvp0 = cabac_decode_bin(p->cab, MVP_IDX);
+            int mvp1 = cabac_decode_bin(p->cab, MVP_IDX);
+            int prec = PREC_QUARTER;
+            if (e->amvr && (m0x || m0y))
+                prec = code_amvr_precision(p);
+            p->prec_amvr = prec;
+            int bcw = maybe_bcw(p, l2w, l2h);
+            int ref0 = e->ref_smvd_idx0, ref1 = e->ref_smvd_idx1;
+            MVc mv0 = derive_mvp_cand(p, 0, ref0, ux, uy, nw, nh, mvp0, 1,
+                                      prec, l2w + l2h <= 5);
+            MVc mv1 = derive_mvp_cand(p, 1, ref1, ux, uy, nw, nh, mvp1, 2,
+                                      prec, l2w + l2h <= 5);
+            MVc d0 = {m0x, m0y, 0, 0, 0}, d1 = {-m0x, -m0y, 0, 0, 0};
+            d0 = mv_change_prec(d0, prec, PREC_INTERNAL);
+            d1 = mv_change_prec(d1, prec, PREC_INTERNAL);
+            mv0.x += d0.x; mv0.y += d0.y;
+            mv1.x += d1.x; mv1.y += d1.y;
+            mv0.ref = (int8_t)ref0; mv1.ref = (int8_t)ref1;
+            mv0.bcw = (int8_t)(bcw + 1); mv1.bcw = (int8_t)(bcw + 1);
+            mv0.prec = (int8_t)prec; mv1.prec = (int8_t)prec;
+            update_mv_ctx_b(p, mv0, mv1, ux, uy, nw, nh, 3);
+            mi.dir = 3; mi.mv0 = mv0; mi.mv1 = mv1;
+        } else if (inter_dir == 3) {
             int nb0 = e->nb_active_ref0, nb1 = e->nb_active_ref1;
             int ref0 = nb0 > 1 ? code_ref_idx(p, nb0) : nb0 - 1;
             int m0x, m0y, m1x = 0, m1y = 0;
@@ -1517,6 +1677,7 @@ static void pred_unit_inter_b(Pc *p, int32_t *c, int x0, int y0,
             if (e->amvr && nz)
                 prec = code_amvr_precision(p);
             p->prec_amvr = prec;
+            int bcw = maybe_bcw(p, l2w, l2h);
             MVc mv0 = derive_mvp_cand(p, 0, ref0, ux, uy, nw, nh, mvp0, 1,
                                       prec, l2w + l2h <= 5);
             MVc mv1 = derive_mvp_cand(p, 1, ref1, ux, uy, nw, nh, mvp1, 2,
@@ -1527,7 +1688,7 @@ static void pred_unit_inter_b(Pc *p, int32_t *c, int x0, int y0,
             mv0.x += d0.x; mv0.y += d0.y;
             mv1.x += d1.x; mv1.y += d1.y;
             mv0.ref = (int8_t)ref0; mv1.ref = (int8_t)ref1;
-            mv0.bcw = 3; mv1.bcw = 3; /* BCW_DEFAULT + 1 */
+            mv0.bcw = (int8_t)(bcw + 1); mv1.bcw = (int8_t)(bcw + 1);
             mv0.prec = (int8_t)prec; mv1.prec = (int8_t)prec;
             update_mv_ctx_b(p, mv0, mv1, ux, uy, nw, nh, 3);
             mi.dir = 3; mi.mv0 = mv0; mi.mv1 = mv1;

@@ -1654,6 +1654,23 @@ static void mc_bi_c(const int32_t *p0, const int32_t *p1, int w, int h,
     }
 }
 
+/* BCW weighted bi combine (ref_mc.mc_bi_weighted, denom=3, w0+w1=8;
+ * reference put_weighted_*_bi_* rcn_inter.c:1481) */
+static void mc_bi_w_c(const int32_t *p0, const int32_t *p1, int w, int h,
+                      int bd, int bd_max, int w0, int w1, int32_t *out,
+                      int ostride)
+{
+    int shift = 14 - bd + 3;
+    int off = 1 << (shift - 1);
+    for (int j = 0; j < h; j++) {
+        const int32_t *restrict a = p0 + (int64_t)j * w;
+        const int32_t *restrict b = p1 + (int64_t)j * w;
+        int32_t *restrict o = out + (int64_t)j * ostride;
+        for (int i = 0; i < w; i++)
+            o[i] = bdclip((a[i] * w0 + b[i] * w1 + off) >> shift, bd_max);
+    }
+}
+
 static void recon_inter_cu(Rc *r, const int32_t *cu)
 {
     const EntryParams *e = r->ep;
@@ -1671,6 +1688,13 @@ static void recon_inter_cu(Rc *r, const int32_t *cu)
         r->rp->poc0[cu[CU_F_MV0REF]] == r->rp->poc1[cu[CU_F_MV1REF]] &&
         cu[CU_F_MV0X] == cu[CU_F_MV1X] && cu[CU_F_MV0Y] == cu[CU_F_MV1Y])
         inter_dir = 2;
+
+    /* BCW weighted combine (decoder._mcp_block: weighted only when the
+     * CU stayed bi after the reduction) */
+    static const int8_t BCW_W1[5] = {-2, 3, 4, 5, 10};
+    int bcw = cu[CU_F_MV0BCW];
+    int wgt = inter_dir == 3 && bcw != 0 && bcw != 3;
+    int w1b = wgt ? BCW_W1[bcw - 1] : 4;
 
     int32_t pred[64 * 64], res[64 * 64], tmp1[64 * 64];
 
@@ -1699,7 +1723,11 @@ static void recon_inter_cu(Rc *r, const int32_t *cu)
         mc_block_c(r->ref1_y[ref1], e->pic_w, e->pic_h, e->pic_w, tmp1, w,
                    x0 + (m1x >> 4), y0 + (m1y >> 4), m1x & 15, m1y & 15,
                    w, h, bd, 1, hpel, bd_max, 1);
-        mc_bi_c(pred, tmp1, w, h, bd, bd_max, fdst, e->pic_w);
+        if (wgt)
+            mc_bi_w_c(pred, tmp1, w, h, bd, bd_max, 8 - w1b, w1b, fdst,
+                      e->pic_w);
+        else
+            mc_bi_c(pred, tmp1, w, h, bd, bd_max, fdst, e->pic_w);
     } else {
         mc_block_c(py0[ref0], e->pic_w, e->pic_h, e->pic_w, fdst, e->pic_w,
                    x0 + (m0x >> 4), y0 + (m0y >> 4), m0x & 15, m0y & 15,
@@ -1744,7 +1772,11 @@ static void recon_inter_cu(Rc *r, const int32_t *cu)
             mc_block_c(rpl1, e->pic_w >> 1, e->pic_h >> 1, cs, tmp1, cw,
                        cx0 + (m1x >> 5), cy0 + (m1y >> 5), m1x & 31,
                        m1y & 31, cw, ch, bd, 0, 0, bd_max, 1);
-            mc_bi_c(pred, tmp1, cw, ch, bd, bd_max, dst, cs);
+            if (wgt)
+                mc_bi_w_c(pred, tmp1, cw, ch, bd, bd_max, 8 - w1b, w1b,
+                          dst, cs);
+            else
+                mc_bi_c(pred, tmp1, cw, ch, bd, bd_max, dst, cs);
         } else {
             mc_block_c(rpl, e->pic_w >> 1, e->pic_h >> 1, cs, dst, cs,
                        cx0 + (m0x >> 5), cy0 + (m0y >> 5), m0x & 31,
@@ -1834,8 +1866,6 @@ int64_t ov_recon_entry(const EntryParams *ep, const ReconParams *rp,
                 if (c[CU_F_MV1REF] < 0 || c[CU_F_MV1REF] >= rp->nb_refs1)
                     return -1;
             }
-            if (dir == 3 && c[CU_F_MV0BCW] != 0 && c[CU_F_MV0BCW] != 3)
-                return -1; /* BCW weighting not in C yet */
         }
     }
     for (int64_t i = 0; i < ntu; i++) {

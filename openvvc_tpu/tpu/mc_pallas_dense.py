@@ -332,8 +332,8 @@ def mc_class_call(stack, d, s_px, taps, bd, n_cy, n_cx):
             in_specs=[
                 pl.BlockSpec((1, 2, 2, taps), lambda i, *s: (i, 0, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.ANY),  # stack stays in HBM
-                pl.BlockSpec(memory_space=pltpu.ANY),  # carried class plane
+                pl.BlockSpec(memory_space=pl.ANY),  # stack stays in HBM
+                pl.BlockSpec(memory_space=pl.ANY),  # carried class plane
             ],
             out_specs=pl.BlockSpec(
                 (1, 1, s_px, s_px),
@@ -462,10 +462,10 @@ def mc_class_call_chroma(stack_cb, stack_cr, d, s_px, taps, bd, n_cy, n_cx):
             in_specs=[
                 pl.BlockSpec((1, 2, 2, taps), lambda i, *s: (i, 0, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.ANY),
-                pl.BlockSpec(memory_space=pltpu.ANY),
-                pl.BlockSpec(memory_space=pltpu.ANY),
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=[out_spec, out_spec],
             scratch_shapes=(

@@ -54,13 +54,21 @@ def _assert_same_ir(ectx_py, ectx_c):
                       "qp", "root_cbf", "prec_amvr_eff"):
                 assert getattr(ca, f) == getattr(cb, f), \
                     (ca.x0, ca.y0, f, getattr(ca, f), getattr(cb, f))
-            if ca.mv0 is None:
-                assert cb.mv0 is None
+            # mv0/mv1 are load-bearing only for the active list(s): the
+            # Python parser keeps a zero-MV placeholder on the inactive
+            # list while the C IR leaves it unset (recon reads per-dir)
+            inter = ca.pred_mode == 1
+            dir_ = ca.inter_dir if (inter and ca.mv1 is not None) else 1
+            if ca.mv0 is None or (inter and not (dir_ & 1)):
+                assert cb.mv0 is None or not (dir_ & 1)
             else:
                 ma, mb = ca.mv0, cb.mv0
                 assert (ma.x, ma.y, ma.ref_idx, ma.bcw_idx_plus1,
                         ma.prec_amvr) == (mb.x, mb.y, mb.ref_idx,
                                           mb.bcw_idx_plus1, mb.prec_amvr)
+            if inter and (dir_ & 2) and ca.mv1 is not None:
+                ma, mb = ca.mv1, cb.mv1
+                assert (ma.x, ma.y, ma.ref_idx) == (mb.x, mb.y, mb.ref_idx)
             assert len(ca.tus) == len(cb.tus)
             for ta, tb in zip(ca.tus, cb.tus):
                 for f in ("comp", "x0", "y0", "log2_w", "log2_h",
