@@ -29,6 +29,8 @@ STREAM_AT = "/tmp/bench_1080p_alltools.266"
 REF_YUV_AT = "/tmp/bench_1080p_alltools.yuv"
 STREAM_ATRA = "/tmp/bench_1080p_alltools_ra.266"
 REF_YUV_ATRA = "/tmp/bench_1080p_alltools_ra.yuv"
+STREAM_IT = "/tmp/bench_1080p_intertools.266"
+REF_YUV_IT = "/tmp/bench_1080p_intertools.yuv"
 NB_FRAMES = 9
 PERF_BIN = "/tmp/refperf/dectest"
 
@@ -69,6 +71,15 @@ def ensure_assets():
                        check=True, capture_output=True, timeout=1200)
     if not os.path.exists(REF_YUV_ATRA):
         subprocess.run([PERF_BIN, "-i", STREAM_ATRA, "-o", REF_YUV_ATRA,
+                        "-t", "1", "-e", "1"],
+                       check=True, capture_output=True)
+    if not os.path.exists(STREAM_IT):
+        subprocess.run([sys.executable, os.path.join(REPO, "tools/gen_bench_stream.py"),
+                        "--frames", str(NB_FRAMES), "--tiles", "2",
+                        "--inter-tools", "--gop", "ra", "--out", STREAM_IT],
+                       check=True, capture_output=True, timeout=1200)
+    if not os.path.exists(REF_YUV_IT):
+        subprocess.run([PERF_BIN, "-i", STREAM_IT, "-o", REF_YUV_IT,
                         "-t", "1", "-e", "1"],
                        check=True, capture_output=True)
 
@@ -212,6 +223,13 @@ def main():
             bench_tpu(STREAM_ATRA, REF_YUV_ATRA), 3)
     except Exception as e:  # pragma: no cover - device-dependent
         extra["tpu_alltools_ra_error"] = str(e)[:160]
+    try:
+        # hostile inter toolset (MMVD + BCW + SMVD + CIIP + GPM, RA GOP):
+        # every picture must take the device path
+        extra["tpu_intertools_fps"] = round(
+            bench_tpu(STREAM_IT, REF_YUV_IT), 3)
+    except Exception as e:  # pragma: no cover - device-dependent
+        extra["tpu_intertools_error"] = str(e)[:160]
     try:
         extra.update(bench_ra())
     except Exception as e:

@@ -69,9 +69,18 @@ class Frame:
         dev = getattr(self, "_dev_out", None)
         if dev is None:
             return
-        fut = getattr(self, "_fetch_future", None)
-        packed = fut.result() if fut is not None else np.asarray(dev)
-        self._fetch_future = None
+        flush = getattr(self, "_flush_cb", None)
+        if flush is not None:
+            flush()  # batched-fetch window still open: submit it now
+        bf = getattr(self, "_batch_fetch", None)
+        if bf is not None:
+            fut, off, n = bf
+            packed = fut.result()[off:off + n]
+            self._batch_fetch = None
+        else:
+            fut = getattr(self, "_fetch_future", None)
+            packed = fut.result() if fut is not None else np.asarray(dev)
+            self._fetch_future = None
         H, W = self.y.shape
         n = H * W
         self.y = packed[:n].reshape(H, W)
@@ -1307,6 +1316,7 @@ class Decoder:
         # reference's sub-decoder count bounds its frame lookahead.
         self.nb_frame_threads = max(1, nb_frame_threads)
         self._inflight = []  # frames dispatched, fetch not yet awaited
+        self._tpu_batch = []  # dispatched frames awaiting the batched D2H
         # RPR output upscale to the SPS max size (dectest -u /
         # OVDEC_RPR_UPSCALE, ovdec.c:557-562)
         self.upscale = upscale
@@ -1392,10 +1402,17 @@ class Decoder:
                 # reconstruction AHEAD of the next parse jobs so the pool
                 # drains in dependency order
                 self._join_parse(pending)
-                self._start_recon(pending)
+                if not self.tpu_frames:
+                    self._start_recon(pending)
             ctx = self._start_picture(nal)
             pipe = self._can_pipeline(ctx)
             self._submit_parse(ctx, async_=pipe or pending is not None)
+            if pending is not None and self.tpu_frames:
+                # device lane: N+1's parse rides the entry pool while N's
+                # IR build (separate pool) + host bundle packing run — the
+                # ~100 ms/frame of numpy table building was the single-
+                # threaded gap in the frame pipeline
+                self._start_recon(pending)
             self.flush_pending(emit)  # filters of N while N+1 parses
             if pipe:
                 self._pending = ctx
@@ -1559,6 +1576,16 @@ class Decoder:
         if getattr(self, "_fetch_pool", None) is None:
             self._fetch_pool = ThreadPoolExecutor(1)
         return self._fetch_pool
+
+    def _get_ir_pool(self):
+        """Separate pool for the per-entry IR builds: keeps them off the
+        entry-parse pool so picture N's IR does not queue behind picture
+        N+1's parse jobs (submit_nal submits the parse first)."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        if getattr(self, "_ir_pool", None) is None:
+            self._ir_pool = ThreadPoolExecutor(max(2, self.nb_entry_threads))
+        return self._ir_pool
 
     def _start_picture(self, nal) -> "_PicCtx":
         with trace.span("start_picture"):
@@ -1853,7 +1880,7 @@ class Decoder:
 
         items = [(i, raw) for i, (_, raw) in enumerate(raws)]
         if len(raws) > 1 and self.nb_entry_threads > 1:
-            oks = list(self._get_pool().map(_bir, items))
+            oks = list(self._get_ir_pool().map(_bir, items))
         else:
             oks = [_bir(it) for it in items]
         if not all(oks):
@@ -1949,11 +1976,22 @@ class Decoder:
                 arrs["gmask"] = ir.gmask
 
                 def _margs():
-                    return prepare_mc_args(ir.gmv, ir.gref, ir.gw,
-                                           ir.ghpel, lut0, lut1,
-                                           ir.uw, ir.uh)
+                    m = prepare_mc_args(ir.gmv, ir.gref, ir.gw,
+                                        ir.ghpel, lut0, lut1,
+                                        ir.uw, ir.uh, glist=ir.glist)
+                    if ir.has_gpm:
+                        # per-sample GPM blend weights in unit-block
+                        # layout; the combine uses w0/8-w0 from this plane
+                        m["wp"] = (ir.gwp
+                                   .reshape(ir.uh, 4, ir.uw, 4)
+                                   .transpose(0, 2, 1, 3)
+                                   .reshape(ir.uh * ir.uw, 4, 4)
+                                   .copy())
+                    return m
 
-                use_pallas_mc = self._mc_pallas_ok()
+                # the Pallas kernels carry per-job scalar weights; GPM's
+                # per-sample ramp runs on the XLA dense MC path
+                use_pallas_mc = self._mc_pallas_ok() and not ir.has_gpm
                 if use_pallas_mc:
                     from openvvc_tpu.tpu.mc_pallas_dense import (
                         build_mc_bundle, build_mc_bundle_native)
@@ -1992,6 +2030,8 @@ class Decoder:
             jl = arrs["jobs_l"]
             mip_on = bool(jl.size) and bool(
                 (jl[:, _iw.J_KIND, :] == _iw.KIND_MIP).any())
+            ciip_on = bool(jl.size) and bool(
+                (jl[:, _iw.J_KIND, :] == _iw.KIND_CIIP).any())
             jc = arrs.get("jobs_c")
             cclm_on = (jc is not None and bool(jc.size) and bool(
                 (jc[:, _iw.J_KIND, :] == _iw.KIND_CCLM).any()))
@@ -2002,7 +2042,7 @@ class Decoder:
                       sao_tabs is not None, sps.ctb_log2,
                       alf_tabs is not None, entries_t,
                       use_pallas_mc, mc_dims, mip_on, lmcs_on,
-                      cclm_on, colloc)
+                      cclm_on, colloc, ciip_on)
         with trace.span("device_dispatch"):
             try:
                 frame._dev_out = run_frame(ddpb, slot, arrs, cfg)
@@ -2022,13 +2062,15 @@ class Decoder:
                 arrs["margs"] = _margs()
                 cfg = cfg._replace(mc_pallas=False, mc_dims=())
                 frame._dev_out = run_frame(ddpb, slot, arrs, cfg)
-        # D2H through the device tunnel is high-latency and does not
-        # overlap with other fetches: prefetch on a dedicated thread so the
-        # copy rides alongside the next picture's parse
-        def _fetch(a=frame._dev_out):
-            with trace.span("d2h_fetch"):
-                return np.asarray(a)
-        frame._fetch_future = self._get_fetch_pool().submit(_fetch)
+        # D2H through the device tunnel is high-latency (per-transfer
+        # round-trip cost dominates over bandwidth): batch the packed
+        # outputs of the in-flight window into ONE device concat + ONE
+        # fetch, prefetched on a dedicated thread so the copy rides
+        # alongside the next pictures' parse/dispatch
+        frame._flush_cb = self._flush_tpu_fetch
+        self._tpu_batch.append(frame)
+        if len(self._tpu_batch) >= max(2, self.nb_frame_threads):
+            self._flush_tpu_fetch()
         # frame-pipeline backpressure (-t): allow nb_frame_threads
         # pictures in flight (dispatched, fetch pending) before blocking
         # on the oldest — bounds the output backlog and HBM working set
@@ -2039,6 +2081,30 @@ class Decoder:
             raw.release()
         self.stats["tpu_frames"] = self.stats.get("tpu_frames", 0) + 1
         ctx.tpu_state = "done"
+
+    def _flush_tpu_fetch(self) -> None:
+        """Submit one batched D2H for every dispatched-but-unfetched
+        picture: device-side concat of the packed uint8/int16 outputs,
+        one tunnel transfer, per-frame views by offset."""
+        batch = self._tpu_batch
+        if not batch:
+            return
+        self._tpu_batch = []
+        import jax.numpy as jnp
+
+        outs = [f._dev_out for f in batch]
+        dev = outs[0] if len(outs) == 1 else jnp.concatenate(outs)
+
+        def _fetch(a=dev):
+            with trace.span("d2h_fetch"):
+                return np.asarray(a)
+
+        fut = self._get_fetch_pool().submit(_fetch)
+        off = 0
+        for f, o in zip(batch, outs):
+            f._batch_fetch = (fut, off, o.shape[0])
+            f._flush_cb = None
+            off += o.shape[0]
 
     def _start_recon_host(self, ctx) -> None:
         """Queue native entry reconstruction on the pool. Caller must

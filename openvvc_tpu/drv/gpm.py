@@ -93,6 +93,55 @@ def gpm_weights(split_dir: int, log2_w: int, log2_h: int) -> np.ndarray:
     return mask[oy : oy + h, ox : ox + w]
 
 
+def gpm_unit_msks(split_dir: int, nw: int, nh: int) -> np.ndarray:
+    """Per-4x4-unit storage mix (update_gpm_mv_ctx :1482): 2 = blended
+    region (combined MV info), 0 = partition 0, 1 = partition 1."""
+    angle, d_idx = GEO_PARAMS[split_dir]
+    x_dis = G_DIS[angle]
+    y_dis = G_DIS[(angle + (GEO_NUM_ANGLES >> 2)) % GEO_NUM_ANGLES]
+    flip = 13 <= angle <= 27
+    off_x = (-nw * 4) >> 1
+    off_y = (-nh * 4) >> 1
+    if d_idx > 0:
+        if (angle & 0xF) == 8 or ((angle & 0xF) and nh >= nw):
+            off_y += (d_idx * nh) >> 1 if angle < 16 else -((d_idx * nh) >> 1)
+        else:
+            off_x += (d_idx * nw) >> 1 if angle < 16 else -((d_idx * nw) >> 1)
+    y = np.arange(nh)[:, None]
+    x = np.arange(nw)[None, :]
+    lookup_y = (((4 * y + off_y) * 2) + 5) * y_dis
+    midx = (((4 * x + off_x) * 2) + 5) * x_dis + lookup_y
+    out = np.where(np.abs(midx) < 32, 2,
+                   np.where(midx <= 0, 1 - int(flip), int(flip)))
+    return out.astype(np.int32)
+
+
+def gpm_units_from_parts(split_dir, nw, nh, d0, m0, d1, m1):
+    """Rebuild the per-4x4 (off_x, off_y, inter_dir, mv0, mv1) unit list
+    from the partition dirs/MVs alone (the combined-region and partition
+    MV infos are fully determined by them — see drv_gpm_merge_mvp_b)."""
+    z = MV()
+    idir = d0 | d1
+    if idir == 1:
+        smv0, smv1 = m1, z
+    elif idir == 2:
+        smv0, smv1 = z, m1
+    elif d0 == 1:
+        smv0, smv1 = m0, m1
+    else:
+        smv0, smv1 = m1, m0
+    cm = (idir, smv0, smv1)
+    p0 = (d0, m0 if d0 == 1 else z, m0 if d0 == 2 else z)
+    p1 = (d1, m1 if d1 == 1 else z, m1 if d1 == 2 else z)
+    msks = gpm_unit_msks(split_dir, nw, nh)
+    units = []
+    for y in range(nh):
+        for x in range(nw):
+            t = cm if msks[y, x] == 2 else (p0 if msks[y, x] == 0 else p1)
+            units.append((x, y, t[0], t[1], t[2]))
+    return units
+
+
 def drv_gpm_merge_mvp_b(ictx: InterCtx, x0, y0, log2_w, log2_h,
                         split_dir, merge_idx0, merge_idx1, max_nb_cand):
     """drv_gpm_merge_mvp_b parity; returns (dir0, mv0, dir1, mv1, units)

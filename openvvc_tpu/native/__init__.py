@@ -31,7 +31,7 @@ _SRC_SAO = os.path.join(_DIR, "sao.c")
 _SRC_MCPACK = os.path.join(_DIR, "mcpack.c")
 
 _HDRS = (os.path.join(_DIR, "ov_shared.h"), os.path.join(_DIR, "tables.h"),
-         os.path.join(_DIR, "cabac_inl.h"))
+         os.path.join(_DIR, "cabac_inl.h"), os.path.join(_DIR, "gpm_inl.h"))
 
 
 def _build():
@@ -211,10 +211,11 @@ class _EntryParamsC(ctypes.Structure):
           "num_alf_aps_luma", "alf_chroma_num_alts",
           "cc_cb_enabled", "cc_cr_enabled", "cc_nb_cb", "cc_nb_cr",
           "mmvd_enabled", "mmvd_shift", "smvd_enabled",
-          "ref_smvd_idx0", "ref_smvd_idx1", "bcw_enabled", "ldc")]
+          "ref_smvd_idx0", "ref_smvd_idx1", "bcw_enabled", "ldc",
+          "ciip_enabled", "gpm_enabled", "max_gpm_cand")]
 
 
-_CU_NFIELDS = 32
+_CU_NFIELDS = 35
 _TU_NFIELDS = 17
 _SAO_NFIELDS = 24
 _ALF_NFIELDS = 6
@@ -266,7 +267,6 @@ def native_parse_reject_reason(params) -> str | None:
         "sps_transform_skip_enabled_flag", "sps_sbt_enabled_flag",
         "sps_ibc_enabled_flag", "sps_palette_enabled_flag",
         "sps_affine_enabled_flag", "sps_sbtmvp_enabled_flag",
-        "sps_ciip_enabled_flag", "sps_gpm_enabled_flag",
     )
     for n in bad_sps:
         if g(sps, n):
@@ -439,6 +439,16 @@ def parse_entry_native_raw(params, entry):
     ep.mmvd_enabled = g(sps, "sps_mmvd_enabled_flag")
     ep.mmvd_shift = g(ph, "ph_mmvd_fullpel_only_flag") << 1
     ep.bcw_enabled = g(sps, "sps_bcw_enabled_flag")
+    ep.ciip_enabled = g(sps, "sps_ciip_enabled_flag")
+    ep.gpm_enabled = g(sps, "sps_gpm_enabled_flag")
+    mmc = 6 - g(sps, "sps_six_minus_max_num_merge_cand")
+    if ep.gpm_enabled and mmc >= 3:
+        ep.max_gpm_cand = mmc - g(
+            sps, "sps_max_num_merge_cand_minus_max_num_gpm_cand")
+    elif ep.gpm_enabled and mmc == 2:
+        ep.max_gpm_cand = 2
+    else:
+        ep.max_gpm_cand = 0
     ep.ldc = 1  # InterCtx.ldc default; refined below when TMVP is on
     ep.smvd_enabled = 0
     ep.ref_smvd_idx0 = -1
@@ -682,6 +692,28 @@ def _convert_native_entry(params, entry, raw):
             d["mv1"] = mv
         if r[F.COL_MODE] >= 0:
             d["col_luma_mode"] = r[F.COL_MODE]
+        if r[F.CIIP_WT]:
+            d["ciip_flag"] = 1
+            d["ciip_wt"] = r[F.CIIP_WT]
+        if r[F.GPM_DIRS]:
+            from openvvc_tpu.drv.gpm import gpm_units_from_parts
+
+            gd0 = 1 + ((r[F.GPM_DIRS] - 1) & 1)
+            gd1 = 1 + ((r[F.GPM_DIRS] - 1) >> 1)
+            gm0 = d["mv0"]
+            gm1 = mv_new(MV)
+            gm1.__dict__ = {"x": r[F.MV1X], "y": r[F.MV1Y],
+                            "ref_idx": r[F.MV1REF], "bcw_idx_plus1": 0,
+                            "prec_amvr": 0}
+            d["mv1"] = gm1
+            d["gpm_flag"] = 1
+            d["gpm_split_dir"] = r[F.GPM_SPLIT]
+            d["gpm_dirs"] = (gd0, gd1)
+            d["gpm_mvs"] = (gm0, gm1)
+            d["inter_dir"] = 0
+            d["gpm_units"] = gpm_units_from_parts(
+                r[F.GPM_SPLIT], max(1, (1 << r[F.LOG2W]) >> 2),
+                max(1, (1 << r[F.LOG2H]) >> 2), gd0, gm0, gd1, gm1)
         cu.__dict__ = d
         cu_lists[r[F.CTU]].append(cu)
 
@@ -737,7 +769,8 @@ class _CuF:
     (X0, Y0, LOG2W, LOG2H, TREE, PRED, INTRA_L, INTRA_C, MIP_FLAG, MIP_T,
      MIP_MODE, MRL, LFNST, SKIP, MERGE_FLAG, MERGE_IDX, INTER_DIR, MV0X,
      MV0Y, MV0REF, MV0BCW, MV0PREC, MV1X, MV1Y, MV1REF, QP, ROOT_CBF,
-     PREC_EFF, TU0, NTU, CTU, COL_MODE) = range(32)
+     PREC_EFF, TU0, NTU, CTU, COL_MODE, CIIP_WT, GPM_DIRS,
+     GPM_SPLIT) = range(35)
 
 
 # ---------------------------------------------------------------------------
@@ -1033,7 +1066,8 @@ def _setup_ir_proto(lib):
         vp, vp,         # coef_buf, cqp_tab
         vp, vp, vp,     # res_y, res_cb, res_cr
         i32, i32,       # ry_stride, rc_stride
-        vp, vp, vp, vp, vp, i32,  # gmask, gmv, gref, gw, ghpel, g_stride
+        vp, vp, vp, vp, vp, vp, vp, i32,  # gmask, gmv, gref, gw, ghpel,
+                                          # glist, gwp, g_stride
         vp, i64,        # jobs_l, cap_l
         vp, i64,        # jobs_c, cap_c
         vp, vp,         # dist0, dist1
@@ -1047,7 +1081,8 @@ class FrameIR:
     """Dense per-frame IR tensors shared by all entries of one picture."""
 
     __slots__ = ("res_y", "res_cb", "res_cr", "gmask", "gmv", "gref", "gw",
-                 "ghpel", "jobs_l", "jobs_c", "uw", "uh", "chroma")
+                 "ghpel", "glist", "gwp", "has_gpm", "jobs_l", "jobs_c",
+                 "uw", "uh", "chroma")
 
     def __init__(self, pic_w, pic_h, chroma=True):
         from openvvc_tpu.utils.pool import GLOBAL as _pool
@@ -1066,6 +1101,11 @@ class FrameIR:
         self.gref = _pool.take_zeroed((uh, uw, 2), np.int8)
         self.gw = _pool.take_zeroed((uh, uw, 2), np.int8)
         self.ghpel = _pool.take_zeroed((uh, uw), np.uint8)
+        # per-unit MC slot->list map + per-sample w0 plane (GPM ramps);
+        # only read where gmask is set, so no per-frame clearing needed
+        self.glist = _pool.take((uh, uw, 2), np.int8)
+        self.gwp = _pool.take((uh * 4, uw * 4), np.int8)
+        self.has_gpm = False
         self.jobs_l = []  # per-entry (n, J_NFIELDS) int32 arrays
         self.jobs_c = []
 
@@ -1073,9 +1113,11 @@ class FrameIR:
         from openvvc_tpu.utils.pool import GLOBAL as _pool
 
         _pool.give(self.res_y, self.res_cb, self.res_cr, self.gmask,
-                   self.gmv, self.gref, self.gw, self.ghpel)
+                   self.gmv, self.gref, self.gw, self.ghpel, self.glist,
+                   self.gwp)
         self.res_y = self.res_cb = self.res_cr = None
         self.gmask = self.gmv = self.gref = self.gw = self.ghpel = None
+        self.glist = self.gwp = None
 
 
 _J_NFIELDS = 16
@@ -1118,7 +1160,7 @@ def build_ir_entry_native(raw, ir: FrameIR, dbf, csign, nb_refs0, nb_refs1,
     cap_c = cap_l
     jobs_l = np.empty((cap_l, _J_NFIELDS), np.int32)
     jobs_c = np.empty((cap_c, _J_NFIELDS), np.int32)
-    counts = (ctypes.c_int64 * 4)()
+    counts = (ctypes.c_int64 * 5)()
 
     vp = ctypes.c_void_p
     ncu, ntu = int(raw.counts[0]), int(raw.counts[1])
@@ -1133,13 +1175,16 @@ def build_ir_entry_native(raw, ir: FrameIR, dbf, csign, nb_refs0, nb_refs1,
         ir.res_y.shape[1], ir.res_cb.shape[1] if ir.res_cb is not None else 0,
         vp(ir.gmask.ctypes.data), vp(ir.gmv.ctypes.data),
         vp(ir.gref.ctypes.data), vp(ir.gw.ctypes.data),
-        vp(ir.ghpel.ctypes.data), ir.uw,
+        vp(ir.ghpel.ctypes.data), vp(ir.glist.ctypes.data),
+        vp(ir.gwp.ctypes.data), ir.uw,
         vp(jobs_l.ctypes.data), cap_l,
         vp(jobs_c.ctypes.data), cap_c,
         vp(d0.ctypes.data), vp(d1.ctypes.data),
         ctypes.byref(db), ctypes.cast(counts, ctypes.c_void_p))
     if rc != 0:
         return False
+    if counts[4]:
+        ir.has_gpm = True
     jl = jobs_l[:int(counts[0])].copy()
     jc = jobs_c[:int(counts[1])].copy()
     if entry_idx is None:

@@ -53,7 +53,11 @@ enum {
     CU_F_INTER_DIR, CU_F_MV0X, CU_F_MV0Y, CU_F_MV0REF, CU_F_MV0BCW,
     CU_F_MV0PREC, CU_F_MV1X, CU_F_MV1Y, CU_F_MV1REF, CU_F_QP,
     CU_F_ROOT_CBF, CU_F_PREC_EFF, CU_F_TU0, CU_F_NTU, CU_F_CTU,
-    CU_F_COL_MODE, CU_NFIELDS
+    CU_F_COL_MODE,
+    CU_F_CIIP_WT,   /* 0 = not CIIP; 1..3 = intra blend weight */
+    CU_F_GPM_DIRS,  /* 0 = not GPM; else 1 + (dir0-1) + 2*(dir1-1) */
+    CU_F_GPM_SPLIT, /* GPM split_dir 0..63 */
+    CU_NFIELDS
 };
 enum {
     TU_F_COMP, TU_F_X0, TU_F_Y0, TU_F_LOG2W, TU_F_LOG2H, TU_F_CBF,
@@ -71,8 +75,14 @@ enum {
     J_LEFT, J_NAVA, J_NAVL, J_LEVEL, J_KIND, J_AUX0, J_AUX1, J_NFIELDS
 };
 #define JOB_KIND_INTRA 0
+#define JOB_KIND_CIIP 2
 #define JOB_KIND_MIP 3
 #define JOB_KIND_CCLM 4
+/* gmask values: bit0 = MC unit; bit1 = defer the luma residual add to a
+ * wave job (CIIP blend order); bit2 = defer the chroma residual add */
+#define GMASK_MC 1
+#define GMASK_DEFER_L 2
+#define GMASK_DEFER_C 4
 #define IR_TILE 32 /* intra job sub-tile (intra_wave.TILE) */
 
 /* ---- parameters handed over from Python (ctypes.Structure) ---------- */
@@ -113,6 +123,9 @@ typedef struct {
     int32_t ref_smvd_idx0, ref_smvd_idx1;
     int32_t bcw_enabled;
     int32_t ldc;                            /* InterCtx.ldc (BCW idx bits) */
+    /* CIIP / GPM */
+    int32_t ciip_enabled;
+    int32_t gpm_enabled, max_gpm_cand;
 } EntryParams;
 
 /* ---- deblocking maps handed over from Python (rcn/ref_dbf.py DbfMaps;

@@ -89,6 +89,7 @@ enum {
 };
 
 #include "ov_shared.h"
+#include "gpm_inl.h"
 
 typedef struct { int32_t x, y; int8_t ref, bcw, prec; } MVc;
 
@@ -1485,6 +1486,152 @@ static MVc drv_mmvd_p(Pc *p, int ux, int uy, int nw, int nh, int merge_idx,
     return mv;
 }
 
+/* CIIP blend weight from the top-right-above / bottom-left-left CU types
+ * (vcl/inter_pu.py _derive_ciip_wt; rcn_inter.c rcn_ciip_weighted_sum) */
+static int derive_ciip_wt(Pc *p, int x0, int y0, int l2w, int l2h)
+{
+    int x_r = x0 + (1 << l2w) - 1;
+    int y_b = y0 + (1 << l2h) - 1;
+    int abv = nbr_u8(p, p->m_ctype, x_r, y0 - 1, CU_NA);
+    int lft = nbr_u8(p, p->m_ctype, x0 - 1, y_b, CU_NA);
+    return 1 + (abv == CU_INTRA || abv == CU_MIP)
+             + (lft == CU_INTRA || lft == CU_MIP);
+}
+
+/* merge_data_p/b tool-flag header (vcl/inter_pu.py merge_data_p :383).
+ * Returns a bitmask: 1 = mmvd, 2 = ciip, 4 = gpm (gpm pre-gated off). */
+static int merge_data_flags(Pc *p, int l2w, int l2h, int skip)
+{
+    const EntryParams *e = p->ep;
+    int gpm_ok = e->slice_type == 0 && e->gpm_enabled && e->max_gpm_cand > 1
+                 && l2w > 2 && l2h > 2 && l2w < 7 && l2h < 7
+                 && l2w < 3 + l2h && l2h < 3 + l2w;
+    int mmvd = 0, ciip = 0, gpm = 0;
+    if (!skip) {
+        int ciip_ok = e->ciip_enabled && l2w < 7 && l2h < 7
+                      && (l2w + l2h) >= 6;
+        int reg = 1;
+        if (ciip_ok || gpm_ok)
+            reg = cabac_decode_bin(p->cab, REGULAR_MERGE_FLAG + 1);
+        if (reg) {
+            if (e->mmvd_enabled)
+                mmvd = cabac_decode_bin(p->cab, MMVD_FLAG);
+        } else {
+            ciip = ciip_ok;
+            if (gpm_ok && ciip_ok)
+                ciip = cabac_decode_bin(p->cab, CIIP_FLAG);
+            gpm = !ciip;
+        }
+    } else {
+        int reg = 1;
+        if (gpm_ok)
+            reg = cabac_decode_bin(p->cab, REGULAR_MERGE_FLAG);
+        if (reg) {
+            if (e->mmvd_enabled)
+                mmvd = cabac_decode_bin(p->cab, MMVD_FLAG);
+        } else {
+            gpm = 1;
+        }
+    }
+    return mmvd | (ciip << 1) | (gpm << 2);
+}
+
+/* ovcabac_read_ae_gpm_merge_idx parity (vcl/inter_pu.py :244) */
+static void code_gpm_merge_idx(Pc *p, int *split_dir, int *idx0, int *idx1)
+{
+    const EntryParams *e = p->ep;
+    *split_dir = truncated_binary(p, 63);
+    int n2 = e->max_gpm_cand - 2;
+    int i0 = 0;
+    if (cabac_decode_bin(p->cab, MERGE_IDX)) {
+        int m = n2;
+        for (int k = 0; k < n2; k++)
+            if (!cabac_decode_bypass(p->cab)) { m = k; break; }
+        i0 = m + 1;
+    }
+    int i1 = 0;
+    if (n2 > 0 && cabac_decode_bin(p->cab, MERGE_IDX)) {
+        int m = n2 - 1;
+        for (int k = 0; k < n2 - 1; k++)
+            if (!cabac_decode_bypass(p->cab)) { m = k; break; }
+        i1 = m + 1;
+    }
+    i1 += i1 >= i0 ? 1 : 0;
+    *idx0 = i0;
+    *idx1 = i1;
+}
+
+/* drv_gpm_merge_mvp_b parity (drv/gpm.py :96): partition MV selection by
+ * merge-idx parity + per-4x4 storage/TMVP fills (no HMVP update) */
+static void drv_gpm_b(Pc *p, int ux, int uy, int nw, int nh, int split_dir,
+                      int idx0, int idx1, int *d0_o, MVc *m0_o, int *d1_o,
+                      MVc *m1_o)
+{
+    const EntryParams *e = p->ep;
+    MIc mi0 = derive_merge_mvp_b(p, ux, uy, nw, nh, idx0,
+                                 e->max_num_merge_cand, 0);
+    MIc mi1 = idx1 == idx0 ? mi0
+                           : derive_merge_mvp_b(p, ux, uy, nw, nh, idx1,
+                                                e->max_num_merge_cand, 0);
+    mi0.mv0.bcw = 0; mi0.mv0.prec = 0; mi0.mv1.bcw = 0; mi0.mv1.prec = 0;
+    mi1.mv0.bcw = 0; mi1.mv0.prec = 0; mi1.mv1.bcw = 0; mi1.mv1.prec = 0;
+
+    MVc z = {0, 0, 0, 0, 0};
+    int par = idx0 & 1;
+    int dir0 = 0;
+    MVc m0 = z;
+    if (mi0.dir & (1 + par)) {
+        dir0 = 1 + par;
+        m0 = par ? mi0.mv1 : mi0.mv0;
+    } else if (mi0.dir & (2 - par)) {
+        dir0 = 2 - par;
+        m0 = par ? mi0.mv0 : mi0.mv1;
+    }
+    par = idx1 & 1;
+    int dir1 = 0;
+    MVc m1 = z;
+    if (mi1.dir & (1 + par)) {
+        dir1 = 1 + par;
+        m1 = par ? mi1.mv1 : mi1.mv0;
+    } else if (mi1.dir & (2 - par)) {
+        dir1 = 2 - par;
+        m1 = par ? mi1.mv0 : mi1.mv1;
+    }
+
+    /* combined-region MV info (update_gpm_mv_ctx :1482) */
+    int idir = dir0 | dir1;
+    MVc smv0 = z, smv1 = z;
+    if (idir == 1) {
+        smv0 = mi1.mv0;
+    } else if (idir == 2) {
+        smv1 = mi1.mv1;
+    } else if (dir0 == 1 && dir1 == 2) {
+        smv0 = mi0.mv0; smv1 = mi1.mv1;
+    } else if (dir0 == 2 && dir1 == 1) {
+        smv0 = mi1.mv0; smv1 = mi0.mv1;
+    }
+
+    for (int y = 0; y < nh; y++)
+        for (int x = 0; x < nw; x++) {
+            int msk = gpm_unit_msk(split_dir, nw, nh, x, y);
+            int ud;
+            MVc u0, u1;
+            if (msk == 2) { ud = idir; u0 = smv0; u1 = smv1; }
+            else if (msk == 0) { ud = dir0; u0 = mi0.mv0; u1 = mi0.mv1; }
+            else { ud = dir1; u0 = mi1.mv0; u1 = mi1.mv1; }
+            if (ud & 1) {
+                ifill(p, 0, u0, ux + x, uy + y, 1, 1);
+                ifill_tmvp(p, 0, u0, ux + x, uy + y, 1, 1);
+            }
+            if (ud & 2) {
+                ifill(p, 1, u1, ux + x, uy + y, 1, 1);
+                ifill_tmvp(p, 1, u1, ux + x, uy + y, 1, 1);
+            }
+        }
+    *d0_o = dir0; *m0_o = m0;
+    *d1_o = dir1; *m1_o = m1;
+}
+
 /* drv_mmvd_merge_mvp_b parity (:736): the refinement offset rides the
  * larger-|dist| list and is TMVP-scaled onto the other */
 static MIc drv_mmvd_b(Pc *p, int ux, int uy, int nw, int nh, int merge_idx,
@@ -1537,11 +1684,9 @@ static void pred_unit_inter_p(Pc *p, int32_t *c, int x0, int y0,
     p->prec_amvr = PREC_QUARTER;
     MVc mv0;
     if (merge) {
-        /* merge_data_p (ciip/gpm/sb-merge gated; MMVD live) */
-        int mmvd = 0;
-        if (e->mmvd_enabled)
-            mmvd = cabac_decode_bin(p->cab, MMVD_FLAG);
-        if (mmvd) {
+        /* merge_data_p (gpm/sb-merge gated; MMVD + CIIP live) */
+        int mf = merge_data_flags(p, l2w, l2h, skip);
+        if (mf & 1) {
             int midx = code_mmvd_merge_idx(p, e->max_num_merge_cand);
             c[CU_F_MERGE_IDX] = midx;
             mv0 = drv_mmvd_p(p, ux, uy, nw, nh, midx, l2w + l2h <= 5);
@@ -1553,6 +1698,10 @@ static void pred_unit_inter_p(Pc *p, int32_t *c, int x0, int y0,
                                    e->max_num_merge_cand, l2w + l2h <= 5);
             p->prec_amvr = mv0.prec;
             update_mv_ctx(p, mv0, ux, uy, nw, nh);
+        }
+        if (mf & 2) {
+            c[CU_F_CIIP_WT] = derive_ciip_wt(p, x0, y0, l2w, l2h);
+            mv0.bcw = 0; /* CIIP: recon uses the default combine */
         }
     } else {
         int nb_active = e->nb_active_ref0;
@@ -1615,10 +1764,26 @@ static void pred_unit_inter_b(Pc *p, int32_t *c, int x0, int y0,
     p->prec_amvr = PREC_QUARTER;
     MIc mi;
     if (merge) {
-        int mmvd = 0;
-        if (e->mmvd_enabled)
-            mmvd = cabac_decode_bin(p->cab, MMVD_FLAG);
-        if (mmvd) {
+        int mf = merge_data_flags(p, l2w, l2h, skip);
+        if (mf & 4) {
+            /* GPM: two uni partitions; recon dispatches on CU_F_GPM_DIRS
+             * (MV0/MV1 fields carry the partition MVs, inter_dir = 0) */
+            int sd, i0, i1, d0, d1;
+            MVc m0, m1;
+            code_gpm_merge_idx(p, &sd, &i0, &i1);
+            drv_gpm_b(p, ux, uy, nw, nh, sd, i0, i1, &d0, &m0, &d1, &m1);
+            c[CU_F_GPM_DIRS] = 1 + (d0 - 1) + 2 * (d1 - 1);
+            c[CU_F_GPM_SPLIT] = sd;
+            c[CU_F_MV0X] = m0.x; c[CU_F_MV0Y] = m0.y;
+            c[CU_F_MV0REF] = m0.ref;
+            c[CU_F_MV0BCW] = 0; c[CU_F_MV0PREC] = 0;
+            c[CU_F_MV1X] = m1.x; c[CU_F_MV1Y] = m1.y;
+            c[CU_F_MV1REF] = m1.ref;
+            c[CU_F_INTER_DIR] = 0;
+            c[CU_F_PRED] = MODE_INTER;
+            return;
+        }
+        if (mf & 1) {
             int midx = code_mmvd_merge_idx(p, e->max_num_merge_cand);
             c[CU_F_MERGE_IDX] = midx;
             mi = drv_mmvd_b(p, ux, uy, nw, nh, midx, l2w + l2h <= 5);
@@ -1628,6 +1793,13 @@ static void pred_unit_inter_b(Pc *p, int32_t *c, int x0, int y0,
             mi = derive_merge_mvp_b(p, ux, uy, nw, nh, midx,
                                     e->max_num_merge_cand, l2w + l2h <= 5);
             update_mv_ctx_b(p, mi.mv0, mi.mv1, ux, uy, nw, nh, mi.dir);
+        }
+        if (mf & 2) {
+            c[CU_F_CIIP_WT] = derive_ciip_wt(p, x0, y0, l2w, l2h);
+            /* CIIP inter blend ignores the candidate's BCW weight; the
+             * MV maps keep it (vcl_coding_unit.c :2554-2555) */
+            mi.mv0.bcw = 0;
+            mi.mv1.bcw = 0;
         }
         p->prec_amvr = (mi.dir & 1) ? mi.mv0.prec : mi.mv1.prec;
     } else {

@@ -26,6 +26,7 @@
 #endif
 
 #include "ov_shared.h"
+#include "gpm_inl.h"
 #include "tables.h"
 
 /* ---- stage profiling (ov_prof_read from Python; thread-safe adds) ---- */
@@ -1478,9 +1479,51 @@ static void fill_dbf_cu(const Rc *r, const int32_t *c)
     const EntryParams *ep = r->ep;
     int x0 = c[CU_F_X0], y0 = c[CU_F_Y0];
     int w = 1 << c[CU_F_LOG2W], h = 1 << c[CU_F_LOG2H];
-    int intra = c[CU_F_PRED] == MODE_INTRA;
+    /* CIIP counts as intra for the bs2 edges (decoder.py :189-191) but
+     * still contributes its motion to the bs1 MV maps */
+    int intra = c[CU_F_PRED] == MODE_INTRA || c[CU_F_CIIP_WT] != 0;
     dbf_add_cu_luma(r, x0, y0, w, h, c[CU_F_QP], intra);
-    if (!intra) {
+    if (c[CU_F_PRED] != MODE_INTRA && c[CU_F_GPM_DIRS]) {
+        /* GPM: per-4x4 motion with the geometric storage mix
+         * (decoder.py :201-206 via cu.gpm_units) */
+        int gpm = c[CU_F_GPM_DIRS];
+        int d0 = 1 + ((gpm - 1) & 1), d1 = 1 + ((gpm - 1) >> 1);
+        int m0x = c[CU_F_MV0X], m0y = c[CU_F_MV0Y], ref0 = c[CU_F_MV0REF];
+        int m1x = c[CU_F_MV1X], m1y = c[CU_F_MV1Y], ref1 = c[CU_F_MV1REF];
+        int idir = d0 | d1;
+        struct { int dir, l0x, l0y, l0r, l1x, l1y, l1r; } cls[3];
+        memset(cls, 0, sizeof(cls));
+        cls[0].dir = d0;
+        if (d0 == 1) { cls[0].l0x = m0x; cls[0].l0y = m0y; cls[0].l0r = ref0; }
+        else { cls[0].l1x = m0x; cls[0].l1y = m0y; cls[0].l1r = ref0; }
+        cls[1].dir = d1;
+        if (d1 == 1) { cls[1].l0x = m1x; cls[1].l0y = m1y; cls[1].l0r = ref1; }
+        else { cls[1].l1x = m1x; cls[1].l1y = m1y; cls[1].l1r = ref1; }
+        cls[2].dir = idir;
+        if (idir == 1) {
+            cls[2].l0x = m1x; cls[2].l0y = m1y; cls[2].l0r = ref1;
+        } else if (idir == 2) {
+            cls[2].l1x = m1x; cls[2].l1y = m1y; cls[2].l1r = ref1;
+        } else if (d0 == 1) {
+            cls[2].l0x = m0x; cls[2].l0y = m0y; cls[2].l0r = ref0;
+            cls[2].l1x = m1x; cls[2].l1y = m1y; cls[2].l1r = ref1;
+        } else {
+            cls[2].l0x = m1x; cls[2].l0y = m1y; cls[2].l0r = ref1;
+            cls[2].l1x = m0x; cls[2].l1y = m0y; cls[2].l1r = ref0;
+        }
+        int nw = w >> 2, nh = h >> 2, sd = c[CU_F_GPM_SPLIT];
+        for (int uy = 0; uy < nh; uy++)
+            for (int ux = 0; ux < nw; ux++) {
+                int msk = gpm_unit_msk(sd, nw, nh, ux, uy);
+                dbf_add_cu_motion(r, x0 + 4 * ux, y0 + 4 * uy, 4, 4,
+                                  cls[msk].dir, cls[msk].l0x, cls[msk].l0y,
+                                  (cls[msk].dir & 1)
+                                      ? r->dist0[cls[msk].l0r] : 0,
+                                  cls[msk].l1x, cls[msk].l1y,
+                                  (cls[msk].dir & 2)
+                                      ? r->dist1[cls[msk].l1r] : 0);
+            }
+    } else if (c[CU_F_PRED] != MODE_INTRA) {
         int idir = c[CU_F_MV1REF] >= 0 ? c[CU_F_INTER_DIR] : 1;
         dbf_add_cu_motion(r, x0, y0, w, h, idir,
                           c[CU_F_MV0X], c[CU_F_MV0Y],
@@ -1712,11 +1755,44 @@ static void recon_inter_cu(Rc *r, const int32_t *cu)
     const int32_t *const *pcb0 = lst ? r->ref1_cb : r->ref_cb;
     const int32_t *const *pcr0 = lst ? r->ref1_cr : r->ref_cr;
 
+    /* GPM: two uni 14-bit predictions blended with the geometric weight
+     * ramp (decoder._reconstruct_gpm; rcn_inter.c :2560-2615), then the
+     * shared residual path below */
+    int gpm = cu[CU_F_GPM_DIRS];
+    int gd0 = 0, gd1 = 0, g0x = 0, g0y = 0, g1x = 0, g1y = 0;
+    if (gpm) {
+        gd0 = 1 + ((gpm - 1) & 1);
+        gd1 = 1 + ((gpm - 1) >> 1);
+        clip_mv_c(x0, y0, e->pic_w, e->pic_h, w, h, cu[CU_F_MV0X],
+                  cu[CU_F_MV0Y], &g0x, &g0y);
+        clip_mv_c(x0, y0, e->pic_w, e->pic_h, w, h, cu[CU_F_MV1X],
+                  cu[CU_F_MV1Y], &g1x, &g1y);
+    }
+
     /* luma — prediction written straight into the frame plane (the
      * residual add below reads/writes the plane in place) */
     int64_t mt0 = prof_now();
     int32_t *fdst = r->fy + (int64_t)y0 * e->pic_w + x0;
-    if (inter_dir == 3) {
+    if (gpm) {
+        const int32_t *const *pa = gd0 == 1 ? r->ref_y : r->ref1_y;
+        const int32_t *const *pb = gd1 == 1 ? r->ref_y : r->ref1_y;
+        mc_block_c(pa[cu[CU_F_MV0REF]], e->pic_w, e->pic_h, e->pic_w, pred,
+                   w, x0 + (g0x >> 4), y0 + (g0y >> 4), g0x & 15, g0y & 15,
+                   w, h, bd, 1, 0, bd_max, 1);
+        mc_block_c(pb[cu[CU_F_MV1REF]], e->pic_w, e->pic_h, e->pic_w, tmp1,
+                   w, x0 + (g1x >> 4), y0 + (g1y >> 4), g1x & 15, g1y & 15,
+                   w, h, bd, 1, 0, bd_max, 1);
+        int sg = 14 - bd + 3, og = 1 << (sg - 1);
+        int sd = cu[CU_F_GPM_SPLIT];
+        for (int j = 0; j < h; j++) {
+            int32_t *o = fdst + (int64_t)j * e->pic_w;
+            for (int i = 0; i < w; i++) {
+                int w0s = gpm_weight_at(sd, l2w, l2h, i, j);
+                o[i] = bdclip((tmp1[j * w + i] * (8 - w0s)
+                               + pred[j * w + i] * w0s + og) >> sg, bd_max);
+            }
+        }
+    } else if (inter_dir == 3) {
         mc_block_c(py0[ref0], e->pic_w, e->pic_h, e->pic_w, pred, w,
                    x0 + (m0x >> 4), y0 + (m0y >> 4), m0x & 15, m0y & 15,
                    w, h, bd, 1, hpel, bd_max, 1);
@@ -1734,6 +1810,22 @@ static void recon_inter_cu(Rc *r, const int32_t *cu)
                    w, h, bd, 1, hpel, bd_max, 0);
     }
     prof_add(PROF_MCL, mt0);
+
+    /* CIIP: blend the planar intra prediction into the MC result before
+     * the residual add (decoder.py :981-984; rcn_inter.c ciip blend) */
+    int ciip_wt = cu[CU_F_CIIP_WT];
+    if (ciip_wt) {
+        int32_t ip[64 * 64];
+        predict_intra_c(r, r->fy, e->pic_w, x0, y0, l2w, l2h, INTRA_PLANAR,
+                        1, ip);
+        for (int j = 0; j < h; j++) {
+            int32_t *o = fdst + (int64_t)j * e->pic_w;
+            const int32_t *s = ip + (int64_t)j * w;
+            for (int i = 0; i < w; i++)
+                o[i] = bdclip((s[i] * ciip_wt + o[i] * (4 - ciip_wt) + 2)
+                              >> 2, bd_max);
+        }
+    }
 
     /* luma residuals (_add_luma_residuals parity) */
     int tu0 = cu[CU_F_TU0], ntu = cu[CU_F_NTU];
@@ -1763,7 +1855,31 @@ static void recon_inter_cu(Rc *r, const int32_t *cu)
         const int32_t *rpl = (comp == 1 ? pcb0 : pcr0)[ref0];
         int32_t *dst = (comp == 1 ? r->fcb : r->fcr)
                        + (int64_t)cy0 * cs + cx0;
-        if (inter_dir == 3) {
+        if (gpm) {
+            const int32_t *const *pa =
+                gd0 == 1 ? (comp == 1 ? r->ref_cb : r->ref_cr)
+                         : (comp == 1 ? r->ref1_cb : r->ref1_cr);
+            const int32_t *const *pb =
+                gd1 == 1 ? (comp == 1 ? r->ref_cb : r->ref_cr)
+                         : (comp == 1 ? r->ref1_cb : r->ref1_cr);
+            mc_block_c(pa[cu[CU_F_MV0REF]], e->pic_w >> 1, e->pic_h >> 1,
+                       cs, pred, cw, cx0 + (g0x >> 5), cy0 + (g0y >> 5),
+                       g0x & 31, g0y & 31, cw, ch, bd, 0, 0, bd_max, 1);
+            mc_block_c(pb[cu[CU_F_MV1REF]], e->pic_w >> 1, e->pic_h >> 1,
+                       cs, tmp1, cw, cx0 + (g1x >> 5), cy0 + (g1y >> 5),
+                       g1x & 31, g1y & 31, cw, ch, bd, 0, 0, bd_max, 1);
+            int sg = 14 - bd + 3, og = 1 << (sg - 1);
+            int sd = cu[CU_F_GPM_SPLIT];
+            for (int j = 0; j < ch; j++) {
+                int32_t *o = dst + (int64_t)j * cs;
+                for (int i = 0; i < cw; i++) {
+                    int w0s = gpm_weight_at(sd, l2w, l2h, 2 * i, 2 * j);
+                    o[i] = bdclip((tmp1[j * cw + i] * (8 - w0s)
+                                   + pred[j * cw + i] * w0s + og) >> sg,
+                                  bd_max);
+                }
+            }
+        } else if (inter_dir == 3) {
             const int32_t *rpl1 =
                 (comp == 1 ? r->ref1_cb : r->ref1_cr)[ref1];
             mc_block_c(rpl, e->pic_w >> 1, e->pic_h >> 1, cs, pred, cw,
@@ -1781,6 +1897,20 @@ static void recon_inter_cu(Rc *r, const int32_t *cu)
             mc_block_c(rpl, e->pic_w >> 1, e->pic_h >> 1, cs, dst, cs,
                        cx0 + (m0x >> 5), cy0 + (m0y >> 5), m0x & 31,
                        m0y & 31, cw, ch, bd, 0, 0, bd_max, 0);
+        }
+        if (ciip_wt && l2w > 2) {
+            /* chroma CIIP blend (decoder.py :1044-1050; skipped for 4-wide
+             * luma CUs whose chroma is 2 wide) */
+            int32_t ip[32 * 32];
+            predict_intra_c(r, comp == 1 ? r->fcb : r->fcr, cs, cx0, cy0,
+                            l2w - 1, l2h - 1, INTRA_PLANAR, 0, ip);
+            for (int j = 0; j < ch; j++) {
+                int32_t *o = dst + (int64_t)j * cs;
+                const int32_t *s = ip + (int64_t)j * cw;
+                for (int i = 0; i < cw; i++)
+                    o[i] = bdclip((s[i] * ciip_wt + o[i] * (4 - ciip_wt)
+                                   + 2) >> 2, bd_max);
+            }
         }
     }
     prof_add(PROF_MCC, mt0);
@@ -1856,7 +1986,14 @@ int64_t ov_recon_entry(const EntryParams *ep, const ReconParams *rp,
         if (c[CU_F_MIP_FLAG] && (c[CU_F_LOG2W] > ep->l_max_tb ||
                                  c[CU_F_LOG2H] > ep->l_max_tb))
             return -1; /* MIP across a TU split: host fallback */
-        if (c[CU_F_PRED] == MODE_INTER) {
+        if (c[CU_F_PRED] == MODE_INTER && c[CU_F_GPM_DIRS]) {
+            int gpm = c[CU_F_GPM_DIRS];
+            int n0 = (1 + ((gpm - 1) & 1)) == 1 ? rp->nb_refs : rp->nb_refs1;
+            int n1 = (1 + ((gpm - 1) >> 1)) == 1 ? rp->nb_refs : rp->nb_refs1;
+            if (c[CU_F_MV0REF] < 0 || c[CU_F_MV0REF] >= n0 ||
+                c[CU_F_MV1REF] < 0 || c[CU_F_MV1REF] >= n1)
+                return -1;
+        } else if (c[CU_F_PRED] == MODE_INTER) {
             int dir = c[CU_F_MV1REF] >= 0 ? c[CU_F_INTER_DIR] : 1;
             if (dir & 1) {
                 if (c[CU_F_MV0REF] < 0 || c[CU_F_MV0REF] >= rp->nb_refs)
@@ -1945,11 +2082,14 @@ typedef struct {
     int8_t *gref;   /* (uh, uw, 2) */
     int8_t *gw;     /* (uh, uw, 2) */
     uint8_t *ghpel; /* (uh, uw) */
+    int8_t *glist;  /* (uh, uw, 2): ref list each MC slot resolves through */
+    int8_t *gwp;    /* (uh*4, uw*4): per-sample w0 (GPM ramps; else w0) */
     int32_t g_stride;
     int32_t *jobs_l, *jobs_c;
     int64_t cap_l, cap_c, njl, njc;
     uint16_t *lvl_l, *lvl_c; /* per-tile wave level maps (avail grids) */
     int64_t max_lvl_l, max_lvl_c;
+    int64_t has_gpm; /* any GPM CU: the MC combine needs the gwp plane */
 } IrOut;
 
 static void ir_write_res(int16_t *dst, int stride, const int32_t *res,
@@ -2198,32 +2338,66 @@ static int ir_intra_cu(const Rc *r, IrOut *o, const int32_t *cu)
 
 static const int8_t IR_BCW_W1[5] = {-2, 3, 4, 5, 10};
 
-static void ir_inter_cu(const Rc *r, IrOut *o, const int32_t *cu)
+static int ir_inter_cu(const Rc *r, IrOut *o, const int32_t *cu)
 {
     const EntryParams *e = r->ep;
     int x0 = cu[CU_F_X0], y0 = cu[CU_F_Y0];
     int l2w = cu[CU_F_LOG2W], l2h = cu[CU_F_LOG2H];
     int w = 1 << l2w, h = 1 << l2h;
+    int gpm = cu[CU_F_GPM_DIRS];
     int dir = cu[CU_F_MV1REF] >= 0 ? cu[CU_F_INTER_DIR] : 1;
     int hpel = cu[CU_F_PREC_EFF] == PREC_HALF;
+    int lst0 = 0, lst1 = 1;
 
     int m0x = 0, m0y = 0, m1x = 0, m1y = 0;
-    if (dir & 1)
+    int w0 = 8, w1 = 0;
+    int ref0, ref1;
+    if (gpm) {
+        /* both partitions behave like a bi unit whose two MC slots
+         * resolve through the partition lists; per-sample blend weights
+         * ride the gwp plane (decoder._reconstruct_gpm order: blend then
+         * residual — same as the normal combine-then-residual flow) */
+        dir = 3;
+        lst0 = ((gpm - 1) & 1);
+        lst1 = ((gpm - 1) >> 1);
         clip_mv_c(x0, y0, e->pic_w, e->pic_h, w, h, cu[CU_F_MV0X],
                   cu[CU_F_MV0Y], &m0x, &m0y);
-    if (dir & 2)
         clip_mv_c(x0, y0, e->pic_w, e->pic_h, w, h, cu[CU_F_MV1X],
                   cu[CU_F_MV1Y], &m1x, &m1y);
+        w0 = 4; w1 = 4; /* unused: gwp carries the per-sample weights */
+        hpel = 0;
+        ref0 = cu[CU_F_MV0REF];
+        ref1 = cu[CU_F_MV1REF];
+        o->has_gpm = 1;
+    } else {
+        if (dir & 1)
+            clip_mv_c(x0, y0, e->pic_w, e->pic_h, w, h, cu[CU_F_MV0X],
+                      cu[CU_F_MV0Y], &m0x, &m0y);
+        if (dir & 2)
+            clip_mv_c(x0, y0, e->pic_w, e->pic_h, w, h, cu[CU_F_MV1X],
+                      cu[CU_F_MV1Y], &m1x, &m1y);
 
-    int w0 = 8, w1 = 0;
-    if (dir == 2) { w0 = 0; w1 = 8; }
-    else if (dir == 3) {
-        int bcw = cu[CU_F_MV0BCW];
-        w1 = (bcw == 0 || bcw == 3) ? 4 : IR_BCW_W1[bcw - 1];
-        w0 = 8 - w1;
+        if (dir == 2) { w0 = 0; w1 = 8; }
+        else if (dir == 3) {
+            int bcw = cu[CU_F_MV0BCW];
+            w1 = (bcw == 0 || bcw == 3) ? 4 : IR_BCW_W1[bcw - 1];
+            w0 = 8 - w1;
+        }
+        ref0 = (dir & 1) ? cu[CU_F_MV0REF] : -1;
+        ref1 = (dir & 2) ? cu[CU_F_MV1REF] : -1;
     }
-    int ref0 = (dir & 1) ? cu[CU_F_MV0REF] : -1;
-    int ref1 = (dir & 2) ? cu[CU_F_MV1REF] : -1;
+
+    /* CIIP: the wave job blends the planar intra prediction into the MC
+     * result BEFORE the residual add, so the MC stage must not add the
+     * residual at these units (GMASK_DEFER_*); chroma blends only when
+     * the chroma block is >= 4 wide (decoder.py :1044) */
+    int ciip_wt = cu[CU_F_CIIP_WT];
+    uint8_t gval = GMASK_MC;
+    if (ciip_wt) {
+        gval |= GMASK_DEFER_L;
+        if (l2w > 2)
+            gval |= GMASK_DEFER_C;
+    }
 
     int ux0 = x0 >> 2, uy0 = y0 >> 2;
     int nuw = w >> 2, nuh = h >> 2;
@@ -2231,14 +2405,62 @@ static void ir_inter_cu(const Rc *r, IrOut *o, const int32_t *cu)
         int64_t row = (int64_t)(uy0 + j) * o->g_stride;
         for (int k = 0; k < nuw; k++) {
             int64_t u = row + ux0 + k;
-            o->gmask[u] = 1;
+            o->gmask[u] = gval;
             int32_t *mv = o->gmv + u * 4;
             mv[0] = m0x; mv[1] = m0y; mv[2] = m1x; mv[3] = m1y;
             o->gref[u * 2] = (int8_t)ref0;
             o->gref[u * 2 + 1] = (int8_t)ref1;
             o->gw[u * 2] = (int8_t)w0;
             o->gw[u * 2 + 1] = (int8_t)w1;
+            o->glist[u * 2] = (int8_t)lst0;
+            o->glist[u * 2 + 1] = (int8_t)lst1;
             o->ghpel[u] = (uint8_t)hpel;
+        }
+    }
+    /* per-sample weight plane: broadcast w0 (uni/bi/BCW) or the GPM ramp */
+    {
+        int64_t ws = (int64_t)o->g_stride * 4;
+        int sd = cu[CU_F_GPM_SPLIT];
+        for (int j = 0; j < h; j++) {
+            int8_t *wr = o->gwp + ((int64_t)(y0 + j)) * ws + x0;
+            if (gpm)
+                for (int i = 0; i < w; i++)
+                    wr[i] = (int8_t)gpm_weight_at(sd, l2w, l2h, i, j);
+            else
+                for (int i = 0; i < w; i++)
+                    wr[i] = (int8_t)w0;
+        }
+    }
+
+    if (ciip_wt) {
+        /* one planar-blend wave job over the whole CU (subtiled by the
+         * emitter); availability/level captured in decode order exactly
+         * like intra jobs */
+        int corner, above, left, nava, navl;
+        ir_avail(r, x0, y0, l2w, l2h, 1, &corner, &above, &left, &nava,
+                 &navl);
+        int lvl = ir_level(r, o->lvl_l, r->al_w, r->al_h, x0, y0,
+                           above ? nava : 0, left ? navl : 0, 1);
+        if (lvl > o->max_lvl_l) o->max_lvl_l = lvl;
+        if (ir_emit_job_kind(o, 1, x0, y0, l2w, l2h, INTRA_PLANAR, lvl,
+                             corner, above, left, nava, navl,
+                             JOB_KIND_CIIP, ciip_wt, 0) < 0)
+            return -1;
+        ir_set_level(r, o->lvl_l, r->al_w, r->al_h, x0, y0, l2w, l2h, 1,
+                     lvl);
+        if (e->chroma_enabled && l2w > 2) {
+            int cx0 = x0 >> 1, cy0 = y0 >> 1;
+            ir_avail(r, cx0, cy0, l2w - 1, l2h - 1, 0, &corner, &above,
+                     &left, &nava, &navl);
+            int clvl = ir_level(r, o->lvl_c, r->ac_w, r->ac_h, cx0, cy0,
+                                above ? nava : 0, left ? navl : 0, 0);
+            if (clvl > o->max_lvl_c) o->max_lvl_c = clvl;
+            if (ir_emit_job_kind(o, 0, cx0, cy0, l2w - 1, l2h - 1,
+                                 INTRA_PLANAR, clvl, corner, above, left,
+                                 nava, navl, JOB_KIND_CIIP, ciip_wt, 0) < 0)
+                return -1;
+            ir_set_level(r, o->lvl_c, r->ac_w, r->ac_h, cx0, cy0, l2w - 1,
+                         l2h - 1, 0, clvl);
         }
     }
 
@@ -2279,6 +2501,7 @@ static void ir_inter_cu(const Rc *r, IrOut *o, const int32_t *cu)
     mark_luma((Rc *)r, x0, y0, l2w, l2h);
     if (e->chroma_enabled)
         mark_chroma((Rc *)r, x0 >> 1, y0 >> 1, l2w - 1, l2h - 1);
+    return 0;
 }
 
 int64_t ov_build_ir(const EntryParams *ep, const ReconParams *rp,
@@ -2288,7 +2511,8 @@ int64_t ov_build_ir(const EntryParams *ep, const ReconParams *rp,
                     int16_t *res_y, int16_t *res_cb, int16_t *res_cr,
                     int32_t ry_stride, int32_t rc_stride,
                     uint8_t *gmask, int32_t *gmv, int8_t *gref, int8_t *gw,
-                    uint8_t *ghpel, int32_t g_stride,
+                    uint8_t *ghpel, int8_t *glist, int8_t *gwp,
+                    int32_t g_stride,
                     int32_t *jobs_l, int64_t cap_l,
                     int32_t *jobs_c, int64_t cap_c,
                     const int32_t *dist0, const int32_t *dist1,
@@ -2305,7 +2529,14 @@ int64_t ov_build_ir(const EntryParams *ep, const ReconParams *rp,
         if (c[CU_F_TREE] != TREE_SINGLE || c[CU_F_MRL] ||
             c[CU_F_PRED] > MODE_INTER)
             return -1;
-        if (c[CU_F_PRED] == MODE_INTER) {
+        if (c[CU_F_PRED] == MODE_INTER && c[CU_F_GPM_DIRS]) {
+            int gpm = c[CU_F_GPM_DIRS];
+            int n0 = (1 + ((gpm - 1) & 1)) == 1 ? rp->nb_refs : rp->nb_refs1;
+            int n1 = (1 + ((gpm - 1) >> 1)) == 1 ? rp->nb_refs : rp->nb_refs1;
+            if (c[CU_F_MV0REF] < 0 || c[CU_F_MV0REF] >= n0 ||
+                c[CU_F_MV1REF] < 0 || c[CU_F_MV1REF] >= n1)
+                return -1;
+        } else if (c[CU_F_PRED] == MODE_INTER) {
             int dir = c[CU_F_MV1REF] >= 0 ? c[CU_F_INTER_DIR] : 1;
             if ((dir & 1) &&
                 (c[CU_F_MV0REF] < 0 || c[CU_F_MV0REF] >= rp->nb_refs))
@@ -2346,7 +2577,7 @@ int64_t ov_build_ir(const EntryParams *ep, const ReconParams *rp,
     o.res_y = res_y; o.res_cb = res_cb; o.res_cr = res_cr;
     o.ry_stride = ry_stride; o.rc_stride = rc_stride;
     o.gmask = gmask; o.gmv = gmv; o.gref = gref; o.gw = gw;
-    o.ghpel = ghpel; o.g_stride = g_stride;
+    o.ghpel = ghpel; o.glist = glist; o.gwp = gwp; o.g_stride = g_stride;
     o.jobs_l = jobs_l; o.jobs_c = jobs_c;
     o.cap_l = cap_l; o.cap_c = cap_c;
     o.lvl_l = calloc((size_t)rc.al_w * rc.al_h, 2);
@@ -2368,13 +2599,14 @@ int64_t ov_build_ir(const EntryParams *ep, const ReconParams *rp,
         if (c[CU_F_PRED] == MODE_INTRA)
             rcode = ir_intra_cu(&rc, &o, c);
         else
-            ir_inter_cu(&rc, &o, c);
+            rcode = ir_inter_cu(&rc, &o, c);
     }
 
     out_counts[0] = o.njl;
     out_counts[1] = o.njc;
     out_counts[2] = o.max_lvl_l;
     out_counts[3] = o.max_lvl_c;
+    out_counts[4] = o.has_gpm;
     free(rc.avail_l); free(rc.avail_c);
     free(o.lvl_l); free(o.lvl_c);
     return rcode;

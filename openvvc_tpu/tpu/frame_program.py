@@ -44,6 +44,7 @@ class Cfg(NamedTuple):
     lmcs_on: bool = False
     cclm_on: bool = False  # any KIND_CCLM chroma job
     cclm_colloc: bool = False
+    ciip_on: bool = False  # any KIND_CIIP job (deferred-residual units)
 
 
 def _bucket_pow2(n, lo=0):
@@ -140,11 +141,23 @@ def frame_step(dpb_y, dpb_cb, dpb_cr, slot, arrs, cfg: Cfg):
             pred_y = lmcs_dense.fwd_map(jnp, pred_y, lmcs, bd)
         m = arrs["gmask"] != 0
         m4 = jnp.repeat(jnp.repeat(m, 4, axis=0), 4, axis=1)
+        res_y_mc = arrs["res_y"]
+        if cfg.ciip_on:
+            # CIIP units (gmask bit 1) blend planar intra into the MC
+            # result in a wave job BEFORE the residual add: suppress the
+            # residual here, the KIND_CIIP job adds it after the blend
+            dl = (arrs["gmask"] & 2) != 0
+            dl4 = jnp.repeat(jnp.repeat(dl, 4, axis=0), 4, axis=1)
+            res_y_mc = jnp.where(dl4, 0, res_y_mc)
         rec_y = jnp.where(
-            m4, jnp.clip(pred_y + arrs["res_y"], 0, bd_max), 0
+            m4, jnp.clip(pred_y + res_y_mc, 0, bd_max), 0
         ).astype(jnp.int16)
         if cfg.chroma:
             m2 = jnp.repeat(jnp.repeat(m, 2, axis=0), 2, axis=1)
+            dc2 = None
+            if cfg.ciip_on:
+                dc = (arrs["gmask"] & 4) != 0
+                dc2 = jnp.repeat(jnp.repeat(dc, 2, axis=0), 2, axis=1)
             if lmcs is not None:
                 # chroma residual scaling needs the completed mapped luma:
                 # keep the prediction, add after the luma waves
@@ -154,11 +167,15 @@ def frame_step(dpb_y, dpb_cb, dpb_cr, slot, arrs, cfg: Cfg):
                 rec_cr = jnp.where(m2, jnp.clip(pred_cr, 0, bd_max), 0) \
                     .astype(jnp.int16)
             else:
+                res_cb_mc, res_cr_mc = arrs["res_cb"], arrs["res_cr"]
+                if dc2 is not None:
+                    res_cb_mc = jnp.where(dc2, 0, res_cb_mc)
+                    res_cr_mc = jnp.where(dc2, 0, res_cr_mc)
                 rec_cb = jnp.where(
-                    m2, jnp.clip(pred_cb + arrs["res_cb"], 0, bd_max), 0
+                    m2, jnp.clip(pred_cb + res_cb_mc, 0, bd_max), 0
                 ).astype(jnp.int16)
                 rec_cr = jnp.where(
-                    m2, jnp.clip(pred_cr + arrs["res_cr"], 0, bd_max), 0
+                    m2, jnp.clip(pred_cr + res_cr_mc, 0, bd_max), 0
                 ).astype(jnp.int16)
     else:
         rec_y = jnp.zeros((H4, W4), jnp.int16)
@@ -177,7 +194,8 @@ def frame_step(dpb_y, dpb_cb, dpb_cr, slot, arrs, cfg: Cfg):
 
         def lbody(plane, jf):
             return iw.predict_wave_step(jnp, plane, res_y, jf, bd, True,
-                                        with_mip=cfg.mip_on), None
+                                        with_mip=cfg.mip_on,
+                                        with_ciip=cfg.ciip_on), None
 
         rec_y, _ = jax.lax.scan(lbody, mpad(rec_y), jobs_l)
     res_cb_eff, res_cr_eff = None, None
@@ -196,11 +214,17 @@ def frame_step(dpb_y, dpb_cb, dpb_cr, slot, arrs, cfg: Cfg):
             res_cr_eff = lmcs_dense.scale_chroma_res(
                 jnp, res_cr_eff, su, lmcs["csc"], bd).astype(jnp.int32)
             if pred_cb_d is not None:
+                res_cb_mc2, res_cr_mc2 = res_cb_eff, res_cr_eff
+                if cfg.ciip_on:
+                    dc = (arrs["gmask"] & 4) != 0
+                    dc2l = jnp.repeat(jnp.repeat(dc, 2, axis=0), 2, axis=1)
+                    res_cb_mc2 = jnp.where(dc2l, 0, res_cb_mc2)
+                    res_cr_mc2 = jnp.where(dc2l, 0, res_cr_mc2)
                 rec_cb = jnp.where(
-                    m2, jnp.clip(pred_cb_d + res_cb_eff, 0, bd_max), 0
+                    m2, jnp.clip(pred_cb_d + res_cb_mc2, 0, bd_max), 0
                 ).astype(jnp.int16)
                 rec_cr = jnp.where(
-                    m2, jnp.clip(pred_cr_d + res_cr_eff, 0, bd_max), 0
+                    m2, jnp.clip(pred_cr_d + res_cr_mc2, 0, bd_max), 0
                 ).astype(jnp.int16)
         jobs_c = arrs["jobs_c"]
         if jobs_c.shape[0]:
@@ -219,12 +243,14 @@ def frame_step(dpb_y, dpb_cb, dpb_cr, slot, arrs, cfg: Cfg):
                                           with_cclm=cfg.cclm_on,
                                           luma4=luma4,
                                           colloc=cfg.cclm_colloc,
-                                          ctb_log2=cfg.ctb_log2)
+                                          ctb_log2=cfg.ctb_log2,
+                                          with_ciip=cfg.ciip_on)
                 cr = iw.predict_wave_step(jnp, cr, res_cr, jf, bd, False,
                                           with_cclm=cfg.cclm_on,
                                           luma4=luma4,
                                           colloc=cfg.cclm_colloc,
-                                          ctb_log2=cfg.ctb_log2)
+                                          ctb_log2=cfg.ctb_log2,
+                                          with_ciip=cfg.ciip_on)
                 return (cb, cr), None
 
             (rec_cb, rec_cr), _ = jax.lax.scan(cbody,

@@ -472,7 +472,7 @@ def _slice1(jnp, arr, starts, n):
 
 def predict_wave_step(jnp, plane, resid, jf, bitdepth, luma, tile=TILE,
                       with_mip=False, with_cclm=False, luma4=None,
-                      colloc=False, ctb_log2=6):
+                      colloc=False, ctb_log2=6, with_ciip=False):
     """Predict + residual-add + scatter one wave batch into `plane`.
 
     plane/resid: [H, W] int16/int32 (plane is the scan carry); BOTH must
@@ -704,6 +704,16 @@ def predict_wave_step(jnp, plane, resid, jf, bitdepth, luma, tile=TILE,
 
     old = jax.vmap(win, in_axes=(None, 0, 0))(plane, wy, wx).astype(jnp.int32)
     rv = jax.vmap(win, in_axes=(None, 0, 0))(resid, wy, wx).astype(jnp.int32)
+    if with_ciip:
+        # KIND_CIIP (statically gated): the rect currently holds the
+        # clipped inter MC prediction (residual deferred via GMASK_DEFER);
+        # blend the planar intra pred in (ref_mc.ciip_blend parity:
+        # (intra*wt + inter*(4-wt) + 2) >> 2), the shared residual-add
+        # below then completes the reconstruction in host order
+        is_ciip = (jf[J_KIND] == KIND_CIIP)[:, None, None]
+        wt = jf[J_AUX0][:, None, None]
+        pred = jnp.where(is_ciip,
+                         (pred * wt + old * (4 - wt) + 2) >> 2, pred)
     out = jnp.clip(pred + rv, 0, bd_max)
     msk = (valid[:, None, None] & (ty < h[:, None, None])
            & (tx < w[:, None, None]))

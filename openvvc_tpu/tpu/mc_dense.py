@@ -30,7 +30,7 @@ PAD_L = 144
 PAD_C = 80
 
 
-def prepare_mc_args(gmv, gref, gw, ghpel, lut0, lut1, uw, uh):
+def prepare_mc_args(gmv, gref, gw, ghpel, lut0, lut1, uw, uh, glist=None):
     """Host: dense grids -> flat per-unit slice origins and fraction codes.
 
     Returns dict of numpy arrays (all length N = uh*uw):
@@ -49,7 +49,14 @@ def prepare_mc_args(gmv, gref, gw, ghpel, lut0, lut1, uw, uh):
         mvx = gmv[:, :, lst, 0].reshape(N).astype(np.int32)
         mvy = gmv[:, :, lst, 1].reshape(N).astype(np.int32)
         ref = gref[:, :, lst].reshape(N).astype(np.int32)
-        slot = lut[np.clip(ref, 0, 15)]
+        refc = np.clip(ref, 0, 15)
+        if glist is None:
+            slot = lut[refc]
+        else:
+            # per-unit list for each MC slot (GPM: both partitions may
+            # resolve through the same list with different refs)
+            gl = glist[:, :, lst].reshape(N)
+            slot = np.where(gl == 0, lut0[refc], lut1[refc])
         fx = mvx & 15
         fy = mvy & 15
         fx = np.where((hp != 0) & (fx == 8), 16, fx)
@@ -142,16 +149,34 @@ def mc_dense(xp, stack_y, stack_cb, stack_cr, margs, bd, uw, uh,
     off = 1 << (shift - 1)
     bd_max = (1 << bd) - 1
 
-    def comb(a, b):
-        v = (a * w0[:, None, None] + b * w1[:, None, None] + off) >> shift
-        return xp.clip(v, 0, bd_max)
+    wp = margs.get("wp")
+    if wp is not None:
+        # per-sample weights (GPM ramps; broadcast w0 elsewhere): w1 is
+        # always 8 - w0 in the unified form (uni (8,0)/(0,8), bi (4,4),
+        # BCW 8-w/w, GPM ramp w/(8-w))
+        wpl = wp.astype(xp.int32)           # (N, 4, 4)
+        wpc = wpl[:, ::2, ::2]              # (N, 2, 2): luma even samples
 
-    py = comb(p14[0], p14[1]).reshape(uh, uw, 4, 4)
+        def comb_w(a, b, we):
+            v = (a * we + b * (8 - we) + off) >> shift
+            return xp.clip(v, 0, bd_max)
+
+        comb_l = lambda a, b: comb_w(a, b, wpl)
+        comb_c = lambda a, b: comb_w(a, b, wpc)
+    else:
+        def comb(a, b):
+            v = (a * w0[:, None, None] + b * w1[:, None, None] + off) \
+                >> shift
+            return xp.clip(v, 0, bd_max)
+
+        comb_l = comb_c = comb
+
+    py = comb_l(p14[0], p14[1]).reshape(uh, uw, 4, 4)
     pred_y = py.transpose(0, 2, 1, 3).reshape(uh * 4, uw * 4)
     if not chroma:
         return pred_y, None, None
-    pcb = comb(pc14[0][0], pc14[1][0]).reshape(uh, uw, 2, 2)
-    pcr = comb(pc14[0][1], pc14[1][1]).reshape(uh, uw, 2, 2)
+    pcb = comb_c(pc14[0][0], pc14[1][0]).reshape(uh, uw, 2, 2)
+    pcr = comb_c(pc14[0][1], pc14[1][1]).reshape(uh, uw, 2, 2)
     pred_cb = pcb.transpose(0, 2, 1, 3).reshape(uh * 2, uw * 2)
     pred_cr = pcr.transpose(0, 2, 1, 3).reshape(uh * 2, uw * 2)
     return pred_y, pred_cb, pred_cr

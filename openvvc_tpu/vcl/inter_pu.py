@@ -573,6 +573,12 @@ def prediction_unit_inter_p(ctx, io, cu, x0, y0, log2_w, log2_h,
             ictx.prec_amvr = mv0.prec_amvr
         if mtype == "ciip":
             _derive_ciip_wt(ctx, cu, x0, y0, log2_w, log2_h)
+            # the CIIP inter blend uses the DEFAULT bi average even when
+            # the merge candidate carries a BCW weight; the MV maps keep
+            # the candidate's weight (vcl_coding_unit.c :2554-2555)
+            from dataclasses import replace as _repl
+
+            mv0 = _repl(mv0, bcw_idx_plus1=0)
     else:
         if ctx.affine_enabled and log2_w > 3 and log2_h > 3:
             if code_affine_flag(ctx, io, cu, x0, y0):
@@ -676,6 +682,14 @@ def prediction_unit_inter_b(ctx, io, cu, x0, y0, log2_w, log2_h,
                                  ctx.max_num_merge_cand)
         if mtype == "ciip":
             _derive_ciip_wt(ctx, cu, x0, y0, log2_w, log2_h)
+            # CIIP inter blend ignores the candidate's BCW weight; only
+            # the MV maps keep it (vcl_coding_unit.c :2554-2555)
+            from dataclasses import replace as _repl
+
+            from openvvc_tpu.drv.inter_mvp import MergeInfo as _MI
+
+            mi = _MI(mi.inter_dir, _repl(mi.mv0, bcw_idx_plus1=0),
+                     _repl(mi.mv1, bcw_idx_plus1=0))
         ictx.prec_amvr = mi.mv0.prec_amvr if mi.inter_dir & 0x1 else mi.mv1.prec_amvr
     else:
         inter_dir = code_inter_dir(ctx, io, cu, log2_w, log2_h)

@@ -66,10 +66,10 @@ def _add_tu(rng, cu, x, y, l2):
                          last_pos=_last(lv, l2)))
 
 
-def _mmvd_bcw_stream(tmvp=False):
+def _mmvd_bcw_stream(tmvp=False, ciip=False):
     rng = np.random.RandomState(47)
     cfg = StreamConfig(width=192, height=128, deblocking=True, sao=True,
-                       mmvd=True, bcw=True, tmvp=tmvp, amvr=True)
+                       mmvd=True, bcw=True, tmvp=tmvp, amvr=True, ciip=ciip)
 
     def p_cu(x, y, l2):
         if rng.rand() < 0.2:
@@ -87,7 +87,11 @@ def _mmvd_bcw_stream(tmvp=False):
                 cu.merge_idx = int(rng.randint(0, 5))
         elif kind == 1:
             cu.merge_flag = 1
-            if rng.rand() < 0.5:
+            r = rng.rand()
+            if ciip and r < 0.4 and 2 * l2 >= 6:
+                cu.ciip_flag = 1
+                cu.merge_idx = int(rng.randint(0, 5))
+            elif r < 0.6:
                 cu.mmvd_flag = 1
                 cu.merge_idx = int(rng.randint(0, 64))
             else:
@@ -219,3 +223,68 @@ def test_mmvd_bcw_lanes():
 
 def test_smvd_lanes():
     _lanes_match(_smvd_stream())
+
+
+def test_ciip_ir_match():
+    _ir_match(_mmvd_bcw_stream(ciip=True))
+
+
+def test_ciip_lanes():
+    _lanes_match(_mmvd_bcw_stream(ciip=True))
+
+
+def _gpm_stream(with_dbf=True):
+    rng = np.random.RandomState(59)
+    cfg = StreamConfig(width=192, height=128, deblocking=with_dbf, sao=True,
+                       gpm=True, tmvp=False)
+
+    def b_cu(x, y, l2):
+        cu = CU(x, y, l2, l2)
+        cu.pred_mode = 1
+        kind = rng.randint(0, 3)
+        if kind == 0:
+            cu.skip_flag = 1
+            cu.merge_flag = 1
+            if rng.rand() < 0.6:
+                cu.gpm_flag = 1
+                cu.gpm_split_dir = int(rng.randint(0, 64))
+                cu.gpm_idx0 = int(rng.randint(0, 5))
+                cu.gpm_idx1 = int(rng.choice(
+                    [i for i in range(5) if i != cu.gpm_idx0]))
+            else:
+                cu.merge_idx = int(rng.randint(0, 5))
+        elif kind == 1:
+            cu.merge_flag = 1
+            if rng.rand() < 0.6:
+                cu.gpm_flag = 1
+                cu.gpm_split_dir = int(rng.randint(0, 64))
+                cu.gpm_idx0 = int(rng.randint(0, 5))
+                cu.gpm_idx1 = int(rng.choice(
+                    [i for i in range(5) if i != cu.gpm_idx0]))
+            else:
+                cu.merge_idx = int(rng.randint(0, 5))
+            _add_tu(rng, cu, x, y, l2)
+        else:
+            cu.merge_flag = 0
+            cu.inter_dir = int(rng.choice([1, 2, 3]))
+            cu.ref_idx = 0
+            cu.ref_idx1 = 0
+            cu.mvd = (int(rng.randint(-25, 26)), int(rng.randint(-25, 26)))
+            cu.mvd1 = (int(rng.randint(-25, 26)), int(rng.randint(-25, 26)))
+            cu.mvp_idx = int(rng.randint(0, 2))
+            cu.mvp_idx1 = int(rng.randint(0, 2))
+        return cu
+
+    frames = [
+        {"tree_builder": _qt_tree(lambda x, y, l: _intra_cu(rng, x, y, l),
+                                  5)},
+        {"tree_builder": _qt_tree(b_cu, 4), "slice_type": 0,
+         "ref_deltas": [1], "ref_deltas1": [1]},
+        {"tree_builder": _qt_tree(b_cu, 4), "slice_type": 0,
+         "ref_deltas": [2, 1], "ref_deltas1": [1, 2]},
+    ]
+    return build_stream_frames(cfg, frames)
+
+
+def test_gpm_lanes():
+    _lanes_match(_gpm_stream())

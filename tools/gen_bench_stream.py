@@ -95,7 +95,7 @@ def _intra_cu(rng, x, y, log2, lfnst=False, mip=False):
     return cu
 
 
-def _inter_cu(rng, x, y, log2, nb_ref0=1, nb_ref1=0):
+def _inter_cu(rng, x, y, log2, nb_ref0=1, nb_ref1=0, tools=False):
     from openvvc_tpu.vcl.ctu import TU
 
     cu = CU(x, y, log2, log2)
@@ -104,11 +104,47 @@ def _inter_cu(rng, x, y, log2, nb_ref0=1, nb_ref1=0):
     if kind < 0.45:
         cu.skip_flag = 1
         cu.merge_flag = 1
-        cu.merge_idx = int(rng.randint(0, 5))
+        if tools and rng.rand() < 0.35:
+            cu.mmvd_flag = 1
+            cu.merge_idx = int(rng.randint(0, 64))
+        elif tools and nb_ref1 and rng.rand() < 0.3:
+            cu.gpm_flag = 1
+            cu.gpm_split_dir = int(rng.randint(0, 64))
+            cu.gpm_idx0 = int(rng.randint(0, 5))
+            cu.gpm_idx1 = int(rng.choice(
+                [i for i in range(5) if i != cu.gpm_idx0]))
+        else:
+            cu.merge_idx = int(rng.randint(0, 5))
         return cu
     if kind < 0.7:
         cu.merge_flag = 1
-        cu.merge_idx = int(rng.randint(0, 5))
+        r2 = rng.rand()
+        if tools and r2 < 0.25 and 2 * log2 >= 6:
+            cu.ciip_flag = 1
+            cu.merge_idx = int(rng.randint(0, 5))
+        elif tools and r2 < 0.45:
+            cu.mmvd_flag = 1
+            cu.merge_idx = int(rng.randint(0, 64))
+        elif tools and nb_ref1 and r2 < 0.65:
+            cu.gpm_flag = 1
+            cu.gpm_split_dir = int(rng.randint(0, 64))
+            cu.gpm_idx0 = int(rng.randint(0, 5))
+            cu.gpm_idx1 = int(rng.choice(
+                [i for i in range(5) if i != cu.gpm_idx0]))
+        else:
+            cu.merge_idx = int(rng.randint(0, 5))
+    elif tools and nb_ref1 and rng.rand() < 0.25:
+        # SMVD (signaled only when the writer's slice has a fw/bw ref
+        # pair; the writer skips the flag otherwise)
+        cu.merge_flag = 0
+        cu.inter_dir = 3
+        cu.smvd_flag = 1
+        cu.mvd = (int(rng.randint(-20, 21)), int(rng.randint(-20, 21)))
+        cu.mvp_idx = int(rng.randint(0, 2))
+        cu.mvp_idx1 = int(rng.randint(0, 2))
+        if 2 * log2 >= 8:
+            # non-low-delay B: only 3 BCW weights are signalable
+            cu.bcw_idx = int(rng.choice([1, 2, 3]))
     else:
         cu.merge_flag = 0
         cu.ref_idx = int(rng.randint(0, nb_ref0))
@@ -119,6 +155,9 @@ def _inter_cu(rng, x, y, log2, nb_ref0=1, nb_ref1=0):
             cu.ref_idx1 = int(rng.randint(0, nb_ref1))
             cu.mvd1 = (int(rng.randint(-24, 25)), int(rng.randint(-24, 25)))
             cu.mvp_idx1 = int(rng.randint(0, 2))
+            if tools and cu.inter_dir == 3 and 2 * log2 >= 8:
+                # non-low-delay B: only 3 BCW weights are signalable
+                cu.bcw_idx = int(rng.choice([1, 2, 3]))
     lv = _sparse(rng, log2, log2, p=0.05, mag=8)
     if lv.any():
         cu.tus.append(TU(x, y, log2, log2, 0, cbf=1, levels=lv,
@@ -126,12 +165,13 @@ def _inter_cu(rng, x, y, log2, nb_ref0=1, nb_ref1=0):
     return cu
 
 
-def ra_frame_specs(nb_frames, rng, leaf_inter, qt_tree):
+def ra_frame_specs(nb_frames, rng, leaf_inter, qt_tree, tools=False):
     """Random-access GOP-4 B-pyramid frame specs with decode != display
     order (the JVET CTC RA structure scaled down): per GOP
     P(poc+4) <- B(poc+2) <- B(poc+1), B(poc+3)."""
     def inter(nb0, nb1):
-        return qt_tree(lambda x, y, l: _inter_cu(rng, x, y, l, nb0, nb1),
+        return qt_tree(lambda x, y, l: _inter_cu(rng, x, y, l, nb0, nb1,
+                                                 tools=tools),
                        leaf_inter)
 
     specs = []
@@ -217,6 +257,9 @@ def main():
     ap.add_argument("--all-tools", action="store_true",
                     help="hostile profile: ALF + CC-ALF + LFNST + MIP + "
                          "LMCS (reshaper + chroma scaling) mix")
+    ap.add_argument("--inter-tools", action="store_true",
+                    help="hostile inter profile: MMVD + BCW + SMVD + CIIP "
+                         "+ GPM mix in the inter frames")
     ap.add_argument("--out", default="/tmp/bench_1080p.266")
     args = ap.parse_args()
 
@@ -231,6 +274,7 @@ def main():
         nctu_w = w // 64
         per = nctu_w // args.tiles
         tile_cols = [per] * (args.tiles - 1) + [nctu_w - per * (args.tiles - 1)]
+    it = args.inter_tools
     cfg = StreamConfig(width=w, height=h, deblocking=True, sao=True,
                        tile_cols=tile_cols,
                        alf=args.alf, alf_chroma=args.alf, cc_alf=args.alf,
@@ -240,6 +284,7 @@ def main():
                                          crs=2)
                                     if args.all_tools else None),
                        lmcs_chroma_scaling=args.all_tools,
+                       mmvd=it, bcw=it, smvd=it, ciip=it, gpm=it,
                        tmvp=args.gop == "ra", amvr=args.gop == "ra")
 
     lf = args.all_tools
@@ -247,12 +292,14 @@ def main():
         lambda x, y, l: _intra_cu(rng, x, y, l, lfnst=lf, mip=lf),
         args.leaf_intra)}]
     if args.gop == "ra":
-        frames += ra_frame_specs(args.frames, rng, args.leaf_inter, _qt_tree)
+        frames += ra_frame_specs(args.frames, rng, args.leaf_inter, _qt_tree,
+                                 tools=it)
     else:
         for i in range(1, args.frames):
             frames.append({
-                "tree_builder": _qt_tree(lambda x, y, l: _inter_cu(rng, x, y, l),
-                                         args.leaf_inter),
+                "tree_builder": _qt_tree(
+                    lambda x, y, l: _inter_cu(rng, x, y, l, tools=it),
+                    args.leaf_inter),
                 "slice_type": 1,
                 "ref_deltas": [1],
             })
