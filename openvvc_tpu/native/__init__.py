@@ -212,10 +212,13 @@ class _EntryParamsC(ctypes.Structure):
           "cc_cb_enabled", "cc_cr_enabled", "cc_nb_cb", "cc_nb_cr",
           "mmvd_enabled", "mmvd_shift", "smvd_enabled",
           "ref_smvd_idx0", "ref_smvd_idx1", "bcw_enabled", "ldc",
-          "ciip_enabled", "gpm_enabled", "max_gpm_cand")]
+          "ciip_enabled", "gpm_enabled", "max_gpm_cand",
+          "affine_enabled", "sbtmvp_on", "affine_6param", "affine_prof",
+          "affine_amvr", "affine_nb_merge_cand",
+          "col_ref_idx0", "col_ref_idx1", "nb_ctb_pic_w")]
 
 
-_CU_NFIELDS = 35
+_CU_NFIELDS = 45
 _TU_NFIELDS = 17
 _SAO_NFIELDS = 24
 _ALF_NFIELDS = 6
@@ -239,6 +242,7 @@ def _setup_parse_proto(lib):
         vp, i64, vp, i64, vp, i64,       # cu/tu/coef bufs
         vp, vp, vp, vp, vp, vp,          # sao, meta, tdir0, tmv0, tdir1, tmv1
         vp, vp, vp, vp,                  # collocated dir0/dir1/mv0/mv1
+        vp,                              # sub_mv per-unit export (nullable)
         ctypes.POINTER(i64),             # out_counts
     ]
     _parse_proto_done = True
@@ -266,7 +270,6 @@ def native_parse_reject_reason(params) -> str | None:
         "sps_isp_enabled_flag", "sps_bdpcm_enabled_flag",
         "sps_transform_skip_enabled_flag", "sps_sbt_enabled_flag",
         "sps_ibc_enabled_flag", "sps_palette_enabled_flag",
-        "sps_affine_enabled_flag", "sps_sbtmvp_enabled_flag",
     )
     for n in bad_sps:
         if g(sps, n):
@@ -348,7 +351,7 @@ class RawNativeEntry:
 
     __slots__ = ("params", "entry", "ep", "cu_buf", "tu_buf", "coef_buf",
                  "sao_buf", "ctu_meta", "tmvp_dir0", "tmvp_mv0",
-                 "tmvp_dir1", "tmvp_mv1", "counts",
+                 "tmvp_dir1", "tmvp_mv1", "sub_mv", "counts",
                  "uw", "uh", "uw8", "uh8", "cqp")
 
     def release(self):
@@ -449,6 +452,19 @@ def parse_entry_native_raw(params, entry):
         ep.max_gpm_cand = 2
     else:
         ep.max_gpm_cand = 0
+    # affine / SbTMVP (vcl/ctu.py :320-353)
+    ep.affine_enabled = g(sps, "sps_affine_enabled_flag")
+    ep.sbtmvp_on = int(bool(g(sps, "sps_sbtmvp_enabled_flag"))
+                       and bool(g(ph, "ph_temporal_mvp_enabled_flag")))
+    ep.affine_6param = g(sps, "sps_6param_affine_enabled_flag")
+    ep.affine_prof = int(bool(g(sps, "sps_affine_prof_enabled_flag"))
+                         and not g(ph, "ph_prof_disabled_flag"))
+    ep.affine_amvr = g(sps, "sps_affine_amvr_enabled_flag")
+    ep.affine_nb_merge_cand = 5 - g(
+        sps, "sps_five_minus_max_num_subblock_merge_cand")
+    ep.col_ref_idx0 = -1
+    ep.col_ref_idx1 = -1
+    ep.nb_ctb_pic_w = (pps.pic_w + (1 << log2_ctb) - 1) >> log2_ctb
     ep.ldc = 1  # InterCtx.ldc default; refined below when TMVP is on
     ep.smvd_enabled = 0
     ep.ref_smvd_idx0 = -1
@@ -476,6 +492,21 @@ def parse_entry_native_raw(params, entry):
             ep.dist_ref0[i] = -dd
         for i, dd in enumerate(d1[:16]):
             ep.dist_ref1[i] = -dd
+        # SbTMVP collocated ref pair (vcl/ctu.py :337-352)
+        if ep.sbtmvp_on:
+            from_l0 = bool(g(sh, "sh_collocated_from_l0_flag")
+                           or params.slice_type == 1)
+            cidx = g(sh, "sh_collocated_ref_idx")
+            if from_l0:
+                ep.col_ref_idx0 = cidx
+                dcol = d0[cidx] if cidx < len(d0) else None
+                ep.col_ref_idx1 = max(
+                    (i for i, d in enumerate(d1) if d == dcol), default=-1)
+            else:
+                ep.col_ref_idx1 = cidx
+                dcol = d1[cidx] if cidx < len(d1) else None
+                ep.col_ref_idx0 = max(
+                    (i for i, d in enumerate(d0) if d == dcol), default=-1)
         # ldc + SMVD ref pair (vcl/ctu.py :279-286, slicedec_smvd_params)
         ldc_all = not any(d > 0 for d in d0 + d1)
         if g(ph, "ph_temporal_mvp_enabled_flag"):
@@ -554,6 +585,10 @@ def parse_entry_native_raw(params, entry):
     tmvp_mv0 = np.zeros(uh8 * uw8 * 3, np.int32)
     tmvp_dir1 = np.zeros(uh * uw, np.uint8)
     tmvp_mv1 = np.zeros(uh8 * uw8 * 3, np.int32)
+    sub_mv = None
+    if ep.affine_enabled or ep.sbtmvp_on:
+        # per-4x4-unit MV export for affine/SbTMVP reconstruction
+        sub_mv = np.zeros(uh * uw * 4, np.int32)
     counts = (ctypes.c_int64 * 4)()
 
     vp = ctypes.c_void_p
@@ -571,6 +606,7 @@ def parse_entry_native_raw(params, entry):
         vp(col_planes[1].ctypes.data if col_planes else None),
         vp(col_planes[2].ctypes.data if col_planes else None),
         vp(col_planes[3].ctypes.data if col_planes else None),
+        vp(sub_mv.ctypes.data if sub_mv is not None else None),
         counts)
     if rc != 0:
         # ERR_UNSUPPORTED (-1): expected mid-parse bail (SCIPU, 4x4 inter).
@@ -602,6 +638,7 @@ def parse_entry_native_raw(params, entry):
     raw.sao_buf, raw.ctu_meta = sao_buf, ctu_meta
     raw.tmvp_dir0, raw.tmvp_mv0 = tmvp_dir0, tmvp_mv0
     raw.tmvp_dir1, raw.tmvp_mv1 = tmvp_dir1, tmvp_mv1
+    raw.sub_mv = sub_mv
     raw.counts = counts
     raw.uw, raw.uh, raw.uw8, raw.uh8 = uw, uh, uw8, uh8
     raw.cqp = cqp
@@ -695,6 +732,66 @@ def _convert_native_entry(params, entry, raw):
         if r[F.CIIP_WT]:
             d["ciip_flag"] = 1
             d["ciip_wt"] = r[F.CIIP_WT]
+        if r[F.SB_FLAG]:
+            # affine / SbTMVP: rebuild the recon payload from the exported
+            # per-unit motion maps + the CU record's PROF deltas
+            from openvvc_tpu.drv.affine import DeltaMV
+
+            flag = r[F.SB_FLAG]
+            uw_, uh_ = raw.uw, raw.uh
+            sm = raw.sub_mv.reshape(uh_, uw_, 2, 2)
+            ux0 = (r[F.X0] - ep.tile_x0) >> 2
+            uy0 = (r[F.Y0] - ep.tile_y0) >> 2
+            nw_ = max(1, (1 << r[F.LOG2W]) >> 2)
+            nh_ = max(1, (1 << r[F.LOG2H]) >> 2)
+            d["mv0"] = None
+            d["mv1"] = None
+            d["inter_dir"] = 1  # payload carries the real dirs
+            if flag == 1:
+                idir = r[F.INTER_DIR]
+                bcw = r[F.MV0BCW]
+
+                def subs(lst, ref):
+                    return [[MV(int(sm[uy0 + i, ux0 + j, lst, 0]),
+                                int(sm[uy0 + i, ux0 + j, lst, 1]),
+                                ref, bcw, 0)
+                             for j in range(nw_)] for i in range(nh_)]
+
+                sub0 = subs(0, r[F.MV0REF]) if idir & 1 else None
+                sub1 = subs(1, r[F.MV1REF]) if idir & 2 else None
+                dmv0 = DeltaMV(MV(r[F.DMV0HX], r[F.DMV0HY]),
+                               MV(r[F.DMV0VX], r[F.DMV0VY]))
+                dmv1 = DeltaMV(MV(r[F.DMV1HX], r[F.DMV1HY]),
+                               MV(r[F.DMV1VX], r[F.DMV1VY]))
+                d["sb_info"] = ("affine", sub0, sub1, idir,
+                                r[F.PROF_DIR], dmv0, dmv1)
+                d["affine_flag"] = 1
+                d["sb_merge_flag"] = 1 if r[F.MERGE_FLAG] else 0
+            else:
+                d["sb_merge_flag"] = 1
+                units = []
+                if flag == 3:
+                    idir = r[F.INTER_DIR]
+                    z = MV(0, 0, 0, 0, 0)
+                    units.append((0, 0, idir, z,
+                                  z if idir & 2 else None,
+                                  r[F.LOG2W], r[F.LOG2H]))
+                else:
+                    d0m = raw.tmvp_dir0.reshape(uh_, uw_)
+                    d1m = raw.tmvp_dir1.reshape(uh_, uw_)
+                    for gy in range(0, 1 << r[F.LOG2H], 8):
+                        for gx in range(0, 1 << r[F.LOG2W], 8):
+                            ui = uy0 + (gy >> 2)
+                            uj = ux0 + (gx >> 2)
+                            idir = ((1 if d0m[ui, uj] else 0)
+                                    | (2 if d1m[ui, uj] else 0))
+                            m0 = MV(int(sm[ui, uj, 0, 0]),
+                                    int(sm[ui, uj, 0, 1]), 0, 0, 0)
+                            m1 = MV(int(sm[ui, uj, 1, 0]),
+                                    int(sm[ui, uj, 1, 1]), 0, 0, 0) \
+                                if idir & 2 else None
+                            units.append((gx, gy, idir, m0, m1, 3, 3))
+                d["sb_info"] = ("sbtmvp", units)
         if r[F.GPM_DIRS]:
             from openvvc_tpu.drv.gpm import gpm_units_from_parts
 
@@ -770,7 +867,8 @@ class _CuF:
      MIP_MODE, MRL, LFNST, SKIP, MERGE_FLAG, MERGE_IDX, INTER_DIR, MV0X,
      MV0Y, MV0REF, MV0BCW, MV0PREC, MV1X, MV1Y, MV1REF, QP, ROOT_CBF,
      PREC_EFF, TU0, NTU, CTU, COL_MODE, CIIP_WT, GPM_DIRS,
-     GPM_SPLIT) = range(35)
+     GPM_SPLIT, SB_FLAG, PROF_DIR, DMV0HX, DMV0HY, DMV0VX, DMV0VY,
+     DMV1HX, DMV1HY, DMV1VX, DMV1VY) = range(45)
 
 
 # ---------------------------------------------------------------------------
@@ -821,6 +919,7 @@ def _setup_recon_proto(lib):
         ctypes.POINTER(vp), ctypes.POINTER(vp), ctypes.POINTER(vp),  # refs0
         ctypes.POINTER(vp), ctypes.POINTER(vp), ctypes.POINTER(vp),  # refs1
         vp, vp,           # dist0, dist1
+        vp, vp, vp,       # sub_dir0, sub_dir1, sub_mv (nullable)
         ctypes.POINTER(_DbfBufsC),
     ]
     _recon_proto_done = True
@@ -886,6 +985,8 @@ def recon_entry_native(raw, frame, refs0, dist0, dbf, csign,
         vp(frame.cr.ctypes.data if frame.cr is not None else None),
         ry, rcb, rcr, r1y, r1cb, r1cr,
         vp(d0.ctypes.data), vp(d1.ctypes.data),
+        vp(raw.tmvp_dir0.ctypes.data), vp(raw.tmvp_dir1.ctypes.data),
+        vp(raw.sub_mv.ctypes.data if raw.sub_mv is not None else None),
         ctypes.byref(db))
     return rc == 0
 

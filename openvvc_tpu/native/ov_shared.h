@@ -57,6 +57,11 @@ enum {
     CU_F_CIIP_WT,   /* 0 = not CIIP; 1..3 = intra blend weight */
     CU_F_GPM_DIRS,  /* 0 = not GPM; else 1 + (dir0-1) + 2*(dir1-1) */
     CU_F_GPM_SPLIT, /* GPM split_dir 0..63 */
+    CU_F_SB_FLAG,   /* 0 none; 1 affine (4x4 sub MC); 2 sbtmvp (8x8);
+                       3 sbtmvp zero-fallback (whole-CU MC) */
+    CU_F_PROF_DIR,  /* PROF list mask (affine only) */
+    CU_F_DMV0HX, CU_F_DMV0HY, CU_F_DMV0VX, CU_F_DMV0VY, /* affine deltas */
+    CU_F_DMV1HX, CU_F_DMV1HY, CU_F_DMV1VX, CU_F_DMV1VY,
     CU_NFIELDS
 };
 enum {
@@ -126,6 +131,12 @@ typedef struct {
     /* CIIP / GPM */
     int32_t ciip_enabled;
     int32_t gpm_enabled, max_gpm_cand;
+    /* affine / SbTMVP (vcl/ctu.py :320-353) */
+    int32_t affine_enabled, sbtmvp_on;      /* sbtmvp_on = sps && ph tmvp */
+    int32_t affine_6param, affine_prof;     /* prof = sps && !ph disabled */
+    int32_t affine_amvr, affine_nb_merge_cand;
+    int32_t col_ref_idx0, col_ref_idx1;     /* SbTMVP collocated ref pair */
+    int32_t nb_ctb_pic_w;
 } EntryParams;
 
 /* ---- deblocking maps handed over from Python (rcn/ref_dbf.py DbfMaps;

@@ -112,6 +112,12 @@ typedef struct {
     /* inter derivation state (per list) */
     uint8_t *dir0, *dir1; /* [uh][uw] */
     MVc *mv0, *mv1;       /* [uh][uw] */
+    /* affine state (drv/affine.py AffineCtx) */
+    uint8_t *aff_dir;     /* [uh][uw] */
+    int32_t *aff_idx;     /* [uh][uw] -> aff_pool index, -1 none */
+    struct AffInfoC_ *aff_pool;
+    int64_t aff_n, aff_cap;
+    int32_t *sub_mv;      /* per-unit MV export [uh][uw][2][2], nullable */
     MVc hmvp_mv0[5], hmvp_mv1[5];
     uint8_t hmvp_dir[5];
     int hmvp_n;
@@ -1674,6 +1680,1202 @@ static MIc drv_mmvd_b(Pc *p, int ux, int uy, int nw, int nh, int merge_idx,
     return mi;
 }
 
+static int code_ref_idx1(Pc *p, int nb_active);
+
+/* =====================================================================
+ * Affine motion + SbTMVP (drv/affine.py parity; reference
+ * drv_affine_mvp.c — derive_affine_delta_mvs :982, derive_cp_from_cand
+ * :1016, drv_affine_mvp :1225, derive_affine_merge_mv :2565,
+ * compute_subblock_mvs :2943, store_affine_info :3169,
+ * derive_sub_pu_merge_cand :1790)
+ * ===================================================================== */
+
+static int imax(int a, int b) { return a > b ? a : b; }
+static int imin(int a, int b) { return a < b ? a : b; }
+
+#define AFFINE_SHIFT 7
+#define RND_AFF (4 << 11)
+#define AMV_MAX ((1 << 17) - 1)
+#define AMV_MIN (-(1 << 17))
+#define CLIP_PERIOD (1 << 18)
+
+typedef struct { MVc lt, rt, lb; } CPc;
+typedef struct AffInfoC_ { CPc cps[2]; int type, ux, uy, nw, nh, l2w, l2h; }
+    AffInfoC;
+typedef struct { CPc cinfo[2]; int dir, type; } AffMergeC;
+typedef struct { MVc h, v; } DMVc;
+
+/* candidate names */
+enum { CAND_A0, CAND_A1, CAND_A2, CAND_A3,
+       CAND_B0, CAND_B1, CAND_B2, CAND_B3 };
+
+static MVc clip_mv18_c(MVc mv)
+{
+    if (mv.x < AMV_MIN) mv.x = AMV_MIN;
+    if (mv.x > AMV_MAX) mv.x = AMV_MAX;
+    if (mv.y < AMV_MIN) mv.y = AMV_MIN;
+    if (mv.y > AMV_MAX) mv.y = AMV_MAX;
+    return mv;
+}
+
+static MVc mv_clip_periodic_c(MVc mv)
+{
+    int x = (mv.x + CLIP_PERIOD) & (CLIP_PERIOD - 1);
+    int y = (mv.y + CLIP_PERIOD) & (CLIP_PERIOD - 1);
+    mv.x = x >= (CLIP_PERIOD >> 1) ? x - CLIP_PERIOD : x;
+    mv.y = y >= (CLIP_PERIOD >> 1) ? y - CLIP_PERIOD : y;
+    return mv;
+}
+
+static MVc round_affine_mv2_c(MVc mv)
+{
+    int rnd = 1 << (AFFINE_SHIFT - 1);
+    mv.x = (mv.x + rnd - (mv.x >= 0 ? 1 : 0)) >> AFFINE_SHIFT;
+    mv.y = (mv.y + rnd - (mv.y >= 0 ? 1 : 0)) >> AFFINE_SHIFT;
+    return mv;
+}
+
+static DMVc derive_affine_delta_mvs_c(const CPc *c, int l2w, int l2h,
+                                      int affine_type)
+{
+    DMVc d;
+    int sh = AFFINE_SHIFT - l2w;
+    d.h.x = (c->rt.x - c->lt.x) << sh;
+    d.h.y = (c->rt.y - c->lt.y) << sh;
+    d.h.ref = 0; d.h.bcw = 0; d.h.prec = 0;
+    if (affine_type) {
+        int sv = AFFINE_SHIFT - l2h;
+        d.v.x = (c->lb.x - c->lt.x) << sv;
+        d.v.y = (c->lb.y - c->lt.y) << sv;
+    } else {
+        d.v.x = -d.h.y;
+        d.v.y = d.h.x;
+    }
+    d.v.ref = 0; d.v.bcw = 0; d.v.prec = 0;
+    return d;
+}
+
+static void aff_cand_pos(int ux, int uy, int nw, int nh, int cand,
+                         int *px, int *py)
+{
+    switch (cand) {
+    case CAND_A0: *px = ux - 1; *py = uy + nh; break;
+    case CAND_A1: *px = ux - 1; *py = uy + nh - 1; break;
+    case CAND_A2: *px = ux - 1; *py = uy; break;
+    case CAND_A3: *px = ux - 1; *py = uy - 1; break;
+    case CAND_B0: *px = ux + nw; *py = uy - 1; break;
+    case CAND_B1: *px = ux + nw - 1; *py = uy - 1; break;
+    case CAND_B2: *px = ux - 1; *py = uy - 1; break;
+    default:      *px = ux;     *py = uy - 1; break; /* B3 */
+    }
+}
+
+static void aff_avail_masks(const Pc *p, int ux, int uy, int nw, int nh,
+                            int *aff, int *rp0, int *rp1)
+{
+    *aff = *rp0 = *rp1 = 0;
+    for (int cand = 0; cand < 8; cand++) {
+        int px, py;
+        aff_cand_pos(ux, uy, nw, nh, cand, &px, &py);
+        if (px < 0 || py < 0 || px >= p->uw || py >= p->uh)
+            continue;
+        int64_t u = (int64_t)py * p->uw + px;
+        if (p->aff_dir[u]) *aff |= 1 << cand;
+        if (p->dir0[u]) *rp0 |= 1 << cand;
+        if (p->dir1[u]) *rp1 |= 1 << cand;
+    }
+}
+
+/* stored CPs, or the line-buffer form for the CTU row above
+ * (rotate_affine_cp: lt/rt = bottom sub-block MVs) */
+static CPc aff_ngh_cps(const Pc *p, const AffInfoC *info, int lst,
+                       int above_row)
+{
+    if (!above_row)
+        return info->cps[lst];
+    const MVc *mvs = lst ? p->mv1 : p->mv0;
+    int by = info->uy + info->nh - 1;
+    CPc out;
+    out.lt = mvs[(int64_t)by * p->uw + info->ux];
+    out.rt = mvs[(int64_t)by * p->uw + info->ux + info->nw - 1];
+    memset(&out.lb, 0, sizeof(out.lb));
+    return out;
+}
+
+static CPc derive_cp_from_cand_c(const CPc *ngh_cps, const AffInfoC *ngh,
+                                 int ngh_type, int ux, int uy, int l2w,
+                                 int l2h, int affine_type, int above_row)
+{
+    int x0 = ux << 2, y0 = uy << 2;
+    int ngh_x0 = ngh->ux << 2, ngh_y0 = ngh->uy << 2;
+    int dpx = x0 - ngh_x0;
+    int dpy = above_row ? 0 : (y0 - ngh_y0);
+
+    DMVc dmv = derive_affine_delta_mvs_c(ngh_cps, ngh->l2w, ngh->l2h,
+                                         ngh_type);
+    if (above_row || ngh_type == 0) {
+        dmv.v.x = -dmv.h.y;
+        dmv.v.y = dmv.h.x;
+    }
+
+    int8_t ref = ngh_cps->lt.ref;
+    int8_t bcw = ngh_cps->lt.bcw;
+    int8_t prec = ngh_cps->lt.prec;
+    int lt_x = (ngh_cps->lt.x << AFFINE_SHIFT) + dmv.h.x * dpx
+               + dmv.v.x * dpy;
+    int lt_y = (ngh_cps->lt.y << AFFINE_SHIFT) + dmv.h.y * dpx
+               + dmv.v.y * dpy;
+
+    CPc out;
+    MVc t;
+#define AFF_FIN(dst, xx, yy) do { \
+        t.x = (xx); t.y = (yy); t.ref = ref; t.bcw = bcw; t.prec = prec; \
+        t = round_affine_mv2_c(t); t = clip_mv18_c(t); \
+        t.ref = ref; t.bcw = bcw; t.prec = prec; \
+        (dst) = t; } while (0)
+    AFF_FIN(out.lt, lt_x, lt_y);
+    AFF_FIN(out.rt, lt_x + (dmv.h.x << l2w), lt_y + (dmv.h.y << l2w));
+    memset(&out.lb, 0, sizeof(out.lb));
+    if (affine_type)
+        AFF_FIN(out.lb, lt_x + (dmv.v.x << l2h), lt_y + (dmv.v.y << l2h));
+#undef AFF_FIN
+    return out;
+}
+
+static MVc round_aff_prec(MVc mv, int prec_amvr)
+{
+    return mv_round_prec(mv, PREC_INTERNAL, prec_amvr);
+}
+
+static const AffInfoC *aff_info_at(const Pc *p, int px, int py)
+{
+    if (px < 0 || py < 0 || px >= p->uw || py >= p->uh)
+        return 0;
+    int idx = p->aff_idx[(int64_t)py * p->uw + px];
+    return idx < 0 ? 0 : &p->aff_pool[idx];
+}
+
+static int aff_above_row(const Pc *p, int cand, int uy, int py)
+{
+    int sh = p->ep->log2_ctb - 2;
+    return cand >= CAND_A3 && ((uy - 1) >> sh) != (uy >> sh) && py < uy;
+}
+
+/* drv/affine.py _affine_amvp_cand */
+static int affine_amvp_cand(const Pc *p, int ux, int uy, int nw, int nh,
+                            int l2w, int l2h, int cand, int inter_dir,
+                            int ref_idx, int ref_opp, int rp0, int rp1,
+                            int aff, int prec_amvr, int affine_type,
+                            CPc *out)
+{
+    if (!(aff & (1 << cand)))
+        return 0;
+    int lst = inter_dir - 1;
+    int rpl_msk = lst ? rp1 : rp0;
+    int rpl_opp_msk = lst ? rp0 : rp1;
+    int px, py;
+    aff_cand_pos(ux, uy, nw, nh, cand, &px, &py);
+    const AffInfoC *info = aff_info_at(p, px, py);
+    if (!info)
+        return 0;
+    int above = aff_above_row(p, cand, uy, py);
+    int got = 0;
+    CPc cp;
+    if (rpl_msk & (1 << cand)) {
+        CPc ngh = aff_ngh_cps(p, info, lst, above);
+        if (ngh.lt.ref == ref_idx) {
+            cp = derive_cp_from_cand_c(&ngh, info, info->type, ux, uy,
+                                       l2w, l2h, affine_type, above);
+            got = 1;
+        }
+    }
+    if (!got && (rpl_opp_msk & (1 << cand))) {
+        CPc ngh = aff_ngh_cps(p, info, 1 - lst, above);
+        if (ngh.lt.ref == ref_opp) {
+            cp = derive_cp_from_cand_c(&ngh, info, info->type, ux, uy,
+                                       l2w, l2h, affine_type, above);
+            cp.lt.ref = (int8_t)ref_idx;
+            cp.rt.ref = (int8_t)ref_idx;
+            if (affine_type)
+                cp.lb.ref = (int8_t)ref_idx;
+            got = 1;
+        }
+    }
+    if (!got)
+        return 0;
+    cp.lt = round_aff_prec(cp.lt, prec_amvr);
+    cp.rt = round_aff_prec(cp.rt, prec_amvr);
+    if (affine_type)
+        cp.lb = round_aff_prec(cp.lb, prec_amvr);
+    *out = cp;
+    return 1;
+}
+
+/* translational corner candidate (drv/affine.py _mvp_cand) */
+static int aff_mvp_cand(const Pc *p, int ux, int uy, int nw, int nh,
+                        int cand, int inter_dir, int ref_idx, int ref_opp,
+                        int rp0, int rp1, MVc *out)
+{
+    int lst = inter_dir - 1;
+    int px, py;
+    aff_cand_pos(ux, uy, nw, nh, cand, &px, &py);
+    int rpl_list = lst ? rp1 : rp0;
+    int rpl_opp = lst ? rp0 : rp1;
+    const MVc *mvs = lst ? p->mv1 : p->mv0;
+    const MVc *mvs_opp = lst ? p->mv0 : p->mv1;
+    int64_t u = (int64_t)py * p->uw + px;
+    if (rpl_list & (1 << cand)) {
+        MVc mv = mvs[u];
+        if (mv.ref == ref_idx) { *out = mv; return 1; }
+    }
+    if (rpl_opp & (1 << cand)) {
+        MVc mv = mvs_opp[u];
+        if (mv.ref == ref_opp) { mv.ref = (int8_t)ref_idx; *out = mv;
+                                 return 1; }
+    }
+    return 0;
+}
+
+/* drv/affine.py affine_amvp */
+static CPc affine_amvp_c(Pc *p, int ux, int uy, int nw, int nh, int l2w,
+                         int l2h, int ref_idx, int ref_opp, int mvp_idx,
+                         int inter_dir, int affine_type, int prec_amvr)
+{
+    int aff, rp0, rp1;
+    aff_avail_masks(p, ux, uy, nw, nh, &aff, &rp0, &rp1);
+    CPc cand_list[2];
+    int ncand = 0;
+    CPc cp;
+
+    static const int left_c[2] = {CAND_A0, CAND_A1};
+    static const int abv_c[3] = {CAND_B0, CAND_B1, CAND_B2};
+    for (int i = 0; i < 2; i++)
+        if (affine_amvp_cand(p, ux, uy, nw, nh, l2w, l2h, left_c[i],
+                             inter_dir, ref_idx, ref_opp, rp0, rp1, aff,
+                             prec_amvr, affine_type, &cp)) {
+            cand_list[ncand++] = cp;
+            break;
+        }
+    for (int i = 0; i < 3; i++)
+        if (affine_amvp_cand(p, ux, uy, nw, nh, l2w, l2h, abv_c[i],
+                             inter_dir, ref_idx, ref_opp, rp0, rp1, aff,
+                             prec_amvr, affine_type, &cp)) {
+            cand_list[ncand++] = cp;
+            break;
+        }
+
+    if (ncand >= 2) {
+        CPc o = cand_list[mvp_idx];
+        o.lt = round_aff_prec(o.lt, prec_amvr);
+        o.rt = round_aff_prec(o.rt, prec_amvr);
+        o.lb = round_aff_prec(o.lb, prec_amvr);
+        return o;
+    }
+
+    /* constructed from translational corners */
+    MVc lt, rt, lb;
+    int mask = 0;
+    static const int lt_c[3] = {CAND_B2, CAND_B3, CAND_A2};
+    static const int rt_c[2] = {CAND_B1, CAND_B0};
+    static const int lb_c[2] = {CAND_A1, CAND_A0};
+    for (int i = 0; i < 3; i++)
+        if (aff_mvp_cand(p, ux, uy, nw, nh, lt_c[i], inter_dir, ref_idx,
+                         ref_opp, rp0, rp1, &lt)) { mask |= 1; break; }
+    for (int i = 0; i < 2; i++)
+        if (aff_mvp_cand(p, ux, uy, nw, nh, rt_c[i], inter_dir, ref_idx,
+                         ref_opp, rp0, rp1, &rt)) { mask |= 2; break; }
+    for (int i = 0; i < 2; i++)
+        if (aff_mvp_cand(p, ux, uy, nw, nh, lb_c[i], inter_dir, ref_idx,
+                         ref_opp, rp0, rp1, &lb)) { mask |= 4; break; }
+    MVc z;
+    memset(&z, 0, sizeof(z));
+    MVc mv_lt = round_aff_prec((mask & 1) ? lt : z, prec_amvr);
+    MVc mv_rt = round_aff_prec((mask & 2) ? rt : z, prec_amvr);
+    MVc mv_lb = round_aff_prec((mask & 4) ? lb : z, prec_amvr);
+
+    if (mask == 0x7 || (mask == 0x3 && affine_type == 0)) {
+        CPc o = {mv_lt, mv_rt, mv_lb};
+        cand_list[ncand++] = o;
+    }
+    if (ncand < 2 && (mask & 0x4)) {
+        CPc o = {mv_lb, mv_lb, mv_lb};
+        cand_list[ncand++] = o;
+    }
+    if (ncand < 2 && (mask & 0x2)) {
+        CPc o = {mv_rt, mv_rt, mv_rt};
+        cand_list[ncand++] = o;
+    }
+    if (ncand < 2 && (mask & 0x1)) {
+        CPc o = {mv_lt, mv_lt, mv_lt};
+        cand_list[ncand++] = o;
+    }
+    if (ncand < 2 && p->ep->tmvp_enabled) {
+        MVc t;
+        if (derive_tmvp_amvp(p, inter_dir - 1, ref_idx, ux, uy, nw, nh, -1,
+                             &t)) {
+            t = round_aff_prec(t, prec_amvr);
+            t.ref = (int8_t)ref_idx;
+            CPc o = {t, t, t};
+            cand_list[ncand++] = o;
+        }
+    }
+    while (ncand < 2) {
+        CPc o = {z, z, z};
+        cand_list[ncand++] = o;
+    }
+    CPc o = cand_list[mvp_idx];
+    o.lt = round_aff_prec(o.lt, prec_amvr);
+    o.rt = round_aff_prec(o.rt, prec_amvr);
+    if (affine_type)
+        o.lb = round_aff_prec(o.lb, prec_amvr);
+    return o;
+}
+
+/* corner C0 TMVP for the constructed merge candidate
+ * (drv/inter_mvp.py _affine_corner_tmvp) */
+static int aff_corner_tmvp(const Pc *p, int ux, int uy, int nw, int nh,
+                           MVc *t0, MVc *t1)
+{
+    const EntryParams *e = p->ep;
+    int c0x = (ux + nw) & ~1, c0y = (uy + nh) & ~1;
+    int a0 = col_avail(p, 0, c0x, c0y, uy, ux);
+    int a1 = col_avail(p, 1, c0x, c0y, uy, ux);
+    if (!(a0 || a1))
+        return 0;
+    if (e->tmvp_ldc && a0 && a1) {
+        *t0 = tmvp_scaled(p, 0, 0, 0, c0x, c0y, -1);
+        *t1 = tmvp_scaled(p, 1, 0, 1, c0x, c0y, -1);
+    } else {
+        int src = a0 ? 0 : 1;
+        *t0 = tmvp_scaled(p, 0, 0, src, c0x, c0y, -1);
+        *t1 = tmvp_scaled(p, 1, 0, src, c0x, c0y, -1);
+    }
+    return 3;
+}
+
+/* drv/affine.py affine_merge (derive_affine_merge_mv :2565) */
+static AffMergeC affine_merge_c(Pc *p, int ux, int uy, int nw, int nh,
+                                int l2w, int l2h, int mrg_idx)
+{
+    int aff, rp0, rp1;
+    aff_avail_masks(p, ux, uy, nw, nh, &aff, &rp0, &rp1);
+    int nb_cand = 0;
+    AffMergeC out;
+    memset(&out, 0, sizeof(out));
+
+#define INHERIT(cand) do { \
+        int px_, py_; \
+        aff_cand_pos(ux, uy, nw, nh, (cand), &px_, &py_); \
+        const AffInfoC *info = aff_info_at(p, px_, py_); \
+        int above = aff_above_row(p, (cand), uy, py_); \
+        int d = ((rp0 >> (cand)) & 1) | (((rp1 >> (cand)) & 1) << 1); \
+        memset(&out, 0, sizeof(out)); \
+        if (d & 1) { \
+            CPc ngh = aff_ngh_cps(p, info, 0, above); \
+            out.cinfo[0] = derive_cp_from_cand_c(&ngh, info, info->type, \
+                                                 ux, uy, l2w, l2h, \
+                                                 info->type, above); \
+        } \
+        if (d & 2) { \
+            CPc ngh = aff_ngh_cps(p, info, 1, above); \
+            out.cinfo[1] = derive_cp_from_cand_c(&ngh, info, info->type, \
+                                                 ux, uy, l2w, l2h, \
+                                                 info->type, above); \
+        } \
+        out.dir = d; \
+        out.type = info->type; \
+    } while (0)
+
+    int lft_msk = (aff & (1 << CAND_A0)) ? (1 << CAND_A0)
+                                         : (aff & (1 << CAND_A1));
+    if (lft_msk) {
+        INHERIT(lft_msk & (1 << CAND_A0) ? CAND_A0 : CAND_A1);
+        if (nb_cand == mrg_idx)
+            return out;
+        nb_cand++;
+    }
+    int abv_cand = -1;
+    for (int c = CAND_B0; c <= CAND_B2; c++)
+        if (aff & (1 << c)) { abv_cand = c; break; }
+    if (abv_cand >= 0) {
+        INHERIT(abv_cand);
+        if (nb_cand == mrg_idx)
+            return out;
+        nb_cand++;
+    }
+#undef INHERIT
+
+    /* constructed corners */
+    MVc mi0[4], mi1[4];
+    int have0[4] = {0, 0, 0, 0}, have1[4] = {0, 0, 0, 0};
+    int avail_cp = 0;
+
+#define CORNER(cands, ncs, idx) do { \
+        for (int i_ = 0; i_ < (ncs); i_++) { \
+            int c_ = (cands)[i_]; \
+            if (((rp0 | rp1) >> c_) & 1) { \
+                int px_, py_; \
+                aff_cand_pos(ux, uy, nw, nh, c_, &px_, &py_); \
+                int64_t u_ = (int64_t)py_ * p->uw + px_; \
+                if ((rp0 >> c_) & 1) { mi0[idx] = p->mv0[u_]; \
+                                       have0[idx] = 1; } \
+                if ((rp1 >> c_) & 1) { mi1[idx] = p->mv1[u_]; \
+                                       have1[idx] = 1; } \
+                avail_cp |= 1 << (idx); \
+                break; \
+            } \
+        } \
+    } while (0)
+
+    static const int cp0_c[3] = {CAND_B2, CAND_B3, CAND_A2};
+    static const int cp1_c[2] = {CAND_B1, CAND_B0};
+    static const int cp2_c[2] = {CAND_A1, CAND_A0};
+    CORNER(cp0_c, 3, 0);
+    CORNER(cp1_c, 2, 1);
+    CORNER(cp2_c, 2, 2);
+#undef CORNER
+    if (p->ep->tmvp_enabled) {
+        MVc t0, t1;
+        if (aff_corner_tmvp(p, ux, uy, nw, nh, &t0, &t1)) {
+            mi0[3] = t0; have0[3] = 1;
+            mi1[3] = t1; have1[3] = 1;
+            avail_cp |= 8;
+        }
+    }
+
+    /* 3-CP models */
+    static const int combos[4][3] = {{0, 1, 2}, {0, 1, 3}, {0, 2, 3},
+                                     {1, 2, 3}};
+    static const int need3[4] = {0x7, 0xB, 0xD, 0xE};
+    if (p->ep->affine_6param) {
+        for (int model = 0; model < 4; model++) {
+            if ((avail_cp & need3[model]) != need3[model])
+                continue;
+            AffMergeC res;
+            memset(&res, 0, sizeof(res));
+            int d = 0;
+            for (int lst = 0; lst < 2; lst++) {
+                MVc *mi = lst ? mi1 : mi0;
+                int *have = lst ? have1 : have0;
+                const int *ids = combos[model];
+                if (!(have[ids[0]] && have[ids[1]] && have[ids[2]]))
+                    continue;
+                if (mi[ids[0]].ref != mi[ids[1]].ref ||
+                    mi[ids[0]].ref != mi[ids[2]].ref)
+                    continue;
+                int8_t ref = mi[ids[0]].ref;
+                int8_t bcw = mi[ids[0]].bcw;
+                int8_t prc = mi[ids[0]].prec;
+                MVc c0, c1, c2, t;
+                if (model == 0) {
+                    c0 = mi[0]; c1 = mi[1]; c2 = mi[2];
+                } else if (model == 1) {
+                    c0 = mi[0]; c1 = mi[1];
+                    t.x = mi[0].x - mi[1].x + mi[3].x;
+                    t.y = mi[0].y - mi[1].y + mi[3].y;
+                    t.ref = 0; t.bcw = 0; t.prec = 0;
+                    c2 = clip_mv18_c(t);
+                } else if (model == 2) {
+                    c0 = mi[0]; c2 = mi[2];
+                    t.x = mi[0].x - mi[2].x + mi[3].x;
+                    t.y = mi[0].y - mi[2].y + mi[3].y;
+                    t.ref = 0; t.bcw = 0; t.prec = 0;
+                    c1 = clip_mv18_c(t);
+                } else {
+                    c1 = mi[1]; c2 = mi[2];
+                    t.x = mi[1].x + mi[2].x - mi[3].x;
+                    t.y = mi[1].y + mi[2].y - mi[3].y;
+                    t.ref = 0; t.bcw = 0; t.prec = 0;
+                    c0 = clip_mv18_c(t);
+                }
+                c0.ref = ref; c0.bcw = bcw; c0.prec = prc;
+                c1.ref = ref; c1.bcw = bcw; c1.prec = prc;
+                c2.ref = ref; c2.bcw = bcw; c2.prec = prc;
+                res.cinfo[lst].lt = c0;
+                res.cinfo[lst].rt = c1;
+                res.cinfo[lst].lb = c2;
+                d |= 1 << lst;
+            }
+            if (!d)
+                continue;
+            res.dir = d;
+            res.type = 1;
+            out = res;
+            if (nb_cand == mrg_idx)
+                return out;
+            nb_cand++;
+        }
+    }
+    /* 2-CP models */
+    static const int need2[2] = {0x3, 0x5};
+    for (int model = 0; model < 2; model++) {
+        if ((avail_cp & need2[model]) != need2[model])
+            continue;
+        AffMergeC res;
+        memset(&res, 0, sizeof(res));
+        int d = 0;
+        for (int lst = 0; lst < 2; lst++) {
+            MVc *mi = lst ? mi1 : mi0;
+            int *have = lst ? have1 : have0;
+            if (model == 0) {
+                if (!(have[0] && have[1]) || mi[0].ref != mi[1].ref)
+                    continue;
+                res.cinfo[lst].lt = mi[0];
+                res.cinfo[lst].rt = mi[1];
+                memset(&res.cinfo[lst].lb, 0, sizeof(MVc));
+            } else {
+                if (!(have[0] && have[2]) || mi[0].ref != mi[2].ref)
+                    continue;
+                int sh = AFFINE_SHIFT + l2w - l2h;
+                MVc rt;
+                rt.x = (mi[0].x << AFFINE_SHIFT) + ((mi[2].y - mi[0].y) << sh);
+                rt.y = (mi[0].y << AFFINE_SHIFT) - ((mi[2].x - mi[0].x) << sh);
+                rt.ref = 0; rt.bcw = 0; rt.prec = 0;
+                rt = round_affine_mv2_c(rt);
+                rt = clip_mv18_c(rt);
+                rt.ref = mi[0].ref;
+                rt.bcw = mi[0].bcw;
+                rt.prec = mi[0].prec;
+                res.cinfo[lst].lt = mi[0];
+                res.cinfo[lst].rt = rt;
+                res.cinfo[lst].lb = mi[2];
+            }
+            d |= 1 << lst;
+        }
+        if (!d)
+            continue;
+        res.dir = d;
+        res.type = 0;
+        out = res;
+        if (nb_cand == mrg_idx)
+            return out;
+        nb_cand++;
+    }
+
+    memset(&out, 0, sizeof(out));
+    out.dir = 3;
+    out.type = 0;
+    return out;
+}
+
+/* drv/affine.py broadcast_mv */
+static int aff_broadcast_mv(const DMVc *dmv, int inter_dir)
+{
+    const int T3 = 9, T5 = 11, T9 = 15;
+    int a = dmv->h.x * 4, b = dmv->h.y * 4;
+    int c = dmv->v.x * 4, d = dmv->v.y * 4;
+#define MAX4(p_, q_, r_, s_) imax(imax(p_, q_), imax(r_, s_))
+#define MIN4(p_, q_, r_, s_) imin(imin(p_, q_), imin(r_, s_))
+    if (inter_dir == 3) {
+        int bw = MAX4(0, a + RND_AFF, c, a + c + RND_AFF)
+                 - MIN4(0, a + RND_AFF, c, a + c + RND_AFF);
+        int bh = MAX4(0, b, d + RND_AFF, b + d + RND_AFF)
+                 - MIN4(0, b, d + RND_AFF, b + d + RND_AFF);
+        bw = (bw >> 11) + T3;
+        bh = (bh >> 11) + T3;
+        return bw * bh > T9 * T9;
+    }
+    int bw = imax(0, a + RND_AFF) - imin(0, a + RND_AFF);
+    int bh = imax(0, b) - imin(0, b);
+    bw = (bw >> 11) + T3;
+    bh = (bh >> 11) + T3;
+    if (bw * bh > T9 * T5)
+        return 1;
+    bw = imax(0, c) - imin(0, c);
+    bh = imax(0, d + RND_AFF) - imin(0, d + RND_AFF);
+    bh = (bh >> 11) + T3;
+    bw = (bw >> 11) + T3;
+    return bw * bh > T5 * T9;
+#undef MAX4
+#undef MIN4
+}
+
+static int aff_check_prof(const AffMergeC *mi, int lst)
+{
+    const CPc *cp = &mi->cinfo[lst];
+    if (mi->type)
+        return !((cp->lt.x == cp->rt.x && cp->lt.y == cp->rt.y)
+                 && (cp->lt.x == cp->lb.x && cp->lt.y == cp->lb.y));
+    return !(cp->lt.x == cp->rt.x && cp->lt.y == cp->rt.y);
+}
+
+/* compute_subblock_mvs into the unit maps directly; fills aff/tmvp maps
+ * (drv/affine.py compute_subblock_mvs + store_and_subblocks) */
+static void aff_store_subblocks(Pc *p, const AffMergeC *mi, int ux, int uy,
+                                int l2w, int l2h, int *prof_mask,
+                                DMVc *dmv0_o, DMVc *dmv1_o)
+{
+    int nw = (1 << l2w) >> 2, nh = (1 << l2h) >> 2;
+    for (int j = 0; j < nh; j++)
+        for (int i = 0; i < nw; i++)
+            p->aff_dir[(int64_t)(uy + j) * p->uw + ux + i] = 1;
+
+    DMVc dmv0 = derive_affine_delta_mvs_c(&mi->cinfo[0], l2w, l2h,
+                                          mi->type);
+    DMVc dmv1 = derive_affine_delta_mvs_c(&mi->cinfo[1], l2w, l2h,
+                                          mi->type);
+    *dmv0_o = dmv0;
+    *dmv1_o = dmv1;
+    *prof_mask = 0;
+
+    for (int lst = 0; lst < 2; lst++) {
+        if (!(mi->dir & (1 << lst)))
+            continue;
+        const CPc *c = &mi->cinfo[lst];
+        const DMVc *dmv = lst ? &dmv1 : &dmv0;
+        int broad = aff_broadcast_mv(dmv, mi->dir);
+        uint8_t *dirm = lst ? p->dir1 : p->dir0;
+        MVc *mvm = lst ? p->mv1 : p->mv0;
+        if (!broad) {
+            int vx = (c->lt.x << AFFINE_SHIFT) + dmv->h.x * 2 + dmv->v.x * 2;
+            int vy = (c->lt.y << AFFINE_SHIFT) + dmv->h.y * 2 + dmv->v.y * 2;
+            for (int i = 0; i < nh; i++) {
+                int hx = vx, hy = vy;
+                for (int j = 0; j < nw; j++) {
+                    MVc m;
+                    m.x = hx; m.y = hy; m.ref = 0; m.bcw = 0; m.prec = 0;
+                    m = round_affine_mv2_c(m);
+                    m = clip_mv18_c(m);
+                    m.ref = c->lt.ref; m.bcw = c->lt.bcw;
+                    m.prec = c->lt.prec;
+                    int64_t u = (int64_t)(uy + i) * p->uw + ux + j;
+                    dirm[u] = 1;
+                    mvm[u] = m;
+                    hx += 4 * dmv->h.x;
+                    hy += 4 * dmv->h.y;
+                }
+                vx += 4 * dmv->v.x;
+                vy += 4 * dmv->v.y;
+            }
+            *prof_mask |= 1 << lst;
+        } else {
+            int cx = (c->lt.x << AFFINE_SHIFT) + ((dmv->h.x << l2w) >> 1)
+                     + ((dmv->v.x << l2h) >> 1);
+            int cy = (c->lt.y << AFFINE_SHIFT) + ((dmv->h.y << l2w) >> 1)
+                     + ((dmv->v.y << l2h) >> 1);
+            MVc m;
+            m.x = cx; m.y = cy; m.ref = 0; m.bcw = 0; m.prec = 0;
+            m = round_affine_mv2_c(m);
+            m = clip_mv18_c(m);
+            m.ref = c->lt.ref; m.bcw = c->lt.bcw; m.prec = c->lt.prec;
+            for (int i = 0; i < nh; i++)
+                for (int j = 0; j < nw; j++) {
+                    int64_t u = (int64_t)(uy + i) * p->uw + ux + j;
+                    dirm[u] = 1;
+                    mvm[u] = m;
+                }
+        }
+    }
+
+    /* TMVP plane: 8x8-aligned sub-block MVs */
+    for (int j = 0; j < nh; j++)
+        for (int i = 0; i < nw; i++) {
+            if (((ux + i) & 1) || ((uy + j) & 1))
+                continue;
+            int gx = (ux + i) >> 1, gy = (uy + j) >> 1;
+            int64_t u = (int64_t)(uy + j) * p->uw + ux + i;
+            if (mi->dir & 1) {
+                int32_t *cell = p->tmv0 + ((int64_t)gy * p->uw8 + gx) * 3;
+                cell[0] = p->mv0[u].x;
+                cell[1] = p->mv0[u].y;
+                cell[2] = p->mv0[u].ref;
+            }
+            if (mi->dir & 2) {
+                int32_t *cell = p->tmv1 + ((int64_t)gy * p->uw8 + gx) * 3;
+                cell[0] = p->mv1[u].x;
+                cell[1] = p->mv1[u].y;
+                cell[2] = p->mv1[u].ref;
+            }
+        }
+
+    /* record affine info for inheritance */
+    if (p->aff_n < p->aff_cap) {
+        AffInfoC *info = &p->aff_pool[p->aff_n];
+        info->cps[0] = mi->cinfo[0];
+        info->cps[1] = mi->cinfo[1];
+        info->type = mi->type;
+        info->ux = ux; info->uy = uy; info->nw = nw; info->nh = nh;
+        info->l2w = l2w; info->l2h = l2h;
+        for (int j = 0; j < nh; j++)
+            for (int i = 0; i < nw; i++)
+                p->aff_idx[(int64_t)(uy + j) * p->uw + ux + i] =
+                    (int32_t)p->aff_n;
+        p->aff_n++;
+    } else {
+        bail(p, ERR_OVERFLOW);
+    }
+}
+
+/* ---- SbTMVP (drv/affine.py SbTmvpCtx) -------------------------------- */
+
+static void sbt_clip_pos(const Pc *p, int x, int y, int ctb_x, int *ox,
+                         int *oy)
+{
+    const EntryParams *e = p->ep;
+    int ctu_s = 1 << e->log2_ctb;
+    int is_bnd = ctb_x == e->nb_ctb_pic_w - 1;
+    x = imax(0, imin(x, ctu_s + 3 - (is_bnd ? 4 : 0)));
+    y = imax(0, imin(y, ctu_s - 1));
+    *ox = x & ~7;
+    *oy = y & ~7;
+}
+
+static int sbt_col_probe(const Pc *p, int px_u, int py_u)
+{
+    const EntryParams *e = p->ep;
+    if (!p->col_dir0)
+        return 0;
+    if (py_u < 0 || px_u < 0 || py_u >= e->col_uh || px_u >= e->col_uw)
+        return 0;
+    return (p->col_dir0[(int64_t)py_u * e->col_uw + px_u] ? 1 : 0)
+           | (p->col_dir1[(int64_t)py_u * e->col_uw + px_u] ? 2 : 0);
+}
+
+static MVc sbt_col_mv_scaled(const Pc *p, int lst_cur, int col_lst,
+                             int px_u, int py_u)
+{
+    const EntryParams *e = p->ep;
+    const int32_t *cell = (col_lst ? p->col_mv1 : p->col_mv0)
+                          + (((int64_t)(py_u >> 1)) * e->col_uw8
+                             + (px_u >> 1)) * 3;
+    int dist_col = (col_lst ? e->dist_col1 : e->dist_col0)[cell[2]];
+    int dist_ref = (lst_cur ? e->dist_ref1 : e->dist_ref0)[0];
+    int scale = derive_tmvp_scale(dist_ref, dist_col);
+    MVc out;
+    out.x = tmvp_scale_one(scale, tmvp_round_mv(cell[0]));
+    out.y = tmvp_scale_one(scale, tmvp_round_mv(cell[1]));
+    out.ref = 0; out.bcw = 0; out.prec = 0;
+    return out;
+}
+
+/* (inter_dir, mv0, mv1) of the collocated field at a clipped CTU-local
+ * position derived from tile-local luma coords (SbTmvpCtx._mvs_at) */
+static int sbt_mvs_at(const Pc *p, int tile_x, int tile_y, int ctb_x,
+                      int ctb_y, MVc *mv0, MVc *mv1)
+{
+    const EntryParams *e = p->ep;
+    int tile_px = tile_x + e->tile_x0;
+    int tile_py = tile_y + e->tile_y0;
+    int lx = tile_px - (ctb_x << e->log2_ctb);
+    int ly = tile_py - (ctb_y << e->log2_ctb);
+    int cx, cy;
+    sbt_clip_pos(p, lx, ly, ctb_x, &cx, &cy);
+    int px_u = ((ctb_x << e->log2_ctb) + cx) >> 2;
+    int py_u = ((ctb_y << e->log2_ctb) + cy) >> 2;
+    int cand_msk = sbt_col_probe(p, px_u, py_u);
+    if (!cand_msk)
+        return 0;
+    if (e->ldc) {
+        int c0 = cand_msk & 1, c1 = cand_msk & 2;
+        if (c0 && c1) {
+            *mv0 = sbt_col_mv_scaled(p, 0, 0, px_u, py_u);
+            *mv1 = sbt_col_mv_scaled(p, 1, 1, px_u, py_u);
+        } else if (c0) {
+            *mv0 = sbt_col_mv_scaled(p, 0, 0, px_u, py_u);
+            *mv1 = sbt_col_mv_scaled(p, 1, 0, px_u, py_u);
+        } else {
+            *mv0 = sbt_col_mv_scaled(p, 0, 1, px_u, py_u);
+            *mv1 = sbt_col_mv_scaled(p, 1, 1, px_u, py_u);
+        }
+        return 3;
+    }
+    int inter_dir = 0;
+    if (cand_msk & 1) {
+        *mv0 = sbt_col_mv_scaled(p, 0, 0, px_u, py_u);
+        inter_dir |= 1;
+    }
+    if (cand_msk & 2) {
+        *mv1 = sbt_col_mv_scaled(p, 1, 1, px_u, py_u);
+        inter_dir |= 2;
+    }
+    return inter_dir;
+}
+
+/* A1 MV if its ref is the collocated picture (SbTmvpCtx.mv_offset) */
+static void sbt_mv_offset(const Pc *p, int ux, int uy, int nw, int nh,
+                          int *ox, int *oy)
+{
+    const EntryParams *e = p->ep;
+    *ox = *oy = 0;
+    int px = ux - 1, py = uy + nh - 1;
+    (void)nw;
+    if (iavail(p, 0, px, py)) {
+        MVc mv = imv_at(p, 0, px, py);
+        if (mv.ref == e->col_ref_idx0) {
+            *ox = (mv.x + 7 + (mv.x < 0 ? 1 : 0)) >> 4;
+            *oy = (mv.y + 7 + (mv.y < 0 ? 1 : 0)) >> 4;
+            return;
+        }
+    }
+    if (iavail(p, 1, px, py)) {
+        MVc mv = imv_at(p, 1, px, py);
+        if (mv.ref == e->col_ref_idx1) {
+            *ox = (mv.x + 7 + (mv.x < 0 ? 1 : 0)) >> 4;
+            *oy = (mv.y + 7 + (mv.y < 0 ? 1 : 0)) >> 4;
+        }
+    }
+}
+
+/* derive_sub_block_mvs[_p] per-8x8 unit fills (SbTmvpCtx.derive_units).
+ * x0/y0 are tile-local luma coords. */
+static void sbt_derive_units(Pc *p, int x0, int y0, int l2w, int l2h,
+                             int ctb_x, int ctb_y, int main_dir,
+                             MVc main_mv0, MVc main_mv1, int off_x,
+                             int off_y, int is_p)
+{
+    int nb_sb_w = imax(1, (1 << l2w) >> 3);
+    int nb_sb_h = imax(1, (1 << l2h) >> 3);
+    int sb_w = nb_sb_w == 1 ? (1 << l2w) : 8;
+    int sb_h = nb_sb_h == 1 ? (1 << l2h) : 8;
+    int is_small = l2w + l2h <= 5;
+    int ux = x0 >> 2, uy = y0 >> 2;
+    for (int i = 0; i < nb_sb_h; i++)
+        for (int j = 0; j < nb_sb_w; j++) {
+            int cx = x0 + (sb_w >> 1) + off_x + j * sb_w;
+            int cy = y0 + (sb_h >> 1) + off_y + i * sb_h;
+            MVc mv0, mv1;
+            memset(&mv0, 0, sizeof(mv0));
+            memset(&mv1, 0, sizeof(mv1));
+            int inter_dir = sbt_mvs_at(p, cx, cy, ctb_x, ctb_y, &mv0, &mv1);
+            if (is_p) {
+                if (!(inter_dir & 1))
+                    mv0 = main_mv0;
+                inter_dir = 1;
+            } else {
+                if (!inter_dir) {
+                    mv0 = main_mv0;
+                    mv1 = main_mv1;
+                    inter_dir = main_dir;
+                }
+                if (is_small && inter_dir == 3)
+                    inter_dir = 1;
+            }
+            /* _fill_unit */
+            int gx = (ux * 4 + 8 * j + 4) >> 3;
+            int gy = (uy * 4 + 8 * i + 4) >> 3;
+            for (int lst = 0; lst < 2; lst++) {
+                if (!(inter_dir & (1 << lst)))
+                    continue;
+                MVc m = lst ? mv1 : mv0;
+                m.ref = 0;
+                m.bcw = 0;
+                uint8_t *dirm = lst ? p->dir1 : p->dir0;
+                MVc *mvm = lst ? p->mv1 : p->mv0;
+                for (int dj = 0; dj < 2; dj++)
+                    for (int di = 0; di < 2; di++) {
+                        int64_t u = (int64_t)(uy + 2 * i + dj) * p->uw
+                                    + ux + 2 * j + di;
+                        dirm[u] = 1;
+                        mvm[u] = m;
+                    }
+                int32_t *cell = (lst ? p->tmv1 : p->tmv0)
+                                + ((int64_t)gy * p->uw8 + gx) * 3;
+                cell[0] = m.x;
+                cell[1] = m.y;
+                cell[2] = 0;
+            }
+        }
+}
+
+/* set_zero_mvs_p/b (SbTmvpCtx.zero_units) */
+static void sbt_zero_units(Pc *p, int x0, int y0, int l2w, int l2h,
+                           int is_p)
+{
+    int ux = x0 >> 2, uy = y0 >> 2;
+    int nw = (1 << l2w) >> 2, nh = (1 << l2h) >> 2;
+    MVc z;
+    memset(&z, 0, sizeof(z));
+    for (int lst = 0; lst < (is_p ? 1 : 2); lst++) {
+        uint8_t *dirm = lst ? p->dir1 : p->dir0;
+        MVc *mvm = lst ? p->mv1 : p->mv0;
+        int32_t *tm = lst ? p->tmv1 : p->tmv0;
+        for (int jj = 0; jj < nh; jj++)
+            for (int ii = 0; ii < nw; ii++) {
+                int64_t u = (int64_t)(uy + jj) * p->uw + ux + ii;
+                dirm[u] = 1;
+                mvm[u] = z;
+            }
+        for (int i = 0; i < imax(1, nh >> 1); i++)
+            for (int j = 0; j < imax(1, nw >> 1); j++) {
+                int gx = (x0 + 8 * j + 4) >> 3;
+                int gy = (y0 + 8 * i + 4) >> 3;
+                int32_t *cell = tm + ((int64_t)gy * p->uw8 + gx) * 3;
+                cell[0] = 0; cell[1] = 0; cell[2] = 0;
+            }
+    }
+}
+
+/* ---- sb-merge / affine syntax (vcl/inter_pu.py) ---------------------- */
+
+static int nbr_affine_cnt(const Pc *p, int x0, int y0)
+{
+    int abv = nbr_u8(p, p->m_ctype, x0, y0 - 1, CU_NA);
+    int lft = nbr_u8(p, p->m_ctype, x0 - 1, y0, CU_NA);
+    return (lft == CU_AFFINE || lft == CU_INTER_SKIP_AFF)
+           + (abv == CU_AFFINE || abv == CU_INTER_SKIP_AFF);
+}
+
+static int code_sb_merge_flag(Pc *p, int x0, int y0)
+{
+    return cabac_decode_bin(p->cab,
+                            SUBBLOCK_MERGE_FLAG + nbr_affine_cnt(p, x0, y0));
+}
+
+static int code_affine_merge_idx(Pc *p, int nb_cand_min1)
+{
+    int v = 0;
+    if (nb_cand_min1 > 0 && cabac_decode_bin(p->cab, AFF_MERGE_IDX)) {
+        v = 1;
+        while (v < nb_cand_min1 && cabac_decode_bypass(p->cab))
+            v++;
+    }
+    return v;
+}
+
+static int code_affine_flag(Pc *p, int x0, int y0)
+{
+    return cabac_decode_bin(p->cab,
+                            AFFINE_FLAG + nbr_affine_cnt(p, x0, y0));
+}
+
+static int code_affine_type(Pc *p)
+{
+    return cabac_decode_bin(p->cab, AFFINE_TYPE);
+}
+
+#define PREC_SIXTEENTH 6
+
+static int code_affine_amvr_precision(Pc *p)
+{
+    static const int order[3] = {PREC_QUARTER, PREC_SIXTEENTH, PREC_INT};
+    int idx = cabac_decode_bin(p->cab, IMV_FLAG + 2);
+    if (idx)
+        idx += cabac_decode_bin(p->cab, IMV_FLAG + 3);
+    return order[idx];
+}
+
+static void code_affine_mvds(Pc *p, int affine_type, MVc mvds[3])
+{
+    int n = affine_type ? 3 : 2;
+    for (int k = 0; k < n; k++) {
+        int mx, my;
+        code_mvd(p, &mx, &my);
+        mvds[k].x = mx; mvds[k].y = my;
+        mvds[k].ref = 0; mvds[k].bcw = 0; mvds[k].prec = 0;
+    }
+    if (n == 2)
+        memset(&mvds[2], 0, sizeof(MVc));
+}
+
+/* SB_MERGE dispatch (drv/affine.py drv_sb_merge): returns the CU_F_SB_FLAG
+ * value and fills the CU record's prof/dmv fields + MV refs/bcw */
+static int drv_sb_merge_c(Pc *p, int32_t *c, int x0, int y0, int l2w,
+                          int l2h, int merge_idx, int is_p)
+{
+    const EntryParams *e = p->ep;
+    int tile_x = x0 - e->tile_x0, tile_y = y0 - e->tile_y0;
+    int ux = tile_x >> 2, uy = tile_y >> 2;
+
+    if (e->sbtmvp_on) {
+        int off_x, off_y;
+        sbt_mv_offset(p, ux, uy, (1 << l2w) >> 2, (1 << l2h) >> 2,
+                      &off_x, &off_y);
+        int ctb_x = x0 >> e->log2_ctb, ctb_y = y0 >> e->log2_ctb;
+        int cx = tile_x + ((1 << l2w) >> 1) + off_x;
+        int cy = tile_y + ((1 << l2h) >> 1) + off_y;
+        MVc m0, m1;
+        memset(&m0, 0, sizeof(m0));
+        memset(&m1, 0, sizeof(m1));
+        int main_dir = sbt_mvs_at(p, cx, cy, ctb_x, ctb_y, &m0, &m1);
+        if (main_dir && merge_idx == 0) {
+            sbt_derive_units(p, tile_x, tile_y, l2w, l2h, ctb_x, ctb_y,
+                             main_dir, m0, m1, off_x, off_y, is_p);
+            c[CU_F_INTER_DIR] = 3; /* recon dispatches per unit */
+            c[CU_F_MV0REF] = 0;
+            c[CU_F_MV1REF] = 0;
+            c[CU_F_MV0BCW] = 0;
+            c[CU_F_PRED] = MODE_INTER;
+            p->prec_amvr = 0;
+            return 2;
+        }
+        if (!e->affine_enabled) {
+            sbt_zero_units(p, tile_x, tile_y, l2w, l2h, is_p);
+            c[CU_F_INTER_DIR] = is_p ? 1 : 3;
+            c[CU_F_MV0REF] = 0;
+            c[CU_F_MV1REF] = is_p ? -1 : 0;
+            c[CU_F_MV0BCW] = 0;
+            c[CU_F_PRED] = MODE_INTER;
+            p->prec_amvr = 0;
+            return 3;
+        }
+        merge_idx -= main_dir ? 1 : 0;
+    }
+
+    AffMergeC mi = affine_merge_c(p, ux, uy, (1 << l2w) >> 2,
+                                  (1 << l2h) >> 2, l2w, l2h, merge_idx);
+    mi.cinfo[0].lt.prec = 0; mi.cinfo[0].rt.prec = 0;
+    mi.cinfo[0].lb.prec = 0;
+    mi.cinfo[1].lt.prec = 0; mi.cinfo[1].rt.prec = 0;
+    mi.cinfo[1].lb.prec = 0;
+    if (is_p)
+        mi.dir = 1;
+    int prof_mask;
+    DMVc dmv0, dmv1;
+    aff_store_subblocks(p, &mi, ux, uy, l2w, l2h, &prof_mask, &dmv0, &dmv1);
+    int pd = 0;
+    if (e->affine_prof) {
+        pd = prof_mask;
+        if ((pd & 1) && !aff_check_prof(&mi, 0))
+            pd &= ~1;
+        if ((pd & 2) && !aff_check_prof(&mi, 1))
+            pd &= ~2;
+        pd &= mi.dir;
+    }
+    c[CU_F_INTER_DIR] = mi.dir;
+    c[CU_F_MV0REF] = (mi.dir & 1) ? mi.cinfo[0].lt.ref : -1;
+    c[CU_F_MV1REF] = (mi.dir & 2) ? mi.cinfo[1].lt.ref : -1;
+    c[CU_F_MV0BCW] = (mi.dir & 1) ? mi.cinfo[0].lt.bcw
+                                  : mi.cinfo[1].lt.bcw;
+    c[CU_F_PROF_DIR] = pd;
+    c[CU_F_DMV0HX] = dmv0.h.x; c[CU_F_DMV0HY] = dmv0.h.y;
+    c[CU_F_DMV0VX] = dmv0.v.x; c[CU_F_DMV0VY] = dmv0.v.y;
+    c[CU_F_DMV1HX] = dmv1.h.x; c[CU_F_DMV1HY] = dmv1.h.y;
+    c[CU_F_DMV1VX] = dmv1.v.x; c[CU_F_DMV1VY] = dmv1.v.y;
+    c[CU_F_PRED] = MODE_INTER;
+    p->prec_amvr = 0;
+    return 1;
+}
+
+/* affine AMVP read + derivation (vcl/inter_pu.py _affine_mvp_read_apply
+ * + drv/affine.py drv_affine_amvp_apply) */
+static void affine_amvp_read_apply(Pc *p, int32_t *c, int x0, int y0,
+                                   int l2w, int l2h, int inter_dir)
+{
+    const EntryParams *e = p->ep;
+    int ux = (x0 - e->tile_x0) >> 2, uy = (y0 - e->tile_y0) >> 2;
+    int nw = (1 << l2w) >> 2, nh = (1 << l2h) >> 2;
+    int atype = e->affine_6param ? code_affine_type(p) : 0;
+
+    int ridx0 = 0, ridx1 = 0;
+    MVc mvds0[3], mvds1[3];
+    memset(mvds0, 0, sizeof(mvds0));
+    memset(mvds1, 0, sizeof(mvds1));
+    int mvp0 = 0, mvp1 = 0;
+
+    if (inter_dir == 3) {
+        ridx0 = e->nb_active_ref0 > 1 ? code_ref_idx(p, e->nb_active_ref0)
+                                      : e->nb_active_ref0 - 1;
+        code_affine_mvds(p, atype, mvds0);
+        mvp0 = cabac_decode_bin(p->cab, MVP_IDX);
+        ridx1 = code_ref_idx1(p, e->nb_active_ref1);
+        if (!e->mvd1_zero)
+            code_affine_mvds(p, atype, mvds1);
+        mvp1 = cabac_decode_bin(p->cab, MVP_IDX);
+    } else if (inter_dir == 1) {
+        ridx0 = e->nb_active_ref0 > 1 ? code_ref_idx(p, e->nb_active_ref0)
+                                      : e->nb_active_ref0 - 1;
+        code_affine_mvds(p, atype, mvds0);
+        mvp0 = cabac_decode_bin(p->cab, MVP_IDX);
+        memcpy(mvds1, mvds0, sizeof(mvds0));
+        mvp1 = mvp0; /* unused */
+    } else {
+        ridx1 = code_ref_idx1(p, e->nb_active_ref1);
+        code_affine_mvds(p, atype, mvds1);
+        mvp1 = cabac_decode_bin(p->cab, MVP_IDX);
+        memcpy(mvds0, mvds1, sizeof(mvds1));
+        mvp0 = mvp1;
+    }
+
+    int prec = PREC_QUARTER;
+    if (e->affine_amvr) {
+        int nz = 0;
+        if (inter_dir & 1)
+            for (int k = 0; k < 3; k++)
+                nz |= mvds0[k].x || mvds0[k].y;
+        if (inter_dir & 2)
+            for (int k = 0; k < 3; k++)
+                nz |= mvds1[k].x || mvds1[k].y;
+        if (nz)
+            prec = code_affine_amvr_precision(p);
+    }
+    p->prec_amvr = prec;
+
+    int bcw = 2;
+    if (inter_dir == 3)
+        bcw = maybe_bcw(p, l2w, l2h);
+
+    AffMergeC mi;
+    memset(&mi, 0, sizeof(mi));
+    mi.type = atype;
+    mi.dir = inter_dir;
+
+    for (int lst = 0; lst < 2; lst++) {
+        if (!(inter_dir & (1 << lst)))
+            continue;
+        int ridx = lst ? ridx1 : ridx0;
+        int ropp = lst ? e->rpl1_opp[ridx] : e->rpl0_opp[ridx];
+        int mvpi = lst ? mvp1 : mvp0;
+        MVc *mvd = lst ? mvds1 : mvds0;
+        CPc cp = affine_amvp_c(p, ux, uy, nw, nh, l2w, l2h, ridx, ropp,
+                               mvpi, lst + 1, atype, prec);
+        MVc d_lt = mv_change_prec(mvd[0], prec, PREC_INTERNAL);
+        MVc d_rt = mv_change_prec(mvd[1], prec, PREC_INTERNAL);
+        MVc lt, rt;
+        lt.x = cp.lt.x + d_lt.x; lt.y = cp.lt.y + d_lt.y;
+        rt.x = cp.rt.x + d_lt.x + d_rt.x;
+        rt.y = cp.rt.y + d_lt.y + d_rt.y;
+        lt.ref = rt.ref = 0; lt.bcw = rt.bcw = 0; lt.prec = rt.prec = 0;
+        lt = mv_clip_periodic_c(lt);
+        rt = mv_clip_periodic_c(rt);
+        lt.ref = (int8_t)ridx; lt.bcw = (int8_t)(bcw + 1);
+        lt.prec = (int8_t)prec;
+        rt.ref = (int8_t)ridx; rt.bcw = (int8_t)(bcw + 1);
+        rt.prec = (int8_t)prec;
+        mi.cinfo[lst].lt = lt;
+        mi.cinfo[lst].rt = rt;
+        memset(&mi.cinfo[lst].lb, 0, sizeof(MVc));
+        if (atype) {
+            MVc d_lb = mv_change_prec(mvd[2], prec, PREC_INTERNAL);
+            MVc lb;
+            lb.x = cp.lb.x + d_lt.x + d_lb.x;
+            lb.y = cp.lb.y + d_lt.y + d_lb.y;
+            lb.ref = 0; lb.bcw = 0; lb.prec = 0;
+            lb = mv_clip_periodic_c(lb);
+            lb.ref = (int8_t)ridx;
+            lb.bcw = (int8_t)(bcw + 1);
+            lb.prec = (int8_t)prec;
+            mi.cinfo[lst].lb = lb;
+        }
+    }
+
+    p->prec_amvr = 0;
+    int prof_mask;
+    DMVc dmv0, dmv1;
+    int tux = ux, tuy = uy;
+    aff_store_subblocks(p, &mi, tux, tuy, l2w, l2h, &prof_mask, &dmv0,
+                        &dmv1);
+    int pd = 0;
+    if (e->affine_prof) {
+        pd = prof_mask;
+        if ((pd & 1) && !aff_check_prof(&mi, 0))
+            pd &= ~1;
+        if ((pd & 2) && !aff_check_prof(&mi, 1))
+            pd &= ~2;
+        pd &= inter_dir;
+    }
+    c[CU_F_SB_FLAG] = 1;
+    c[CU_F_INTER_DIR] = inter_dir;
+    c[CU_F_MV0REF] = (inter_dir & 1) ? ridx0 : -1;
+    c[CU_F_MV1REF] = (inter_dir & 2) ? ridx1 : -1;
+    c[CU_F_MV0BCW] = bcw + 1;
+    c[CU_F_PROF_DIR] = pd;
+    c[CU_F_DMV0HX] = dmv0.h.x; c[CU_F_DMV0HY] = dmv0.h.y;
+    c[CU_F_DMV0VX] = dmv0.v.x; c[CU_F_DMV0VY] = dmv0.v.y;
+    c[CU_F_DMV1HX] = dmv1.h.x; c[CU_F_DMV1HY] = dmv1.h.y;
+    c[CU_F_DMV1VX] = dmv1.v.x; c[CU_F_DMV1VY] = dmv1.v.y;
+    c[CU_F_PRED] = MODE_INTER;
+}
+
 /* prediction_unit_inter_p parity (affine/sb-merge/mmvd/ciip/gpm gated) */
 static void pred_unit_inter_p(Pc *p, int32_t *c, int x0, int y0,
                               int l2w, int l2h, int skip, int merge)
@@ -1684,7 +2886,19 @@ static void pred_unit_inter_p(Pc *p, int32_t *c, int x0, int y0,
     p->prec_amvr = PREC_QUARTER;
     MVc mv0;
     if (merge) {
-        /* merge_data_p (gpm/sb-merge gated; MMVD + CIIP live) */
+        /* sb_merge (affine / SbTMVP) rides ahead of merge_data */
+        if ((e->sbtmvp_on || e->affine_enabled) && l2w >= 3 && l2h >= 3
+            && code_sb_merge_flag(p, x0, y0)) {
+            int midx = 0;
+            if (e->affine_enabled)
+                midx = code_affine_merge_idx(p,
+                                             e->affine_nb_merge_cand - 1);
+            c[CU_F_MERGE_IDX] = midx;
+            c[CU_F_SB_FLAG] = drv_sb_merge_c(p, c, x0, y0, l2w, l2h, midx,
+                                             1);
+            return;
+        }
+        /* merge_data_p (gpm gated in P; MMVD + CIIP live) */
         int mf = merge_data_flags(p, l2w, l2h, skip);
         if (mf & 1) {
             int midx = code_mmvd_merge_idx(p, e->max_num_merge_cand);
@@ -1704,6 +2918,11 @@ static void pred_unit_inter_p(Pc *p, int32_t *c, int x0, int y0,
             mv0.bcw = 0; /* CIIP: recon uses the default combine */
         }
     } else {
+        if (e->affine_enabled && l2w > 3 && l2h > 3
+            && code_affine_flag(p, x0, y0)) {
+            affine_amvp_read_apply(p, c, x0, y0, l2w, l2h, 1);
+            return;
+        }
         int nb_active = e->nb_active_ref0;
         int ref_idx = nb_active > 1 ? code_ref_idx(p, nb_active)
                                     : nb_active - 1;
@@ -1764,6 +2983,17 @@ static void pred_unit_inter_b(Pc *p, int32_t *c, int x0, int y0,
     p->prec_amvr = PREC_QUARTER;
     MIc mi;
     if (merge) {
+        if ((e->sbtmvp_on || e->affine_enabled) && l2w >= 3 && l2h >= 3
+            && code_sb_merge_flag(p, x0, y0)) {
+            int midx = 0;
+            if (e->affine_enabled)
+                midx = code_affine_merge_idx(p,
+                                             e->affine_nb_merge_cand - 1);
+            c[CU_F_MERGE_IDX] = midx;
+            c[CU_F_SB_FLAG] = drv_sb_merge_c(p, c, x0, y0, l2w, l2h, midx,
+                                             0);
+            return;
+        }
         int mf = merge_data_flags(p, l2w, l2h, skip);
         if (mf & 4) {
             /* GPM: two uni partitions; recon dispatches on CU_F_GPM_DIRS
@@ -1804,6 +3034,11 @@ static void pred_unit_inter_b(Pc *p, int32_t *c, int x0, int y0,
         p->prec_amvr = (mi.dir & 1) ? mi.mv0.prec : mi.mv1.prec;
     } else {
         int inter_dir = code_inter_dir(p, l2w, l2h);
+        if (e->affine_enabled && l2w > 3 && l2h > 3
+            && code_affine_flag(p, x0, y0)) {
+            affine_amvp_read_apply(p, c, x0, y0, l2w, l2h, inter_dir);
+            return;
+        }
         int smvd = 0;
         if (inter_dir == 3 && e->smvd_enabled)
             smvd = cabac_decode_bin(p->cab, SMVD_FLAG);
@@ -2019,7 +3254,8 @@ static void coding_unit_dispatch(Pc *p, int x0, int y0, int l2w, int l2h)
                 pred_unit_inter_p(p, c, x0, y0, l2w, l2h, 1, 1);
             c[CU_F_PREC_EFF] = p->prec_amvr;
             reset_intra_map(p, x0, y0, l2w, l2h);
-            cu_tail_maps(p, cui, CU_INTER_SKIP);
+            cu_tail_maps(p, cui, c[CU_F_SB_FLAG] ? CU_INTER_SKIP_AFF
+                                                 : CU_INTER_SKIP);
             return;
         }
 
@@ -2049,7 +3285,8 @@ static void coding_unit_dispatch(Pc *p, int x0, int y0, int l2w, int l2h)
         if (e->chroma_enabled)
             store_cu_chroma(p, x0 >> 1, y0 >> 1, l2w, l2h);
         store_cu_luma(p, cu_rec(p, cui));
-        cu_tail_maps(p, cui, CU_INTER);
+        cu_tail_maps(p, cui, cu_rec(p, cui)[CU_F_SB_FLAG] ? CU_AFFINE
+                                                          : CU_INTER);
         return;
     }
 
@@ -2524,7 +3761,7 @@ int64_t ov_parse_entry(const uint8_t *data, int64_t nbytes,
                        uint8_t *tmvp_dir1, int32_t *tmvp_mv1,
                        const uint8_t *col_dir0, const uint8_t *col_dir1,
                        const int32_t *col_mv0, const int32_t *col_mv1,
-                       int64_t *out_counts)
+                       int32_t *sub_mv, int64_t *out_counts)
 {
     Pc pc;
     memset(&pc, 0, sizeof(pc));
@@ -2549,6 +3786,15 @@ int64_t ov_parse_entry(const uint8_t *data, int64_t nbytes,
     p->dir1 = tmvp_dir1;
     p->mv0 = calloc(un, sizeof(MVc)); /* zero: mi_at reads unset cells */
     p->mv1 = calloc(un, sizeof(MVc));
+    p->sub_mv = sub_mv;
+    if (ep->affine_enabled || ep->sbtmvp_on) {
+        p->aff_dir = calloc(un, 1);
+        p->aff_idx = malloc(un * sizeof(int32_t));
+        p->aff_cap = (int64_t)(un / 4) + 8;
+        p->aff_pool = malloc((size_t)p->aff_cap * sizeof(AffInfoC));
+        if (p->aff_idx)
+            memset(p->aff_idx, 0xFF, un * sizeof(int32_t)); /* -1 */
+    }
     p->alf_line = calloc((size_t)ep->nb_ctu_w, 1);
     p->cc_line[0] = calloc((size_t)ep->nb_ctu_w, 1);
     p->cc_line[1] = calloc((size_t)ep->nb_ctu_w, 1);
@@ -2562,6 +3808,8 @@ int64_t ov_parse_entry(const uint8_t *data, int64_t nbytes,
                        p->m_pmode && p->m_ctype && p->cm_log2w &&
                        p->cm_log2h && p->cm_qtd && p->mv0 && p->mv1 &&
                        p->alf_line && p->cc_line[0] && p->cc_line[1]);
+    if (ep->affine_enabled || ep->sbtmvp_on)
+        alloc_fail |= !(p->aff_dir && p->aff_idx && p->aff_pool);
 
     p->cu_buf = cu_buf; p->cu_cap = cu_cap;
     p->tu_buf = tu_buf; p->tu_cap = tu_cap;
@@ -2636,6 +3884,15 @@ int64_t ov_parse_entry(const uint8_t *data, int64_t nbytes,
             out_counts[1] = p->ntu;
             out_counts[2] = p->ncoef;
             out_counts[3] = nctu;
+            if (ret == 0 && p->sub_mv) {
+                /* per-unit MV export for affine/SbTMVP reconstruction */
+                for (size_t u = 0; u < un; u++) {
+                    p->sub_mv[u * 4 + 0] = p->mv0[u].x;
+                    p->sub_mv[u * 4 + 1] = p->mv0[u].y;
+                    p->sub_mv[u * 4 + 2] = p->mv1[u].x;
+                    p->sub_mv[u * 4 + 3] = p->mv1[u].y;
+                }
+            }
         }
     }
 
@@ -2645,6 +3902,9 @@ int64_t ov_parse_entry(const uint8_t *data, int64_t nbytes,
     free(p->cm_log2w); free(p->cm_log2h); free(p->cm_qtd);
     free(p->mv0);
     free(p->mv1);
+    free(p->aff_dir);
+    free(p->aff_idx);
+    free(p->aff_pool);
     free(p->alf_line);
     free(p->cc_line[0]);
     free(p->cc_line[1]);

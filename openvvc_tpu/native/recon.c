@@ -93,7 +93,14 @@ typedef struct {
     uint8_t *avail_l; /* ((tile_h+3)/4, (tile_w+3)/4) */
     uint8_t *avail_c;
     int al_w, al_h, ac_w, ac_h;
+    /* affine/SbTMVP per-unit motion exported by the parse (tile units,
+     * al_w x al_h): dirs + (x, y) per list */
+    const uint8_t *sub_dir0, *sub_dir1;
+    const int32_t *sub_mv; /* [al_h][al_w][2][2] */
 } Rc;
+
+static void sub_unit_motion(const Rc *r, int x, int y, int *d0, int *d1,
+                            int *m0x, int *m0y, int *m1x, int *m1y);
 
 /* ---- availability (decoder.py ReconCtx parity) ----------------------- */
 
@@ -1483,7 +1490,48 @@ static void fill_dbf_cu(const Rc *r, const int32_t *c)
      * still contributes its motion to the bs1 MV maps */
     int intra = c[CU_F_PRED] == MODE_INTRA || c[CU_F_CIIP_WT] != 0;
     dbf_add_cu_luma(r, x0, y0, w, h, c[CU_F_QP], intra);
-    if (c[CU_F_PRED] != MODE_INTRA && c[CU_F_GPM_DIRS]) {
+    if (c[CU_F_PRED] != MODE_INTRA && c[CU_F_SB_FLAG]) {
+        /* affine/SbTMVP: 8x8 sub-block edges + aff map + per-4x4 motion
+         * from the exported unit maps (decoder.py :216-219,
+         * _dbf_sb_motion) */
+        int xu, yu, wu, hu;
+        dbf_rect(x0, y0, w, h, &xu, &yu, &wu, &hu);
+        const DbfBufs *d = r->dbf;
+        int mw = r->uw + 1;
+        for (int i = 2; i < wu; i += 2)
+            for (int j = 0; j < hu; j++)
+                d->sb_edge_ver[(int64_t)(yu + j) * mw + xu + i] = 1;
+        for (int i = 2; i < hu; i += 2)
+            for (int j = 0; j < wu; j++)
+                d->sb_edge_hor[(int64_t)(yu + i) * mw + xu + j] = 1;
+        for (int j = 0; j < hu; j++)
+            for (int i = 0; i < wu; i++)
+                d->aff_unit[(int64_t)(yu + j) * r->uw + xu + i] = 1;
+        int flag = c[CU_F_SB_FLAG];
+        int cu_dir = c[CU_F_INTER_DIR];
+        int ref0 = c[CU_F_MV0REF], ref1 = c[CU_F_MV1REF];
+        for (int j = 0; j < hu; j++)
+            for (int i = 0; i < wu; i++) {
+                int px = x0 + 4 * i, py = y0 + 4 * j;
+                int d0, d1, m0x, m0y, m1x, m1y;
+                sub_unit_motion(r, px, py, &d0, &d1, &m0x, &m0y, &m1x,
+                                   &m1y);
+                int udir, r0e, r1e;
+                if (flag == 1) {
+                    udir = cu_dir;
+                    r0e = ref0;
+                    r1e = ref1;
+                } else {
+                    udir = (d0 ? 1 : 0) | (d1 ? 2 : 0);
+                    r0e = 0;
+                    r1e = 0;
+                }
+                dbf_add_cu_motion(r, px, py, 4, 4, udir, m0x, m0y,
+                                  (udir & 1) ? r->dist0[r0e] : 0,
+                                  m1x, m1y,
+                                  (udir & 2) ? r->dist1[r1e] : 0);
+            }
+    } else if (c[CU_F_PRED] != MODE_INTRA && c[CU_F_GPM_DIRS]) {
         /* GPM: per-4x4 motion with the geometric storage mix
          * (decoder.py :201-206 via cu.gpm_units) */
         int gpm = c[CU_F_GPM_DIRS];
@@ -1694,6 +1742,78 @@ static void mc_bi_c(const int32_t *p0, const int32_t *p1, int w, int h,
         int32_t *restrict o = out + (int64_t)j * ostride;
         for (int i = 0; i < w; i++)
             o[i] = bdclip((a[i] + b[i] + off) >> shift, bd_max);
+    }
+}
+
+/* _add_luma_residuals parity (shared by the plain-inter, GPM and
+ * sub-block reconstruction paths) */
+static void add_luma_residuals_c(Rc *r, const int32_t *cu)
+{
+    const EntryParams *e = r->ep;
+    int bd_max = r->bd_max;
+    int32_t res[64 * 64];
+    int tu0 = cu[CU_F_TU0], ntu = cu[CU_F_NTU];
+    for (int i = 0; i < ntu; i++) {
+        const int32_t *t = r->tu_buf + (int64_t)(tu0 + i) * TU_NFIELDS;
+        if (t[TU_F_COMP] != 0)
+            continue;
+        recon_tu_residual_c(r, t, cu, 0, res);
+        int tw = 1 << t[TU_F_LOG2W], th = 1 << t[TU_F_LOG2H];
+        int tx = t[TU_F_X0], ty = t[TU_F_Y0];
+        for (int j = 0; j < th; j++)
+            for (int k = 0; k < tw; k++) {
+                int32_t *px = r->fy + (ty + j) * e->pic_w + tx + k;
+                *px = bdclip(*px + res[j * tw + k], bd_max);
+            }
+    }
+}
+
+/* _add_chroma_residuals parity */
+static void add_chroma_residuals_c(Rc *r, const int32_t *cu)
+{
+    const EntryParams *e = r->ep;
+    int bd_max = r->bd_max;
+    int cs = e->pic_w >> 1;
+    int csign = r->rp->csign;
+    int32_t res[64 * 64], rc2[32 * 32];
+    int tu0 = cu[CU_F_TU0], ntu = cu[CU_F_NTU];
+    for (int i = 0; i < ntu; i++) {
+        const int32_t *t = r->tu_buf + (int64_t)(tu0 + i) * TU_NFIELDS;
+        int comp = t[TU_F_COMP];
+        if (comp == 0)
+            continue;
+        recon_tu_residual_c(r, t, cu, 0, res);
+        int tw = 1 << t[TU_F_LOG2W], th = 1 << t[TU_F_LOG2H];
+        int tx = t[TU_F_X0], ty = t[TU_F_Y0];
+        int n = tw * th;
+        int32_t *planes[2] = {0, 0};
+        const int32_t *rs[2] = {0, 0};
+        if (comp == 3) {
+            int jc = t[TU_F_JCBCR];
+            for (int k = 0; k < n; k++) {
+                int v = res[k];
+                rc2[k] = jc == 3 ? csign * v : (csign * v) >> 1;
+            }
+            if (jc >= 2) {
+                planes[0] = r->fcb; rs[0] = res;
+                planes[1] = r->fcr; rs[1] = rc2;
+            } else {
+                planes[0] = r->fcr; rs[0] = res;
+                planes[1] = r->fcb; rs[1] = rc2;
+            }
+        } else {
+            planes[0] = comp == 1 ? r->fcb : r->fcr;
+            rs[0] = res;
+        }
+        for (int pp = 0; pp < 2; pp++) {
+            if (!planes[pp])
+                continue;
+            for (int j = 0; j < th; j++)
+                for (int k = 0; k < tw; k++) {
+                    int32_t *px = planes[pp] + (ty + j) * cs + tx + k;
+                    *px = bdclip(*px + rs[pp][j * tw + k], bd_max);
+                }
+        }
     }
 }
 
@@ -1961,6 +2081,349 @@ static void recon_inter_cu(Rc *r, const int32_t *cu)
     mark_chroma(r, cx0, cy0, l2w - 1, l2h - 1);
 }
 
+/* =====================================================================
+ * Affine / SbTMVP sub-block reconstruction (decoder._reconstruct_sb;
+ * reference rcn_affine_mcp_b_l :3265, rcn_affine_prof_mcp_b_l :3314,
+ * rcn_affine_mcp_b_c :3368, rcn_prof_bdof.c rcn_prof :228)
+ * ===================================================================== */
+
+static const int8_t SB_BCW_W1[5] = {-2, 3, 4, 5, 10};
+
+/* per-unit exported motion (tile units) */
+static void sub_unit_motion(const Rc *r, int x, int y, int *d0, int *d1,
+                            int *m0x, int *m0y, int *m1x, int *m1y)
+{
+    const EntryParams *e = r->ep;
+    int64_t u = ((int64_t)((y - e->tile_y0) >> 2)) * r->al_w
+                + ((x - e->tile_x0) >> 2);
+    *d0 = r->sub_dir0 ? r->sub_dir0[u] : 0;
+    *d1 = r->sub_dir1 ? r->sub_dir1[u] : 0;
+    const int32_t *c = r->sub_mv + u * 4;
+    *m0x = c[0]; *m0y = c[1]; *m1x = c[2]; *m1y = c[3];
+}
+
+/* _mcp_block parity: plain MC of one rect from raw (unclipped) MVs,
+ * identical-motion reduction + BCW weighting included */
+static void mc_rect_c(Rc *r, int x0, int y0, int w, int h, int inter_dir,
+                      int m0x_, int m0y_, int ref0, int m1x_, int m1y_,
+                      int ref1, int bcw_p1, int do_luma, int do_chroma)
+{
+    const EntryParams *e = r->ep;
+    int bd = e->bitdepth, bd_max = r->bd_max;
+    if (inter_dir == 3 && r->rp->poc0[ref0] == r->rp->poc1[ref1]
+        && m0x_ == m1x_ && m0y_ == m1y_)
+        inter_dir = 2;
+    int wgt = inter_dir == 3 && bcw_p1 != 0 && bcw_p1 != 3;
+    int w1b = wgt ? SB_BCW_W1[bcw_p1 - 1] : 4;
+
+    int m0x = 0, m0y = 0, m1x = 0, m1y = 0;
+    if (inter_dir & 1)
+        clip_mv_c(x0, y0, e->pic_w, e->pic_h, w, h, m0x_, m0y_, &m0x, &m0y);
+    if (inter_dir & 2)
+        clip_mv_c(x0, y0, e->pic_w, e->pic_h, w, h, m1x_, m1y_, &m1x, &m1y);
+
+    int32_t pred[64 * 64], tmp1[64 * 64];
+    if (do_luma) {
+        int32_t *fdst = r->fy + (int64_t)y0 * e->pic_w + x0;
+        if (inter_dir == 3) {
+            mc_block_c(r->ref_y[ref0], e->pic_w, e->pic_h, e->pic_w, pred,
+                       w, x0 + (m0x >> 4), y0 + (m0y >> 4), m0x & 15,
+                       m0y & 15, w, h, bd, 1, 0, bd_max, 1);
+            mc_block_c(r->ref1_y[ref1], e->pic_w, e->pic_h, e->pic_w, tmp1,
+                       w, x0 + (m1x >> 4), y0 + (m1y >> 4), m1x & 15,
+                       m1y & 15, w, h, bd, 1, 0, bd_max, 1);
+            if (wgt)
+                mc_bi_w_c(pred, tmp1, w, h, bd, bd_max, 8 - w1b, w1b, fdst,
+                          e->pic_w);
+            else
+                mc_bi_c(pred, tmp1, w, h, bd, bd_max, fdst, e->pic_w);
+        } else {
+            int lst = inter_dir == 2;
+            const int32_t *const *py_ = lst ? r->ref1_y : r->ref_y;
+            int rr = lst ? ref1 : ref0;
+            int mx = lst ? m1x : m0x, my = lst ? m1y : m0y;
+            mc_block_c(py_[rr], e->pic_w, e->pic_h, e->pic_w, fdst,
+                       e->pic_w, x0 + (mx >> 4), y0 + (my >> 4), mx & 15,
+                       my & 15, w, h, bd, 1, 0, bd_max, 0);
+        }
+    }
+    if (do_chroma && e->chroma_enabled) {
+        int cs = e->pic_w >> 1;
+        int cx0 = x0 >> 1, cy0 = y0 >> 1;
+        int cw = w >> 1, ch = h >> 1;
+        for (int comp = 1; comp <= 2; comp++) {
+            int32_t *dst = (comp == 1 ? r->fcb : r->fcr)
+                           + (int64_t)cy0 * cs + cx0;
+            if (inter_dir == 3) {
+                const int32_t *p0 =
+                    (comp == 1 ? r->ref_cb : r->ref_cr)[ref0];
+                const int32_t *p1 =
+                    (comp == 1 ? r->ref1_cb : r->ref1_cr)[ref1];
+                mc_block_c(p0, e->pic_w >> 1, e->pic_h >> 1, cs, pred, cw,
+                           cx0 + (m0x >> 5), cy0 + (m0y >> 5), m0x & 31,
+                           m0y & 31, cw, ch, bd, 0, 0, bd_max, 1);
+                mc_block_c(p1, e->pic_w >> 1, e->pic_h >> 1, cs, tmp1, cw,
+                           cx0 + (m1x >> 5), cy0 + (m1y >> 5), m1x & 31,
+                           m1y & 31, cw, ch, bd, 0, 0, bd_max, 1);
+                if (wgt)
+                    mc_bi_w_c(pred, tmp1, cw, ch, bd, bd_max, 8 - w1b,
+                              w1b, dst, cs);
+                else
+                    mc_bi_c(pred, tmp1, cw, ch, bd, bd_max, dst, cs);
+            } else {
+                int lst = inter_dir == 2;
+                const int32_t *pl = lst
+                    ? (comp == 1 ? r->ref1_cb : r->ref1_cr)[ref1]
+                    : (comp == 1 ? r->ref_cb : r->ref_cr)[ref0];
+                int mx = lst ? m1x : m0x, my = lst ? m1y : m0y;
+                mc_block_c(pl, e->pic_w >> 1, e->pic_h >> 1, cs, dst, cs,
+                           cx0 + (mx >> 5), cy0 + (my >> 5), mx & 31,
+                           my & 31, cw, ch, bd, 0, 0, bd_max, 0);
+            }
+        }
+    }
+}
+
+/* compute_prof_dmv_scale parity (drv/affine.py :562) */
+static void prof_dmv_scale_c(int hx, int hy, int vx, int vy,
+                             int32_t dh[16], int32_t dv[16])
+{
+    const int LIM = 31;
+    int qhx = hx << 2, qhy = hy << 2, qvx = vx << 2, qvy = vy << 2;
+    int32_t ht[16], vt[16];
+    ht[0] = ((hx + vx) << 1) - ((qhx + qvx) << 1);
+    vt[0] = ((hy + vy) << 1) - ((qhy + qvy) << 1);
+    for (int x = 1; x < 4; x++) {
+        ht[x] = ht[x - 1] + qhx;
+        vt[x] = vt[x - 1] + qhy;
+    }
+    for (int y = 1; y < 4; y++)
+        for (int x = 0; x < 4; x++) {
+            ht[y * 4 + x] = ht[(y - 1) * 4 + x] + qvx;
+            vt[y * 4 + x] = vt[(y - 1) * 4 + x] + qvy;
+        }
+    for (int i = 0; i < 16; i++) {
+        int dx = (ht[i] + 128 - (ht[i] >= 0 ? 1 : 0)) >> 8;
+        int dy = (vt[i] + 128 - (vt[i] >= 0 ? 1 : 0)) >> 8;
+        dh[i] = imax(-LIM, imin(LIM, dx));
+        dv[i] = imax(-LIM, imin(LIM, dy));
+    }
+}
+
+/* one 4x4 PROF sub-block (ref_prof.prof_sb): returns the 14-bit block
+ * (bidir) or writes nothing; out[16] */
+static void prof_sb_c(const Rc *r, const int32_t *plane, int ref_x,
+                      int ref_y, int fx, int fy, const int32_t *dh,
+                      const int32_t *dv, int bidir, int32_t out[16])
+{
+    const EntryParams *e = r->ep;
+    int bd = e->bitdepth;
+    int32_t q[16];
+    mc_block_c(plane, e->pic_w, e->pic_h, e->pic_w, q, 4, ref_x, ref_y,
+               fx, fy, 4, 4, bd, 1, 0, r->bd_max, 1);
+    int ex = fx >> 3, ey = fy >> 3;
+    /* 6x6 clamped border patch in the 14-bit domain */
+    int16_t buf[6][6];
+    for (int j = 0; j < 6; j++) {
+        int sy = imax(0, imin(e->pic_h - 1, ref_y - 1 + ey + j));
+        for (int i = 0; i < 6; i++) {
+            int sx = imax(0, imin(e->pic_w - 1, ref_x - 1 + ex + i));
+            buf[j][i] = (int16_t)(plane[(int64_t)sy * e->pic_w + sx]
+                                  << (14 - bd));
+        }
+    }
+    for (int j = 0; j < 4; j++)
+        for (int i = 0; i < 4; i++)
+            buf[1 + j][1 + i] = (int16_t)q[j * 4 + i];
+    const int rnd = 1 << 13;
+    for (int j = 0; j < 4; j++)
+        for (int i = 0; i < 4; i++) {
+            int gx = (((int32_t)buf[1 + j][2 + i] - rnd) >> 6)
+                     - (((int32_t)buf[1 + j][0 + i] - rnd) >> 6);
+            int gy = (((int32_t)buf[2 + j][1 + i] - rnd) >> 6)
+                     - (((int32_t)buf[0 + j][1 + i] - rnd) >> 6);
+            gx = (int16_t)gx;
+            gy = (int16_t)gy;
+            int add = dh[j * 4 + i] * gx + dv[j * 4 + i] * gy;
+            add = imax(-(1 << 13), imin((1 << 13) - 1, add));
+            out[j * 4 + i] = (int16_t)(q[j * 4 + i] + add);
+        }
+    if (!bidir) {
+        for (int i = 0; i < 16; i++) {
+            int v = (out[i] + (1 << (13 - bd))) >> (14 - bd);
+            out[i] = bdclip(v, r->bd_max);
+        }
+    }
+}
+
+static void recon_sb_cu(Rc *r, const int32_t *cu)
+{
+    const EntryParams *e = r->ep;
+    int bd = e->bitdepth, bd_max = r->bd_max;
+    int x0 = cu[CU_F_X0], y0 = cu[CU_F_Y0];
+    int l2w = cu[CU_F_LOG2W], l2h = cu[CU_F_LOG2H];
+    int w = 1 << l2w, h = 1 << l2h;
+    int flag = cu[CU_F_SB_FLAG];
+    int nw = w >> 2, nh = h >> 2;
+
+    if (flag == 3) {
+        /* SbTMVP zero fallback: whole-CU MC with zero MVs */
+        mc_rect_c(r, x0, y0, w, h, cu[CU_F_INTER_DIR], 0, 0, 0, 0, 0, 0,
+                  0, 1, 1);
+    } else if (flag == 2) {
+        /* SbTMVP: per-8x8 (or whole-CU when one sub-block) groups */
+        int sb_w = nw <= 2 ? w : 8;
+        int sb_h = nh <= 2 ? h : 8;
+        for (int gy = 0; gy < h; gy += sb_h)
+            for (int gx = 0; gx < w; gx += sb_w) {
+                int d0, d1, m0x, m0y, m1x, m1y;
+                sub_unit_motion(r, x0 + gx, y0 + gy, &d0, &d1, &m0x, &m0y,
+                                &m1x, &m1y);
+                int idir = (d0 ? 1 : 0) | (d1 ? 2 : 0);
+                mc_rect_c(r, x0 + gx, y0 + gy, sb_w, sb_h, idir, m0x, m0y,
+                          0, m1x, m1y, 0, 0, 1, 1);
+            }
+    } else {
+        /* affine: per-4x4 luma (PROF-refined when flagged), per-8x8
+         * chroma with diagonally-averaged MVs */
+        int inter_dir = cu[CU_F_INTER_DIR];
+        int ref0 = cu[CU_F_MV0REF], ref1 = cu[CU_F_MV1REF];
+        int bcw_p1 = cu[CU_F_MV0BCW];
+        int prof_dir = cu[CU_F_PROF_DIR];
+        int32_t dh0[16], dv0[16], dh1[16], dv1[16];
+        if (prof_dir & 1)
+            prof_dmv_scale_c(cu[CU_F_DMV0HX], cu[CU_F_DMV0HY],
+                             cu[CU_F_DMV0VX], cu[CU_F_DMV0VY], dh0, dv0);
+        if (prof_dir & 2)
+            prof_dmv_scale_c(cu[CU_F_DMV1HX], cu[CU_F_DMV1HY],
+                             cu[CU_F_DMV1VX], cu[CU_F_DMV1VY], dh1, dv1);
+
+        for (int i = 0; i < nh; i++)
+            for (int j = 0; j < nw; j++) {
+                int px = x0 + 4 * j, py = y0 + 4 * i;
+                int d0, d1, m0x, m0y, m1x, m1y;
+                sub_unit_motion(r, px, py, &d0, &d1, &m0x, &m0y, &m1x,
+                                &m1y);
+                if (!prof_dir) {
+                    mc_rect_c(r, px, py, 4, 4, inter_dir, m0x, m0y, ref0,
+                              m1x, m1y, ref1, bcw_p1, 1, 0);
+                    continue;
+                }
+                int32_t v0[16], v1[16];
+                int c0x = 0, c0y = 0, c1x = 0, c1y = 0;
+                if (inter_dir & 1)
+                    clip_mv_c(px, py, e->pic_w, e->pic_h, 4, 4, m0x, m0y,
+                              &c0x, &c0y);
+                if (inter_dir & 2)
+                    clip_mv_c(px, py, e->pic_w, e->pic_h, 4, 4, m1x, m1y,
+                              &c1x, &c1y);
+                if (inter_dir == 3) {
+                    if (prof_dir & 1)
+                        prof_sb_c(r, r->ref_y[ref0], px + (c0x >> 4),
+                                  py + (c0y >> 4), c0x & 15, c0y & 15,
+                                  dh0, dv0, 1, v0);
+                    else
+                        mc_block_c(r->ref_y[ref0], e->pic_w, e->pic_h,
+                                   e->pic_w, v0, 4, px + (c0x >> 4),
+                                   py + (c0y >> 4), c0x & 15, c0y & 15,
+                                   4, 4, bd, 1, 0, bd_max, 1);
+                    if (prof_dir & 2)
+                        prof_sb_c(r, r->ref1_y[ref1], px + (c1x >> 4),
+                                  py + (c1y >> 4), c1x & 15, c1y & 15,
+                                  dh1, dv1, 1, v1);
+                    else
+                        mc_block_c(r->ref1_y[ref1], e->pic_w, e->pic_h,
+                                   e->pic_w, v1, 4, px + (c1x >> 4),
+                                   py + (c1y >> 4), c1x & 15, c1y & 15,
+                                   4, 4, bd, 1, 0, bd_max, 1);
+                    int32_t *fdst = r->fy + (int64_t)py * e->pic_w + px;
+                    if (bcw_p1 != 0 && bcw_p1 != 3) {
+                        /* tmp_prof_mrg_w */
+                        int w1b = SB_BCW_W1[bcw_p1 - 1];
+                        int sh = 14 - bd + 3;
+                        int off = (2 * (1 << (13 - bd))) << 2;
+                        for (int k = 0; k < 4; k++)
+                            for (int m = 0; m < 4; m++)
+                                fdst[(int64_t)k * e->pic_w + m] = bdclip(
+                                    (v0[k * 4 + m] * (8 - w1b)
+                                     + v1[k * 4 + m] * w1b + off) >> sh,
+                                    bd_max);
+                    } else {
+                        /* tmp_prof_mrg */
+                        int sh = 15 - bd;
+                        int off = 2 * (1 << (13 - bd));
+                        for (int k = 0; k < 4; k++)
+                            for (int m = 0; m < 4; m++)
+                                fdst[(int64_t)k * e->pic_w + m] = bdclip(
+                                    (v0[k * 4 + m] + v1[k * 4 + m] + off)
+                                        >> sh, bd_max);
+                    }
+                } else {
+                    int lst = inter_dir == 2;
+                    int pf = lst ? (prof_dir & 2) : (prof_dir & 1);
+                    const int32_t *pl =
+                        lst ? r->ref1_y[ref1] : r->ref_y[ref0];
+                    int cx = lst ? c1x : c0x, cy = lst ? c1y : c0y;
+                    int32_t *fdst = r->fy + (int64_t)py * e->pic_w + px;
+                    if (pf) {
+                        int32_t vv[16];
+                        prof_sb_c(r, pl, px + (cx >> 4), py + (cy >> 4),
+                                  cx & 15, cy & 15, lst ? dh1 : dh0,
+                                  lst ? dv1 : dv0, 0, vv);
+                        for (int k = 0; k < 4; k++)
+                            for (int m = 0; m < 4; m++)
+                                fdst[(int64_t)k * e->pic_w + m] =
+                                    vv[k * 4 + m];
+                    } else {
+                        mc_block_c(pl, e->pic_w, e->pic_h, e->pic_w, fdst,
+                                   e->pic_w, px + (cx >> 4),
+                                   py + (cy >> 4), cx & 15, cy & 15, 4, 4,
+                                   bd, 1, 0, bd_max, 0);
+                    }
+                }
+            }
+
+        /* chroma: 2x2 sub-block MV average at 8x8 luma granularity */
+        if (e->chroma_enabled)
+            for (int i = 0; i < nh; i += 2)
+                for (int j = 0; j < nw; j += 2) {
+                    int d0a, d1a, ax0, ay0, ax1, ay1;
+                    int d0b, d1b, bx0, by0, bx1, by1;
+                    sub_unit_motion(r, x0 + 4 * j, y0 + 4 * i, &d0a, &d1a,
+                                    &ax0, &ay0, &ax1, &ay1);
+                    sub_unit_motion(r, x0 + 4 * (j + 1), y0 + 4 * (i + 1),
+                                    &d0b, &d1b, &bx0, &by0, &bx1, &by1);
+                    int m0x = 0, m0y = 0, m1x = 0, m1y = 0;
+                    if (inter_dir & 1) {
+                        m0x = ax0 + bx0;
+                        m0y = ay0 + by0;
+                        m0x += m0x < 0 ? 1 : 0;
+                        m0y += m0y < 0 ? 1 : 0;
+                        m0x >>= 1;
+                        m0y >>= 1;
+                    }
+                    if (inter_dir & 2) {
+                        m1x = ax1 + bx1;
+                        m1y = ay1 + by1;
+                        m1x += m1x < 0 ? 1 : 0;
+                        m1y += m1y < 0 ? 1 : 0;
+                        m1x >>= 1;
+                        m1y >>= 1;
+                    }
+                    mc_rect_c(r, x0 + 4 * j, y0 + 4 * i, 8, 8, inter_dir,
+                              m0x, m0y, ref0, m1x, m1y, ref1, bcw_p1, 0,
+                              1);
+                }
+    }
+
+    add_luma_residuals_c(r, cu);
+    mark_luma(r, x0, y0, l2w, l2h);
+    if (e->chroma_enabled) {
+        add_chroma_residuals_c(r, cu);
+        mark_chroma(r, x0 >> 1, y0 >> 1, l2w - 1, l2h - 1);
+    }
+}
+
 /* ---- entry driver ----------------------------------------------------- */
 
 int64_t ov_recon_entry(const EntryParams *ep, const ReconParams *rp,
@@ -1975,6 +2438,8 @@ int64_t ov_recon_entry(const EntryParams *ep, const ReconParams *rp,
                        const int32_t *const *ref1_cb,
                        const int32_t *const *ref1_cr,
                        const int32_t *dist0, const int32_t *dist1,
+                       const uint8_t *sub_dir0, const uint8_t *sub_dir1,
+                       const int32_t *sub_mv,
                        const DbfBufs *dbf)
 {
     /* support scan first: leave all outputs untouched on -1 */
@@ -1986,7 +2451,17 @@ int64_t ov_recon_entry(const EntryParams *ep, const ReconParams *rp,
         if (c[CU_F_MIP_FLAG] && (c[CU_F_LOG2W] > ep->l_max_tb ||
                                  c[CU_F_LOG2H] > ep->l_max_tb))
             return -1; /* MIP across a TU split: host fallback */
-        if (c[CU_F_PRED] == MODE_INTER && c[CU_F_GPM_DIRS]) {
+        if (c[CU_F_SB_FLAG]) {
+            if (!sub_mv)
+                return -1;
+            int dir = c[CU_F_INTER_DIR];
+            if ((dir & 1) &&
+                (c[CU_F_MV0REF] < 0 || c[CU_F_MV0REF] >= rp->nb_refs))
+                return -1;
+            if ((dir & 2) &&
+                (c[CU_F_MV1REF] < 0 || c[CU_F_MV1REF] >= rp->nb_refs1))
+                return -1;
+        } else if (c[CU_F_PRED] == MODE_INTER && c[CU_F_GPM_DIRS]) {
             int gpm = c[CU_F_GPM_DIRS];
             int n0 = (1 + ((gpm - 1) & 1)) == 1 ? rp->nb_refs : rp->nb_refs1;
             int n1 = (1 + ((gpm - 1) >> 1)) == 1 ? rp->nb_refs : rp->nb_refs1;
@@ -2022,6 +2497,7 @@ int64_t ov_recon_entry(const EntryParams *ep, const ReconParams *rp,
     rc.ref_y = ref_y; rc.ref_cb = ref_cb; rc.ref_cr = ref_cr;
     rc.ref1_y = ref1_y; rc.ref1_cb = ref1_cb; rc.ref1_cr = ref1_cr;
     rc.dist0 = dist0; rc.dist1 = dist1;
+    rc.sub_dir0 = sub_dir0; rc.sub_dir1 = sub_dir1; rc.sub_mv = sub_mv;
     rc.dbf = dbf;
     rc.uw = (ep->pic_w + 3) >> 2;
     rc.uh = (ep->pic_h + 3) >> 2;
@@ -2050,6 +2526,9 @@ int64_t ov_recon_entry(const EntryParams *ep, const ReconParams *rp,
         if (intra) {
             recon_intra_cu(&rc, c);
             prof_add(PROF_INTRA, pt0);
+        } else if (c[CU_F_SB_FLAG]) {
+            recon_sb_cu(&rc, c);
+            prof_add(PROF_INTER, pt0);
         } else {
             recon_inter_cu(&rc, c);
             prof_add(PROF_INTER, pt0);
@@ -2529,6 +3008,8 @@ int64_t ov_build_ir(const EntryParams *ep, const ReconParams *rp,
         if (c[CU_F_TREE] != TREE_SINGLE || c[CU_F_MRL] ||
             c[CU_F_PRED] > MODE_INTER)
             return -1;
+        if (c[CU_F_SB_FLAG])
+            return -1; /* affine/SbTMVP: host C recon lane handles it */
         if (c[CU_F_PRED] == MODE_INTER && c[CU_F_GPM_DIRS]) {
             int gpm = c[CU_F_GPM_DIRS];
             int n0 = (1 + ((gpm - 1) & 1)) == 1 ? rp->nb_refs : rp->nb_refs1;

@@ -288,3 +288,132 @@ def _gpm_stream(with_dbf=True):
 
 def test_gpm_lanes():
     _lanes_match(_gpm_stream())
+
+
+# ---------------------------------------------------------------------------
+# Affine / SbTMVP (round-5 native burn-down): the native parse emits the
+# per-unit sub-block motion + CU PROF params and the C recon reconstructs
+# per sub-block; both lanes must match the Python lane (itself oracle
+# bit-exact, tests/test_oracle_affine.py).
+# ---------------------------------------------------------------------------
+
+
+def _affine_cu(rng, x, y, l2, kind, six=False, amvr=False, bslice=False):
+    cu = CU(x, y, l2, l2)
+    cu.pred_mode = 1
+    if kind == "amvp":
+        cu.merge_flag = 0
+        cu.affine_flag = 1
+        cu.affine_type = int(rng.randint(0, 2)) if six else 0
+        n = 3 if cu.affine_type else 2
+        cu.affine_mvd0 = tuple((int(rng.randint(-8, 9)),
+                                int(rng.randint(-8, 9))) for _ in range(n))
+        cu.ref_idx = 0
+        cu.mvp_idx = int(rng.randint(0, 2))
+        if bslice:
+            cu.inter_dir = int(rng.choice([1, 2, 3]))
+            cu.ref_idx1 = 0
+            cu.affine_mvd1 = tuple((int(rng.randint(-8, 9)),
+                                    int(rng.randint(-8, 9)))
+                                   for _ in range(n))
+            cu.mvp_idx1 = int(rng.randint(0, 2))
+        if amvr:
+            from openvvc_tpu.drv.inter_mvp import (MV_PRECISION_INT,
+                                                   MV_PRECISION_QUARTER,
+                                                   MV_PRECISION_SIXTEENTH)
+
+            cu.affine_mvd0 = tuple((a * 4, b * 4) for a, b in cu.affine_mvd0)
+            cu.amvr_prec = int(rng.choice([MV_PRECISION_QUARTER,
+                                           MV_PRECISION_INT,
+                                           MV_PRECISION_SIXTEENTH]))
+        _add_tu(rng, cu, x, y, l2)
+    else:
+        cu.skip_flag = 1
+        cu.merge_flag = 1
+        cu.sb_merge_flag = 1
+        cu.merge_idx = int(rng.randint(0, 5))
+    return cu
+
+
+def _mv_cu(rng, x, y, l2, bslice=False):
+    cu = CU(x, y, l2, l2)
+    cu.pred_mode = 1
+    if rng.rand() < 0.5:
+        cu.merge_flag = 0
+        cu.ref_idx = 0
+        cu.mvd = (int(rng.randint(-30, 31)), int(rng.randint(-30, 31)))
+        cu.mvp_idx = int(rng.randint(0, 2))
+        if bslice:
+            cu.inter_dir = int(rng.choice([1, 2, 3]))
+            cu.ref_idx1 = 0
+            cu.mvd1 = (int(rng.randint(-30, 31)), int(rng.randint(-30, 31)))
+            cu.mvp_idx1 = int(rng.randint(0, 2))
+    else:
+        cu.skip_flag = 1
+        cu.merge_flag = 1
+        cu.merge_idx = int(rng.randint(0, 5))
+    return cu
+
+
+def _affine_stream(six=True, amvr=False, sbtmvp=False, bslice=False,
+                   seed=31):
+    rng = np.random.RandomState(seed)
+    cfg = StreamConfig(width=192, height=128, deblocking=True, sao=True,
+                       affine=True, affine_6param=six, prof=True,
+                       amvr=amvr, affine_amvr=amvr, tmvp=sbtmvp,
+                       sbtmvp=sbtmvp)
+
+    def mk(x, y, l2):
+        r = rng.rand()
+        if r < 0.4:
+            return _affine_cu(rng, x, y, l2, "amvp", six, amvr,
+                              bslice=bslice)
+        if r < 0.7:
+            return _affine_cu(rng, x, y, l2, "merge")
+        return _mv_cu(rng, x, y, l2, bslice=bslice)
+
+    frames = [
+        {"tree_builder": _qt_tree(lambda x, y, l: _intra_cu(rng, x, y, l),
+                                  5)},
+        {"tree_builder": _qt_tree(lambda x, y, l: _mv_cu(rng, x, y, l), 4),
+         "slice_type": 1, "ref_deltas": [1]},
+    ]
+    if bslice:
+        frames.append({"tree_builder": _qt_tree(mk, 4), "slice_type": 0,
+                       "poc": 2, "ref_deltas": [1, 2],
+                       "ref_deltas1": [1, 2]})
+    else:
+        frames.append({"tree_builder": _qt_tree(mk, 4), "slice_type": 1,
+                       "ref_deltas": [1]})
+        frames.append({"tree_builder": _qt_tree(mk, 4), "slice_type": 1,
+                       "ref_deltas": [1, 2]})
+    return build_stream_frames(cfg, frames)
+
+
+def test_affine_p_lanes():
+    _lanes_match(_affine_stream(six=True))
+
+
+def test_affine_amvr_lanes():
+    _lanes_match(_affine_stream(six=True, amvr=True, seed=33))
+
+
+def test_affine_b_sbtmvp_lanes():
+    _lanes_match(_affine_stream(six=True, sbtmvp=True, bslice=True,
+                                seed=51))
+
+
+def test_sbtmvp_only_lanes():
+    rng = np.random.RandomState(41)
+    cfg = StreamConfig(width=192, height=128, deblocking=True, sao=True,
+                       tmvp=True, sbtmvp=True)
+    frames = [
+        {"tree_builder": _qt_tree(lambda x, y, l: _intra_cu(rng, x, y, l),
+                                  5)},
+        {"tree_builder": _qt_tree(lambda x, y, l: _mv_cu(rng, x, y, l), 4),
+         "slice_type": 1, "ref_deltas": [1]},
+        {"tree_builder": _qt_tree(
+            lambda x, y, l: _affine_cu(rng, x, y, l, "merge"), 4),
+         "slice_type": 1, "ref_deltas": [1]},
+    ]
+    _lanes_match(build_stream_frames(cfg, frames))

@@ -197,13 +197,12 @@ def test_native_parse_ir_match_tools():
 
 
 def test_native_parse_gate_rejects_unsupported():
-    # affine is outside the native toolset: the gate must reject and the
-    # Python fallback must keep end-to-end decode working (TMVP, B slices
-    # and AMVR are now inside the C set and no longer gate)
-    stream = _mixed_stream(affine=True)
+    # IBC is outside the native toolset: the gate must reject and the
+    # Python fallback must keep end-to-end decode working (the merge
+    # toolset, affine and SbTMVP are all inside the C set now)
+    stream = _mixed_stream(ibc=True)
     for params, entry in _iter_entries(stream):
-        if params.slice_type != 2:
-            assert parse_entry_native(params, entry) is None
+        assert parse_entry_native(params, entry) is None
 
 
 def test_native_parse_end_to_end_decode():
