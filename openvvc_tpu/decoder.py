@@ -2069,7 +2069,16 @@ class Decoder:
         # alongside the next pictures' parse/dispatch
         frame._flush_cb = self._flush_tpu_fetch
         self._tpu_batch.append(frame)
-        if len(self._tpu_batch) >= max(2, self.nb_frame_threads):
+        # the batch must SUBMIT before the backpressure pop below can
+        # reach any frame in it — otherwise the pop force-flushes a batch
+        # containing the frame dispatched THIS call and the wait
+        # serializes against its own device compute.  depth-k pipeline ->
+        # batch at most k-1 frames.  Default 1 (per-frame prefetch): this
+        # target's tunnel serializes D2H with dispatch, so batching only
+        # helps on latency-bound links (PCIe) — OPENVVC_D2H_BATCH tunes it
+        batch_k = int(os.environ.get("OPENVVC_D2H_BATCH", "1"))
+        if len(self._tpu_batch) >= max(1, min(batch_k,
+                                              self.nb_frame_threads - 1)):
             self._flush_tpu_fetch()
         # frame-pipeline backpressure (-t): allow nb_frame_threads
         # pictures in flight (dispatched, fetch pending) before blocking

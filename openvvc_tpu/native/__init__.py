@@ -215,10 +215,11 @@ class _EntryParamsC(ctypes.Structure):
           "ciip_enabled", "gpm_enabled", "max_gpm_cand",
           "affine_enabled", "sbtmvp_on", "affine_6param", "affine_prof",
           "affine_amvr", "affine_nb_merge_cand",
-          "col_ref_idx0", "col_ref_idx1", "nb_ctb_pic_w")]
+          "col_ref_idx0", "col_ref_idx1", "nb_ctb_pic_w",
+          "bdof_on", "dmvr_on")]
 
 
-_CU_NFIELDS = 45
+_CU_NFIELDS = 47
 _TU_NFIELDS = 17
 _SAO_NFIELDS = 24
 _ALF_NFIELDS = 6
@@ -254,12 +255,6 @@ def native_parse_reject_reason(params) -> str | None:
     the per-picture fallback observability (ov_log + Decoder.stats)."""
     sps, pps, ph, sh = params.sps, params.pps, params.ph, params.sh
     g = lambda o, n: int(getattr(o, n, 0) or 0)
-    if params.slice_type == 0:
-        # B slices: recon-side tools outside the C set
-        if g(sps, "sps_bdof_enabled_flag") and not g(ph, "ph_bdof_disabled_flag"):
-            return "bdof"
-        if g(sps, "sps_dmvr_enabled_flag") and not g(ph, "ph_dmvr_disabled_flag"):
-            return "dmvr"
     if params.slice_type == 2 and g(sps, "sps_qtbtt_dual_tree_intra_flag"):
         return "dual_tree_intra"
     if g(sps, "sps_chroma_format_idc") > 1:
@@ -465,6 +460,10 @@ def parse_entry_native_raw(params, entry):
     ep.col_ref_idx0 = -1
     ep.col_ref_idx1 = -1
     ep.nb_ctb_pic_w = (pps.pic_w + (1 << log2_ctb) - 1) >> log2_ctb
+    ep.bdof_on = int(bool(g(sps, "sps_bdof_enabled_flag"))
+                     and not g(ph, "ph_bdof_disabled_flag"))
+    ep.dmvr_on = int(bool(g(sps, "sps_dmvr_enabled_flag"))
+                     and not g(ph, "ph_dmvr_disabled_flag"))
     ep.ldc = 1  # InterCtx.ldc default; refined below when TMVP is on
     ep.smvd_enabled = 0
     ep.ref_smvd_idx0 = -1
@@ -729,6 +728,10 @@ def _convert_native_entry(params, entry, raw):
             d["mv1"] = mv
         if r[F.COL_MODE] >= 0:
             d["col_luma_mode"] = r[F.COL_MODE]
+        if r[F.SMVD]:
+            d["smvd_flag"] = 1
+        if r[F.MMVD]:
+            d["mmvd_flag"] = 1
         if r[F.CIIP_WT]:
             d["ciip_flag"] = 1
             d["ciip_wt"] = r[F.CIIP_WT]
@@ -868,7 +871,7 @@ class _CuF:
      MV0Y, MV0REF, MV0BCW, MV0PREC, MV1X, MV1Y, MV1REF, QP, ROOT_CBF,
      PREC_EFF, TU0, NTU, CTU, COL_MODE, CIIP_WT, GPM_DIRS,
      GPM_SPLIT, SB_FLAG, PROF_DIR, DMV0HX, DMV0HY, DMV0VX, DMV0VY,
-     DMV1HX, DMV1HY, DMV1VX, DMV1VY) = range(45)
+     DMV1HX, DMV1HY, DMV1VX, DMV1VY, SMVD, MMVD) = range(47)
 
 
 # ---------------------------------------------------------------------------
@@ -920,6 +923,7 @@ def _setup_recon_proto(lib):
         ctypes.POINTER(vp), ctypes.POINTER(vp), ctypes.POINTER(vp),  # refs1
         vp, vp,           # dist0, dist1
         vp, vp, vp,       # sub_dir0, sub_dir1, sub_mv (nullable)
+        vp, vp,           # tmvp_mv0, tmvp_mv1 (DMVR field override)
         ctypes.POINTER(_DbfBufsC),
     ]
     _recon_proto_done = True
@@ -987,6 +991,7 @@ def recon_entry_native(raw, frame, refs0, dist0, dbf, csign,
         vp(d0.ctypes.data), vp(d1.ctypes.data),
         vp(raw.tmvp_dir0.ctypes.data), vp(raw.tmvp_dir1.ctypes.data),
         vp(raw.sub_mv.ctypes.data if raw.sub_mv is not None else None),
+        vp(raw.tmvp_mv0.ctypes.data), vp(raw.tmvp_mv1.ctypes.data),
         ctypes.byref(db))
     return rc == 0
 

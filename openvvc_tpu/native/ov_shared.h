@@ -62,6 +62,7 @@ enum {
     CU_F_PROF_DIR,  /* PROF list mask (affine only) */
     CU_F_DMV0HX, CU_F_DMV0HY, CU_F_DMV0VX, CU_F_DMV0VY, /* affine deltas */
     CU_F_DMV1HX, CU_F_DMV1HY, CU_F_DMV1VX, CU_F_DMV1VY,
+    CU_F_SMVD, CU_F_MMVD, /* flags for the BDOF/DMVR enable rules */
     CU_NFIELDS
 };
 enum {
@@ -137,6 +138,8 @@ typedef struct {
     int32_t affine_amvr, affine_nb_merge_cand;
     int32_t col_ref_idx0, col_ref_idx1;     /* SbTMVP collocated ref pair */
     int32_t nb_ctb_pic_w;
+    /* BDOF / DMVR (sps flag && !ph disabled) */
+    int32_t bdof_on, dmvr_on;
 } EntryParams;
 
 /* ---- deblocking maps handed over from Python (rcn/ref_dbf.py DbfMaps;

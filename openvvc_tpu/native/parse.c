@@ -2904,6 +2904,7 @@ static void pred_unit_inter_p(Pc *p, int32_t *c, int x0, int y0,
             int midx = code_mmvd_merge_idx(p, e->max_num_merge_cand);
             c[CU_F_MERGE_IDX] = midx;
             mv0 = drv_mmvd_p(p, ux, uy, nw, nh, midx, l2w + l2h <= 5);
+            c[CU_F_MMVD] = 1;
             p->prec_amvr = mv0.prec;
         } else {
             int midx = code_merge_idx(p, e->max_num_merge_cand);
@@ -3017,6 +3018,7 @@ static void pred_unit_inter_b(Pc *p, int32_t *c, int x0, int y0,
             int midx = code_mmvd_merge_idx(p, e->max_num_merge_cand);
             c[CU_F_MERGE_IDX] = midx;
             mi = drv_mmvd_b(p, ux, uy, nw, nh, midx, l2w + l2h <= 5);
+            c[CU_F_MMVD] = 1;
         } else {
             int midx = code_merge_idx(p, e->max_num_merge_cand);
             c[CU_F_MERGE_IDX] = midx;
@@ -3069,6 +3071,7 @@ static void pred_unit_inter_b(Pc *p, int32_t *c, int x0, int y0,
             mv0.prec = (int8_t)prec; mv1.prec = (int8_t)prec;
             update_mv_ctx_b(p, mv0, mv1, ux, uy, nw, nh, 3);
             mi.dir = 3; mi.mv0 = mv0; mi.mv1 = mv1;
+            c[CU_F_SMVD] = 1;
         } else if (inter_dir == 3) {
             int nb0 = e->nb_active_ref0, nb1 = e->nb_active_ref1;
             int ref0 = nb0 > 1 ? code_ref_idx(p, nb0) : nb0 - 1;

@@ -97,10 +97,20 @@ typedef struct {
      * al_w x al_h): dirs + (x, y) per list */
     const uint8_t *sub_dir0, *sub_dir1;
     const int32_t *sub_mv; /* [al_h][al_w][2][2] */
+    int32_t *tmv0, *tmv1;  /* writable TMVP export (DMVR field override) */
 } Rc;
 
 static void sub_unit_motion(const Rc *r, int x, int y, int *d0, int *d1,
                             int *m0x, int *m0y, int *m1x, int *m1y);
+static void bdof_from_pos_c(const Rc *r,
+                            const int32_t *pl0, int W0, int H0, int st0,
+                            int x0i, int y0i, int fx0, int fy0,
+                            const int32_t *pl1, int W1, int H1, int st1,
+                            int x1i, int y1i, int fx1, int fy1,
+                            int w, int h, int hpel, int32_t *dst,
+                            int dstride);
+static void recon_dmvr_cu(Rc *r, const int32_t *cu, int32_t *tmv0,
+                          int32_t *tmv1, int apply_bdof);
 
 /* ---- availability (decoder.py ReconCtx parity) ----------------------- */
 
@@ -1834,6 +1844,38 @@ static void mc_bi_w_c(const int32_t *p0, const int32_t *p1, int w, int h,
     }
 }
 
+static int c0_unused(const int32_t *cu)
+{
+    /* tool gates shared with the Python lane: CIIP / GPM / sub-block CUs
+     * never run BDOF or DMVR */
+    return cu[CU_F_PRED] != MODE_INTER || cu[CU_F_CIIP_WT]
+           || cu[CU_F_GPM_DIRS] || cu[CU_F_SB_FLAG];
+}
+
+/* decoder.inter_tool_flags parity (single source of truth for the BDOF /
+ * DMVR enable rules) */
+static void inter_tool_flags_c(const Rc *r, const int32_t *cu,
+                               int *bdof_en, int *dmvr_en)
+{
+    const EntryParams *e = r->ep;
+    *bdof_en = 0;
+    *dmvr_en = 0;
+    if (c0_unused(cu))
+        return;
+    int pdir = cu[CU_F_MV1REF] >= 0 ? cu[CU_F_INTER_DIR] : 1;
+    if (pdir != 3)
+        return;
+    int l2w = cu[CU_F_LOG2W], l2h = cu[CU_F_LOG2H];
+    int size_ok = l2w >= 3 && l2h >= 3 && l2w + l2h >= 7;
+    int bcw_w = cu[CU_F_MV0BCW] != 0 && cu[CU_F_MV0BCW] != 3;
+    int dist_sym =
+        r->dist0[cu[CU_F_MV0REF]] == -r->dist1[cu[CU_F_MV1REF]];
+    if (!size_ok || bcw_w || !dist_sym)
+        return;
+    *bdof_en = e->bdof_on && !cu[CU_F_SMVD];
+    *dmvr_en = e->dmvr_on && cu[CU_F_MERGE_FLAG] && !cu[CU_F_MMVD];
+}
+
 static void recon_inter_cu(Rc *r, const int32_t *cu)
 {
     const EntryParams *e = r->ep;
@@ -1858,6 +1900,9 @@ static void recon_inter_cu(Rc *r, const int32_t *cu)
     int bcw = cu[CU_F_MV0BCW];
     int wgt = inter_dir == 3 && bcw != 0 && bcw != 3;
     int w1b = wgt ? BCW_W1[bcw - 1] : 4;
+
+    int bdof_en, dmvr_unused;
+    inter_tool_flags_c(r, cu, &bdof_en, &dmvr_unused);
 
     int32_t pred[64 * 64], res[64 * 64], tmp1[64 * 64];
 
@@ -1912,6 +1957,29 @@ static void recon_inter_cu(Rc *r, const int32_t *cu)
                                + pred[j * w + i] * w0s + og) >> sg, bd_max);
             }
         }
+    } else if (inter_dir == 3 && bdof_en) {
+        /* BDOF luma: per <=16x16 sub-block with per-sub-block MV clips
+         * (decoder.py :942-950, bdof_block) */
+        int sb_w = imin(16, w), sb_h = imin(16, h);
+        for (int sy = 0; sy < h; sy += sb_h)
+            for (int sx = 0; sx < w; sx += sb_w) {
+                int px = x0 + sx, py = y0 + sy;
+                int c0x, c0y, c1x, c1y;
+                clip_mv_c(px, py, e->pic_w, e->pic_h, sb_w, sb_h,
+                          cu[CU_F_MV0X], cu[CU_F_MV0Y], &c0x, &c0y);
+                clip_mv_c(px, py, e->pic_w, e->pic_h, sb_w, sb_h,
+                          cu[CU_F_MV1X], cu[CU_F_MV1Y], &c1x, &c1y);
+                bdof_from_pos_c(r,
+                                py0[ref0], e->pic_w, e->pic_h, e->pic_w,
+                                px + (c0x >> 4), py + (c0y >> 4),
+                                c0x & 15, c0y & 15,
+                                r->ref1_y[ref1], e->pic_w, e->pic_h,
+                                e->pic_w, px + (c1x >> 4),
+                                py + (c1y >> 4), c1x & 15, c1y & 15,
+                                sb_w, sb_h, hpel,
+                                r->fy + (int64_t)py * e->pic_w + px,
+                                e->pic_w);
+            }
     } else if (inter_dir == 3) {
         mc_block_c(py0[ref0], e->pic_w, e->pic_h, e->pic_w, pred, w,
                    x0 + (m0x >> 4), y0 + (m0y >> 4), m0x & 15, m0y & 15,
@@ -2079,6 +2147,496 @@ static void recon_inter_cu(Rc *r, const int32_t *cu)
         }
     }
     mark_chroma(r, cx0, cy0, l2w - 1, l2h - 1);
+}
+
+/* =====================================================================
+ * BDOF + DMVR (rcn/ref_bdof.py parity; reference rcn_prof_bdof.c
+ * rcn_bdof :423, derive_bdof_weights :350; rcn_inter.c
+ * rcn_dmvr_mv_refine :900, dmvr SAD :616, div_for_maxq7 :759,
+ * padd_dmvr :354)
+ * ===================================================================== */
+
+#define BDOF_RND (1 << 13)
+#define AMV_MAX_R ((1 << 17) - 1)
+#define AMV_MIN_R (-(1 << 17))
+
+static int32_t wrap16_c(int32_t v) { return (int16_t)(v & 0xFFFF); }
+
+static int32_t clamp_px(const int32_t *pl, int W, int H, int stride, int x,
+                        int y)
+{
+    x = imax(0, imin(W - 1, x));
+    y = imax(0, imin(H - 1, y));
+    return pl[(int64_t)y * stride + x];
+}
+
+/* _padded_14bit: 14-bit prediction + 1-sample integer ring; p is
+ * (h+2) x (w+2) */
+static void bdof_padded_14(const Rc *r, const int32_t *pl, int W, int H,
+                           int stride, int ref_x, int ref_y, int fx,
+                           int fy, int w, int h, int bd, int hpel,
+                           int32_t *p)
+{
+    int pw = w + 2;
+    int32_t q[16 * 16];
+    mc_block_c(pl, W, H, stride, q, w, ref_x, ref_y, fx, fy, w, h, bd, 1,
+               hpel, r->bd_max, 1);
+    for (int j = 0; j < h; j++)
+        for (int i = 0; i < w; i++)
+            p[(j + 1) * pw + i + 1] = q[j * w + i];
+    int ex = (fx >> 3) ? 1 : 0;
+    int ey = (fy >> 3) ? 1 : 0;
+    int sh = 14 - bd;
+    for (int i = 0; i < pw; i++) {
+        p[i] = clamp_px(pl, W, H, stride, ref_x - 1 + ex + i,
+                        ref_y - 1 + ey) << sh;
+        p[(h + 1) * pw + i] = clamp_px(pl, W, H, stride,
+                                       ref_x - 1 + ex + i,
+                                       ref_y - 1 + ey + h + 1) << sh;
+    }
+    for (int j = 1; j <= h; j++) {
+        p[j * pw] = clamp_px(pl, W, H, stride, ref_x - 1 + ex,
+                             ref_y - 1 + ey + j) << sh;
+        p[j * pw + w + 1] = clamp_px(pl, W, H, stride,
+                                     ref_x - 1 + ex + w + 1,
+                                     ref_y - 1 + ey + j) << sh;
+    }
+}
+
+static void bdof_replicate_ring(int32_t *a, int w, int h)
+{
+    int pw = w + 2;
+    for (int j = 1; j <= h; j++) {
+        a[j * pw] = a[j * pw + 1];
+        a[j * pw + w + 1] = a[j * pw + w];
+    }
+    for (int i = 0; i < pw; i++) {
+        a[i] = a[pw + i];
+        a[(h + 1) * pw + i] = a[h * pw + i];
+    }
+}
+
+static void bdof_grads(const int32_t *p, int w, int h, int32_t *gx,
+                       int32_t *gy)
+{
+    int pw = w + 2;
+    for (int j = 1; j <= h; j++)
+        for (int i = 1; i <= w; i++) {
+            int32_t sR = wrap16_c(p[j * pw + i + 1]);
+            int32_t sL = wrap16_c(p[j * pw + i - 1]);
+            int32_t sD = wrap16_c(p[(j + 1) * pw + i]);
+            int32_t sU = wrap16_c(p[(j - 1) * pw + i]);
+            gx[j * pw + i] = ((sR - BDOF_RND) >> 6) - ((sL - BDOF_RND) >> 6);
+            gy[j * pw + i] = ((sD - BDOF_RND) >> 6) - ((sU - BDOF_RND) >> 6);
+        }
+    bdof_replicate_ring(gx, w, h);
+    bdof_replicate_ring(gy, w, h);
+}
+
+static void bdof_weights_c(const int32_t *p0, const int32_t *p1,
+                           const int32_t *gx0, const int32_t *gx1,
+                           const int32_t *gy0, const int32_t *gy1,
+                           int pw, int sy, int sx, int *wx_o, int *wy_o)
+{
+    int sum_ax = 0, sum_ay = 0, sum_xy = 0, sum_dx = 0, sum_dy = 0;
+    for (int j = 0; j < 6; j++)
+        for (int i = 0; i < 6; i++) {
+            int idx = (sy + j) * pw + sx + i;
+            int ax = (gx0[idx] + gx1[idx]) >> 1;
+            int ay = (gy0[idx] + gy1[idx]) >> 1;
+            int delta = ((p1[idx] - BDOF_RND) >> 4)
+                        - ((p0[idx] - BDOF_RND) >> 4);
+            int sgx = ax > 0 ? 1 : (ax < 0 ? -1 : 0);
+            int sgy = ay > 0 ? 1 : (ay < 0 ? -1 : 0);
+            sum_ax += ax < 0 ? -ax : ax;
+            sum_ay += ay < 0 ? -ay : ay;
+            sum_xy += sgy * ax;
+            sum_dx += sgx * delta;
+            sum_dy += sgy * delta;
+        }
+    int wx = 0, wy = 0;
+    if (sum_ax) {
+        wx = (sum_dx << 2) >> flog2_c(sum_ax);
+        wx = imax(-15, imin(15, wx));
+    }
+    if (sum_ay) {
+        int x_off = 0;
+        if (wx) {
+            int high = sum_xy >> 12;
+            int low = sum_xy & 4095;
+            x_off = (((wx * high) << 12) + wx * low) >> 1;
+        }
+        wy = ((sum_dy << 2) - x_off) >> flog2_c(sum_ay);
+        wy = imax(-15, imin(15, wy));
+    }
+    *wx_o = wx;
+    *wy_o = wy;
+}
+
+/* bdof_from_positions: writes bd-domain samples into dst (dstride) */
+static void bdof_from_pos_c(const Rc *r,
+                            const int32_t *pl0, int W0, int H0, int st0,
+                            int x0i, int y0i, int fx0, int fy0,
+                            const int32_t *pl1, int W1, int H1, int st1,
+                            int x1i, int y1i, int fx1, int fy1,
+                            int w, int h, int hpel, int32_t *dst,
+                            int dstride)
+{
+    const EntryParams *e = r->ep;
+    int bd = e->bitdepth;
+    int shift = 14 + 1 - bd;
+    int off = 1 << (shift - 1);
+    int pw = w + 2;
+    int32_t p0[18 * 18], p1[18 * 18];
+    int32_t gx0[18 * 18], gy0[18 * 18], gx1[18 * 18], gy1[18 * 18];
+    bdof_padded_14(r, pl0, W0, H0, st0, x0i, y0i, fx0, fy0, w, h, bd, hpel,
+                   p0);
+    bdof_padded_14(r, pl1, W1, H1, st1, x1i, y1i, fx1, fy1, w, h, bd, hpel,
+                   p1);
+    bdof_grads(p0, w, h, gx0, gy0);
+    bdof_grads(p1, w, h, gx1, gy1);
+    bdof_replicate_ring(p0, w, h);
+    bdof_replicate_ring(p1, w, h);
+    for (int sy = 0; sy < h; sy += 4)
+        for (int sx = 0; sx < w; sx += 4) {
+            int wx, wy;
+            bdof_weights_c(p0, p1, gx0, gx1, gy0, gy1, pw, sy, sx, &wx,
+                           &wy);
+            for (int j = 0; j < 4; j++)
+                for (int i = 0; i < 4; i++) {
+                    int idx = (sy + 1 + j) * pw + sx + 1 + i;
+                    int b = wx * (gx0[idx] - gx1[idx])
+                            + wy * (gy0[idx] - gy1[idx]);
+                    int v = wrap16_c((p0[idx] + p1[idx] + b + off)
+                                     >> shift);
+                    dst[(int64_t)(sy + j) * dstride + sx + i] =
+                        bdclip(v, r->bd_max);
+                }
+        }
+}
+
+/* ---- DMVR ------------------------------------------------------------ */
+
+static const int8_t DMVR_MX[25] = {-2, -1, 0, 1, 2, -2, -1, 0, 1, 2,
+                                   -2, -1, 0, 1, 2, -2, -1, 0, 1, 2,
+                                   -2, -1, 0, 1, 2};
+static const int8_t DMVR_MY[25] = {-2, -2, -2, -2, -2, -1, -1, -1, -1, -1,
+                                   0, 0, 0, 0, 0, 1, 1, 1, 1, 1,
+                                   2, 2, 2, 2, 2};
+
+/* dmvr_bilinear: 10-bit-domain 2-tap search predictor (out stride = w) */
+static void dmvr_bilinear_c(const int32_t *pl, int W, int H, int stride,
+                            int x0, int y0, int fx, int fy, int w, int h,
+                            int bd, int32_t *out)
+{
+    int shift1 = 4 - (10 - bd);
+    int off1 = 1 << (shift1 - 1);
+    if (!fx && !fy) {
+        for (int j = 0; j < h; j++)
+            for (int i = 0; i < w; i++)
+                out[j * w + i] = clamp_px(pl, W, H, stride, x0 + i, y0 + j)
+                                 << (10 - bd);
+        return;
+    }
+    int fhx0 = 16 - fx, fhx1 = fx;
+    int fvy0 = 16 - fy, fvy1 = fy;
+    if (!fy) {
+        for (int j = 0; j < h; j++)
+            for (int i = 0; i < w; i++) {
+                int a = clamp_px(pl, W, H, stride, x0 + i, y0 + j);
+                int b = clamp_px(pl, W, H, stride, x0 + i + 1, y0 + j);
+                out[j * w + i] = (fhx0 * a + fhx1 * b + off1) >> shift1;
+            }
+        return;
+    }
+    if (!fx) {
+        for (int j = 0; j < h; j++)
+            for (int i = 0; i < w; i++) {
+                int a = clamp_px(pl, W, H, stride, x0 + i, y0 + j);
+                int b = clamp_px(pl, W, H, stride, x0 + i, y0 + j + 1);
+                out[j * w + i] = (fvy0 * a + fvy1 * b + off1) >> shift1;
+            }
+        return;
+    }
+    /* hv: h pass then v pass with intermediate rounding */
+    int32_t tmp[21 * 21];
+    for (int j = 0; j < h + 1; j++)
+        for (int i = 0; i < w; i++) {
+            int a = clamp_px(pl, W, H, stride, x0 + i, y0 + j);
+            int b = clamp_px(pl, W, H, stride, x0 + i + 1, y0 + j);
+            tmp[j * w + i] = (fhx0 * a + fhx1 * b + off1) >> shift1;
+        }
+    for (int j = 0; j < h; j++)
+        for (int i = 0; i < w; i++)
+            out[j * w + i] = (fvy0 * tmp[j * w + i]
+                              + fvy1 * tmp[(j + 1) * w + i] + 8) >> 4;
+}
+
+static int64_t dmvr_sad_c(const int32_t *a, const int32_t *b, int as,
+                          int bs, int w, int h)
+{
+    int64_t s = 0;
+    for (int j = 0; j < h; j += 2)
+        for (int i = 0; i < w; i++) {
+            int d = a[(int64_t)j * as + i] - b[(int64_t)j * bs + i];
+            s += d < 0 ? -d : d;
+        }
+    return s;
+}
+
+static int div_for_maxq7_c(int64_t num, int64_t den)
+{
+    int sign = num < 0;
+    if (sign)
+        num = -num;
+    int q = 0;
+    den <<= 3;
+    if (num >= den) { num -= den; q++; }
+    q <<= 1;
+    den >>= 1;
+    if (num >= den) { num -= den; q++; }
+    q <<= 1;
+    if (num >= (den >> 1)) q++;
+    return sign ? -q : q;
+}
+
+/* padd_dmvr: QPEL margins around the integer origin, then a 2-sample
+ * REPLICATED ring (NOT picture data).  out (w+11) x (h+11), origin maps
+ * picture (ref_x-5, ref_y-5) to patch (0, 0). */
+static void dmvr_padd_c(const int32_t *pl, int W, int H, int stride,
+                        int ref_x, int ref_y, int w, int h, int32_t *out)
+{
+    int cw = w + 7, chh = h + 7;
+    int ow = w + 11;
+    for (int j = 0; j < chh; j++)
+        for (int i = 0; i < cw; i++)
+            out[(j + 2) * ow + i + 2] =
+                clamp_px(pl, W, H, stride, ref_x - 3 + i, ref_y - 3 + j);
+    for (int j = 2; j < chh + 2; j++) {
+        int32_t l = out[j * ow + 2], rr = out[j * ow + cw + 1];
+        out[j * ow] = l; out[j * ow + 1] = l;
+        out[j * ow + cw + 2] = rr; out[j * ow + cw + 3] = rr;
+    }
+    for (int i = 0; i < ow; i++) {
+        int32_t t = out[2 * ow + i], bb = out[(chh + 1) * ow + i];
+        out[i] = t; out[ow + i] = t;
+        out[(chh + 2) * ow + i] = bb; out[(chh + 3) * ow + i] = bb;
+    }
+}
+
+/* chroma patch: EPEL margins (1 before, 2 after) + 2 replicated */
+static void dmvr_cpatch_c(const int32_t *pl, int W, int H, int stride,
+                          int ref_x, int ref_y, int w, int h, int32_t *out)
+{
+    int cw = w + 3, chh = h + 3;
+    int ow = w + 7;
+    for (int j = 0; j < chh; j++)
+        for (int i = 0; i < cw; i++)
+            out[(j + 2) * ow + i + 2] =
+                clamp_px(pl, W, H, stride, ref_x - 1 + i, ref_y - 1 + j);
+    for (int j = 2; j < chh + 2; j++) {
+        int32_t l = out[j * ow + 2], rr = out[j * ow + cw + 1];
+        out[j * ow] = l; out[j * ow + 1] = l;
+        out[j * ow + cw + 2] = rr; out[j * ow + cw + 3] = rr;
+    }
+    for (int i = 0; i < ow; i++) {
+        int32_t t = out[2 * ow + i], bb = out[(chh + 1) * ow + i];
+        out[i] = t; out[ow + i] = t;
+        out[(chh + 2) * ow + i] = bb; out[(chh + 3) * ow + i] = bb;
+    }
+}
+
+/* _reconstruct_dmvr parity: per-sub-PU search + refined MC + TMVP-field
+ * override into the exported tile planes */
+static void recon_dmvr_cu(Rc *r, const int32_t *cu, int32_t *tmv0,
+                          int32_t *tmv1, int apply_bdof)
+{
+    const EntryParams *e = r->ep;
+    int bd = e->bitdepth, bd_max = r->bd_max;
+    int x0 = cu[CU_F_X0], y0 = cu[CU_F_Y0];
+    int l2w = cu[CU_F_LOG2W], l2h = cu[CU_F_LOG2H];
+    int w = 1 << l2w, h = 1 << l2h;
+    int sb_w = imin(16, w), sb_h = imin(16, h);
+    int ref0 = cu[CU_F_MV0REF], ref1 = cu[CU_F_MV1REF];
+    int hpel = cu[CU_F_PREC_EFF] == PREC_HALF;
+    int uw8 = ((((e->tile_w + 3) >> 2) + 1) >> 1);
+    int uh8 = ((((e->tile_h + 3) >> 2) + 1) >> 1);
+
+    for (int sy = 0; sy < h; sy += sb_h)
+        for (int sx = 0; sx < w; sx += sb_w) {
+            int pos_x = x0 + sx, pos_y = y0 + sy;
+            int mvx0, mvy0, mvx1, mvy1;
+            clip_mv_c(pos_x, pos_y, e->pic_w, e->pic_h, sb_w, sb_h,
+                      cu[CU_F_MV0X], cu[CU_F_MV0Y], &mvx0, &mvy0);
+            clip_mv_c(pos_x, pos_y, e->pic_w, e->pic_h, sb_w, sb_h,
+                      cu[CU_F_MV1X], cu[CU_F_MV1Y], &mvx1, &mvy1);
+
+            /* bilinear search grids over (w+4) x (h+4) */
+            int32_t b0[20 * 20], b1[20 * 20];
+            dmvr_bilinear_c(r->ref_y[ref0], e->pic_w, e->pic_h, e->pic_w,
+                            pos_x + (mvx0 >> 4) - 2,
+                            pos_y + (mvy0 >> 4) - 2, mvx0 & 15, mvy0 & 15,
+                            sb_w + 4, sb_h + 4, bd, b0);
+            dmvr_bilinear_c(r->ref1_y[ref1], e->pic_w, e->pic_h, e->pic_w,
+                            pos_x + (mvx1 >> 4) - 2,
+                            pos_y + (mvy1 >> 4) - 2, mvx1 & 15, mvy1 & 15,
+                            sb_w + 4, sb_h + 4, bd, b1);
+            int bs = sb_w + 4;
+            int64_t sad_c = dmvr_sad_c(b0 + 2 * bs + 2, b1 + 2 * bs + 2,
+                                       bs, bs, sb_w, sb_h);
+            int64_t min_cost = sad_c - (sad_c >> 2);
+            int dx = 0, dy = 0;
+            if (min_cost >= sb_w * sb_h) {
+                int64_t sad[25];
+                sad[12] = min_cost;
+                for (int idx = 0; idx < 25; idx++) {
+                    if (idx == 12)
+                        continue;
+                    int ox = DMVR_MX[idx], oy = DMVR_MY[idx];
+                    sad[idx] = dmvr_sad_c(
+                        b0 + (2 + oy) * bs + 2 + ox,
+                        b1 + (2 - oy) * bs + 2 - ox, bs, bs, sb_w, sb_h);
+                }
+                int best = 12;
+                int64_t best_cost = ((int64_t)1) << 62;
+                for (int idx = 0; idx < 25; idx++)
+                    if (sad[idx] < best_cost
+                        || (idx == 12 && sad[idx] <= best_cost)) {
+                        best_cost = sad[idx];
+                        best = idx;
+                    }
+                int delta_h = DMVR_MX[best] << 4;
+                int delta_v = DMVR_MY[best] << 4;
+                min_cost = sad[best];
+                if (delta_h != 32 && delta_h != -32 && delta_v != 32
+                    && delta_v != -32) {
+                    int bx = best % 5, by = best / 5;
+                    int64_t s0 = sad[best];
+                    int64_t sl = bx > 0 ? sad[best - 1] : 0;
+                    int64_t sr = bx < 4 ? sad[best + 1] : 0;
+                    int64_t st = by > 0 ? sad[best - 5] : 0;
+                    int64_t sb_ = by < 4 ? sad[best + 5] : 0;
+                    int64_t den_h = sl + sr - (s0 << 1);
+                    int64_t den_v = st + sb_ - (s0 << 1);
+                    if (den_h != 0) {
+                        if (sl != s0 && sr != s0)
+                            delta_h += div_for_maxq7_c((sl - sr) << 4,
+                                                       den_h);
+                        else
+                            delta_h += sl == s0 ? -8 : 8;
+                    }
+                    if (den_v != 0) {
+                        if (st != s0 && sb_ != s0)
+                            delta_v += div_for_maxq7_c((st - sb_) << 4,
+                                                       den_v);
+                        else
+                            delta_v += st == s0 ? -8 : 8;
+                    }
+                }
+                dx = delta_h;
+                dy = delta_v;
+            }
+            int n0x = imax(AMV_MIN_R, imin(AMV_MAX_R, cu[CU_F_MV0X] + dx));
+            int n0y = imax(AMV_MIN_R, imin(AMV_MAX_R, cu[CU_F_MV0Y] + dy));
+            int n1x = imax(AMV_MIN_R, imin(AMV_MAX_R, cu[CU_F_MV1X] - dx));
+            int n1y = imax(AMV_MIN_R, imin(AMV_MAX_R, cu[CU_F_MV1Y] - dy));
+
+            /* TMVP field override on the tile 8x8 grid */
+            int gx = ((pos_x + 7) >> 3) - (e->tile_x0 >> 3);
+            int gy = ((pos_y + 7) >> 3) - (e->tile_y0 >> 3);
+            for (int oy = 0; oy < (sb_h > 8 ? 2 : 1); oy++)
+                for (int ox = 0; ox < (sb_w > 8 ? 2 : 1); ox++) {
+                    int cx = gx + ox, cy = gy + oy;
+                    if (cx < 0 || cy < 0 || cx >= uw8 || cy >= uh8)
+                        continue;
+                    if (tmv0) {
+                        int32_t *cell = tmv0 + ((int64_t)cy * uw8 + cx) * 3;
+                        cell[0] = n0x; cell[1] = n0y; cell[2] = ref0;
+                    }
+                    if (tmv1) {
+                        int32_t *cell = tmv1 + ((int64_t)cy * uw8 + cx) * 3;
+                        cell[0] = n1x; cell[1] = n1y; cell[2] = ref1;
+                    }
+                }
+
+            /* final MC from original-position padded patches */
+            int32_t p0p[27 * 27], p1p[27 * 27];
+            dmvr_padd_c(r->ref_y[ref0], e->pic_w, e->pic_h, e->pic_w,
+                        pos_x + (mvx0 >> 4), pos_y + (mvy0 >> 4), sb_w,
+                        sb_h, p0p);
+            dmvr_padd_c(r->ref1_y[ref1], e->pic_w, e->pic_h, e->pic_w,
+                        pos_x + (mvx1 >> 4), pos_y + (mvy1 >> 4), sb_w,
+                        sb_h, p1p);
+            int pw = sb_w + 11, ph_ = sb_h + 11;
+            int px0 = 5 + ((n0x >> 4) - (mvx0 >> 4));
+            int py0 = 5 + ((n0y >> 4) - (mvy0 >> 4));
+            int px1 = 5 + ((n1x >> 4) - (mvx1 >> 4));
+            int py1 = 5 + ((n1y >> 4) - (mvy1 >> 4));
+            int f0x = n0x & 15, f0y = n0y & 15;
+            int f1x = n1x & 15, f1y = n1y & 15;
+            if (hpel) {
+                f0x += f0x == 8 ? 8 : 0;
+                f0y += f0y == 8 ? 8 : 0;
+                f1x += f1x == 8 ? 8 : 0;
+                f1y += f1y == 8 ? 8 : 0;
+            }
+            int32_t *fdst = r->fy + (int64_t)pos_y * e->pic_w + pos_x;
+            int disable_bdof =
+                apply_bdof ? (min_cost < 2 * sb_w * sb_h) : 1;
+            if (disable_bdof) {
+                int32_t q0[16 * 16], q1[16 * 16];
+                mc_block_c(p0p, pw, ph_, pw, q0, sb_w, px0, py0, f0x, f0y,
+                           sb_w, sb_h, bd, 1, 0, bd_max, 1);
+                mc_block_c(p1p, pw, ph_, pw, q1, sb_w, px1, py1, f1x, f1y,
+                           sb_w, sb_h, bd, 1, 0, bd_max, 1);
+                mc_bi_c(q0, q1, sb_w, sb_h, bd, bd_max, fdst, e->pic_w);
+            } else {
+                bdof_from_pos_c(r, p0p, pw, ph_, pw, px0, py0, f0x, f0y,
+                                p1p, pw, ph_, pw, px1, py1, f1x, f1y,
+                                sb_w, sb_h, 0, fdst, e->pic_w);
+            }
+
+            /* chroma: original-position patches, refined frac + delta */
+            if (e->chroma_enabled) {
+                int cs = e->pic_w >> 1;
+                int cxp = pos_x >> 1, cyp = pos_y >> 1;
+                int cw = sb_w >> 1, chh = sb_h >> 1;
+                int cpw = cw + 7, cph = chh + 7;
+                for (int comp = 1; comp <= 2; comp++) {
+                    const int32_t *pl0 =
+                        (comp == 1 ? r->ref_cb : r->ref_cr)[ref0];
+                    const int32_t *pl1 =
+                        (comp == 1 ? r->ref1_cb : r->ref1_cr)[ref1];
+                    int32_t pat0[15 * 15], pat1[15 * 15];
+                    dmvr_cpatch_c(pl0, e->pic_w >> 1, e->pic_h >> 1, cs,
+                                  cxp + (mvx0 >> 5), cyp + (mvy0 >> 5),
+                                  cw, chh, pat0);
+                    dmvr_cpatch_c(pl1, e->pic_w >> 1, e->pic_h >> 1, cs,
+                                  cxp + (mvx1 >> 5), cyp + (mvy1 >> 5),
+                                  cw, chh, pat1);
+                    int dc0x = (n0x >> 5) - (mvx0 >> 5);
+                    int dc0y = (n0y >> 5) - (mvy0 >> 5);
+                    int dc1x = (n1x >> 5) - (mvx1 >> 5);
+                    int dc1y = (n1y >> 5) - (mvy1 >> 5);
+                    int32_t q0[8 * 8], q1[8 * 8];
+                    mc_block_c(pat0, cpw, cph, cpw, q0, cw, 3 + dc0x,
+                               3 + dc0y, n0x & 31, n0y & 31, cw, chh, bd,
+                               0, 0, bd_max, 1);
+                    mc_block_c(pat1, cpw, cph, cpw, q1, cw, 3 + dc1x,
+                               3 + dc1y, n1x & 31, n1y & 31, cw, chh, bd,
+                               0, 0, bd_max, 1);
+                    int32_t *dst = (comp == 1 ? r->fcb : r->fcr)
+                                   + (int64_t)cyp * cs + cxp;
+                    mc_bi_c(q0, q1, cw, chh, bd, bd_max, dst, cs);
+                }
+            }
+        }
+    add_luma_residuals_c(r, cu);
+    mark_luma(r, x0, y0, l2w, l2h);
+    if (e->chroma_enabled) {
+        add_chroma_residuals_c(r, cu);
+        mark_chroma(r, x0 >> 1, y0 >> 1, l2w - 1, l2h - 1);
+    }
 }
 
 /* =====================================================================
@@ -2440,6 +2998,7 @@ int64_t ov_recon_entry(const EntryParams *ep, const ReconParams *rp,
                        const int32_t *dist0, const int32_t *dist1,
                        const uint8_t *sub_dir0, const uint8_t *sub_dir1,
                        const int32_t *sub_mv,
+                       int32_t *tmvp_mv0, int32_t *tmvp_mv1,
                        const DbfBufs *dbf)
 {
     /* support scan first: leave all outputs untouched on -1 */
@@ -2498,6 +3057,7 @@ int64_t ov_recon_entry(const EntryParams *ep, const ReconParams *rp,
     rc.ref1_y = ref1_y; rc.ref1_cb = ref1_cb; rc.ref1_cr = ref1_cr;
     rc.dist0 = dist0; rc.dist1 = dist1;
     rc.sub_dir0 = sub_dir0; rc.sub_dir1 = sub_dir1; rc.sub_mv = sub_mv;
+    rc.tmv0 = tmvp_mv0; rc.tmv1 = tmvp_mv1;
     rc.dbf = dbf;
     rc.uw = (ep->pic_w + 3) >> 2;
     rc.uh = (ep->pic_h + 3) >> 2;
@@ -2530,7 +3090,12 @@ int64_t ov_recon_entry(const EntryParams *ep, const ReconParams *rp,
             recon_sb_cu(&rc, c);
             prof_add(PROF_INTER, pt0);
         } else {
-            recon_inter_cu(&rc, c);
+            int bdof_en, dmvr_en;
+            inter_tool_flags_c(&rc, c, &bdof_en, &dmvr_en);
+            if (dmvr_en)
+                recon_dmvr_cu(&rc, c, rc.tmv0, rc.tmv1, bdof_en);
+            else
+                recon_inter_cu(&rc, c);
             prof_add(PROF_INTER, pt0);
         }
     }
@@ -3010,6 +3575,23 @@ int64_t ov_build_ir(const EntryParams *ep, const ReconParams *rp,
             return -1;
         if (c[CU_F_SB_FLAG])
             return -1; /* affine/SbTMVP: host C recon lane handles it */
+        if ((ep->bdof_on || ep->dmvr_on) && c[CU_F_PRED] == MODE_INTER
+            && !c[CU_F_CIIP_WT] && !c[CU_F_GPM_DIRS]
+            && c[CU_F_MV1REF] >= 0 && c[CU_F_INTER_DIR] == 3) {
+            int l2w = c[CU_F_LOG2W], l2h = c[CU_F_LOG2H];
+            int size_ok = l2w >= 3 && l2h >= 3 && l2w + l2h >= 7;
+            int bcw_w = c[CU_F_MV0BCW] != 0 && c[CU_F_MV0BCW] != 3;
+            int dist_sym = c[CU_F_MV0REF] < 16 && c[CU_F_MV1REF] < 16
+                           && dist0[c[CU_F_MV0REF]]
+                              == -dist1[c[CU_F_MV1REF]];
+            if (size_ok && !bcw_w && dist_sym) {
+                int bd_en = ep->bdof_on && !c[CU_F_SMVD];
+                int dm_en = ep->dmvr_on && c[CU_F_MERGE_FLAG]
+                            && !c[CU_F_MMVD];
+                if (bd_en || dm_en)
+                    return -1; /* BDOF/DMVR: host C recon lane */
+            }
+        }
         if (c[CU_F_PRED] == MODE_INTER && c[CU_F_GPM_DIRS]) {
             int gpm = c[CU_F_GPM_DIRS];
             int n0 = (1 + ((gpm - 1) & 1)) == 1 ? rp->nb_refs : rp->nb_refs1;

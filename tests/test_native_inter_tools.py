@@ -417,3 +417,72 @@ def test_sbtmvp_only_lanes():
          "slice_type": 1, "ref_deltas": [1]},
     ]
     _lanes_match(build_stream_frames(cfg, frames))
+
+
+def _bdof_dmvr_stream(tmvp=False, seed=67):
+    rng = np.random.RandomState(seed)
+    cfg = StreamConfig(width=192, height=128, deblocking=True, sao=True,
+                       bdof=True, dmvr=True, tmvp=tmvp)
+
+    def b_cu(x, y, l2):
+        cu = CU(x, y, l2, l2)
+        cu.pred_mode = 1
+        kind = rng.randint(0, 3)
+        if kind == 0:
+            cu.skip_flag = 1
+            cu.merge_flag = 1
+            cu.merge_idx = int(rng.randint(0, 5))
+        elif kind == 1:
+            cu.merge_flag = 1
+            cu.merge_idx = int(rng.randint(0, 5))
+            _add_tu(rng, cu, x, y, l2)
+        else:
+            cu.merge_flag = 0
+            cu.inter_dir = 3
+            cu.ref_idx = 0
+            cu.ref_idx1 = 0
+            cu.mvd = (int(rng.randint(-20, 21)), int(rng.randint(-20, 21)))
+            cu.mvd1 = (int(rng.randint(-20, 21)),
+                       int(rng.randint(-20, 21)))
+            cu.mvp_idx = int(rng.randint(0, 2))
+            cu.mvp_idx1 = int(rng.randint(0, 2))
+        return cu
+
+    def p_cu(x, y, l2):
+        cu = CU(x, y, l2, l2)
+        cu.pred_mode = 1
+        if rng.rand() < 0.6:
+            cu.merge_flag = 1
+            cu.skip_flag = int(rng.rand() < 0.5)
+            cu.merge_idx = int(rng.randint(0, 5))
+            if not cu.skip_flag:
+                _add_tu(rng, cu, x, y, l2)
+        else:
+            cu.merge_flag = 0
+            cu.ref_idx = 0
+            cu.mvd = (int(rng.randint(-20, 21)), int(rng.randint(-20, 21)))
+            cu.mvp_idx = int(rng.randint(0, 2))
+        return cu
+
+    frames = [
+        {"tree_builder": _qt_tree(lambda x, y, l: _intra_cu(rng, x, y, l),
+                                  5), "poc": 0},
+        {"tree_builder": _qt_tree(lambda x, y, l: _intra_cu(rng, x, y, l),
+                                  5), "poc": 2},
+        {"tree_builder": _qt_tree(b_cu, 4), "slice_type": 0, "poc": 1,
+         "ref_deltas": [1], "ref_deltas1": [-1]},
+    ]
+    if tmvp:
+        # a P frame whose TMVP collocated field is the DMVR frame: the
+        # refined MVs must land in the exported TMVP planes
+        frames.append({"tree_builder": _qt_tree(p_cu, 4), "slice_type": 1,
+                       "poc": 3, "ref_deltas": [2]})
+    return build_stream_frames(cfg, frames)
+
+
+def test_bdof_dmvr_lanes():
+    _lanes_match(_bdof_dmvr_stream())
+
+
+def test_bdof_dmvr_tmvp_lanes():
+    _lanes_match(_bdof_dmvr_stream(tmvp=True, seed=68))
