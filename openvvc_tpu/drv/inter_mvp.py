@@ -772,8 +772,11 @@ def drv_mmvd_merge_mvp_b(ictx: InterCtx, x0, y0, log2_w, log2_h, merge_idx,
 
 def _affine_corner_tmvp(ictx, ux, uy, nw, nh):
     """C0 TMVP corner for the constructed affine merge candidate
-    (merge_tmvp_from_ldc / merge_tmvp_from_l0, drv_affine_mvp.c :666/:812;
-    col_ref_l0 is always 0 in the reference). Returns (dir, mv0, mv1)."""
+    (merge_tmvp_from_ldc / merge_tmvp_from_l0 / merge_tmvp_from_l1,
+    drv_affine_mvp.c :666/:812/:900, dispatched on ldc / col_ref_l0
+    at :2786-2793). dst0 always scales with dist_ref0[0], dst1 with
+    dist_ref1[0]; the source collocated plane(s) depend on the mode.
+    Returns (dir, mv0, mv1)."""
     c0x, c0y = (ux + nw) & ~1, (uy + nh) & ~1
     a0 = ictx._col_avail(0, c0x, c0y, uy, ux)
     a1 = ictx._col_avail(1, c0x, c0y, uy, ux)
@@ -792,9 +795,21 @@ def _affine_corner_tmvp(ictx, ux, uy, nw, nh):
         out = tmvp_scale_mv(scale, out)
         return replace(out, ref_idx=0, bcw_idx_plus1=0, prec_amvr=0)
 
-    if ictx.ldc and a0 and a1:
-        return 3, scaled(0, 0), scaled(1, 1)
-    src = 0 if a0 else 1
+    if ictx.ldc:
+        if a0 and a1:
+            # both collocated planes feed their matching list; crossed
+            # when the collocated picture comes from list 0 (:687/:717)
+            if not ictx.col_ref_l0:
+                return 3, scaled(0, 0), scaled(1, 1)
+            return 3, scaled(1, 0), scaled(0, 1)
+        src = 0 if a0 else 1
+        return 3, scaled(src, 0), scaled(src, 1)
+    # non-ldc: one collocated plane feeds BOTH lists; plane preference
+    # follows the collocated list (:830 prefers plane 0, :904 plane 1)
+    if not ictx.col_ref_l0:
+        src = 0 if a0 else 1
+    else:
+        src = 1 if a1 else 0
     return 3, scaled(src, 0), scaled(src, 1)
 
 

@@ -2043,10 +2043,22 @@ static int aff_corner_tmvp(const Pc *p, int ux, int uy, int nw, int nh,
     if (!(a0 || a1))
         return 0;
     if (e->tmvp_ldc && a0 && a1) {
-        *t0 = tmvp_scaled(p, 0, 0, 0, c0x, c0y, -1);
-        *t1 = tmvp_scaled(p, 1, 0, 1, c0x, c0y, -1);
+        /* both planes feed their matching list; crossed when the
+         * collocated picture comes from list 0 (drv_affine_mvp.c
+         * :687/:717) */
+        int s0 = e->col_ref_l0 ? 1 : 0;
+        *t0 = tmvp_scaled(p, 0, 0, s0, c0x, c0y, -1);
+        *t1 = tmvp_scaled(p, 1, 0, s0 ^ 1, c0x, c0y, -1);
     } else {
-        int src = a0 ? 0 : 1;
+        /* non-ldc: one plane feeds BOTH lists, preference follows the
+         * collocated list (:830 prefers plane 0, :904 plane 1) */
+        int src;
+        if (e->tmvp_ldc)
+            src = a0 ? 0 : 1;
+        else if (!e->col_ref_l0)
+            src = a0 ? 0 : 1;
+        else
+            src = a1 ? 1 : 0;
         *t0 = tmvp_scaled(p, 0, 0, src, c0x, c0y, -1);
         *t1 = tmvp_scaled(p, 1, 0, src, c0x, c0y, -1);
     }

@@ -186,3 +186,42 @@ def test_affine_b_slice():
         {"tree_builder": _qt(mk, 4), "slice_type": 0, "poc": 2,
          "ref_deltas": [1, 2], "ref_deltas1": [1, 2]},
     ])
+
+
+def test_affine_ra_pyramid_corner_tmvp():
+    """RA pyramid (genuine future refs, non-low-delay) with affine merge:
+    pins the constructed-candidate C0 TMVP corner's collocated-plane
+    selection (merge_tmvp_from_l0/_from_l1/_from_ldc dispatched on ldc /
+    col_ref_l0, drv_affine_mvp.c:666/:812/:900, :2786-2793).  Regression:
+    the corner always preferred collocated plane 0, diverging on B frames
+    whose collocated picture comes from list 0.  All three lanes must be
+    oracle bit-exact."""
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "tools"))
+    import gen_bench_stream as g
+
+    rng = np.random.RandomState(7)
+    cfg = StreamConfig(width=256, height=192, deblocking=True, sao=True,
+                       tile_cols=[2, 2], bcw=True, affine=True,
+                       affine_6param=True, prof=True, bdof=True, dmvr=True,
+                       tmvp=True, amvr=True)
+    frames = [{"tree_builder": g._qt_tree(
+        lambda x, y, l: g._intra_cu(rng, x, y, l), 5)}]
+    frames += g.ra_frame_specs(5, rng, 4, g._qt_tree, tools=False,
+                               affine=True)
+    stream = build_stream_frames(cfg, frames)
+    ref = decode_with_oracle(stream)
+    if ref is None:
+        pytest.skip("reference decoder unavailable")
+    os.environ["OPENVVC_NATIVE_ENTRY"] = "0"
+    try:
+        dec = Decoder()
+        mine = b"".join(f.to_yuv_bytes()
+                        for f in dec.output_order(dec.decode(stream)))
+        assert mine == ref, "python lane diverges from oracle"
+    finally:
+        os.environ.pop("OPENVVC_NATIVE_ENTRY", None)
+    dec = Decoder()
+    mine = b"".join(f.to_yuv_bytes()
+                    for f in dec.output_order(dec.decode(stream)))
+    assert mine == ref, "native C lane diverges from oracle"
