@@ -31,6 +31,10 @@ STREAM_ATRA = "/tmp/bench_1080p_alltools_ra.266"
 REF_YUV_ATRA = "/tmp/bench_1080p_alltools_ra.yuv"
 STREAM_IT = "/tmp/bench_1080p_intertools.266"
 REF_YUV_IT = "/tmp/bench_1080p_intertools.yuv"
+STREAM_10B = "/tmp/bench_1080p_10bit.266"
+REF_YUV_10B = "/tmp/bench_1080p_10bit.yuv"
+STREAM_FI = "/tmp/bench_1080p_fullinter.266"
+REF_YUV_FI = "/tmp/bench_1080p_fullinter.yuv"
 NB_FRAMES = 9
 PERF_BIN = "/tmp/refperf/dectest"
 
@@ -82,6 +86,24 @@ def ensure_assets():
         subprocess.run([PERF_BIN, "-i", STREAM_IT, "-o", REF_YUV_IT,
                         "-t", "1", "-e", "1"],
                        check=True, capture_output=True)
+    if not os.path.exists(STREAM_10B):
+        subprocess.run([sys.executable, os.path.join(REPO, "tools/gen_bench_stream.py"),
+                        "--frames", str(NB_FRAMES), "--tiles", "2",
+                        "--bitdepth", "10", "--out", STREAM_10B],
+                       check=True, capture_output=True, timeout=1200)
+    if not os.path.exists(REF_YUV_10B):
+        subprocess.run([PERF_BIN, "-i", STREAM_10B, "-o", REF_YUV_10B,
+                        "-t", "1", "-e", "1"],
+                       check=True, capture_output=True)
+    if not os.path.exists(STREAM_FI):
+        subprocess.run([sys.executable, os.path.join(REPO, "tools/gen_bench_stream.py"),
+                        "--frames", str(NB_FRAMES), "--tiles", "2",
+                        "--full-inter", "--gop", "ra", "--out", STREAM_FI],
+                       check=True, capture_output=True, timeout=1200)
+    if not os.path.exists(REF_YUV_FI):
+        subprocess.run([PERF_BIN, "-i", STREAM_FI, "-o", REF_YUV_FI,
+                        "-t", "1", "-e", "1"],
+                       check=True, capture_output=True)
 
 
 def bench_ra():
@@ -113,6 +135,42 @@ def bench_ra():
         best = d if best is None else min(best, d)
     return {"ra_fps": round(len(frames) / dt, 3),
             "ra_ref_fps_8thread": round(len(frames) / best, 2)}
+
+
+def bench_fullinter():
+    """Host/hybrid lanes on the full inter toolset, bit-exactness gated."""
+    from openvvc_tpu.decoder import Decoder
+
+    with open(STREAM_FI, "rb") as f:
+        stream = f.read()
+    with open(REF_YUV_FI, "rb") as f:
+        ref = f.read()
+    dec = Decoder()
+    t0 = time.monotonic()
+    frames = dec.decode(stream)
+    dt = time.monotonic() - t0
+    mine = b"".join(fr.to_yuv_bytes() for fr in dec.output_order(frames))
+    assert mine == ref, "full-inter decode not bit-exact vs the reference"
+    for _ in range(2):
+        d2 = Decoder()
+        t0 = time.monotonic()
+        d2.decode(stream)
+        dt = min(dt, time.monotonic() - t0)
+    out = {"cpu_fullinter_fps": round(len(frames) / dt, 3)}
+    try:
+        dtpu = Decoder(use_tpu=True)
+        t0 = time.monotonic()
+        tf = dtpu.decode(stream)
+        dt2 = time.monotonic() - t0
+        got = b"".join(fr.to_yuv_bytes() for fr in dtpu.output_order(tf))
+        assert got == ref
+        out["hybrid_fullinter_fps"] = round(len(tf) / dt2, 3)
+        out["fullinter_tpu_frames"] = dtpu.stats.get("tpu_frames", 0)
+        out["fullinter_fallbacks"] = dtpu.stats.get(
+            "tpu_fallback_reasons", {})
+    except Exception as e:  # pragma: no cover
+        out["hybrid_fullinter_error"] = str(e)[:120]
+    return out
 
 
 def measure_ref_fps():
@@ -230,6 +288,21 @@ def main():
             bench_tpu(STREAM_IT, REF_YUV_IT), 3)
     except Exception as e:  # pragma: no cover - device-dependent
         extra["tpu_intertools_error"] = str(e)[:160]
+    try:
+        # main-10 lane (CTC bit depth), device path required
+        extra["tpu_fps_10bit"] = round(bench_tpu(STREAM_10B, REF_YUV_10B),
+                                       3)
+    except Exception as e:  # pragma: no cover - device-dependent
+        extra["tpu_10bit_error"] = str(e)[:160]
+    try:
+        # EVERYTHING inter (affine/SbTMVP/PROF + BDOF/DMVR + the merge
+        # toolset): decoded on the default lanes — sub-block/BDOF/DMVR
+        # pictures take the host C recon, so this measures the real
+        # fallback cost on a CTC-like stream (was ~0.25 fps on the Python
+        # lane through round 4); fallback reasons are reported alongside
+        extra.update(bench_fullinter())
+    except Exception as e:
+        extra["fullinter_error"] = str(e)[:160]
     try:
         extra.update(bench_ra())
     except Exception as e:

@@ -18,7 +18,8 @@ REPO = os.path.dirname(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 
 
-def _gen_stream(path, n_tiles, gop, alf, frames, width, height, leaf=4):
+def _gen_stream(path, n_tiles, gop, alf, frames, width, height, leaf=4,
+                all_tools=False):
     if os.path.exists(path):
         return
     args = [sys.executable, os.path.join(REPO, "tools/gen_bench_stream.py"),
@@ -26,14 +27,20 @@ def _gen_stream(path, n_tiles, gop, alf, frames, width, height, leaf=4):
             "--frames", str(frames), "--tiles", str(n_tiles),
             "--gop", gop, "--leaf-intra", str(leaf), "--leaf-inter",
             str(max(leaf, 4))]
-    if alf:
+    if all_tools:
+        args.append("--all-tools")
+    elif alf:
         args.append("--alf")
     subprocess.run(args, check=True, capture_output=True, timeout=600)
 
 
 def dryrun_frame_pipeline(n_devices, gop="lowdelay", alf=False, frames=3,
-                          width=None, height=192, leaf=4):
-    """Full sharded pipeline vs single device, bitwise. Tiles == devices."""
+                          width=None, height=192, leaf=4, all_tools=False,
+                          timing=None):
+    """Full sharded pipeline vs single device, bitwise. Tiles == devices.
+
+    timing: optional dict — receives per-frame sharded wall-clock stats
+    for the scaling artifact (MULTICHIP_SCALING.json)."""
     import jax
 
     assert len(jax.devices()) >= n_devices, \
@@ -48,9 +55,10 @@ def dryrun_frame_pipeline(n_devices, gop="lowdelay", alf=False, frames=3,
 
     if width is None:
         width = 128 * n_devices
-    path = (f"/tmp/mc_shard_{n_devices}_{gop}_{int(alf)}_"
+    path = (f"/tmp/mc_shard_{n_devices}_{gop}_{int(alf)}{int(all_tools)}_"
             f"{width}x{height}x{frames}_l{leaf}.266")
-    _gen_stream(path, n_devices, gop, alf, frames, width, height, leaf)
+    _gen_stream(path, n_devices, gop, alf, frames, width, height, leaf,
+                all_tools)
     with open(path, "rb") as f:
         stream = f.read()
 
@@ -74,12 +82,20 @@ def dryrun_frame_pipeline(n_devices, gop="lowdelay", alf=False, frames=3,
 
     fp.pack_jobs = spy_pack
     fp.run_frame = spy_run
+    # the sharded band program consumes the XLA dense-MC args (margs);
+    # force the capture decode off the Pallas bundle layout
+    prev_np = os.environ.get("OPENVVC_NO_PALLAS")
+    os.environ["OPENVVC_NO_PALLAS"] = "1"
     try:
         dec = Decoder(use_tpu=True)
         out_frames = dec.decode(stream)
     finally:
         fp.run_frame = orig_run
         fp.pack_jobs = orig_pack
+        if prev_np is None:
+            os.environ.pop("OPENVVC_NO_PALLAS", None)
+        else:
+            os.environ["OPENVVC_NO_PALLAS"] = prev_np
     n = len(out_frames)
     assert dec.stats.get("tpu_frames", 0) == n, \
         f"device path fell back: {dec.stats}"
@@ -113,8 +129,14 @@ def dryrun_frame_pipeline(n_devices, gop="lowdelay", alf=False, frames=3,
         arrs2.pop("jobs_c", None)
         jlb = band_jobs(jl, cfg.entries, n_devices, cfg.pic_w, True)
         jcb = band_jobs(jc, cfg.entries, n_devices, cfg.pic_w, False)
+        import time as _time
+
+        t0 = _time.monotonic()
         packed = run_frame_sharded(mesh, ddpb, slot, arrs2, jlb, jcb, cfg)
         got = np.asarray(packed)
+        dt = _time.monotonic() - t0
+        if timing is not None:
+            timing.setdefault("frame_s", []).append(round(dt, 4))
         if not np.array_equal(got, singles[i]):
             nbad = int(np.count_nonzero(got != singles[i]))
             raise AssertionError(

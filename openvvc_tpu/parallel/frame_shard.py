@@ -207,27 +207,78 @@ def band_frame_step(dpb_y, dpb_cb, dpb_cr, slot, arrs, jobs_l, jobs_c,
     Wbc = uwb * 2
     ux0 = b * uwb
 
+    # ---- LMCS tables for this band (tile-restricted availability keeps
+    # the per-64-block chroma-scale derivation band-local) ---------------
+    lmcs = arrs.get("lmcs") if getattr(cfg, "lmcs_on", False) else None
+    lmcs_b = None
+    if lmcs is not None:
+        nbx = lmcs["top_abv"].shape[1]
+        nbxb = nbx // T
+        lmcs_b = dict(lmcs)
+        for k in ("top_abv", "top_lft", "nb_zero", "log2_nb"):
+            lmcs_b[k] = _slice_cols(jnp, lmcs[k], b * nbxb, nbxb)
+        lmcs_b["csc"] = _slice_cols(jnp, lmcs["csc"], b * (Wbc >> 1),
+                                    Wbc >> 1)
+    ciip_on = getattr(cfg, "ciip_on", False)
+
     # ---- inter MC + residual add over this band's units ---------------
+    pred_cb_d = pred_cr_d = None
+    m2 = None
     if cfg.has_inter:
-        margs = {k: _slice_cols(jnp, jnp.asarray(v).reshape(uh, uw),
-                                ux0, uwb).reshape(uh * uwb)
-                 for k, v in arrs["margs"].items()}
+        margs = {}
+        for k, v in arrs["margs"].items():
+            va = jnp.asarray(v)
+            if va.ndim == 3:  # per-sample weight plane (N, 4, 4)
+                margs[k] = _slice_cols(
+                    jnp, va.reshape(uh, uw, 4, 4), ux0, uwb
+                ).reshape(uh * uwb, 4, 4)
+            else:
+                margs[k] = _slice_cols(jnp, va.reshape(uh, uw),
+                                       ux0, uwb).reshape(uh * uwb)
         pred_y, pred_cb, pred_cr = mc_dense(
             jnp, dpb_y, dpb_cb, dpb_cr, margs, bd, uwb, uh, cfg.chroma)
+        if lmcs is not None:
+            from openvvc_tpu.tpu import lmcs_dense
+
+            pred_y = lmcs_dense.fwd_map(jnp, pred_y, lmcs_b, bd)
         gm = _slice_cols(jnp, arrs["gmask"], ux0, uwb)
         m = gm != 0
         res_y = _slice_cols(jnp, arrs["res_y"], b * Wb, Wb)
+        res_y_mc = res_y
+        if ciip_on:
+            dl4 = jnp.repeat(jnp.repeat((gm & 2) != 0, 4, axis=0), 4,
+                             axis=1)
+            res_y_mc = jnp.where(dl4, 0, res_y_mc)
         m4 = jnp.repeat(jnp.repeat(m, 4, axis=0), 4, axis=1)
-        rec_y = jnp.where(m4, jnp.clip(pred_y + res_y, 0, bd_max), 0) \
+        rec_y = jnp.where(m4, jnp.clip(pred_y + res_y_mc, 0, bd_max), 0) \
             .astype(jnp.int16)
         if cfg.chroma:
             res_cb = _slice_cols(jnp, arrs["res_cb"], b * Wbc, Wbc)
             res_cr = _slice_cols(jnp, arrs["res_cr"], b * Wbc, Wbc)
             m2 = jnp.repeat(jnp.repeat(m, 2, axis=0), 2, axis=1)
-            rec_cb = jnp.where(m2, jnp.clip(pred_cb + res_cb, 0, bd_max), 0) \
-                .astype(jnp.int16)
-            rec_cr = jnp.where(m2, jnp.clip(pred_cr + res_cr, 0, bd_max), 0) \
-                .astype(jnp.int16)
+            dc2 = None
+            if ciip_on:
+                dc2 = jnp.repeat(jnp.repeat((gm & 4) != 0, 2, axis=0), 2,
+                                 axis=1)
+            if lmcs is not None:
+                # chroma residual add deferred until the mapped luma band
+                # completes (frame_program.frame_step order)
+                pred_cb_d, pred_cr_d = pred_cb, pred_cr
+                rec_cb = jnp.where(m2, jnp.clip(pred_cb, 0, bd_max), 0) \
+                    .astype(jnp.int16)
+                rec_cr = jnp.where(m2, jnp.clip(pred_cr, 0, bd_max), 0) \
+                    .astype(jnp.int16)
+            else:
+                res_cb_mc, res_cr_mc = res_cb, res_cr
+                if dc2 is not None:
+                    res_cb_mc = jnp.where(dc2, 0, res_cb_mc)
+                    res_cr_mc = jnp.where(dc2, 0, res_cr_mc)
+                rec_cb = jnp.where(
+                    m2, jnp.clip(pred_cb + res_cb_mc, 0, bd_max), 0
+                ).astype(jnp.int16)
+                rec_cr = jnp.where(
+                    m2, jnp.clip(pred_cr + res_cr_mc, 0, bd_max), 0
+                ).astype(jnp.int16)
     else:
         res_y = _slice_cols(jnp, arrs["res_y"], b * Wb, Wb)
         rec_y = jnp.zeros((uh * 4, Wb), jnp.int16)
@@ -246,27 +297,70 @@ def band_frame_step(dpb_y, dpb_cb, dpb_cr, slot, arrs, jobs_l, jobs_c,
         def lbody(plane, jf):
             return iw.predict_wave_step(jnp, plane, res_yp, jf, bd, True,
                                         with_mip=getattr(cfg, "mip_on",
-                                                         False)), None
+                                                         False),
+                                        with_ciip=ciip_on), None
 
         rec_y, _ = lax.scan(lbody, mpad(rec_y), jobs_l)
         rec_y = rec_y[:uh * 4, :Wb]
-    if cfg.chroma and jobs_c.shape[0]:
-        res_cbp, res_crp = mpad(res_cb), mpad(res_cr)
+    res_cb_eff = res_cr_eff = None
+    if cfg.chroma:
+        res_cb_eff, res_cr_eff = res_cb, res_cr
+        if lmcs is not None:
+            from openvvc_tpu.tpu import lmcs_dense
 
-        def cbody(carry, jf):
-            cb_, cr_ = carry
-            cb_ = iw.predict_wave_step(jnp, cb_, res_cbp, jf, bd, False)
-            cr_ = iw.predict_wave_step(jnp, cr_, res_crp, jf, bd, False)
-            return (cb_, cr_), None
+            su = lmcs_dense.chroma_scale_units(
+                jnp, rec_y[:H, :].astype(jnp.int32), lmcs_b, uh, uwb, bd)
+            res_cb_eff = lmcs_dense.scale_chroma_res(
+                jnp, res_cb_eff, su, lmcs_b["csc"], bd).astype(jnp.int32)
+            res_cr_eff = lmcs_dense.scale_chroma_res(
+                jnp, res_cr_eff, su, lmcs_b["csc"], bd).astype(jnp.int32)
+            if pred_cb_d is not None:
+                res_cb_mc2, res_cr_mc2 = res_cb_eff, res_cr_eff
+                if ciip_on:
+                    dc2l = jnp.repeat(jnp.repeat((gm & 4) != 0, 2, axis=0),
+                                      2, axis=1)
+                    res_cb_mc2 = jnp.where(dc2l, 0, res_cb_mc2)
+                    res_cr_mc2 = jnp.where(dc2l, 0, res_cr_mc2)
+                rec_cb = jnp.where(
+                    m2, jnp.clip(pred_cb_d + res_cb_mc2, 0, bd_max), 0
+                ).astype(jnp.int16)
+                rec_cr = jnp.where(
+                    m2, jnp.clip(pred_cr_d + res_cr_mc2, 0, bd_max), 0
+                ).astype(jnp.int16)
+        if jobs_c.shape[0]:
+            res_cbp, res_crp = mpad(res_cb_eff), mpad(res_cr_eff)
+            luma4 = None
+            cclm_on = getattr(cfg, "cclm_on", False)
+            if cclm_on:
+                luma4 = jnp.pad(rec_y[:H, :],
+                                ((4, 4 * iw.TILE + 16),
+                                 (4, 4 * iw.TILE + 16)))
 
-        (rec_cb, rec_cr), _ = lax.scan(
-            cbody, (mpad(rec_cb), mpad(rec_cr)), jobs_c)
-        rec_cb = rec_cb[:uh * 2, :Wbc]
-        rec_cr = rec_cr[:uh * 2, :Wbc]
+            def cbody(carry, jf):
+                cb_, cr_ = carry
+                cb_ = iw.predict_wave_step(
+                    jnp, cb_, res_cbp, jf, bd, False, with_cclm=cclm_on,
+                    luma4=luma4, colloc=getattr(cfg, "cclm_colloc", False),
+                    ctb_log2=cfg.ctb_log2, with_ciip=ciip_on)
+                cr_ = iw.predict_wave_step(
+                    jnp, cr_, res_crp, jf, bd, False, with_cclm=cclm_on,
+                    luma4=luma4, colloc=getattr(cfg, "cclm_colloc", False),
+                    ctb_log2=cfg.ctb_log2, with_ciip=ciip_on)
+                return (cb_, cr_), None
+
+            (rec_cb, rec_cr), _ = lax.scan(
+                cbody, (mpad(rec_cb), mpad(rec_cr)), jobs_c)
+            rec_cb = rec_cb[:uh * 2, :Wbc]
+            rec_cr = rec_cr[:uh * 2, :Wbc]
 
     y = rec_y[:H, :].astype(jnp.int32)
     cb = rec_cb[:H >> 1, :].astype(jnp.int32) if cfg.chroma else None
     cr = rec_cr[:H >> 1, :].astype(jnp.int32) if cfg.chroma else None
+
+    if lmcs is not None:
+        from openvvc_tpu.tpu import lmcs_dense
+
+        y = lmcs_dense.bwd_map(jnp, y, lmcs_b, bd)
 
     # ---- DBF with ppermute halos ---------------------------------------
     if cfg.dbf_on:

@@ -58,6 +58,17 @@ def test_sharded_frame_bitwise(gop, alf, n):
     assert "OK" in out
 
 
+def test_sharded_frame_bitwise_all_tools():
+    # the hostile device toolset (ALF + CC-ALF + LFNST + MIP + LMCS
+    # reshaper/chroma-scaling + CCLM) through the sharded band program
+    out = _run(
+        "from openvvc_tpu.parallel.dryrun import dryrun_frame_pipeline\n"
+        "nf = dryrun_frame_pipeline(2, gop='lowdelay', alf=True,"
+        " all_tools=True)\n"
+        "print('OK', nf)\n", timeout=900)
+    assert "OK" in out
+
+
 def test_sharded_halo_matters():
     """Cross-boundary deblocking (loop filters across tiles): the sharded
     vertical pass with ppermute halos must match the single-device dense

@@ -95,11 +95,41 @@ def _intra_cu(rng, x, y, log2, lfnst=False, mip=False):
     return cu
 
 
-def _inter_cu(rng, x, y, log2, nb_ref0=1, nb_ref1=0, tools=False):
+def _inter_cu(rng, x, y, log2, nb_ref0=1, nb_ref1=0, tools=False,
+              affine=False):
     from openvvc_tpu.vcl.ctu import TU
 
     cu = CU(x, y, log2, log2)
     cu.pred_mode = 1
+    if affine and rng.rand() < 0.3:
+        # affine AMVP / sb-merge mix (6-param, PROF-active deltas)
+        if rng.rand() < 0.5 and log2 > 3:
+            cu.merge_flag = 0
+            cu.affine_flag = 1
+            cu.affine_type = int(rng.randint(0, 2))
+            n = 3 if cu.affine_type else 2
+            cu.affine_mvd0 = tuple(
+                (int(rng.randint(-8, 9)), int(rng.randint(-8, 9)))
+                for _ in range(n))
+            cu.ref_idx = 0
+            cu.mvp_idx = int(rng.randint(0, 2))
+            if nb_ref1:
+                cu.inter_dir = int(rng.choice([1, 2, 3]))
+                cu.ref_idx1 = 0
+                cu.affine_mvd1 = tuple(
+                    (int(rng.randint(-8, 9)), int(rng.randint(-8, 9)))
+                    for _ in range(n))
+                cu.mvp_idx1 = int(rng.randint(0, 2))
+            lv = _sparse(rng, log2, log2, p=0.05, mag=8)
+            if lv.any():
+                cu.tus.append(TU(x, y, log2, log2, 0, cbf=1, levels=lv,
+                                 last_pos=_find_last(lv, log2, log2)))
+            return cu
+        cu.skip_flag = 1
+        cu.merge_flag = 1
+        cu.sb_merge_flag = 1
+        cu.merge_idx = int(rng.randint(0, 5))
+        return cu
     kind = rng.rand()
     if kind < 0.45:
         cu.skip_flag = 1
@@ -165,13 +195,15 @@ def _inter_cu(rng, x, y, log2, nb_ref0=1, nb_ref1=0, tools=False):
     return cu
 
 
-def ra_frame_specs(nb_frames, rng, leaf_inter, qt_tree, tools=False):
+def ra_frame_specs(nb_frames, rng, leaf_inter, qt_tree, tools=False,
+                   affine=False):
     """Random-access GOP-4 B-pyramid frame specs with decode != display
     order (the JVET CTC RA structure scaled down): per GOP
     P(poc+4) <- B(poc+2) <- B(poc+1), B(poc+3)."""
     def inter(nb0, nb1):
         return qt_tree(lambda x, y, l: _inter_cu(rng, x, y, l, nb0, nb1,
-                                                 tools=tools),
+                                                 tools=tools,
+                                                 affine=affine),
                        leaf_inter)
 
     specs = []
@@ -260,6 +292,11 @@ def main():
     ap.add_argument("--inter-tools", action="store_true",
                     help="hostile inter profile: MMVD + BCW + SMVD + CIIP "
                          "+ GPM mix in the inter frames")
+    ap.add_argument("--full-inter", action="store_true",
+                    help="everything --inter-tools has PLUS affine/SbTMVP "
+                         "(PROF) and BDOF/DMVR — exercises the host C "
+                         "recon fallback for the sub-block tools")
+    ap.add_argument("--bitdepth", type=int, default=8, choices=(8, 10))
     ap.add_argument("--out", default="/tmp/bench_1080p.266")
     args = ap.parse_args()
 
@@ -274,8 +311,10 @@ def main():
         nctu_w = w // 64
         per = nctu_w // args.tiles
         tile_cols = [per] * (args.tiles - 1) + [nctu_w - per * (args.tiles - 1)]
-    it = args.inter_tools
-    cfg = StreamConfig(width=w, height=h, deblocking=True, sao=True,
+    it = args.inter_tools or args.full_inter
+    fi = args.full_inter
+    cfg = StreamConfig(width=w, height=h, bitdepth=args.bitdepth,
+                       deblocking=True, sao=True,
                        tile_cols=tile_cols,
                        alf=args.alf, alf_chroma=args.alf, cc_alf=args.alf,
                        lfnst=args.all_tools, mip=args.all_tools,
@@ -285,7 +324,10 @@ def main():
                                     if args.all_tools else None),
                        lmcs_chroma_scaling=args.all_tools,
                        mmvd=it, bcw=it, smvd=it, ciip=it, gpm=it,
-                       tmvp=args.gop == "ra", amvr=args.gop == "ra")
+                       affine=fi, affine_6param=fi, prof=fi, sbtmvp=fi,
+                       bdof=fi, dmvr=fi,
+                       tmvp=args.gop == "ra" or fi,
+                       amvr=args.gop == "ra")
 
     lf = args.all_tools
     frames = [{"tree_builder": _qt_tree(
@@ -293,12 +335,13 @@ def main():
         args.leaf_intra)}]
     if args.gop == "ra":
         frames += ra_frame_specs(args.frames, rng, args.leaf_inter, _qt_tree,
-                                 tools=it)
+                                 tools=it, affine=fi)
     else:
         for i in range(1, args.frames):
             frames.append({
                 "tree_builder": _qt_tree(
-                    lambda x, y, l: _inter_cu(rng, x, y, l, tools=it),
+                    lambda x, y, l: _inter_cu(rng, x, y, l, tools=it,
+                                              affine=fi),
                     args.leaf_inter),
                 "slice_type": 1,
                 "ref_deltas": [1],
