@@ -1870,6 +1870,8 @@ class Decoder:
         # the multichip banding indexes them by tile position
         ir.jobs_l = [None] * len(raws)
         ir.jobs_c = [None] * len(raws)
+        ir.dtu = [None] * len(raws)
+        ir.dtu_coef = [None] * len(raws)
 
         def _bir(idx_raw):
             idx, raw = idx_raw
@@ -2023,6 +2025,21 @@ class Decoder:
                 if chroma and not ctx.tools.get("scale_c", False):
                     # ph_chroma_residual_scale_flag off: no scaling
                     arrs["lmcs"]["csc"][:] = 0
+            dtu_sig = ()
+            if any(d is not None and len(d) for d in ir.dtu):
+                # device residuals: raw levels + resolved selectors ride
+                # the bundle; dequant+LFNST+itx run in the frame program
+                from openvvc_tpu.tpu import resid_dense
+
+                if not hasattr(self, "_dtu_caps"):
+                    self._dtu_caps = {}
+                with trace.span("dtu_pack"):
+                    dtu_buckets, dtu_sig = resid_dense.pack_dtu(
+                        ir.dtu, ir.dtu_coef, self._dtu_caps)
+                if dtu_buckets is not None:
+                    arrs["dtu"] = dtu_buckets
+                    n = sum(len(d) for d in ir.dtu if d is not None)
+                    self.stats["dtu_tbs"] = self.stats.get("dtu_tbs", 0) + n
             slot = ddpb.alloc(frame, (ctx.refs0 or []) + (ctx.refs1 or [])
                               + [frame])
             from openvvc_tpu.tpu import intra_wave as _iw
@@ -2042,7 +2059,7 @@ class Decoder:
                       sao_tabs is not None, sps.ctb_log2,
                       alf_tabs is not None, entries_t,
                       use_pallas_mc, mc_dims, mip_on, lmcs_on,
-                      cclm_on, colloc, ciip_on)
+                      cclm_on, colloc, ciip_on, dtu_sig)
         with trace.span("device_dispatch"):
             try:
                 frame._dev_out = run_frame(ddpb, slot, arrs, cfg)

@@ -1178,7 +1178,9 @@ def _setup_ir_proto(lib):
         vp, i64,        # jobs_c, cap_c
         vp, vp,         # dist0, dist1
         ctypes.POINTER(_DbfBufsC),
-        vp,             # out_counts int64[4]
+        vp, i64,        # dtu records, cap (device-residual TUs)
+        vp, i64,        # dtu coef flat, cap
+        vp,             # out_counts int64[7]
     ]
     _ir_proto_done = True
 
@@ -1188,7 +1190,7 @@ class FrameIR:
 
     __slots__ = ("res_y", "res_cb", "res_cr", "gmask", "gmv", "gref", "gw",
                  "ghpel", "glist", "gwp", "has_gpm", "jobs_l", "jobs_c",
-                 "uw", "uh", "chroma")
+                 "uw", "uh", "chroma", "dtu", "dtu_coef")
 
     def __init__(self, pic_w, pic_h, chroma=True):
         from openvvc_tpu.utils.pool import GLOBAL as _pool
@@ -1214,6 +1216,10 @@ class FrameIR:
         self.has_gpm = False
         self.jobs_l = []  # per-entry (n, J_NFIELDS) int32 arrays
         self.jobs_c = []
+        # per-entry device-residual TU records + flat levels (the frame
+        # program runs dequant+LFNST+itx; None entries shipped no records)
+        self.dtu = []
+        self.dtu_coef = []
 
     def release(self):
         from openvvc_tpu.utils.pool import GLOBAL as _pool
@@ -1227,6 +1233,7 @@ class FrameIR:
 
 
 _J_NFIELDS = 16
+_DTU_NFIELDS = 16  # ov_shared.h DTU_* record
 
 
 def build_ir_entry_native(raw, ir: FrameIR, dbf, csign, nb_refs0, nb_refs1,
@@ -1266,10 +1273,19 @@ def build_ir_entry_native(raw, ir: FrameIR, dbf, csign, nb_refs0, nb_refs1,
     cap_c = cap_l
     jobs_l = np.empty((cap_l, _J_NFIELDS), np.int32)
     jobs_c = np.empty((cap_c, _J_NFIELDS), np.int32)
-    counts = (ctypes.c_int64 * 5)()
+    counts = (ctypes.c_int64 * 7)()
 
     vp = ctypes.c_void_p
     ncu, ntu = int(raw.counts[0]), int(raw.counts[1])
+    # device-residual records: one per TB worst case; levels bounded by the
+    # entry's parsed coefficient payload
+    dtu = dtu_coef = None
+    dtu_cap = coef_cap = 0
+    if os.environ.get("OPENVVC_DEVICE_RESID", "1") != "0":
+        dtu_cap = ntu + 8
+        coef_cap = int(raw.coef_buf.shape[0])
+        dtu = np.empty((dtu_cap, _DTU_NFIELDS), np.int32)
+        dtu_coef = np.empty(max(coef_cap, 1), np.int32)
     rc = lib.ov_build_ir(
         ctypes.byref(ep), ctypes.byref(rp),
         vp(raw.cu_buf.ctypes.data), ncu,
@@ -1286,16 +1302,23 @@ def build_ir_entry_native(raw, ir: FrameIR, dbf, csign, nb_refs0, nb_refs1,
         vp(jobs_l.ctypes.data), cap_l,
         vp(jobs_c.ctypes.data), cap_c,
         vp(d0.ctypes.data), vp(d1.ctypes.data),
-        ctypes.byref(db), ctypes.cast(counts, ctypes.c_void_p))
+        ctypes.byref(db),
+        vp(dtu.ctypes.data if dtu is not None else None), dtu_cap,
+        vp(dtu_coef.ctypes.data if dtu_coef is not None else None), coef_cap,
+        ctypes.cast(counts, ctypes.c_void_p))
     if rc != 0:
         return False
     if counts[4]:
         ir.has_gpm = True
     jl = jobs_l[:int(counts[0])].copy()
     jc = jobs_c[:int(counts[1])].copy()
+    dt = dtu[:int(counts[5])].copy() if dtu is not None else None
+    dtc = dtu_coef[:int(counts[6])].copy() if dtu_coef is not None else None
     if entry_idx is None:
         ir.jobs_l.append(jl)
         ir.jobs_c.append(jc)
+        ir.dtu.append(dt)
+        ir.dtu_coef.append(dtc)
     else:
         # slot-indexed: entries build concurrently on the pool, so append
         # order is completion order — the per-tile multichip banding needs
@@ -1303,8 +1326,12 @@ def build_ir_entry_native(raw, ir: FrameIR, dbf, csign, nb_refs0, nb_refs1,
         while len(ir.jobs_l) <= entry_idx:
             ir.jobs_l.append(None)
             ir.jobs_c.append(None)
+            ir.dtu.append(None)
+            ir.dtu_coef.append(None)
         ir.jobs_l[entry_idx] = jl
         ir.jobs_c[entry_idx] = jc
+        ir.dtu[entry_idx] = dt
+        ir.dtu_coef[entry_idx] = dtc
     return True
 
 

@@ -71,6 +71,26 @@ enum {
     TU_F_LASTX, TU_F_LASTY, TU_F_SIGLO, TU_F_SIGHI, TU_F_COEF,
     TU_NFIELDS
 };
+/* device-residual TU record (VERDICT item: dequant+LFNST+itx in the frame
+ * program): raw levels ship to the device; the host resolves only the
+ * scalar transform selectors (rcn_dequant.c + rcn_transform.c decisions) */
+enum {
+    DTU_PLANE,     /* 0 y, 1 cb, 2 cr, 3 joint-CbCr */
+    DTU_X, DTU_Y,  /* plane coords */
+    DTU_L2W, DTU_L2H,
+    DTU_QP,
+    DTU_TRH, DTU_TRV,       /* 0 DCT2, 1 DST7, 2 DCT8 */
+    DTU_LF_KIND,            /* 0 none, 1 4x4 (16-out), 2 8x8 (48-out) */
+    DTU_LF_MAT,             /* mode_set * 2 + (lfnst_idx - 1) */
+    DTU_LF_T,               /* transpose flag */
+    DTU_LF_NIN,             /* 8 or 16 input coefficients */
+    DTU_JC,                 /* TU_F_JCBCR value (plane 3 only) */
+    DTU_CSIGN,              /* +1 / -1 joint-CbCr sign */
+    DTU_COEF,               /* offset into the dtu coefficient array */
+    DTU_DEPQ,               /* sh_dep_quant_used_flag for this entry */
+    DTU_NFIELDS
+};
+
 #define SAO_NFIELDS 24 /* type[3], val[3][5], band_pos[3], eo_class[3] */
 #define ALF_NFIELDS 6  /* ctb_alf_flag, idx, cb_alt, cr_alt, cc_cb, cc_cr */
 #define CTU_REC_NFIELDS (SAO_NFIELDS + ALF_NFIELDS)

@@ -3134,6 +3134,12 @@ typedef struct {
     uint16_t *lvl_l, *lvl_c; /* per-tile wave level maps (avail grids) */
     int64_t max_lvl_l, max_lvl_c;
     int64_t has_gpm; /* any GPM CU: the MC combine needs the gwp plane */
+    /* device-residual TU records: raw levels + resolved selectors shipped
+     * to the frame program (dequant + LFNST + itx run on device); TBs that
+     * do not emit a record fall back to the host res-plane path above */
+    int32_t *dtu;       /* (dtu_cap, DTU_NFIELDS) */
+    int32_t *dtu_coef;  /* flat levels, row-major per TB */
+    int64_t dtu_cap, dtu_coef_cap, dtu_n, dtu_coef_n;
 } IrOut;
 
 static void ir_write_res(int16_t *dst, int stride, const int32_t *res,
@@ -3145,6 +3151,69 @@ static void ir_write_res(int16_t *dst, int stride, const int32_t *res,
         for (int k = 0; k < tw; k++)
             o[k] = (int16_t)s[k];
     }
+}
+
+/* Emit one device-residual TU record (levels + resolved selectors) so
+ * dequant + LFNST + the inverse transform run inside the fused frame
+ * program (rcn_dequant.c / rcn_transform.c host work moved on-device).
+ * Returns 1 when emitted; 0 = caller keeps the host res-plane path. */
+static int ir_emit_dtu(const Rc *r, IrOut *o, const int32_t *t,
+                       const int32_t *cu, int intra)
+{
+    if (!o->dtu)
+        return 0;
+    int l2w = t[TU_F_LOG2W], l2h = t[TU_F_LOG2H];
+    int lfnst = t[TU_F_LFNST];
+    /* LFNST with a clamped region view (l2 > 5) keeps the host path so
+     * the device never needs the stride-remapped corner case; < 4 px a
+     * side cannot carry the 4x4 input region */
+    if (lfnst && (l2w < 2 || l2h < 2 || l2w > 5 || l2h > 5))
+        return 0;
+    int64_t n = (int64_t)1 << (l2w + l2h);
+    if (o->dtu_n >= o->dtu_cap || o->dtu_coef_n + n > o->dtu_coef_cap)
+        return 0;
+    int tr_h = 0, tr_v = 0;
+    int lf_kind = 0, lf_mat = 0, lf_t = 0, lf_nin = 16;
+    if (lfnst) {
+        int base;
+        if (t[TU_F_COMP] == 0)
+            base = cu[CU_F_MIP_FLAG] ? 0 : cu[CU_F_INTRA_L];
+        else {
+            base = cu[CU_F_INTRA_C];
+            if (base >= 81 && base <= 83)
+                base = cu[CU_F_COL_MODE];
+        }
+        int ml = lfnst_intra_mode_c(l2w, l2h, base);
+        lf_t = (ml > 34 && ml < 67) || ml >= 67 + 14;
+        int is8 = l2w >= 3 && l2h >= 3;
+        lf_kind = is8 ? 2 : 1;
+        lf_mat = g_lfnst_mode_map[ml] * 2 + (lfnst - 1);
+        lf_nin = (!is8 && l2w == l2h) ? 8 : 16;
+    } else {
+        transform_pair_c(r->ep, t, intra, &tr_h, &tr_v);
+    }
+    int32_t *rec = o->dtu + o->dtu_n * DTU_NFIELDS;
+    rec[DTU_PLANE] = t[TU_F_COMP];
+    rec[DTU_X] = t[TU_F_X0];
+    rec[DTU_Y] = t[TU_F_Y0];
+    rec[DTU_L2W] = l2w;
+    rec[DTU_L2H] = l2h;
+    rec[DTU_QP] = t[TU_F_QP];
+    rec[DTU_TRH] = tr_h;
+    rec[DTU_TRV] = tr_v;
+    rec[DTU_LF_KIND] = lf_kind;
+    rec[DTU_LF_MAT] = lf_mat;
+    rec[DTU_LF_T] = lf_t;
+    rec[DTU_LF_NIN] = lf_nin;
+    rec[DTU_JC] = t[TU_F_JCBCR];
+    rec[DTU_CSIGN] = r->rp->csign;
+    rec[DTU_COEF] = (int32_t)o->dtu_coef_n;
+    rec[DTU_DEPQ] = r->ep->dep_quant;
+    memcpy(o->dtu_coef + o->dtu_coef_n, r->coef_buf + t[TU_F_COEF],
+           (size_t)n * sizeof(int32_t));
+    o->dtu_n++;
+    o->dtu_coef_n += n;
+    return 1;
 }
 
 /* decode-order availability extents (fill_side_refs parity, sample units) */
@@ -3291,7 +3360,7 @@ static int ir_intra_cu(const Rc *r, IrOut *o, const int32_t *cu)
         if (erc < 0)
             return -1;
         const int32_t *t = find_tu_c(r, cu, 0, tu->x, tu->y);
-        if (t) {
+        if (t && !ir_emit_dtu(r, o, t, cu, 1)) {
             recon_tu_residual_c(r, t, cu, 1, res);
             ir_write_res(o->res_y, o->ry_stride, res, tu->x, tu->y,
                          1 << tu->l2w, 1 << tu->l2h);
@@ -3347,28 +3416,34 @@ static int ir_intra_cu(const Rc *r, IrOut *o, const int32_t *cu)
             return -1;
         const int32_t *jt = find_tu_c(r, cu, 3, tu->x, tu->y);
         if (jt) {
-            recon_tu_residual_c(r, jt, cu, 1, res);
-            int jc = jt[TU_F_JCBCR];
-            for (int i = 0; i < w * h; i++) {
-                int v = res[i];
-                if (jc == 3) rc2[i] = csign * v;
-                else rc2[i] = (csign * v) >> 1;
-            }
-            if (jc >= 2) {
-                ir_write_res(o->res_cb, o->rc_stride, res, tu->x, tu->y, w, h);
-                ir_write_res(o->res_cr, o->rc_stride, rc2, tu->x, tu->y, w, h);
-            } else {
-                ir_write_res(o->res_cr, o->rc_stride, res, tu->x, tu->y, w, h);
-                ir_write_res(o->res_cb, o->rc_stride, rc2, tu->x, tu->y, w, h);
+            if (!ir_emit_dtu(r, o, jt, cu, 1)) {
+                recon_tu_residual_c(r, jt, cu, 1, res);
+                int jc = jt[TU_F_JCBCR];
+                for (int i = 0; i < w * h; i++) {
+                    int v = res[i];
+                    if (jc == 3) rc2[i] = csign * v;
+                    else rc2[i] = (csign * v) >> 1;
+                }
+                if (jc >= 2) {
+                    ir_write_res(o->res_cb, o->rc_stride, res, tu->x, tu->y,
+                                 w, h);
+                    ir_write_res(o->res_cr, o->rc_stride, rc2, tu->x, tu->y,
+                                 w, h);
+                } else {
+                    ir_write_res(o->res_cr, o->rc_stride, res, tu->x, tu->y,
+                                 w, h);
+                    ir_write_res(o->res_cb, o->rc_stride, rc2, tu->x, tu->y,
+                                 w, h);
+                }
             }
         } else {
             const int32_t *tb = find_tu_c(r, cu, 1, tu->x, tu->y);
             const int32_t *tr = find_tu_c(r, cu, 2, tu->x, tu->y);
-            if (tb) {
+            if (tb && !ir_emit_dtu(r, o, tb, cu, 1)) {
                 recon_tu_residual_c(r, tb, cu, 1, res);
                 ir_write_res(o->res_cb, o->rc_stride, res, tu->x, tu->y, w, h);
             }
-            if (tr) {
+            if (tr && !ir_emit_dtu(r, o, tr, cu, 1)) {
                 recon_tu_residual_c(r, tr, cu, 1, res);
                 ir_write_res(o->res_cr, o->rc_stride, res, tu->x, tu->y, w, h);
             }
@@ -3516,6 +3591,8 @@ static int ir_inter_cu(const Rc *r, IrOut *o, const int32_t *cu)
         const int32_t *t = r->tu_buf + (int64_t)(tu0 + i) * TU_NFIELDS;
         int comp = t[TU_F_COMP];
         int tw = 1 << t[TU_F_LOG2W], th = 1 << t[TU_F_LOG2H];
+        if (ir_emit_dtu(r, o, t, cu, 0))
+            continue;
         recon_tu_residual_c(r, t, cu, 0, res);
         if (comp == 0) {
             ir_write_res(o->res_y, o->ry_stride, res, t[TU_F_X0], t[TU_F_Y0],
@@ -3560,7 +3637,10 @@ int64_t ov_build_ir(const EntryParams *ep, const ReconParams *rp,
                     int32_t *jobs_l, int64_t cap_l,
                     int32_t *jobs_c, int64_t cap_c,
                     const int32_t *dist0, const int32_t *dist1,
-                    const DbfBufs *dbf, int64_t *out_counts)
+                    const DbfBufs *dbf,
+                    int32_t *dtu, int64_t dtu_cap,
+                    int32_t *dtu_coef, int64_t dtu_coef_cap,
+                    int64_t *out_counts)
 {
     /* support scan: same set as ov_recon_entry except BCW bi weights,
      * which the device weighted-combine handles exactly */
@@ -3643,6 +3723,8 @@ int64_t ov_build_ir(const EntryParams *ep, const ReconParams *rp,
     o.ghpel = ghpel; o.glist = glist; o.gwp = gwp; o.g_stride = g_stride;
     o.jobs_l = jobs_l; o.jobs_c = jobs_c;
     o.cap_l = cap_l; o.cap_c = cap_c;
+    o.dtu = dtu; o.dtu_cap = dtu_cap;
+    o.dtu_coef = dtu_coef; o.dtu_coef_cap = dtu_coef_cap;
     o.lvl_l = calloc((size_t)rc.al_w * rc.al_h, 2);
     o.lvl_c = calloc((size_t)rc.ac_w * rc.ac_h, 2);
     if (!rc.avail_l || !rc.avail_c || !o.lvl_l || !o.lvl_c) {
@@ -3670,6 +3752,8 @@ int64_t ov_build_ir(const EntryParams *ep, const ReconParams *rp,
     out_counts[2] = o.max_lvl_l;
     out_counts[3] = o.max_lvl_c;
     out_counts[4] = o.has_gpm;
+    out_counts[5] = o.dtu_n;
+    out_counts[6] = o.dtu_coef_n;
     free(rc.avail_l); free(rc.avail_c);
     free(o.lvl_l); free(o.lvl_c);
     return rcode;

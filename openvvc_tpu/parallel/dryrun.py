@@ -82,20 +82,25 @@ def dryrun_frame_pipeline(n_devices, gop="lowdelay", alf=False, frames=3,
 
     fp.pack_jobs = spy_pack
     fp.run_frame = spy_run
-    # the sharded band program consumes the XLA dense-MC args (margs);
-    # force the capture decode off the Pallas bundle layout
+    # the sharded band program consumes the XLA dense-MC args (margs) and
+    # dense residual planes; force the capture decode off the Pallas
+    # bundle layout and the device-residual TU records
     prev_np = os.environ.get("OPENVVC_NO_PALLAS")
+    prev_dr = os.environ.get("OPENVVC_DEVICE_RESID")
     os.environ["OPENVVC_NO_PALLAS"] = "1"
+    os.environ["OPENVVC_DEVICE_RESID"] = "0"
     try:
         dec = Decoder(use_tpu=True)
         out_frames = dec.decode(stream)
     finally:
         fp.run_frame = orig_run
         fp.pack_jobs = orig_pack
-        if prev_np is None:
-            os.environ.pop("OPENVVC_NO_PALLAS", None)
-        else:
-            os.environ["OPENVVC_NO_PALLAS"] = prev_np
+        for k, prev in (("OPENVVC_NO_PALLAS", prev_np),
+                        ("OPENVVC_DEVICE_RESID", prev_dr)):
+            if prev is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = prev
     n = len(out_frames)
     assert dec.stats.get("tpu_frames", 0) == n, \
         f"device path fell back: {dec.stats}"

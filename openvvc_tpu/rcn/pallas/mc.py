@@ -87,7 +87,7 @@ def _mc_pallas(plane_padded, xs, ys, filters, w, h, bitdepth):
         in_specs=[
             pl.BlockSpec((1, 2, TAPS), lambda i, xs, ys: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),  # plane stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # plane stays in HBM
         ],
         out_specs=pl.BlockSpec((1, h, w), lambda i, xs, ys: (i, 0, 0),
                                memory_space=pltpu.VMEM),

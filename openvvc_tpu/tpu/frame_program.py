@@ -45,6 +45,7 @@ class Cfg(NamedTuple):
     cclm_on: bool = False  # any KIND_CCLM chroma job
     cclm_colloc: bool = False
     ciip_on: bool = False  # any KIND_CIIP job (deferred-residual units)
+    dtu_sig: tuple = ()   # device-residual buckets ((l2w, l2h, N), ...)
 
 
 def _bucket_pow2(n, lo=0):
@@ -118,6 +119,21 @@ def frame_step(dpb_y, dpb_cb, dpb_cr, slot, arrs, cfg: Cfg):
     H4, W4 = uh * 4, uw * 4
     bd = cfg.bd
     bd_max = (1 << bd) - 1
+
+    if cfg.dtu_sig:
+        # device residuals: dequant + LFNST + inverse transform of the
+        # shipped raw levels, scattered over the host remainder planes
+        # BEFORE any consumer (MC residual add, waves, LMCS deferred add)
+        from openvvc_tpu.tpu import resid_dense
+
+        ry, rcb, rcr = resid_dense.apply_dtu(
+            jnp, arrs["dtu"], arrs["res_y"],
+            arrs.get("res_cb"), arrs.get("res_cr"), bd, cfg.chroma)
+        arrs = dict(arrs)
+        arrs["res_y"] = ry
+        if cfg.chroma:
+            arrs["res_cb"] = rcb
+            arrs["res_cr"] = rcr
 
     lmcs = arrs.get("lmcs") if cfg.lmcs_on else None
     pred_cb_d = pred_cr_d = None  # LMCS: chroma residual add deferred
