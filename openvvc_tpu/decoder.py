@@ -196,6 +196,9 @@ def reconstruct_cu(rc: ReconCtx, cu: CU, params: ActiveParams, tools,
         compute_chroma_scale(lmcs, frame.y, cu.x0, cu.y0, rc.luma_avail)
 
     if dbf is not None and tree in (TREE_SINGLE, TREE_DUAL_LUMA):
+        # luma bs2 covers BDPCM too (drv_intra_cu fills the CU rect
+        # unconditionally, drv_intra.c:369); chroma bs2 skips BDPCM
+        # (rcn_tu_c, rcn_transform_tree.c:1368-1371)
         dbf.add_cu_luma(cu.x0, cu.y0, 1 << cu.log2_w, 1 << cu.log2_h, cu.qp,
                         cu.pred_mode == 0 or bool(cu.ciip_flag))
         if cu.pred_mode == 2 and cu.ibc_dbf is not None:
@@ -247,9 +250,13 @@ def reconstruct_cu(rc: ReconCtx, cu: CU, params: ActiveParams, tools,
         else:
             cx0, cy0, cw, ch = cu.x0 >> 1, cu.y0 >> 1, 1 << (cu.log2_w - 1), 1 << (cu.log2_h - 1)
         dbf.add_cu_chroma(cx0, cy0, cw, ch, qp_cb, qp_cr,
-                          cu.pred_mode == 0 or bool(cu.ciip_flag))
+                          (cu.pred_mode == 0 and not cu.bdpcm_c)
+                          or bool(cu.ciip_flag))
         for tu in cu.tus:
-            if tu.comp in (1, 2, 3) and tu.cbf:
+            # BDPCM-chroma TBs raise neither bs1 nor bs2 (the reference
+            # gates both fills on !intra_bdpcm_chroma_flag,
+            # rcn_transform_tree.c:755/789/836)
+            if tu.comp in (1, 2, 3) and tu.cbf and not cu.bdpcm_c:
                 comps = (1, 2) if tu.comp == 3 else (tu.comp,)
                 for comp in comps:
                     dbf.add_tb_chroma(comp, tu.x0, tu.y0, 1 << tu.log2_w, 1 << tu.log2_h)

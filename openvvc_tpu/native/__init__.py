@@ -216,10 +216,12 @@ class _EntryParamsC(ctypes.Structure):
           "affine_enabled", "sbtmvp_on", "affine_6param", "affine_prof",
           "affine_amvr", "affine_nb_merge_cand",
           "col_ref_idx0", "col_ref_idx1", "nb_ctb_pic_w",
-          "bdof_on", "dmvr_on")]
+          "bdof_on", "dmvr_on",
+          "ts_enabled", "log2_ts_max", "min_qp_prime_ts",
+          "bdpcm_enabled")]
 
 
-_CU_NFIELDS = 47
+_CU_NFIELDS = 48
 _TU_NFIELDS = 17
 _SAO_NFIELDS = 24
 _ALF_NFIELDS = 6
@@ -262,8 +264,8 @@ def native_parse_reject_reason(params) -> str | None:
     if g(sps, "sps_ref_pic_resampling_enabled_flag"):
         return "rpr"  # scaled-ref MC not in C; refs may differ in size
     bad_sps = (
-        "sps_isp_enabled_flag", "sps_bdpcm_enabled_flag",
-        "sps_transform_skip_enabled_flag", "sps_sbt_enabled_flag",
+        "sps_isp_enabled_flag",
+        "sps_sbt_enabled_flag",
         "sps_ibc_enabled_flag", "sps_palette_enabled_flag",
     )
     for n in bad_sps:
@@ -464,6 +466,10 @@ def parse_entry_native_raw(params, entry):
                      and not g(ph, "ph_bdof_disabled_flag"))
     ep.dmvr_on = int(bool(g(sps, "sps_dmvr_enabled_flag"))
                      and not g(ph, "ph_dmvr_disabled_flag"))
+    ep.ts_enabled = g(sps, "sps_transform_skip_enabled_flag")
+    ep.log2_ts_max = g(sps, "sps_log2_transform_skip_max_size_minus2") + 2
+    ep.min_qp_prime_ts = g(sps, "sps_min_qp_prime_ts")
+    ep.bdpcm_enabled = g(sps, "sps_bdpcm_enabled_flag")
     ep.ldc = 1  # InterCtx.ldc default; refined below when TMVP is on
     ep.smvd_enabled = 0
     ep.ref_smvd_idx0 = -1
@@ -685,6 +691,7 @@ def _convert_native_entry(params, entry, raw):
         t.__dict__ = tu_tmpl | {
             "comp": comp, "x0": x0, "y0": y0, "log2_w": l2w, "log2_h": l2h,
             "cbf": 1, "joint_cbcr": jcbcr, "lfnst_idx": lfnst, "mts_idx": mts,
+            "transform_skip": ts, "bdpcm": bdpcm, "bdpcm_dir": bdpcm >> 1,
             "qp": qp, "last_pos": (lastx, lasty),
             "sig_sb_map": ((sighi & 0xFFFFFFFF) << 32) | (siglo & 0xFFFFFFFF),
             "coeffs": coef_buf[coef:coef + (1 << (l2w + l2h))]
@@ -712,6 +719,12 @@ def _convert_native_entry(params, entry, raw):
             d["mip_flag"] = 1
             d["mip_transpose"] = r[F.MIP_T]
             d["mip_mode"] = r[F.MIP_MODE]
+        if r[F.BDPCM]:
+            b = r[F.BDPCM]
+            d["bdpcm_l"] = b & 1
+            d["bdpcm_dir_l"] = (b >> 1) & 1
+            d["bdpcm_c"] = (b >> 2) & 1
+            d["bdpcm_dir_c"] = (b >> 3) & 1
         if r[F.MV0REF] >= 0:
             mv = mv_new(MV)
             mv.__dict__ = {"x": r[F.MV0X], "y": r[F.MV0Y],
@@ -871,7 +884,7 @@ class _CuF:
      MV0Y, MV0REF, MV0BCW, MV0PREC, MV1X, MV1Y, MV1REF, QP, ROOT_CBF,
      PREC_EFF, TU0, NTU, CTU, COL_MODE, CIIP_WT, GPM_DIRS,
      GPM_SPLIT, SB_FLAG, PROF_DIR, DMV0HX, DMV0HY, DMV0VX, DMV0VY,
-     DMV1HX, DMV1HY, DMV1VX, DMV1VY, SMVD, MMVD) = range(47)
+     DMV1HX, DMV1HY, DMV1VX, DMV1VY, SMVD, MMVD, BDPCM) = range(48)
 
 
 # ---------------------------------------------------------------------------

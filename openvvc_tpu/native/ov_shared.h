@@ -63,6 +63,8 @@ enum {
     CU_F_DMV0HX, CU_F_DMV0HY, CU_F_DMV0VX, CU_F_DMV0VY, /* affine deltas */
     CU_F_DMV1HX, CU_F_DMV1HY, CU_F_DMV1VX, CU_F_DMV1VY,
     CU_F_SMVD, CU_F_MMVD, /* flags for the BDOF/DMVR enable rules */
+    CU_F_BDPCM,     /* bit0 luma on, bit1 luma dir, bit2 chroma on,
+                       bit3 chroma dir (pure-copy intra + TS accumulate) */
     CU_NFIELDS
 };
 enum {
@@ -160,6 +162,9 @@ typedef struct {
     int32_t nb_ctb_pic_w;
     /* BDOF / DMVR (sps flag && !ph disabled) */
     int32_t bdof_on, dmvr_on;
+    /* transform skip (sps_transform_skip_enabled_flag + size/qp params) */
+    int32_t ts_enabled, log2_ts_max, min_qp_prime_ts;
+    int32_t bdpcm_enabled;
 } EntryParams;
 
 /* ---- deblocking maps handed over from Python (rcn/ref_dbf.py DbfMaps;

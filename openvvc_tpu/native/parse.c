@@ -86,6 +86,12 @@ enum {
     CIIP_FLAG = 364,
     IBC_FLAG = 365,
     JOINT_CB_CR_FLAG = 368,
+    TS_SIG_COEFF_GROUP = 371,
+    TS_SIG_FLAG = 374,
+    TS_PAR_FLAG = 377,
+    TS_GTX_FLAG = 378,
+    TS_LRG1_FLAG = 383,
+    TS_RESIDUAL_SIGN = 387,
 };
 
 #include "ov_shared.h"
@@ -409,6 +415,17 @@ static void cu_intra_luma(Pc *p, int32_t *c)
     int x0 = c[CU_F_X0], y0 = c[CU_F_Y0];
     int l2w = c[CU_F_LOG2W], l2h = c[CU_F_LOG2H];
 
+    /* BDPCM (coding_unit.py coding_unit_intra_luma :150): pure H/V copy
+     * prediction + TS residual accumulation */
+    if (e->bdpcm_enabled && l2w <= e->log2_ts_max && l2h <= e->log2_ts_max) {
+        if (cabac_decode_bin(p->cab, BDPCM_MODE)) {
+            int dir = cabac_decode_bin(p->cab, BDPCM_MODE + 1);
+            c[CU_F_BDPCM] |= 1 | (dir << 1);
+            c[CU_F_INTRA_L] = dir ? OV_VER : OV_HOR;
+            return;
+        }
+    }
+
     if (e->mip) {
         int ux = lu_x(p, x0), uy = lu_y(p, y0);
         int abv_mip = in_tile(p, x0, y0 - 1) &&
@@ -464,6 +481,16 @@ static void cu_intra_luma(Pc *p, int32_t *c)
 static void cu_intra_chroma(Pc *p, int32_t *c, int col_mode)
 {
     const EntryParams *e = p->ep;
+    int cl2w = c[CU_F_LOG2W] - 1, cl2h = c[CU_F_LOG2H] - 1;
+    if (e->bdpcm_enabled && cl2w <= e->log2_ts_max
+        && cl2h <= e->log2_ts_max) {
+        if (cabac_decode_bin(p->cab, BDPCM_MODE + 2)) {
+            int dir = cabac_decode_bin(p->cab, BDPCM_MODE + 3);
+            c[CU_F_BDPCM] |= 4 | (dir << 3);
+            c[CU_F_INTRA_C] = dir ? OV_VER : OV_HOR;
+            return;
+        }
+    }
     if (e->cclm) { /* single tree: cclm_allowed() is always true */
         if (cabac_decode_bin(p->cab, CCLM_MODE_FLAG)) {
             int idx = cabac_decode_bin(p->cab, CCLM_MODE_IDX);
@@ -539,6 +566,7 @@ typedef struct {
     int cb_last_x, cb_last_y; uint64_t cb_sig; int has_cb;
     int cr_last_x, cr_last_y; uint64_t cr_sig; int has_cr;
     int j_last_x, j_last_y; uint64_t j_sig; int has_j;
+    int ts_any, ts_luma; /* transform-skip TBs gate LFNST / explicit MTS */
     int valid;
 } TuInfo;
 
@@ -566,7 +594,284 @@ static void code_tb(Pc *p, int64_t tui, int luma, int *last_x, int *last_y,
     t[TU_F_SIGHI] = (int32_t)(sigmap >> 32);
 }
 
-/* transform_unit parity (single/shared tree; TS+BDPCM+SBT pre-gated off) */
+static int imax(int a, int b) { return a > b ? a : b; }
+static int imin(int a, int b) { return a < b ? a : b; }
+
+/* ---- transform-skip residual coding (vcl/residual.py
+ * residual_ts_coding :626 reader branch; reference
+ * vcl_residual_coding.c residual_coding_ts :3576) ------------------- */
+
+static int ts_rice_c(Pc *p)
+{
+    int prefix = 0;
+    while (prefix < 17 && cabac_decode_bypass(p->cab))
+        prefix++;
+    if (prefix < 5)
+        return (prefix << 1) + (int)cabac_decode_bypass_bits(p->cab, 1);
+    int length = 1 + (prefix == 17 ? 14 : prefix - 5);
+    int offset = ((1 << (prefix - 5)) + 4) << 1;
+    return offset + (int)cabac_decode_bypass_bits(p->cab, length);
+}
+
+static void ts_sb_dims(int l2w, int l2h, int *lsw, int *lsh)
+{
+    if (imin(l2w, l2h) >= 2) { *lsw = 2; *lsh = 2; return; }
+    if (l2w + l2h <= 3) { *lsw = imin(l2w, 1); *lsh = imin(l2h, 1); return; }
+    if (l2w < 2) { *lsw = l2w; *lsh = 4 - l2w; return; }
+    *lsw = 4 - l2h; *lsh = l2h;
+}
+
+static void ts_diag_scan(int w, int h, uint8_t *sx, uint8_t *sy)
+{
+    int i = 0;
+    for (int d = 0; d < w + h - 1; d++)
+        for (int y = imin(d, h - 1); y >= 0 && d - y < w; y--) {
+            sx[i] = (uint8_t)(d - y);
+            sy[i] = (uint8_t)y;
+            i++;
+        }
+}
+
+static uint64_t ts_decode_tb(Pc *p, int32_t *out, int l2w, int l2h,
+                             int bdpcm)
+{
+    int w = 1 << l2w, h = 1 << l2h;
+    int lsw, lsh;
+    ts_sb_dims(l2w, l2h, &lsw, &lsh);
+    int sb_w = 1 << lsw, sb_h = 1 << lsh;
+    int nb_sb_w = imax(1, w >> lsw), nb_sb_h = imax(1, h >> lsh);
+    uint8_t sbx[64], sby[64], inx[16], iny[16];
+    ts_diag_scan(nb_sb_w, nb_sb_h, sbx, sby);
+    ts_diag_scan(sb_w, sb_h, inx, iny);
+    int nb_sb = nb_sb_w * nb_sb_h;
+    int max_pos = sb_w * sb_h - 1;
+
+    memset(out, 0, (size_t)w * h * sizeof(*out));
+    int budget = ((w * h) << 3) / 4 - (w * h) / 4;
+    /* neighbour grids, (h+1) x (w+1), stride W1 (TS max is 32x32) */
+    int W1 = w + 1;
+    int16_t nb_sig[33 * 33], sign_sum[33 * 33];
+    int32_t abs_c[33 * 33];
+    memset(nb_sig, 0, sizeof(int16_t) * (size_t)(h + 1) * W1);
+    memset(sign_sum, 0, sizeof(int16_t) * (size_t)(h + 1) * W1);
+    memset(abs_c, 0, sizeof(int32_t) * (size_t)(h + 1) * W1);
+
+    uint64_t sig_sb_map = 0;
+
+    for (int si = 0; si < nb_sb; si++) {
+        int sx = sbx[si], sy = sby[si];
+        int flag;
+        if (nb_sb == 1) {
+            flag = 1;
+        } else {
+            int abv = sy > 0 && ((sig_sb_map >> (sx + ((sy - 1) << 3))) & 1);
+            int lft = sx > 0 && ((sig_sb_map >> ((sx - 1) + (sy << 3))) & 1);
+            if (si == nb_sb - 1 && sig_sb_map == 0)
+                flag = 1;
+            else
+                flag = cabac_decode_bin(p->cab,
+                                        TS_SIG_COEFF_GROUP + abv + lft);
+        }
+        if (!flag)
+            continue;
+        sig_sb_map |= 1ULL << (sx + (sy << 3));
+
+        int base_x = sx << lsw, base_y = sy << lsh;
+        int sig_ax[17], sig_ay[17], sig_n = 0;
+        int sign_bits[17];
+        int p2x[17], p2y[17], n2 = 0;
+        int p3x[17], p3y[17], n3 = 0;
+        int32_t vmap[16]; /* coded |value| per in-sb scan pos */
+        int pos_of[16];   /* scan pos by (local y*sb_w + x) -- unused */
+        (void)pos_of;
+        memset(vmap, 0, sizeof(vmap));
+
+        int pos = 0;
+        while (pos <= max_pos) {
+            if (pos < max_pos && budget < 4)
+                break;
+            if (pos == max_pos && budget < 4)
+                break;
+            int infer = (pos == max_pos) && sig_n == 0;
+            int ax = base_x + inx[pos], ay = base_y + iny[pos];
+            int nb = nb_sig[ay * W1 + ax];
+            int sig;
+            if (infer) {
+                sig = 1;
+            } else {
+                sig = cabac_decode_bin(p->cab, TS_SIG_FLAG + nb);
+                budget -= 1;
+            }
+            if (sig) {
+                int nsign = sign_sum[ay * W1 + ax];
+                int sign_off = nb != 2 ? nb + nsign
+                                       : (nsign == 2 ? 2 : nsign ^ 1);
+                int gt1_ctx = nb;
+                if (bdpcm) {
+                    gt1_ctx = 3;
+                    sign_off += 3;
+                }
+                int sign = cabac_decode_bin(p->cab,
+                                            TS_RESIDUAL_SIGN + sign_off);
+                int gt1 = cabac_decode_bin(p->cab, TS_LRG1_FLAG + gt1_ctx);
+                budget -= 2;
+                int value = 1;
+                if (gt1) {
+                    int par = cabac_decode_bin(p->cab, TS_PAR_FLAG);
+                    budget -= 1;
+                    value += 1 + par;
+                    p2x[n2] = ax; p2y[n2] = ay; n2++;
+                }
+                vmap[pos] = value;
+                sign_bits[sig_n] = sign;
+                sig_ax[sig_n] = ax;
+                sig_ay[sig_n] = ay;
+                sig_n++;
+                nb_sig[ay * W1 + ax + 1] += 1;
+                nb_sig[(ay + 1) * W1 + ax] += 1;
+                sign_sum[ay * W1 + ax + 1] += (int16_t)sign;
+                sign_sum[(ay + 1) * W1 + ax] += (int16_t)sign;
+                abs_c[(ay + 1) * W1 + ax + 1] = value;
+            }
+            pos++;
+        }
+
+        /* pass 2: gt2..gt5, budget-gated per coefficient */
+        int nb_read_pass2 = 0;
+        for (int i = 0; i < n2; i++) {
+            if (budget < 4)
+                break;
+            nb_read_pass2++;
+            int ax = p2x[i], ay = p2y[i];
+            /* recover the scan position of (ax, ay) */
+            int sp = -1;
+            for (int q = 0; q <= max_pos; q++)
+                if (base_x + inx[q] == ax && base_y + iny[q] == ay) {
+                    sp = q; break;
+                }
+            int add = 0;
+            for (int g = 1; g <= 4; g++) {
+                int gt = cabac_decode_bin(p->cab, TS_GTX_FLAG + g);
+                budget -= 1;
+                if (!gt)
+                    break;
+                add += 2;
+                if (g == 4) { p3x[n3] = ax; p3y[n3] = ay; n3++; }
+            }
+            vmap[sp] += add;
+            abs_c[(ay + 1) * W1 + ax + 1] = vmap[sp];
+        }
+
+        /* pass 3: rice remainders for gt5 coefficients */
+        for (int i = 0; i < n3; i++) {
+            int ax = p3x[i], ay = p3y[i];
+            int sp = -1;
+            for (int q = 0; q <= max_pos; q++)
+                if (base_x + inx[q] == ax && base_y + iny[q] == ay) {
+                    sp = q; break;
+                }
+            int r = ts_rice_c(p);
+            vmap[sp] += 2 * r;
+            abs_c[(ay + 1) * W1 + ax + 1] = vmap[sp];
+        }
+
+        /* pass-2-skipped coefficients: full remainder as rice */
+        for (int i = nb_read_pass2; i < n2; i++) {
+            int ax = p2x[i], ay = p2y[i];
+            int sp = -1;
+            for (int q = 0; q <= max_pos; q++)
+                if (base_x + inx[q] == ax && base_y + iny[q] == ay) {
+                    sp = q; break;
+                }
+            int r = ts_rice_c(p);
+            vmap[sp] += 2 * r;
+            abs_c[(ay + 1) * W1 + ax + 1] = vmap[sp];
+        }
+
+        /* level prediction remap (decode side; skipped for BDPCM) */
+        for (int i = 0; bdpcm == 0 && i < sig_n; i++) {
+            int ax = sig_ax[i], ay = sig_ay[i];
+            int sp = -1;
+            for (int q = 0; q <= max_pos; q++)
+                if (base_x + inx[q] == ax && base_y + iny[q] == ay) {
+                    sp = q; break;
+                }
+            int m = imax(abs_c[ay * W1 + ax + 1], abs_c[(ay + 1) * W1 + ax]);
+            int v = vmap[sp];
+            if (v == 1 && m)
+                v = m;
+            else
+                v -= (v <= m) ? 1 : 0;
+            vmap[sp] = v;
+            abs_c[(ay + 1) * W1 + ax + 1] = v;
+        }
+
+        /* bypass tail: positions not covered by pass 1 */
+        for (int q = pos; q <= max_pos; q++) {
+            int ax = base_x + inx[q], ay = base_y + iny[q];
+            int v = ts_rice_c(p);
+            vmap[q] = v;
+            if (v) {
+                int sign = cabac_decode_bypass(p->cab);
+                sign_bits[sig_n] = sign;
+                sig_ax[sig_n] = ax;
+                sig_ay[sig_n] = ay;
+                sig_n++;
+            }
+        }
+
+        for (int i = 0; i < sig_n; i++) {
+            int ax = sig_ax[i], ay = sig_ay[i];
+            int sp = -1;
+            for (int q = 0; q <= max_pos; q++)
+                if (base_x + inx[q] == ax && base_y + iny[q] == ay) {
+                    sp = q; break;
+                }
+            out[ay * w + ax] = sign_bits[i] ? -vmap[sp] : vmap[sp];
+        }
+    }
+    return sig_sb_map;
+}
+
+/* TS residual into coef_buf (transform_unit.py _code_ts_tb) */
+static void code_ts_tb(Pc *p, int64_t tui, TuInfo *info, int luma,
+                       int bdpcm, int bdpcm_dir)
+{
+    const EntryParams *e = p->ep;
+    int32_t *t = tu_rec(p, tui);
+    int l2w = t[TU_F_LOG2W], l2h = t[TU_F_LOG2H];
+    int n = 1 << (l2w + l2h);
+    if (p->ncoef + n > p->coef_cap) bail(p, -6);
+    int32_t *dst = p->coef + p->ncoef;
+    t[TU_F_COEF] = (int32_t)p->ncoef;
+    p->ncoef += n;
+    t[TU_F_TS] = 1;
+    t[TU_F_BDPCM] = bdpcm ? (1 | (bdpcm_dir << 1)) : 0;
+    t[TU_F_QP] = imax(t[TU_F_QP], 4 + 6 * e->min_qp_prime_ts);
+    uint64_t sig = ts_decode_tb(p, dst, l2w, l2h, bdpcm);
+    t[TU_F_LASTX] = 0;
+    t[TU_F_LASTY] = 0;
+    t[TU_F_SIGLO] = (int32_t)(sig & 0xFFFFFFFFu);
+    t[TU_F_SIGHI] = (int32_t)(sig >> 32);
+    info->ts_any = 1;
+    if (luma)
+        info->ts_luma = 1;
+}
+
+/* transform_skip_flag gate (transform_unit.py _transform_skip_flag;
+ * BDPCM and SBT are pre-gated off in the native path) */
+static int ts_flag_c(Pc *p, int comp, int l2w, int l2h, int bdpcm)
+{
+    const EntryParams *e = p->ep;
+    if (!e->ts_enabled || l2w > e->log2_ts_max || l2h > e->log2_ts_max)
+        return 0;
+    if (bdpcm)
+        return 1;
+    return cabac_decode_bin(p->cab,
+                            TRANSFORM_SKIP_FLAG + (comp == 0 ? 0 : 1));
+}
+
+/* transform_unit parity (single/shared tree; BDPCM+SBT pre-gated off) */
 static void transform_unit_c(Pc *p, int64_t cui, int x0, int y0,
                              int l2w, int l2h, int tr_depth, int root_cbf,
                              TuInfo *info)
@@ -577,6 +882,9 @@ static void transform_unit_c(Pc *p, int64_t cui, int x0, int y0,
 
     int has_chroma = e->chroma_enabled; /* tree is SINGLE here */
     int cx = x0 >> 1, cy = y0 >> 1, cl2w = l2w - 1, cl2h = l2h - 1;
+    int bdp = cu_rec(p, cui)[CU_F_BDPCM];
+    int bd_l = bdp & 1, bd_ld = (bdp >> 1) & 1;
+    int bd_c = (bdp >> 2) & 1, bd_cd = (bdp >> 3) & 1;
 
     int cbf_cb = 0, cbf_cr = 0, joint = 0;
     if (has_chroma) {
@@ -602,8 +910,16 @@ static void transform_unit_c(Pc *p, int64_t cui, int x0, int y0,
     if (cbf_luma) {
         int64_t tui = new_tu(p, 0, x0, y0, l2w, l2h);
         tu_rec(p, tui)[TU_F_QP] = qp_y + e->qp_bd_offset;
-        code_tb(p, tui, 1, &info->luma_last_x, &info->luma_last_y,
-                &info->luma_sig);
+        if (ts_flag_c(p, 0, l2w, l2h, bd_l)) {
+            code_ts_tb(p, tui, info, 1, bd_l, bd_ld);
+            info->luma_last_x = info->luma_last_y = 0;
+            uint64_t s = ((uint64_t)(uint32_t)tu_rec(p, tui)[TU_F_SIGHI]
+                          << 32) | (uint32_t)tu_rec(p, tui)[TU_F_SIGLO];
+            info->luma_sig = s;
+        } else {
+            code_tb(p, tui, 1, &info->luma_last_x, &info->luma_last_y,
+                    &info->luma_sig);
+        }
         info->has_luma = 1;
     }
 
@@ -612,21 +928,46 @@ static void transform_unit_c(Pc *p, int64_t cui, int x0, int y0,
         int32_t *t = tu_rec(p, tui);
         t[TU_F_JCBCR] = cbf_mask_c;
         t[TU_F_QP] = chroma_qp(p, cbf_mask_c == 3 ? 3 : (cbf_cb ? 1 : 2), qp_y);
-        code_tb(p, tui, 0, &info->j_last_x, &info->j_last_y, &info->j_sig);
+        if (ts_flag_c(p, 1, cl2w, cl2h, bd_c)) {
+            code_ts_tb(p, tui, info, 0, bd_c, bd_cd);
+            info->j_last_x = info->j_last_y = 0;
+            t = tu_rec(p, tui);
+            info->j_sig = ((uint64_t)(uint32_t)t[TU_F_SIGHI] << 32)
+                          | (uint32_t)t[TU_F_SIGLO];
+        } else {
+            code_tb(p, tui, 0, &info->j_last_x, &info->j_last_y,
+                    &info->j_sig);
+        }
         info->has_j = 1;
     } else if (cbf_mask_c) {
         if (cbf_cb) {
             int64_t tui = new_tu(p, 1, cx, cy, cl2w, cl2h);
             tu_rec(p, tui)[TU_F_QP] = chroma_qp(p, 1, qp_y);
-            code_tb(p, tui, 0, &info->cb_last_x, &info->cb_last_y,
-                    &info->cb_sig);
+            if (ts_flag_c(p, 1, cl2w, cl2h, bd_c)) {
+                code_ts_tb(p, tui, info, 0, bd_c, bd_cd);
+                info->cb_last_x = info->cb_last_y = 0;
+                int32_t *t = tu_rec(p, tui);
+                info->cb_sig = ((uint64_t)(uint32_t)t[TU_F_SIGHI] << 32)
+                               | (uint32_t)t[TU_F_SIGLO];
+            } else {
+                code_tb(p, tui, 0, &info->cb_last_x, &info->cb_last_y,
+                        &info->cb_sig);
+            }
             info->has_cb = 1;
         }
         if (cbf_cr) {
             int64_t tui = new_tu(p, 2, cx, cy, cl2w, cl2h);
             tu_rec(p, tui)[TU_F_QP] = chroma_qp(p, 2, qp_y);
-            code_tb(p, tui, 0, &info->cr_last_x, &info->cr_last_y,
-                    &info->cr_sig);
+            if (ts_flag_c(p, 2, cl2w, cl2h, bd_c)) {
+                code_ts_tb(p, tui, info, 0, bd_c, bd_cd);
+                info->cr_last_x = info->cr_last_y = 0;
+                int32_t *t = tu_rec(p, tui);
+                info->cr_sig = ((uint64_t)(uint32_t)t[TU_F_SIGHI] << 32)
+                               | (uint32_t)t[TU_F_SIGLO];
+            } else {
+                code_tb(p, tui, 0, &info->cr_last_x, &info->cr_last_y,
+                        &info->cr_sig);
+            }
             info->has_cr = 1;
         }
     }
@@ -671,7 +1012,7 @@ static void lfnst_mts_idx_c(Pc *p, int64_t cui, int l2w, int l2h,
     int cbf_mask = info->cbf_mask;
 
     int can_lfnst = 0;
-    if (e->lfnst && c[CU_F_PRED] == MODE_INTRA) {
+    if (e->lfnst && !info->ts_any && c[CU_F_PRED] == MODE_INTRA) {
         int mip_ok = !c[CU_F_MIP_FLAG] || (l2w >= 4 && l2h >= 4);
         if (mip_ok) { /* _lfnst_check_st */
             int max_pos_l = (l2w == l2h && l2w <= 3) ? 7 : 15;
@@ -711,8 +1052,8 @@ static void lfnst_mts_idx_c(Pc *p, int64_t cui, int l2w, int l2h,
             tu_rec(p, t)[TU_F_LFNST] = idx;
     }
 
-    /* explicit MTS on the luma TB (no TS in this build) */
-    if ((cbf_mask & 0x10)) {
+    /* explicit MTS on the luma TB (gated on the luma TB's ts only) */
+    if ((cbf_mask & 0x10) && !info->ts_luma) {
         int explicit_on = c[CU_F_PRED] == MODE_INTRA ? e->expl_mts_intra
                                                      : e->expl_mts_inter;
         if (e->mts && explicit_on && !c[CU_F_LFNST]) {
@@ -1690,8 +2031,6 @@ static int code_ref_idx1(Pc *p, int nb_active);
  * derive_sub_pu_merge_cand :1790)
  * ===================================================================== */
 
-static int imax(int a, int b) { return a > b ? a : b; }
-static int imin(int a, int b) { return a < b ? a : b; }
 
 #define AFFINE_SHIFT 7
 #define RND_AFF (4 << 11)

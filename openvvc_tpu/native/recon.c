@@ -1020,6 +1020,55 @@ static void recon_tu_residual_c(const Rc *r, const int32_t *t,
     int l2w = t[TU_F_LOG2W], l2h = t[TU_F_LOG2H];
     int n = 1 << (l2w + l2h);
     int64_t pt0 = prof_now();
+    if (t[TU_F_TS]) {
+        /* transform-skip: dequant only, no transform shift
+         * (rcn/ref_transform.py dequant_ts; derive_dequant_ts :139) */
+        int qp = t[TU_F_QP];
+        int shift = 6 - qp / 6;
+        int scale = IQ_SCALE[0][qp % 6];
+        const int32_t *lv = r->coef_buf + t[TU_F_COEF];
+        int32_t acc[32 * 32];
+        if (t[TU_F_BDPCM]) {
+            /* directional accumulation with int16 clip BEFORE dequant
+             * (rcn/ref_transform.py reconstruct_bdpcm; rcn_transform_tree
+             * apply_bdpcm_1/2 :631-663) */
+            int w = 1 << l2w, h = 1 << l2h;
+            int dir = t[TU_F_BDPCM] >> 1;
+            if (dir) { /* vertical */
+                for (int x = 0; x < w; x++) acc[x] = lv[x];
+                for (int y = 1; y < h; y++)
+                    for (int x = 0; x < w; x++)
+                        acc[y * w + x] = iclamp(acc[(y - 1) * w + x]
+                                                + lv[y * w + x],
+                                                -32768, 32767);
+            } else {
+                for (int y = 0; y < h; y++) {
+                    acc[y * w] = lv[y * w];
+                    for (int x = 1; x < w; x++)
+                        acc[y * w + x] = iclamp(acc[y * w + x - 1]
+                                                + lv[y * w + x],
+                                                -32768, 32767);
+                }
+            }
+            lv = acc;
+        }
+        if (shift >= 0) {
+            int64_t add = ((int64_t)1 << shift) >> 1;
+            for (int i = 0; i < n; i++) {
+                int64_t v = ((int64_t)lv[i] * scale + add) >> shift;
+                res[i] = iclamp((int)v, -32767, 32767);
+            }
+        } else {
+            int64_t s2 = (int64_t)scale << -shift;
+            for (int i = 0; i < n; i++) {
+                int64_t v = (int64_t)lv[i] * s2;
+                res[i] = v < -32767 ? -32767
+                                    : (v > 32767 ? 32767 : (int32_t)v);
+            }
+        }
+        prof_add(PROF_RESID, pt0);
+        return;
+    }
     int32_t dq[64 * 64];
     dequant_c(r->coef_buf + t[TU_F_COEF], n, t[TU_F_QP], l2w, l2h,
               r->ep->dep_quant, r->ep->bitdepth, dq);
@@ -1497,7 +1546,9 @@ static void fill_dbf_cu(const Rc *r, const int32_t *c)
     int x0 = c[CU_F_X0], y0 = c[CU_F_Y0];
     int w = 1 << c[CU_F_LOG2W], h = 1 << c[CU_F_LOG2H];
     /* CIIP counts as intra for the bs2 edges (decoder.py :189-191) but
-     * still contributes its motion to the bs1 MV maps */
+     * still contributes its motion to the bs1 MV maps. Luma bs2 covers
+     * BDPCM too (drv_intra_cu fills the CU rect, drv_intra.c:369);
+     * chroma bs2 skips BDPCM (rcn_tu_c, rcn_transform_tree.c:1368) */
     int intra = c[CU_F_PRED] == MODE_INTRA || c[CU_F_CIIP_WT] != 0;
     dbf_add_cu_luma(r, x0, y0, w, h, c[CU_F_QP], intra);
     if (c[CU_F_PRED] != MODE_INTRA && c[CU_F_SB_FLAG]) {
@@ -1599,12 +1650,18 @@ static void fill_dbf_cu(const Rc *r, const int32_t *c)
     if (ep->chroma_enabled) {
         int qcb = dbf_chroma_qp(r, 1, c[CU_F_QP]);
         int qcr = dbf_chroma_qp(r, 2, c[CU_F_QP]);
+        int intra_c = (c[CU_F_PRED] == MODE_INTRA && !(c[CU_F_BDPCM] & 4))
+                      || c[CU_F_CIIP_WT] != 0;
         dbf_add_cu_chroma(r, x0 >> 1, y0 >> 1, w >> 1, h >> 1, qcb, qcr,
-                          intra);
+                          intra_c);
         for (int k = 0; k < ntu_cu; k++) {
             const int32_t *t = r->tu_buf + (int64_t)(tu0 + k) * TU_NFIELDS;
             int comp = t[TU_F_COMP];
             if (comp == 0)
+                continue;
+            /* BDPCM-chroma TBs raise neither bs1 nor bs2
+             * (rcn_transform_tree.c:755/789/836) */
+            if (c[CU_F_BDPCM] & 4)
                 continue;
             int tw = 1 << t[TU_F_LOG2W], th = 1 << t[TU_F_LOG2H];
             if (comp == 3) {
@@ -1655,6 +1712,28 @@ static int tu_units(int x0, int y0, int l2w, int l2h, int max_tb, TuUnit *out,
 
 /* ---- per-CU reconstruction ------------------------------------------- */
 
+/* BDPCM prediction: pure horizontal/vertical copy from unfiltered refs,
+ * no PDPC (rcn/ref_intra.py predict_bdpcm; rcn_intra.c :513-523) */
+static void predict_bdpcm_c(const Rc *r, const int32_t *plane, int stride,
+                            int x0, int y0, int l2w, int l2h, int dir,
+                            int is_luma, int32_t *pred)
+{
+    int w = 1 << l2w, h = 1 << l2h;
+    RefArr ra, rl;
+    fill_side_refs(r, plane, stride, x0, y0, l2w, l2h, is_luma, &ra, &rl);
+    if (dir) { /* vertical: each row copies the above reference row */
+        for (int y = 0; y < h; y++)
+            for (int x = 0; x < w; x++)
+                pred[y * w + x] = ra.b[ROFF + 1 + x];
+    } else {   /* horizontal: each column copies the left reference */
+        for (int y = 0; y < h; y++) {
+            int v = rl.b[ROFF + 1 + y];
+            for (int x = 0; x < w; x++)
+                pred[y * w + x] = v;
+        }
+    }
+}
+
 static void recon_intra_cu(Rc *r, const int32_t *cu)
 {
     const EntryParams *e = r->ep;
@@ -1668,7 +1747,10 @@ static void recon_intra_cu(Rc *r, const int32_t *cu)
     for (int u = 0; u < nu; u++) {
         TuUnit *tu = &units[u];
         int w = 1 << tu->l2w, h = 1 << tu->l2h;
-        if (cu[CU_F_MIP_FLAG])
+        if (cu[CU_F_BDPCM] & 1)
+            predict_bdpcm_c(r, r->fy, e->pic_w, tu->x, tu->y, tu->l2w,
+                            tu->l2h, (cu[CU_F_BDPCM] >> 1) & 1, 1, pred);
+        else if (cu[CU_F_MIP_FLAG])
             predict_mip_c(r, r->fy, e->pic_w, tu->x, tu->y, tu->l2w,
                           tu->l2h, cu[CU_F_MIP_MODE], cu[CU_F_MIP_T], pred);
         else
@@ -1723,7 +1805,11 @@ static void recon_intra_cu(Rc *r, const int32_t *cu)
             int32_t *plane = comp == 1 ? r->fcb : r->fcr;
             const int32_t *rr = comp == 1 ? rcb : rcr;
             int have = comp == 1 ? have_cb : have_cr;
-            if (mode >= INTRA_LT_CCLM && mode <= INTRA_T_CCLM)
+            if (cu[CU_F_BDPCM] & 4)
+                predict_bdpcm_c(r, plane, cs, tu->x, tu->y, tu->l2w,
+                                tu->l2h, (cu[CU_F_BDPCM] >> 3) & 1, 0,
+                                pred);
+            else if (mode >= INTRA_LT_CCLM && mode <= INTRA_T_CCLM)
                 predict_cclm_c(r, plane, cs, tu->x, tu->y, tu->l2w,
                                tu->l2h, mode == INTRA_L_CCLM
                                ? INTRA_L_CCLM : mode, pred);
@@ -3041,7 +3127,7 @@ int64_t ov_recon_entry(const EntryParams *ep, const ReconParams *rp,
     }
     for (int64_t i = 0; i < ntu; i++) {
         const int32_t *t = tu_buf + i * TU_NFIELDS;
-        if (t[TU_F_TS] || t[TU_F_BDPCM] || t[TU_F_COEF] < 0)
+        if (t[TU_F_COEF] < 0)
             return -1;
     }
 
@@ -3163,6 +3249,8 @@ static int ir_emit_dtu(const Rc *r, IrOut *o, const int32_t *t,
     if (!o->dtu)
         return 0;
     int l2w = t[TU_F_LOG2W], l2h = t[TU_F_LOG2H];
+    if (t[TU_F_TS])
+        return 0; /* transform-skip residuals ride the host res planes */
     int lfnst = t[TU_F_LFNST];
     /* LFNST with a clamped region view (l2 > 5) keeps the host path so
      * the device never needs the stride-remapped corner case; < 4 px a
@@ -3655,6 +3743,8 @@ int64_t ov_build_ir(const EntryParams *ep, const ReconParams *rp,
             return -1;
         if (c[CU_F_SB_FLAG])
             return -1; /* affine/SbTMVP: host C recon lane handles it */
+        if (c[CU_F_BDPCM])
+            return -1; /* BDPCM pure-copy intra: host C recon lane */
         if ((ep->bdof_on || ep->dmvr_on) && c[CU_F_PRED] == MODE_INTER
             && !c[CU_F_CIIP_WT] && !c[CU_F_GPM_DIRS]
             && c[CU_F_MV1REF] >= 0 && c[CU_F_INTER_DIR] == 3) {
@@ -3691,7 +3781,7 @@ int64_t ov_build_ir(const EntryParams *ep, const ReconParams *rp,
     }
     for (int64_t i = 0; i < ntu; i++) {
         const int32_t *t = tu_buf + i * TU_NFIELDS;
-        if (t[TU_F_TS] || t[TU_F_BDPCM] || t[TU_F_COEF] < 0)
+        if (t[TU_F_BDPCM] || t[TU_F_COEF] < 0)
             return -1;
     }
 

@@ -57,11 +57,29 @@ def _lfnst_levels(rng, log2_w, log2_h):
     return lv
 
 
-def _intra_cu(rng, x, y, log2, lfnst=False, mip=False):
+def _intra_cu(rng, x, y, log2, lfnst=False, mip=False, ts=False):
     from openvvc_tpu.vcl.ctu import TU
 
     cu = CU(x, y, log2, log2, intra_mode_l=int(rng.randint(0, 67)),
             intra_mode_c=int(rng.randint(0, 2)))
+    if ts and log2 <= 4 and rng.rand() < 0.4:
+        # transform-skip TB (forward-scan residual, TS dequant); BDPCM
+        # stays off this profile so every picture keeps the device path
+        # (the IR routes BDPCM pure-copy CUs to the host C recon lane)
+        lv = _sparse(rng, log2, log2, p=0.25, mag=6)
+        if not lv.any():
+            lv[0, 0] = 2
+        tu = TU(x, y, log2, log2, 0, cbf=1, levels=lv)
+        tu.transform_skip = 1
+        cu.tus.append(tu)
+        if rng.rand() < 0.5:
+            clv = _sparse(rng, log2 - 1, log2 - 1, p=0.2, mag=5)
+            if clv.any():
+                ctu = TU(x >> 1, y >> 1, log2 - 1, log2 - 1, 1, cbf=1,
+                         levels=clv)
+                ctu.transform_skip = 1
+                cu.tus.append(ctu)
+        return cu
     if mip and rng.rand() < 0.4:
         from openvvc_tpu.rcn.ref_mip import nb_mip_modes
 
@@ -318,6 +336,8 @@ def main():
                        tile_cols=tile_cols,
                        alf=args.alf, alf_chroma=args.alf, cc_alf=args.alf,
                        lfnst=args.all_tools, mip=args.all_tools,
+                       transform_skip=args.all_tools,
+
                        lmcs=args.all_tools,
                        lmcs_params=(dict(cw_deltas={2: 10, 8: -8, 12: 12},
                                          crs=2)
@@ -331,7 +351,7 @@ def main():
 
     lf = args.all_tools
     frames = [{"tree_builder": _qt_tree(
-        lambda x, y, l: _intra_cu(rng, x, y, l, lfnst=lf, mip=lf),
+        lambda x, y, l: _intra_cu(rng, x, y, l, lfnst=lf, mip=lf, ts=lf),
         args.leaf_intra)}]
     if args.gop == "ra":
         frames += ra_frame_specs(args.frames, rng, args.leaf_inter, _qt_tree,
