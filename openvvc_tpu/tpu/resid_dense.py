@@ -68,8 +68,16 @@ def pack_dtu(dtu_list, coef_list, caps):
 
     buckets = {}
     keys = allr[:, D_L2W] * 8 + allr[:, D_L2H]
-    for k in np.unique(keys):
-        sel = allr[keys == k]
+    # one stable sort replaces a full boolean scan per bucket (the pack
+    # runs per frame on the host; 20k records x 20 buckets made the
+    # per-bucket masks the dominant cost)
+    order = np.argsort(keys, kind="stable")
+    allr = allr[order]
+    keys = keys[order]
+    uniq, starts = np.unique(keys, return_index=True)
+    bounds = np.append(starts, len(keys))
+    for bi, k in enumerate(uniq):
+        sel = allr[bounds[bi]:bounds[bi + 1]]
         l2w, l2h = int(k) >> 3, int(k) & 7
         h, w = 1 << l2h, 1 << l2w
         n = len(sel)
@@ -77,10 +85,11 @@ def pack_dtu(dtu_list, coef_list, caps):
         while cap < n:
             cap = max(16, cap * 2)
         caps[(l2w, l2h)] = cap
-        lv = np.zeros((cap, h, w), np.int32)
-        gidx = sel[:, D_COEF].astype(np.int64)[:, None] + \
-            np.arange(h * w, dtype=np.int64)[None, :]
-        lv[:n] = allc[gidx].reshape(n, h, w)
+        lv = np.empty((cap, h, w), np.int32)
+        gidx = sel[:, D_COEF][:, None] + \
+            np.arange(h * w, dtype=np.int32)[None, :]
+        np.take(allc, gidx, out=lv[:n].reshape(n, h * w))
+        lv[n:] = 0
         pad = cap - n
 
         def col(f, fill=0):
