@@ -573,7 +573,13 @@ def parse_entry_native_raw(params, entry):
     uw8, uh8 = (uw + 1) >> 1, (uh + 1) >> 1
     max_cu = uw * uh + 256
     max_tu = 3 * max_cu
-    max_coef = ep.tile_w * ep.tile_h * 3 // 2 + 8192
+    # 2x the 4:2:0 sample count: a fully-coded tile (every TB carrying
+    # residual) sits exactly at 1.5x, leaving real headroom before the
+    # overflow bail (-6). Known issue: some dense RA full-inter entries
+    # with 2 active refs desync the C reader and trip this bail — the
+    # Python parser takes over and output stays bit-exact
+    # (fallback reason "native_parse:parse_bail" in Decoder.stats).
+    max_coef = ep.tile_w * ep.tile_h * 2 + 65536
     nb_ctu = entry.nb_ctu_w * entry.nb_ctu_h
     # pooled working buffers (~26 MB/entry at 1080p): fresh-page faults
     # cost far more than the parse itself; RawNativeEntry.release()
